@@ -1,0 +1,384 @@
+"""Core relational tier (SURVEY.md §2.2-§2.5, §2.8): projections, filters,
+joins, aggregations, top-k — expressed declaratively so Catalyst gets
+predicate pushdown, column pruning, broadcast-join selection and
+TakeOrderedAndProject for free.
+
+Scale notes (100 TB design stance):
+- Dim tables (region/nation/customer/supplier/part) are explicitly
+  ``broadcast()`` — fact-side shuffles are avoided entirely for star joins.
+- Aggregations are expressed as single groupBy passes (one shuffle), with
+  map-side partial aggregation handled by Catalyst.
+- Top-k is always ``orderBy().limit()`` which Spark plans as
+  TakeOrderedAndProject (no full sort, no single-node sort of the fact table).
+- Float aggregates are rounded identically on both the Spark and oracle side
+  to absorb summation-order nondeterminism across engines/partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.queries.registry import register
+from drug_target_discovery_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# A: pivoted conditional aggregation over one fact scan (SURVEY A5/A8 analog)
+# --------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    tags=("agg", "filter"),
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      round(sum(l_quantity), 2)                                        AS sum_qty,
+      round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+      round(avg(l_quantity), 4)                                        AS avg_qty,
+      round(avg(l_extendedprice), 4)                                   AS avg_price,
+      round(avg(l_discount), 6)                                        AS avg_disc,
+      count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: filter -> single-shuffle groupBy with
+    arithmetic aggregate expressions (reference analog: pivoted conditional
+    aggregation replacing the per-gene loop, pipeline2.py:584-607)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B: star-schema broadcast join chain (SURVEY J1/J8 — broadcast hash joins)
+# --------------------------------------------------------------------------
+@register(
+    "revenue_by_nation",
+    tags=("join", "agg"),
+    oracle="""
+    SELECT
+      n.n_name AS nation,
+      round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dims star join. customer/nation are broadcast (no fact shuffle
+    for the joins); the only shuffle is the final groupBy on nation.
+    Reference analog: probe→gene broadcast mapping join (pipeline2.py:511-516)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C: top-k with deterministic tie-break (SURVEY K1-K3 — TakeOrderedAndProject)
+# --------------------------------------------------------------------------
+@register(
+    "top_orders_by_revenue",
+    tags=("topk", "join"),
+    oracle="""
+    SELECT o_orderkey, o_orderdate_s, revenue FROM (
+      SELECT
+        l.l_orderkey AS o_orderkey,
+        CAST(epoch(o.o_orderdate) AS BIGINT) AS o_orderdate_s,
+        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    )
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 orders by revenue: groupBy + orderBy/limit — planned as a true
+    top-k (TakeOrderedAndProject), never a global sort. Deterministic
+    tie-break on orderkey (SURVEY K3). Timestamps surface as epoch seconds so
+    the oracle hash is timezone-proof."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_s"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# D: semi/anti joins (SURVEY P9/J6 — membership predicates as joins)
+# --------------------------------------------------------------------------
+@register(
+    "customers_without_orders",
+    tags=("join",),
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders (reference analog: membership
+    filters, pipeline2.py:376,689). Catalyst executes as broadcast/shuffled
+    hash anti-join."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+
+
+@register(
+    "parts_shipped_to_top_nation",
+    tags=("join", "semi"),
+    oracle="""
+    WITH top_nation AS (
+      SELECT c.c_nationkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+      ORDER BY count(*) DESC, c.c_nationkey ASC
+      LIMIT 1
+    )
+    SELECT p.p_partkey, p.p_name
+    FROM part p
+    WHERE EXISTS (
+      SELECT 1
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN top_nation t ON c.c_nationkey = t.c_nationkey
+      WHERE l.l_partkey = p.p_partkey
+    )
+    """,
+)
+def parts_shipped_to_top_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join subgraph restriction analog (pipeline2.py:1061-1066): parts
+    that ever shipped to the nation with the most orders. Chained broadcast
+    semi-joins; top-1 computed as orderBy/limit."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+
+    top_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("c_nationkey"))
+        .limit(1)
+        .select("c_nationkey")
+    )
+    cust_in_nation = cust.join(F.broadcast(top_nation), "c_nationkey", "left_semi")
+    orders_in_nation = orders.join(
+        F.broadcast(cust_in_nation.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    )
+    parts_in_nation = li.join(
+        orders_in_nation.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    ).select("l_partkey")
+    return part.join(parts_in_nation, part.p_partkey == F.col("l_partkey"), "left_semi")
+
+
+# --------------------------------------------------------------------------
+# E: rollup / grouping sets (SURVEY A10)
+# --------------------------------------------------------------------------
+@register(
+    "order_priority_rollup",
+    tags=("agg", "rollup"),
+    oracle="""
+    SELECT
+      coalesce(o_orderstatus, 'ALL')   AS status,
+      coalesce(o_orderpriority, 'ALL') AS priority,
+      count(*) AS n_orders,
+      round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation — subtotal hierarchy in one pass (Spark expands
+    grouping sets map-side; still a single shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F: distinct aggregates (SURVEY A10)
+# --------------------------------------------------------------------------
+@register(
+    "supplier_part_distincts",
+    tags=("agg", "distinct"),
+    oracle="""
+    SELECT
+      l_suppkey,
+      count(DISTINCT l_partkey)  AS n_parts,
+      count(DISTINCT l_orderkey) AS n_orders,
+      count(*)                   AS n_rows
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def supplier_part_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation per supplier (Spark plans expand +
+    two-phase aggregate; exact distinct counts, oracle-checkable unlike
+    approx_count_distinct)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# G: conditional classification cascade (SURVEY P1 — keyword classifier)
+# --------------------------------------------------------------------------
+@register(
+    "part_type_classifier",
+    tags=("filter", "case"),
+    oracle="""
+    SELECT
+      cls,
+      count(*) AS n_parts,
+      round(avg(p_retailprice), 4) AS avg_price
+    FROM (
+      SELECT
+        CASE
+          WHEN lower(p_type) LIKE '%brass%'  OR lower(p_type) LIKE '%copper%' THEN 'metal'
+          WHEN lower(p_type) LIKE '%economy%' OR lower(p_type) LIKE '%promo%' THEN 'budget'
+          WHEN lower(p_type) LIKE '%polished%' THEN 'finished'
+          ELSE 'other'
+        END AS cls,
+        p_retailprice
+      FROM part
+    )
+    GROUP BY cls
+    """,
+)
+def part_type_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tier keyword classifier as a when/otherwise cascade — the Spark
+    form of the reference's case/control keyword labeling
+    (pipeline2.py:266-293). Pure column expressions, fully codegen'd."""
+    part = load_table(spark, sf_dir, "part")
+    t = F.lower(F.col("p_type"))
+    cls = (
+        F.when(t.contains("brass") | t.contains("copper"), "metal")
+        .when(t.contains("economy") | t.contains("promo"), "budget")
+        .when(t.contains("polished"), "finished")
+        .otherwise("other")
+    )
+    return (
+        part.select(cls.alias("cls"), "p_retailprice")
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# H: positional (ordinal) join (SURVEY J3 — row_number zip)
+# --------------------------------------------------------------------------
+@register(
+    "positional_zip_join",
+    tags=("join", "window"),
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey, s_name,
+             row_number() OVER (ORDER BY s_suppkey) AS rn
+      FROM supplier
+    ),
+    n AS (
+      SELECT n_nationkey, n_name,
+             row_number() OVER (ORDER BY n_nationkey) AS rn
+      FROM nation
+    )
+    SELECT s.rn AS rn, s.s_name AS s_name, n.n_name AS n_name
+    FROM s JOIN n ON s.rn = n.rn
+    """,
+)
+def positional_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional fallback join (pipeline2.py:392-401): zip two tables by an
+    explicit deterministic ordinal (row_number over a defined order — never
+    file order, which is partitioning-dependent at scale)."""
+    from pyspark.sql import Window as W
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = sup.withColumn("rn", F.row_number().over(W.orderBy("s_suppkey"))).select("rn", "s_name")
+    n = nat.withColumn("rn", F.row_number().over(W.orderBy("n_nationkey"))).select(
+        "rn", "n_name"
+    )
+    return s.join(n, "rn").select("rn", "s_name", "n_name")

@@ -1,0 +1,57 @@
+"""Canonical parquet sources (driver testdata, TESTDATA.md).
+
+Mirrors SURVEY.md §2.1 S11: ``spark.read.parquet`` is the engine's canonical
+scan. Column pruning and predicate pushdown reach the parquet reader through
+Catalyst — callers should select/filter as early as possible and let the
+optimizer do the rest (verify with ``.explain``: ``ReadSchema`` /
+``PushedFilters``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to always broadcast in joins (SURVEY §2.4 J8).
+BROADCAST_DIMS = {"region", "nation", "supplier", "customer", "part"}
+
+
+# Columns stored as TIMESTAMP(NANOS) in the testdata parquet. Spark reads
+# them as long (spark.sql.legacy.parquet.nanosAsLong); we truncate to
+# microseconds — exactly what DuckDB's nanos->micros coercion does — so both
+# engines see identical timestamp values.
+_NANO_TS_COLS = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table lazily, normalizing nano-timestamps."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANO_TS_COLS.get(name, []):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(
+                col, F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long"))
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,110 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB at the
+given scale factor, sorts columns by name and rows by value (mirroring the
+driver's order-insensitive value-hash), and reports exact-match status.
+
+Usage:  python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from drug_target_discovery_spark.queries.registry import all_queries
+from drug_target_discovery_spark.session import get_spark
+from drug_target_discovery_spark.sources.tables import TABLES, register_views
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, rows by all values; normalize dtypes."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].astype("float64")
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return False, f"columns differ: {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+    if len(spark_pdf) != len(oracle_pdf):
+        return False, f"row counts differ: {len(spark_pdf)} vs {len(oracle_pdf)}"
+    a, b = canon(spark_pdf), canon(oracle_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            av = av.astype("float64")
+            bv = bv.astype("float64")
+            both_nan = av.isna() & bv.isna()
+            eq = (av == bv) | both_nan
+            if not eq.all():
+                close = np.isclose(av.fillna(np.nan), bv.fillna(np.nan), rtol=1e-9, atol=1e-9, equal_nan=True)
+                n_bad = int((~eq).sum())
+                if close.all():
+                    return False, f"col {c}: {n_bad} values differ but within 1e-9 (rounding mismatch)"
+                i = int(np.argmax(~eq))
+                return False, f"col {c}: {n_bad} values differ, e.g. row {i}: {av.iloc[i]!r} vs {bv.iloc[i]!r}"
+        else:
+            if not (a[c] == b[c]).all():
+                i = int(np.argmax(~(a[c] == b[c]).values))
+                return False, f"col {c}: differs, e.g. row {i}: {a[c].iloc[i]!r} vs {b[c].iloc[i]!r}"
+    return True, "exact"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (set(sys.argv[1:2]) - {sf_dir} or None)
+    reg = all_queries()
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    register_views(spark, sf_dir)
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, q in sorted(reg.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            print(f"ROWS-ONLY {name}: {len(spdf)} rows  ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            opdf = con.sql(q.oracle).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        ok, msg = compare(spdf, opdf)
+        status = "PASS" if ok else "FAIL"
+        print(f"{status} {name}: {msg} ({len(spdf)} rows, {time.time()-t0:.1f}s)")
+        n_pass += ok
+        n_fail += not ok
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
