@@ -1,0 +1,332 @@
+"""Statistical operators (SURVEY.md §2.6) as composable DataFrame transforms.
+
+Every transform here replaces an eager pandas/scipy construct from the
+reference with a declarative Spark program:
+
+- z-score standardization (T1, pipeline2.py:492-494): window over the long
+  table, ``stddev_pop`` (sklearn StandardScaler ddof=0 semantics).
+- Welch t sufficient statistics (T2, pipeline2.py:598-603): one aggregate
+  pass computes (n, mean, var) per group per key — all keys in one shuffle,
+  replacing the reference's per-gene Python loop.
+- Student-t two-sided p-value: vectorized numpy incomplete-beta inside an
+  Arrow-batched pandas_udf (scipy is deliberately not a dependency).
+- Benjamini-Hochberg FDR (T3, pipeline2.py:619-627): rank + reverse running
+  min as window functions. NOTE the global windows are single-partition; fine
+  up to ~10^7 keys (the p-value table is post-aggregation, tiny relative to
+  the fact data). The two-pass range-partitioned variant is
+  ``bh_fdr_scalable`` below for cardinalities beyond that.
+- Min-max scaling (T4, pipeline2.py:759-763): global min/max windows with the
+  sklearn constant-column -> 0 convention.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+# ---------------------------------------------------------------------------
+# T1: z-score standardization over a long table
+# ---------------------------------------------------------------------------
+
+
+def zscore(df: DataFrame, key: str, value: str, out: str = "zscore") -> DataFrame:
+    """Per-key z-score across the key's rows: (v - mean) / stddev_pop.
+
+    Population stddev (ddof=0) mirrors sklearn's StandardScaler used by the
+    reference (pipeline2.py:492-494). Constant groups (stddev 0) -> 0.0,
+    sklearn's convention. One shuffle (window partitioned by key).
+    """
+    w = W.partitionBy(key)
+    mu = F.avg(value).over(w)
+    sd = F.stddev_pop(value).over(w)
+    return df.withColumn(
+        out, F.when(sd == 0.0, F.lit(0.0)).otherwise((F.col(value) - mu) / sd)
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2: Welch's t-test from sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+def welch_t_stats(
+    df: DataFrame,
+    key: str,
+    value: str,
+    condition: str,
+    case_label: str = "case",
+    control_label: str = "control",
+) -> DataFrame:
+    """Welch t statistic + Satterthwaite df per key, in ONE aggregation pass.
+
+    Returns (key, n_case, n_control, mean_case, mean_control, log2fc,
+    t_stat, t_df). Keys where either group has <2 rows or both variances are
+    zero get NULL t (mirrors the reference's NaN on scipy failure,
+    pipeline2.py:602-603). log2fc = mean_case - mean_control
+    (pipeline2.py:596 — values are already log2-scale).
+    """
+    is_case = F.col(condition) == case_label
+    is_control = F.col(condition) == control_label
+    v = F.col(value)
+    agg = df.groupBy(key).agg(
+        F.count(F.when(is_case, 1)).alias("n_case"),
+        F.count(F.when(is_control, 1)).alias("n_control"),
+        F.avg(F.when(is_case, v)).alias("mean_case"),
+        F.avg(F.when(is_control, v)).alias("mean_control"),
+        F.var_samp(F.when(is_case, v)).alias("var_case"),
+        F.var_samp(F.when(is_control, v)).alias("var_control"),
+    )
+    se2 = F.col("var_case") / F.col("n_case") + F.col("var_control") / F.col("n_control")
+    valid = (
+        (F.col("n_case") >= 2)
+        & (F.col("n_control") >= 2)
+        & (se2 > 0)
+        & F.col("var_case").isNotNull()
+        & F.col("var_control").isNotNull()
+    )
+    t_stat = (F.col("mean_case") - F.col("mean_control")) / F.sqrt(se2)
+    t_df = (se2 * se2) / (
+        (F.col("var_case") / F.col("n_case")) ** 2 / (F.col("n_case") - 1)
+        + (F.col("var_control") / F.col("n_control")) ** 2 / (F.col("n_control") - 1)
+    )
+    return agg.select(
+        key,
+        "n_case",
+        "n_control",
+        "mean_case",
+        "mean_control",
+        (F.col("mean_case") - F.col("mean_control")).alias("log2fc"),
+        F.when(valid, t_stat).alias("t_stat"),
+        F.when(valid, t_df).alias("t_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Student-t survival function in pure numpy (no scipy in the runtime).
+# ---------------------------------------------------------------------------
+
+
+def _betacf(a: np.ndarray, b: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Continued fraction for the regularized incomplete beta (modified
+    Lentz), element-wise over numpy arrays. Standard public-domain numerics
+    (Numerical Recipes §6.4 algorithm shape)."""
+    FPMIN = 1e-300
+    qab = a + b
+    qap = a + 1.0
+    qam = a - 1.0
+    c = np.ones_like(x)
+    d = 1.0 - qab * x / qap
+    d = np.where(np.abs(d) < FPMIN, FPMIN, d)
+    d = 1.0 / d
+    h = d.copy()
+    for m in range(1, 300):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        d = np.where(np.abs(d) < FPMIN, FPMIN, d)
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < FPMIN, FPMIN, c)
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        d = np.where(np.abs(d) < FPMIN, FPMIN, d)
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < FPMIN, FPMIN, c)
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if np.all(np.abs(delta - 1.0) < 3e-14):
+            break
+    return h
+
+
+_lgamma = np.vectorize(math.lgamma, otypes=[np.float64])
+
+
+def betainc_reg(a: np.ndarray, b: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Regularized incomplete beta I_x(a, b), vectorized."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    x = np.clip(x, 0.0, 1.0)
+    with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
+        ln_front = (
+            _lgamma(a + b)
+            - _lgamma(a)
+            - _lgamma(b)
+            + a * np.log(np.where(x > 0, x, 1.0))
+            + b * np.log1p(-np.where(x < 1, x, 0.0))
+        )
+        front = np.exp(ln_front)
+        use_direct = x < (a + 1.0) / (a + b + 2.0)
+        # continued fraction converges fast on the chosen side; evaluate both
+        # sides element-wise and select (vector-friendly, arrays are small)
+        direct = front * _betacf(a, b, x) / a
+        swapped = 1.0 - front * _betacf(b, a, 1.0 - x) / b
+        out = np.where(use_direct, direct, swapped)
+    out = np.where(x <= 0.0, 0.0, out)
+    out = np.where(x >= 1.0, 1.0, out)
+    return np.clip(out, 0.0, 1.0)
+
+
+def t_sf_numpy(t: np.ndarray, df: np.ndarray) -> np.ndarray:
+    """Two-sided p-value P(|T_df| >= |t|) = I_{df/(df+t^2)}(df/2, 1/2)."""
+    t = np.asarray(t, dtype=np.float64)
+    df = np.asarray(df, dtype=np.float64)
+    x = df / (df + t * t)
+    return betainc_reg(df / 2.0, np.full_like(df, 0.5), x)
+
+
+@F.pandas_udf(DoubleType())
+def student_t_two_sided_p(t_stat: pd.Series, t_df: pd.Series) -> pd.Series:
+    """Arrow-batched two-sided Student-t p-value (replaces
+    scipy.stats.ttest_ind's CDF step, pipeline2.py:598-601). NULL-safe."""
+    t = t_stat.to_numpy(dtype=np.float64, na_value=np.nan)
+    df = t_df.to_numpy(dtype=np.float64, na_value=np.nan)
+    mask = np.isnan(t) | np.isnan(df) | (df <= 0)
+    safe_t = np.where(mask, 0.0, t)
+    safe_df = np.where(mask, 1.0, df)
+    p = t_sf_numpy(safe_t, safe_df)
+    p = np.where(mask, np.nan, p)
+    return pd.Series(p)
+
+
+# ---------------------------------------------------------------------------
+# T3: Benjamini-Hochberg FDR
+# ---------------------------------------------------------------------------
+
+
+def bh_fdr(df: DataFrame, p: str = "pvalue", out: str = "adjusted_pvalue") -> DataFrame:
+    """BH-adjusted p-values as a window program (pipeline2.py:619-627).
+
+    adj_i = min(1, min_{j >= i} p_(j) * m / j) over non-NULL p ascending.
+    NULL p-values pass through as NULL and are excluded from m (matching
+    statsmodels' behavior on the reference's NaN mask).
+
+    The two global windows are single-partition — correct and fine for
+    post-aggregation key tables (<=10^7 rows). For larger, see
+    ``bh_fdr_scalable``.
+    """
+    nn = df.filter(F.col(p).isNotNull() & ~F.isnan(p))
+    nulls = df.filter(F.col(p).isNull() | F.isnan(p)).withColumn(
+        out, F.lit(None).cast("double")
+    )
+    w_rank = W.orderBy(F.col(p).asc())
+    w_rev = W.orderBy(F.col(p).asc()).rowsBetween(W.currentRow, W.unboundedFollowing)
+    adjusted = (
+        nn.withColumn("_m", F.count(F.lit(1)).over(W.partitionBy()))
+        .withColumn("_r", F.row_number().over(w_rank))
+        .withColumn("_raw", F.col(p) * F.col("_m") / F.col("_r"))
+        .withColumn(out, F.least(F.min("_raw").over(w_rev), F.lit(1.0)))
+        .drop("_m", "_r", "_raw")
+    )
+    return adjusted.unionByName(nulls)
+
+
+def bh_fdr_scalable(
+    df: DataFrame, p: str = "pvalue", out: str = "adjusted_pvalue", partitions: int = 200
+) -> DataFrame:
+    """BH at extreme cardinality: range-partitioned sort + per-partition
+    suffix-min + a second pass folding in the running min from higher
+    partitions (SURVEY §4). Same results as ``bh_fdr``; avoids the
+    single-partition window.
+
+    Design: repartitionByRange(p) keeps a total order across partitions, so
+    the global rank = per-partition rank + broadcast offset, and the reverse
+    running-min can be composed from per-partition tails. Implemented with
+    mapInPandas over sorted range partitions.
+    """
+    import pandas as _pd  # noqa: F401
+
+    nn = df.filter(F.col(p).isNotNull() & ~F.isnan(p))
+    nulls = df.filter(F.col(p).isNull() | F.isnan(p)).withColumn(
+        out, F.lit(None).cast("double")
+    )
+    ranged = nn.repartitionByRange(partitions, F.col(p)).sortWithinPartitions(F.col(p))
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    # pass 1: per-partition counts -> rank offsets (tiny driver-side table)
+    counts = (
+        ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).orderBy("_pid").collect()
+    )
+    m = sum(r["_cnt"] for r in counts)
+    offsets = {}
+    acc = 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["_cnt"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(k), int(v)) for k, v in offsets.items()], "_pid INT, _off BIGINT"
+    )
+    w_in = W.partitionBy("_pid").orderBy(F.col(p).asc())
+    w_rev_in = (
+        W.partitionBy("_pid").orderBy(F.col(p).asc()).rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    with_rank = (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn("_r", F.row_number().over(w_in) + F.col("_off"))
+        .withColumn("_raw", F.col(p) * F.lit(float(m)) / F.col("_r"))
+        .withColumn("_sufmin", F.min("_raw").over(w_rev_in))
+    )
+    # pass 2: fold in min of all higher-p partitions (tiny per-partition table)
+    tails = (
+        with_rank.groupBy("_pid").agg(F.min("_raw").alias("_pmin")).orderBy("_pid").collect()
+    )
+    suffix = {}
+    run = float("inf")
+    for r in sorted(tails, key=lambda r: -r["_pid"]):
+        suffix[r["_pid"]] = run  # min over strictly-higher partitions
+        run = min(run, r["_pmin"])
+    suf_df = spark.createDataFrame(
+        [(int(k), float(v) if v != float("inf") else None) for k, v in suffix.items()],
+        "_pid INT, _suf DOUBLE",
+    )
+    result = (
+        with_rank.join(F.broadcast(suf_df), "_pid")
+        .withColumn(out, F.least(F.least(F.col("_sufmin"), F.coalesce("_suf", F.lit(float("inf")))), F.lit(1.0)))
+        .drop("_pid", "_off", "_r", "_raw", "_sufmin", "_suf")
+    )
+    return result.unionByName(nulls)
+
+
+# ---------------------------------------------------------------------------
+# T4: min-max scaling
+# ---------------------------------------------------------------------------
+
+
+def minmax_scale(df: DataFrame, cols: list[str], suffix: str = "_scaled") -> DataFrame:
+    """Global min-max scale each column to [0,1]; constant column -> 0.0
+    (sklearn MinMaxScaler convention used at pipeline2.py:759-763).
+
+    Implemented as a single agg + broadcast cross-join (no global window):
+    one tiny 1-row stats table joined to every row — scales to any
+    cardinality.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        rng = F.col(f"_max_{c}") - F.col(f"_min_{c}")
+        out = out.withColumn(
+            c + suffix,
+            F.when(rng == 0.0, F.lit(0.0)).otherwise((F.col(c) - F.col(f"_min_{c}")) / rng),
+        )
+    drop = [f"_min_{c}" for c in cols] + [f"_max_{c}" for c in cols]
+    return out.drop(*drop)
+
+
+def composite_score(df: DataFrame, cols: list[str], out: str = "composite_score") -> Column:
+    """Mean of the given (already-scaled) columns (pipeline2.py:765-769)."""
+    expr = cols[0] if isinstance(cols[0], Column) else F.col(cols[0])
+    s = expr
+    for c in cols[1:]:
+        s = s + (c if isinstance(c, Column) else F.col(c))
+    return (s / float(len(cols))).alias(out)

@@ -10,8 +10,8 @@ Scale notes (100 TB design stance):
   map-side partial aggregation handled by Catalyst.
 - Top-k is always ``orderBy().limit()`` which Spark plans as
   TakeOrderedAndProject (no full sort, no single-node sort of the fact table).
-- Float aggregates are rounded identically on both the Spark and oracle side
-  to absorb summation-order nondeterminism across engines/partitionings.
+- Every surfaced float goes through ``rnd`` (functions/rounding.py): IEEE-op
+  rounding that is bit-identical across Spark and the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
 from drug_target_discovery_spark.queries.registry import register
 from drug_target_discovery_spark.sources.tables import load_table
 
@@ -29,18 +30,18 @@ from drug_target_discovery_spark.sources.tables import load_table
 @register(
     "pricing_summary",
     tags=("agg", "filter"),
-    oracle="""
+    oracle=f"""
     SELECT
       l_returnflag,
       l_linestatus,
-      round(sum(l_quantity), 2)                                        AS sum_qty,
-      round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-      round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-      round(avg(l_quantity), 4)                                        AS avg_qty,
-      round(avg(l_extendedprice), 4)                                   AS avg_price,
-      round(avg(l_discount), 6)                                        AS avg_disc,
-      count(*)                                                         AS count_order
+      {rnd_sql("sum(l_quantity)", 2)}                                       AS sum_qty,
+      {rnd_sql("sum(l_extendedprice)", 2)}                                  AS sum_base_price,
+      {rnd_sql("sum(l_extendedprice * (1 - l_discount))", 2)}               AS sum_disc_price,
+      {rnd_sql("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2)} AS sum_charge,
+      {rnd_sql("avg(l_quantity)", 4)}                                       AS avg_qty,
+      {rnd_sql("avg(l_extendedprice)", 4)}                                  AS avg_price,
+      {rnd_sql("avg(l_discount)", 6)}                                       AS avg_disc,
+      count(*)                                                              AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -51,26 +52,18 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic aggregate expressions (reference analog: pivoted conditional
     aggregation replacing the per-gene loop, pipeline2.py:584-607)."""
     li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(F.sum(disc_price), 2).alias("sum_disc_price"),
+            rnd(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            rnd(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -82,10 +75,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "revenue_by_nation",
     tags=("join", "agg"),
-    oracle="""
+    oracle=f"""
     SELECT
       n.n_name AS nation,
-      round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      {rnd_sql("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
       count(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -113,7 +106,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lineitems"),
@@ -127,12 +120,12 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "top_orders_by_revenue",
     tags=("topk", "join"),
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_orderdate_s, revenue FROM (
       SELECT
         l.l_orderkey AS o_orderkey,
         CAST(epoch(o.o_orderdate) AS BIGINT) AS o_orderdate_s,
-        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        {rnd_sql("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY 1, 2
     )
@@ -154,7 +147,7 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("o_orderdate").alias("o_orderdate_s"),
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             )
         )
@@ -244,12 +237,12 @@ def parts_shipped_to_top_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "order_priority_rollup",
     tags=("agg", "rollup"),
-    oracle="""
+    oracle=f"""
     SELECT
       coalesce(o_orderstatus, 'ALL')   AS status,
       coalesce(o_orderpriority, 'ALL') AS priority,
       count(*) AS n_orders,
-      round(sum(o_totalprice), 2) AS total_price
+      {rnd_sql("sum(o_totalprice)", 2)} AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -262,7 +255,7 @@ def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            rnd(F.sum("o_totalprice"), 2).alias("total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -307,11 +300,11 @@ def supplier_part_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "part_type_classifier",
     tags=("filter", "case"),
-    oracle="""
+    oracle=f"""
     SELECT
       cls,
       count(*) AS n_parts,
-      round(avg(p_retailprice), 4) AS avg_price
+      {rnd_sql("avg(p_retailprice)", 4)} AS avg_price
     FROM (
       SELECT
         CASE
@@ -343,7 +336,7 @@ def part_type_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cls")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            rnd(F.avg("p_retailprice"), 4).alias("avg_price"),
         )
     )
 

@@ -1,1 +1,411 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Statistical tier queries (SURVEY.md §2.6 T1-T6, §2.5 A1-A7) exercised on
+the driver's TPC-H-ish tables. The bioinformatics semantics map as:
+gene -> l_partkey, sample -> l_suppkey, expression value -> lineitem measures,
+case/control -> l_returnflag groups. Operator correctness is what the oracle
+checks; the GEO-format pipeline composes the same transforms (plans/)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
+from drug_target_discovery_spark.functions.stats import (
+    bh_fdr,
+    minmax_scale,
+    student_t_two_sided_p,
+    welch_t_stats,
+    zscore,
+)
+from drug_target_discovery_spark.queries.registry import register
+from drug_target_discovery_spark.sources.tables import load_table
+
+# Deterministic integer-arithmetic pseudo p-value, identical in both engines
+# (Knuth multiplicative hash mod a prime, scaled to [0,1)). NOTE `1000003e0`:
+# Spark parses a `1000003.0` literal as DECIMAL (decimal division semantics),
+# DuckDB as DOUBLE — the exponent form is a double literal in both.
+_PSEUDO_P = "((l_partkey * 2654435761) % 1000003) / 1000003e0"
+
+
+# --------------------------------------------------------------------------
+# T1: z-score standardization (stddev_pop, sklearn ddof=0)
+# --------------------------------------------------------------------------
+@register(
+    "zscore_by_part",
+    tags=("stats", "window"),
+    oracle=f"""
+    SELECT
+      l_orderkey, l_linenumber,
+      {rnd_sql('''
+        CASE WHEN stddev_pop(l_extendedprice) OVER (PARTITION BY l_partkey) = 0 THEN 0.0
+             ELSE (l_extendedprice - avg(l_extendedprice) OVER (PARTITION BY l_partkey))
+                  / stddev_pop(l_extendedprice) OVER (PARTITION BY l_partkey)
+        END''', 6)} AS zscore
+    FROM lineitem
+    """,
+)
+def zscore_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-gene z-score (T1, pipeline2.py:492-494) mapped onto lineitem:
+    standardize l_extendedprice within each l_partkey. Single shuffle
+    (window partitioned by the key), population stddev."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+    z = zscore(li, "l_partkey", "l_extendedprice")
+    return z.select("l_orderkey", "l_linenumber", rnd("zscore", 6).alias("zscore"))
+
+
+# --------------------------------------------------------------------------
+# A1: exact median collapse per group
+# --------------------------------------------------------------------------
+@register(
+    "median_quantity_by_part",
+    tags=("stats", "agg"),
+    oracle=f"""
+    SELECT l_partkey, {rnd_sql("median(l_quantity)", 4)} AS median_qty, count(*) AS n
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def median_quantity_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (A1, pipeline2.py:523-528): Spark `median`
+    (= percentile 0.5, exact interpolation) — NOT percentile_approx; oracle
+    hash-match requires exactness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        rnd(F.median("l_quantity"), 4).alias("median_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A2: median imputation of missing cells (window median + coalesce)
+# --------------------------------------------------------------------------
+@register(
+    "median_impute",
+    tags=("stats", "window"),
+    oracle=f"""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             nullif(l_quantity, 25.0) AS v          -- synthesize missing cells
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           {rnd_sql("coalesce(v, median(v) OVER (PARTITION BY l_partkey))", 4)} AS imputed
+    FROM base
+    """,
+)
+def median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-gene median imputation of NULL cells (A2, pipeline2.py:487):
+    window median over the key, coalesce into the value. NULLs synthesized
+    deterministically (quantity==25 -> NULL) since testdata has none."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.nullif(F.col("l_quantity"), F.lit(25.0)).alias("v"),
+    )
+    med = F.median("v").over(W.partitionBy("l_partkey"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(F.coalesce("v", med), 4).alias("imputed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 + P3: missing census and conditional global transform
+# --------------------------------------------------------------------------
+@register(
+    "missing_census",
+    tags=("stats", "agg"),
+    oracle=f"""
+    SELECT
+      count(*) AS n_rows,
+      sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_missing,
+      {rnd_sql("avg(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1.0 ELSE 0.0 END)", 6)} AS missing_rate
+    FROM lineitem
+    """,
+)
+def missing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value census (A4, pipeline2.py:483): count NULL cells in one
+    aggregate pass (discount==0 treated as the synthetic missing marker)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    miss = F.nullif(F.col("l_discount"), F.lit(0.0)).isNull().cast("long")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(miss).alias("n_missing"),
+        rnd(F.avg(miss.cast("double")), 6).alias("missing_rate"),
+    )
+
+
+@register(
+    "conditional_log2",
+    tags=("stats",),
+    oracle=f"""
+    WITH mx AS (SELECT max(l_extendedprice) AS gmax FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           {rnd_sql("CASE WHEN mx.gmax > 100 THEN log2(l_extendedprice + 1) ELSE l_extendedprice END", 6)} AS v
+    FROM lineitem, mx
+    """,
+)
+def conditional_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional log2 transform (P3, pipeline2.py:488-491): global max
+    decides whether log2(x+1) applies. The 1-row max aggregate is broadcast
+    cross-joined — no driver round-trip, no global window."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    mx = li.agg(F.max("l_extendedprice").alias("gmax"))
+    return li.crossJoin(F.broadcast(mx)).select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(
+            F.when(F.col("gmax") > 100.0, F.log2(F.col("l_extendedprice") + 1)).otherwise(
+                F.col("l_extendedprice")
+            ),
+            6,
+        ).alias("v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P2: NA-threshold group filter (dropna(thresh) semantics)
+# --------------------------------------------------------------------------
+@register(
+    "na_threshold_filter",
+    tags=("stats", "filter"),
+    oracle="""
+    WITH base AS (
+      SELECT l_partkey, nullif(l_quantity, 25.0) AS v FROM lineitem
+    )
+    SELECT l_partkey,
+           count(v) AS n_present,
+           count(*) AS n_total
+    FROM base
+    GROUP BY l_partkey
+    HAVING count(v) >= 0.2 * count(*)
+    """,
+)
+def na_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NA-threshold row filter (P2, pipeline2.py:484-486): keep keys with
+    >=20% present values — the reference's actual dropna(thresh=0.2*n)
+    semantics (SURVEY notes the log message claims otherwise; we replicate
+    the code). Aggregate + HAVING, one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.nullif(F.col("l_quantity"), F.lit(25.0)).alias("v")
+    )
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count("v").alias("n_present"), F.count(F.lit(1)).alias("n_total"))
+        .filter(F.col("n_present") >= 0.2 * F.col("n_total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# T2: Welch t sufficient statistics (SQL-expressible part)
+# --------------------------------------------------------------------------
+@register(
+    "welch_t_by_part",
+    tags=("stats", "agg"),
+    oracle=f"""
+    WITH g AS (
+      SELECT l_partkey,
+             count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_case,
+             count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n_control,
+             avg(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS mean_case,
+             avg(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS mean_control,
+             var_samp(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS var_case,
+             var_samp(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS var_control
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, n_case, n_control,
+      {rnd_sql("mean_case - mean_control", 4)} AS log2fc,
+      {rnd_sql('''CASE WHEN n_case >= 2 AND n_control >= 2
+                  AND (var_case / n_case + var_control / n_control) > 0
+            THEN (mean_case - mean_control)
+                 / sqrt(var_case / n_case + var_control / n_control) END''', 6)} AS t_stat,
+      {rnd_sql('''CASE WHEN n_case >= 2 AND n_control >= 2
+                  AND (var_case / n_case + var_control / n_control) > 0
+            THEN pow(var_case / n_case + var_control / n_control, 2)
+                 / ( pow(var_case / n_case, 2) / (n_case - 1)
+                   + pow(var_control / n_control, 2) / (n_control - 1) ) END''', 4)} AS t_df
+    FROM g
+    """,
+)
+def welch_t_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t-test per gene from sufficient statistics (T2,
+    pipeline2.py:584-607): ONE aggregation pass for every key replaces the
+    reference's per-gene Python loop — the single most important
+    scale-up rewrite in the engine. case = returnflag 'R', control = 'A'."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_returnflag"
+    )
+    t = welch_t_stats(li, "l_partkey", "l_extendedprice", "l_returnflag", "R", "A")
+    return t.select(
+        "l_partkey",
+        "n_case",
+        "n_control",
+        rnd("log2fc", 4).alias("log2fc"),
+        rnd("t_stat", 6).alias("t_stat"),
+        rnd("t_df", 4).alias("t_df"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T2b: full differential expression with p-values (pandas_udf t CDF)
+# --------------------------------------------------------------------------
+@register("differential_expression", tags=("stats", "pandas_udf"))
+def differential_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full differential-expression table (T2+T3): Welch t -> two-sided p
+    via Arrow-batched numpy t-CDF -> BH-FDR -> significance flag (P5).
+    No SQL oracle (DuckDB has no t CDF) -> rows-only driver check; numeric
+    parity is unit-tested against reference t-tables (tests/test_stats.py)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_returnflag"
+    )
+    t = welch_t_stats(li, "l_partkey", "l_extendedprice", "l_returnflag", "R", "A")
+    withp = t.withColumn("pvalue", student_t_two_sided_p("t_stat", "t_df"))
+    adj = bh_fdr(withp, "pvalue", "adjusted_pvalue")
+    return adj.select(
+        "l_partkey",
+        rnd("log2fc", 4).alias("log2fc"),
+        rnd("pvalue", 6).alias("pvalue"),
+        rnd("adjusted_pvalue", 6).alias("adjusted_pvalue"),
+        (
+            (F.col("adjusted_pvalue") < 0.05)
+            & (F.abs(F.col("log2fc")) > 1)
+            & F.col("log2fc").isNotNull()
+        ).alias("significant"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T3: BH-FDR on deterministic pseudo p-values (oracle-checkable)
+# --------------------------------------------------------------------------
+@register(
+    "bh_fdr_adjust",
+    tags=("stats", "window"),
+    oracle=f"""
+    WITH pv AS (
+      SELECT DISTINCT l_partkey, {_PSEUDO_P} AS pvalue FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_partkey, pvalue,
+             row_number() OVER (ORDER BY pvalue ASC) AS r,
+             count(*) OVER () AS m
+      FROM pv
+    )
+    SELECT l_partkey,
+           {rnd_sql("pvalue", 6)} AS pvalue,
+           {rnd_sql('''least(min(pvalue * m / r) OVER
+                   (ORDER BY pvalue ASC ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                 1.0)''', 6)} AS adjusted_pvalue
+    FROM ranked
+    """,
+)
+def bh_fdr_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (T3, pipeline2.py:619-627) as a pure
+    window program: rank ascending, raw = p*m/r, reverse running min, cap at
+    1. Pseudo p-values are integer-hash-derived so both engines see identical
+    doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.select("l_partkey").distinct().withColumn("pvalue", F.expr(_PSEUDO_P))
+    adj = bh_fdr(pv, "pvalue", "adjusted_pvalue")
+    return adj.select(
+        "l_partkey",
+        rnd("pvalue", 6).alias("pvalue"),
+        rnd("adjusted_pvalue", 6).alias("adjusted_pvalue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6 + K1: top-k by variance
+# --------------------------------------------------------------------------
+@register(
+    "top_variance_parts",
+    tags=("stats", "topk"),
+    oracle=f"""
+    SELECT l_partkey, {rnd_sql("var_samp(l_extendedprice)", 4)} AS variance
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) >= 2
+    ORDER BY variance DESC, l_partkey ASC
+    LIMIT 100
+    """,
+)
+def top_variance_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most-variable genes (A6/K1, pipeline2.py:683-686): var_samp
+    (pandas ddof=1) + orderBy/limit -> TakeOrderedAndProject, deterministic
+    tie-break on the key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            rnd(F.var_samp("l_extendedprice"), 4).alias("variance"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") >= 2)
+        .drop("_n")
+        .orderBy(F.desc("variance"), F.asc("l_partkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# T4+T5: min-max scaling + composite score + ranked top-k
+# --------------------------------------------------------------------------
+@register(
+    "supplier_composite_score",
+    tags=("stats", "topk"),
+    oracle=f"""
+    WITH m AS (
+      SELECT l_suppkey,
+             sum(l_extendedprice * (1 - l_discount)) AS revenue,
+             count(DISTINCT l_orderkey) AS n_orders,
+             count(DISTINCT l_partkey)  AS n_parts
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    s AS (
+      SELECT l_suppkey,
+        CASE WHEN max(revenue) OVER () = min(revenue) OVER () THEN 0.0
+             ELSE (revenue - min(revenue) OVER ()) / (max(revenue) OVER () - min(revenue) OVER ()) END AS rev_s,
+        CASE WHEN max(n_orders) OVER () = min(n_orders) OVER () THEN 0.0
+             ELSE (n_orders - min(n_orders) OVER ()) * 1.0 / (max(n_orders) OVER () - min(n_orders) OVER ()) END AS ord_s,
+        CASE WHEN max(n_parts) OVER () = min(n_parts) OVER () THEN 0.0
+             ELSE (n_parts - min(n_parts) OVER ()) * 1.0 / (max(n_parts) OVER () - min(n_parts) OVER ()) END AS part_s
+      FROM m
+    )
+    SELECT l_suppkey, {rnd_sql("(rev_s + ord_s + part_s) / 3", 6)} AS composite_score
+    FROM s
+    ORDER BY composite_score DESC, l_suppkey ASC
+    LIMIT 20
+    """,
+)
+def supplier_composite_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max scale three per-key metrics and rank by their mean (T4+T5,
+    pipeline2.py:759-771) — the reference's target-scoring shape. Scaling via
+    one 1-row stats aggregate broadcast-joined back (no global window)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    m = m.withColumn("n_orders", F.col("n_orders").cast("double")).withColumn(
+        "n_parts", F.col("n_parts").cast("double")
+    )
+    scaled = minmax_scale(m, ["revenue", "n_orders", "n_parts"])
+    return (
+        scaled.select(
+            "l_suppkey",
+            rnd(
+                (F.col("revenue_scaled") + F.col("n_orders_scaled") + F.col("n_parts_scaled"))
+                / 3.0,
+                6,
+            ).alias("composite_score"),
+        )
+        .orderBy(F.desc("composite_score"), F.asc("l_suppkey"))
+        .limit(20)
+    )
