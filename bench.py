@@ -1,0 +1,59 @@
+"""Benchmark harness (driver contract): time every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line.
+
+Each query executes its full physical plan into the `noop` sink (no driver
+collect — measures engine work, not pandas conversion). One warm-up of the
+session (tiny count) excludes JVM/session startup from per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from drug_target_discovery_spark.queries.registry import all_queries
+from drug_target_discovery_spark.session import get_spark
+from drug_target_discovery_spark.sources.tables import load_table
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    reg = all_queries()
+    spark = get_spark("bench")
+
+    # warm-up: session + parquet footer reads out of the timed path
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(reg.items()):
+        t0 = time.perf_counter()
+        try:
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # a failing query must not hide the rest
+            timings[name] = -1.0
+            print(f"BENCH-ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sum_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
