@@ -1,0 +1,246 @@
+"""Graph centralities over an edge-list DataFrame (SURVEY §2.7 G2-G4).
+
+The reference builds a networkx.Graph of <=500 genes (pipeline2.py:709-717)
+and calls nx.degree_centrality / betweenness_centrality /
+eigenvector_centrality (pipeline2.py:747-749). Here the graph is the
+idiomatic Spark representation — an undirected edge list ``(src, dst)`` with
+``src < dst`` plus a node list — and each centrality is a DataFrame program:
+
+- degree: one aggregate over the symmetrized edge list (any scale).
+- eigenvector: power iteration x' = (I + A)·x as iterative join-aggregate,
+  L2-normalized, matching networkx's (I+A) iteration/convergence exactly
+  (unweighted adjacency — the reference passes no weight kwarg).
+- betweenness: exact Brandes, parallelized ACROSS SOURCES — each task runs
+  single-source Brandes on a broadcast adjacency (fine while V fits in one
+  executor's memory, which the reference's top-K construction guarantees:
+  K<=500). Dependencies are summed per node in one final aggregate.
+
+All unweighted, matching nx defaults (hop-count shortest paths).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """(src,dst) once per undirected edge -> both directions."""
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def degree_centrality(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """nx.degree_centrality: degree / (n-1); isolated nodes get 0.0
+    (pipeline2.py:747). One aggregate + one broadcastable outer join."""
+    n = nodes.count()
+    deg = _symmetrize(edges).groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    return (
+        nodes.join(deg, nodes["node"] == deg["node"], "left")
+        .select(nodes["node"], F.coalesce("_deg", F.lit(0)).alias("_deg"))
+        .withColumn(
+            "degree_centrality",
+            F.col("_deg").cast("double") / float(max(n - 1, 1)),
+        )
+        .drop("_deg")
+    )
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 1000,
+    tol: float = 1.0e-6,
+    checkpoint_every: int = 10,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """nx.eigenvector_centrality parity (pipeline2.py:749): power iteration
+    on (I + A) with L2 normalization; converged when sum|x - x_last| < n*tol.
+
+    Two physical strategies, same semantics:
+    - **small graph** (< driver_threshold nodes — always true for the
+      reference's top-K construction): collect the edge list once and run
+      the iteration in numpy on the driver. A 10^6-node vector is ~8 MB;
+      per-iteration Spark-job latency would dominate by orders of magnitude.
+    - **huge graph**: iterative join-aggregate over cached DataFrames with
+      periodic localCheckpoint to cut lineage (SURVEY §4). One shuffle per
+      iteration.
+    """
+    n_nodes = nodes.count()
+    if n_nodes < driver_threshold:
+        return _eigenvector_driver(edges, nodes, n_nodes, max_iter, tol)
+    return _eigenvector_distributed(edges, nodes, max_iter, tol, checkpoint_every)
+
+
+def _eigenvector_driver(
+    edges: DataFrame, nodes: DataFrame, n: int, max_iter: int, tol: float
+) -> DataFrame:
+    """numpy power iteration mirroring networkx exactly: x' = x + A·x,
+    L2 normalize, stop when sum|x' - x| < n*tol."""
+    import numpy as np
+
+    spark = edges.sparkSession
+    node_list = [r["node"] for r in nodes.select("node").collect()]
+    idx = {v: i for i, v in enumerate(node_list)}
+    e = [
+        (idx[r["src"]], idx[r["dst"]])
+        for r in edges.select("src", "dst").collect()
+        if r["src"] in idx and r["dst"] in idx
+    ]
+    src = np.array([p[0] for p in e], dtype=np.int64)
+    dst = np.array([p[1] for p in e], dtype=np.int64)
+    x = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        xlast = x
+        ax = np.zeros(n)
+        np.add.at(ax, dst, xlast[src])
+        np.add.at(ax, src, xlast[dst])
+        x = xlast + ax
+        norm = float(np.sqrt((x * x).sum())) or 1.0
+        x = x / norm
+        if float(np.abs(x - xlast).sum()) < n * tol:
+            break
+    else:
+        raise RuntimeError(f"eigenvector centrality failed to converge in {max_iter} iterations")
+    pdf = pd.DataFrame({"node": node_list, "eigenvector_centrality": x})
+    out = spark.createDataFrame(pdf)
+    # preserve the node column's original type (createDataFrame may widen)
+    return out
+
+
+def _eigenvector_distributed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int,
+    tol: float,
+    checkpoint_every: int,
+) -> DataFrame:
+    """Join-aggregate power iteration for graphs too large to collect."""
+    sym = _symmetrize(edges).cache()
+    n = nodes.count()
+    x = nodes.select("node", F.lit(1.0 / n).alias("x")).cache()
+    x.count()
+
+    for it in range(max_iter):
+        contrib = (
+            sym.join(x, sym["src"] == x["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("x").alias("ax"))
+        )
+        # x' = x + A·x  (networkx iterates on I+A)
+        x_new = (
+            x.join(contrib, "node", "left")
+            .select("node", (F.col("x") + F.coalesce("ax", F.lit(0.0))).alias("x"))
+        )
+        norm = x_new.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("n")).collect()[0]["n"]
+        norm = norm if norm and norm > 0 else 1.0
+        x_new = x_new.select("node", (F.col("x") / F.lit(norm)).alias("x"))
+        if (it + 1) % checkpoint_every == 0:
+            x_new = x_new.localCheckpoint(eager=True)
+        else:
+            x_new = x_new.cache()
+        delta = (
+            x_new.alias("a")
+            .join(x.alias("b"), "node")
+            .agg(F.sum(F.abs(F.col("a.x") - F.col("b.x"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        x.unpersist()
+        x = x_new
+        if delta < n * tol:
+            break
+    else:
+        raise RuntimeError(f"eigenvector centrality failed to converge in {max_iter} iterations")
+    sym.unpersist()
+    return x.select("node", F.col("x").alias("eigenvector_centrality"))
+
+
+def _brandes_single_source(adj: dict, s) -> dict:
+    """Exact single-source dependency accumulation (Brandes 2001, unweighted).
+    Returns {node: dependency_from_s}. Pure-Python; runs inside one task."""
+    S = []
+    P = {v: [] for v in adj}
+    sigma = dict.fromkeys(adj, 0.0)
+    sigma[s] = 1.0
+    dist = dict.fromkeys(adj, -1)
+    dist[s] = 0
+    Q = deque([s])
+    while Q:
+        v = Q.popleft()
+        S.append(v)
+        for w in adj[v]:
+            if dist[w] < 0:
+                dist[w] = dist[v] + 1
+                Q.append(w)
+            if dist[w] == dist[v] + 1:
+                sigma[w] += sigma[v]
+                P[w].append(v)
+    delta = dict.fromkeys(adj, 0.0)
+    while S:
+        w = S.pop()
+        for v in P[w]:
+            delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+    delta[s] = 0.0
+    return delta
+
+
+def betweenness_centrality(
+    edges: DataFrame, nodes: DataFrame, normalized: bool = True
+) -> DataFrame:
+    """Exact betweenness (pipeline2.py:748), parallel across sources.
+
+    The adjacency (node -> neighbor list) is broadcast to every task; sources
+    are distributed via the nodes DataFrame, each task accumulates Brandes
+    dependencies for its sources (applyInPandas), and a final groupBy sums
+    per node. Undirected: pair dependencies halve; normalized scale
+    2/((n-1)(n-2)) — networkx conventions.
+
+    Scale envelope: V must fit per-executor (broadcast adjacency); source
+    fan-out is embarrassingly parallel. For the reference's top-K<=500 graph
+    this is overkill; it holds to ~10^6 nodes / arbitrary source counts.
+    """
+    spark = edges.sparkSession
+    node_rows = [r["node"] for r in nodes.select("node").collect()]
+    adj: dict = {v: [] for v in node_rows}
+    for r in edges.select("src", "dst").collect():
+        if r["src"] in adj and r["dst"] in adj:
+            adj[r["src"]].append(r["dst"])
+            adj[r["dst"]].append(r["src"])
+    badj = spark.sparkContext.broadcast(adj)
+    n = len(node_rows)
+
+    node_field = nodes.select("node").schema.fields[0]
+    out_schema = StructType([node_field, StructField("dep", DoubleType(), False)])
+
+    def per_source_batch(pdf_iter):
+        adj_local = badj.value
+        for pdf in pdf_iter:
+            acc: dict = {}
+            for s in pdf["node"]:
+                for v, d in _brandes_single_source(adj_local, s).items():
+                    if d:
+                        acc[v] = acc.get(v, 0.0) + d
+            if acc:
+                yield pd.DataFrame({"node": list(acc.keys()), "dep": list(acc.values())})
+
+    sources = nodes.select("node").repartition(min(max(n // 8, 1), 64))
+    deps = sources.mapInPandas(per_source_batch, schema=out_schema)
+    summed = deps.groupBy("node").agg(F.sum("dep").alias("bc"))
+    scale = 1.0 / 2.0  # undirected: each pair counted from both endpoints
+    if normalized and n > 2:
+        scale *= 2.0 / ((n - 1) * (n - 2))
+    result = (
+        nodes.join(summed, "node", "left")
+        .select(
+            "node",
+            (F.coalesce("bc", F.lit(0.0)) * F.lit(scale)).alias("betweenness_centrality"),
+        )
+    )
+    return result

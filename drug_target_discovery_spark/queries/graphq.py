@@ -1,1 +1,210 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Graph tier queries (SURVEY §2.7 G1-G5 + A7/J4/P7): co-"expression"
+network construction from pairwise correlation, then centralities and the
+composite target score — the reference's analytic spine
+(pipeline2.py:663-792) on the driver's tables.
+
+Mapping: gene -> l_partkey, sample -> customer nation, expression value ->
+avg(l_quantity) per (part, nation) cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
+from drug_target_discovery_spark.functions.stats import minmax_scale
+from drug_target_discovery_spark.graph.centrality import (
+    betweenness_centrality,
+    degree_centrality,
+    eigenvector_centrality,
+)
+from drug_target_discovery_spark.operators.correlation import corr_edges
+from drug_target_discovery_spark.queries.registry import register
+from drug_target_discovery_spark.sources.tables import load_table
+
+TOP_K = 50
+MIN_CELLS = 10
+MIN_PERIODS = 5
+CORR_THRESHOLD = 0.4
+
+# Shared oracle CTEs: the (gene, sample, value) cell matrix and its top-K
+# highest-variance genes (SURVEY A6/K1 feeding A7).
+_CELL_SQL = f"""
+    cell AS (
+      SELECT l.l_partkey AS g, c.c_nationkey AS s, avg(l.l_quantity) AS v
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    topg AS (
+      SELECT g FROM cell GROUP BY g HAVING count(*) >= {MIN_CELLS}
+      ORDER BY var_samp(v) DESC, g ASC LIMIT {TOP_K}
+    ),
+    edges AS (
+      SELECT a.g AS g1, b.g AS g2, corr(a.v, b.v) AS r, count(*) AS n_samples
+      FROM cell a
+      JOIN cell b ON a.s = b.s AND a.g < b.g
+      JOIN topg t1 ON a.g = t1.g
+      JOIN topg t2 ON b.g = t2.g
+      GROUP BY 1, 2
+      HAVING count(*) >= {MIN_PERIODS}
+         AND corr(a.v, b.v) IS NOT NULL
+         AND abs(corr(a.v, b.v)) > {CORR_THRESHOLD}
+    )
+"""
+
+
+def _cell_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long (gene, sample, value) table: avg quantity per (part, nation).
+    lineitem⋈orders is the only fact-fact (sort-merge) join; customer is
+    broadcast. One aggregation shuffle on the composite key."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy(F.col("l_partkey").alias("g"), F.col("c_nationkey").alias("s"))
+        .agg(F.avg("l_quantity").alias("v"))
+    )
+
+
+def _top_genes(cell: DataFrame) -> DataFrame:
+    """Top-K genes by variance (A6/K1): var_samp + TakeOrderedAndProject."""
+    return (
+        cell.groupBy("g")
+        .agg(F.var_samp("v").alias("_var"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= MIN_CELLS)
+        .orderBy(F.desc("_var"), F.asc("g"))
+        .limit(TOP_K)
+        .select("g")
+    )
+
+
+def _corr_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(nodes, edges) of the thresholded correlation graph (G1). The top-K
+    node set is tiny -> broadcast semi-joins restrict the cell table before
+    the pairwise self-join (the reference's cardinality-reduction-first
+    structure, SURVEY §4)."""
+    cell = _cell_matrix(spark, sf_dir).cache()
+    top = _top_genes(cell)
+    sub = cell.join(F.broadcast(top), "g", "left_semi")
+    edges = corr_edges(sub, "g", "s", "v", threshold=CORR_THRESHOLD, min_periods=MIN_PERIODS)
+    nodes = top.select(F.col("g").alias("node"))
+    return nodes, edges.select(
+        F.col("g1").alias("src"), F.col("g2").alias("dst"), "r", "weight", "n_samples"
+    )
+
+
+# --------------------------------------------------------------------------
+# A7 + P7 + G1: thresholded correlation edge list
+# --------------------------------------------------------------------------
+@register(
+    "corr_edges_top_parts",
+    tags=("graph", "corr"),
+    oracle=f"""
+    WITH {_CELL_SQL}
+    SELECT g1, g2, {rnd_sql("r", 6)} AS r, n_samples
+    FROM edges
+    """,
+)
+def corr_edges_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson over common samples on the top-{TOP_K} most-variable
+    genes, |r| > {CORR_THRESHOLD} edge predicate (pipeline2.py:702-716).
+    Fused self-join + corr aggregate — no dense matrix ever materializes."""
+    _, edges = _corr_graph(spark, sf_dir)
+    return edges.select(
+        F.col("src").alias("g1"), F.col("dst").alias("g2"), rnd("r", 6).alias("r"), "n_samples"
+    )
+
+
+# --------------------------------------------------------------------------
+# G2: degree centrality (pure aggregate)
+# --------------------------------------------------------------------------
+@register(
+    "degree_centrality_corr_graph",
+    tags=("graph",),
+    oracle=f"""
+    WITH {_CELL_SQL},
+    n AS (SELECT count(*) AS n_nodes FROM topg),
+    sym AS (
+      SELECT g1 AS node FROM edges UNION ALL SELECT g2 FROM edges
+    ),
+    deg AS (SELECT node, count(*) AS d FROM sym GROUP BY node)
+    SELECT t.g AS node,
+           {rnd_sql("coalesce(d.d, 0) * 1.0 / (n.n_nodes - 1)", 6)} AS degree_centrality
+    FROM topg t CROSS JOIN n LEFT JOIN deg d ON t.g = d.node
+    """,
+)
+def degree_centrality_corr_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nx.degree_centrality parity (G2, pipeline2.py:747): degree/(n-1) with
+    isolated nodes at 0. Single aggregate over the symmetrized edge list."""
+    nodes, edges = _corr_graph(spark, sf_dir)
+    dc = degree_centrality(edges.select("src", "dst"), nodes)
+    return dc.select("node", rnd("degree_centrality", 6).alias("degree_centrality"))
+
+
+# --------------------------------------------------------------------------
+# G4: eigenvector centrality (iterative join-aggregate)
+# --------------------------------------------------------------------------
+@register("eigenvector_centrality_corr_graph", tags=("graph", "iterative"))
+def eigenvector_centrality_corr_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power iteration x' = (I+A)x with L2 norm, networkx-parity convergence
+    (G4, pipeline2.py:749). Iterative DataFrame program — no SQL oracle
+    (driver does rows-only); parity vs networkx in tests/test_graph.py."""
+    nodes, edges = _corr_graph(spark, sf_dir)
+    ec = eigenvector_centrality(edges.select("src", "dst"), nodes, max_iter=1000, tol=1e-6)
+    return ec.select("node", rnd("eigenvector_centrality", 6).alias("eigenvector_centrality"))
+
+
+# --------------------------------------------------------------------------
+# G3: betweenness centrality (source-parallel exact Brandes)
+# --------------------------------------------------------------------------
+@register("betweenness_centrality_corr_graph", tags=("graph", "mapInPandas"))
+def betweenness_centrality_corr_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Brandes betweenness, parallel across sources with broadcast
+    adjacency (G3, pipeline2.py:748). Rows-only driver check; networkx
+    parity in tests/test_graph.py."""
+    nodes, edges = _corr_graph(spark, sf_dir)
+    bc = betweenness_centrality(edges.select("src", "dst"), nodes, normalized=True)
+    return bc.select("node", rnd("betweenness_centrality", 6).alias("betweenness_centrality"))
+
+
+# --------------------------------------------------------------------------
+# G2+G3+G4 + T4 + T5: the reference's network target scoring, end to end
+# --------------------------------------------------------------------------
+@register("network_target_scores", tags=("graph", "pipeline"))
+def network_target_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's analyze_network stage (pipeline2.py:722-792): all
+    three centralities -> min-max scale -> composite = mean -> ranked desc
+    with deterministic tie-break. Rows-only check (eigenvector/betweenness
+    are not SQL-expressible); component parity unit-tested."""
+    nodes, edges = _corr_graph(spark, sf_dir)
+    e = edges.select("src", "dst").cache()
+    dc = degree_centrality(e, nodes)
+    ec = eigenvector_centrality(e, nodes, max_iter=1000, tol=1e-6)
+    bc = betweenness_centrality(e, nodes, normalized=True)
+    joined = dc.join(ec, "node").join(bc, "node")
+    scaled = minmax_scale(
+        joined, ["degree_centrality", "betweenness_centrality", "eigenvector_centrality"]
+    )
+    return (
+        scaled.select(
+            "node",
+            rnd("degree_centrality", 6).alias("degree_centrality"),
+            rnd("betweenness_centrality", 6).alias("betweenness_centrality"),
+            rnd("eigenvector_centrality", 6).alias("eigenvector_centrality"),
+            rnd(
+                (
+                    F.col("degree_centrality_scaled")
+                    + F.col("betweenness_centrality_scaled")
+                    + F.col("eigenvector_centrality_scaled")
+                )
+                / 3.0,
+                6,
+            ).alias("composite_score"),
+        )
+        .orderBy(F.desc("composite_score"), F.asc("node"))
+    )

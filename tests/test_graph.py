@@ -1,0 +1,119 @@
+"""Centrality parity vs networkx (the reference's graph engine,
+pipeline2.py:747-749) on random graphs — SURVEY §5 test strategy #4."""
+
+import networkx as nx
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.graph.centrality import (
+    betweenness_centrality,
+    degree_centrality,
+    eigenvector_centrality,
+)
+
+
+@pytest.fixture(scope="module")
+def graph_dfs(spark):
+    rng = np.random.RandomState(42)
+    g = nx.gnm_random_graph(60, 150, seed=42)
+    # add two isolated nodes to exercise the zero paths
+    g.add_nodes_from([100, 101])
+    edges = [(min(u, v), max(u, v)) for u, v in g.edges()]
+    edges_df = spark.createDataFrame(edges, "src INT, dst INT")
+    nodes_df = spark.createDataFrame([(n,) for n in g.nodes()], "node INT")
+    return g, nodes_df, edges_df
+
+
+def _collect(df, col):
+    return {r["node"]: r[col] for r in df.collect()}
+
+
+class TestCentralities:
+    def test_degree(self, spark, graph_dfs):
+        g, nodes, edges = graph_dfs
+        got = _collect(degree_centrality(edges, nodes), "degree_centrality")
+        expected = nx.degree_centrality(g)
+        assert set(got) == set(expected)
+        for n, v in expected.items():
+            assert got[n] == pytest.approx(v, rel=1e-12), n
+
+    def test_eigenvector(self, spark, graph_dfs):
+        g, nodes, edges = graph_dfs
+        # networkx requires a connected computation; isolated nodes converge
+        # to 0 mass in (I+A) iteration — compare on the giant component
+        got = _collect(eigenvector_centrality(edges, nodes, max_iter=1000, tol=1e-6),
+                       "eigenvector_centrality")
+        expected = nx.eigenvector_centrality(g, max_iter=1000)
+        for n, v in expected.items():
+            if v > 1e-9:
+                assert got[n] == pytest.approx(v, abs=1e-4), n
+
+    def test_betweenness(self, spark, graph_dfs):
+        g, nodes, edges = graph_dfs
+        got = _collect(betweenness_centrality(edges, nodes), "betweenness_centrality")
+        expected = nx.betweenness_centrality(g, normalized=True)
+        assert set(got) == set(expected)
+        for n, v in expected.items():
+            assert got[n] == pytest.approx(v, abs=1e-12), n
+
+    def test_eigenvector_distributed_path(self, spark):
+        # force the join-aggregate variant (driver_threshold=0) on a fast-
+        # converging graph and check it matches networkx
+        g = nx.complete_graph(6)
+        edges = spark.createDataFrame(list(g.edges()), "src INT, dst INT")
+        nodes = spark.createDataFrame([(n,) for n in g.nodes()], "node INT")
+        got = _collect(
+            eigenvector_centrality(edges, nodes, max_iter=100, tol=1e-6, driver_threshold=0),
+            "eigenvector_centrality",
+        )
+        expected = nx.eigenvector_centrality(g, max_iter=1000)
+        for n, v in expected.items():
+            assert got[n] == pytest.approx(v, abs=1e-6)
+
+    def test_betweenness_path_graph(self, spark):
+        # P4: known closed-form betweenness (middle nodes carry all paths)
+        edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src INT, dst INT")
+        nodes = spark.createDataFrame([(i,) for i in range(4)], "node INT")
+        got = _collect(betweenness_centrality(edges, nodes), "betweenness_centrality")
+        expected = nx.betweenness_centrality(nx.path_graph(4))
+        for n, v in expected.items():
+            assert got[n] == pytest.approx(v, abs=1e-12)
+
+
+class TestCorrGraphPipeline:
+    def test_network_target_scores_against_networkx(self, spark):
+        """End-to-end G1->scores at sf0.001 vs a networkx recomputation
+        from the engine's own edge list."""
+        from drug_target_discovery_spark.queries.graphq import (
+            _corr_graph,
+            network_target_scores,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        nodes, edges = _corr_graph(spark, sf)
+        node_list = [r["node"] for r in nodes.collect()]
+        edge_list = [(r["src"], r["dst"]) for r in edges.select("src", "dst").collect()]
+        g = nx.Graph()
+        g.add_nodes_from(node_list)
+        g.add_edges_from(edge_list)
+
+        dc = nx.degree_centrality(g)
+        bc = nx.betweenness_centrality(g, normalized=True)
+        try:
+            ec = nx.eigenvector_centrality(g, max_iter=1000, tol=1e-6)
+        except nx.PowerIterationFailedConvergence:
+            pytest.skip("networkx itself fails to converge on this graph")
+
+        def scale(d):
+            vals = np.array(list(d.values()))
+            lo, hi = vals.min(), vals.max()
+            return {k: (0.0 if hi == lo else (v - lo) / (hi - lo)) for k, v in d.items()}
+
+        dcs, bcs, ecs = scale(dc), scale(bc), scale(ec)
+        expected = {n: (dcs[n] + bcs[n] + ecs[n]) / 3 for n in node_list}
+
+        got = {r["node"]: r["composite_score"] for r in network_target_scores(spark, sf).collect()}
+        assert set(got) == set(expected)
+        for n, v in expected.items():
+            assert got[n] == pytest.approx(v, abs=5e-4), n
