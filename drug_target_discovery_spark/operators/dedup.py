@@ -1,0 +1,202 @@
+"""Deduplication operators for large-scale text corpora (SURVEY §2.12,
+north-star extension surface — no reference counterpart).
+
+All hash families are built from md5 so the DuckDB oracle can compute the
+exact same integers (Spark: ``conv(substr(md5(x),1,15),16,10)``; DuckDB:
+``CAST('0x'||substr(md5(x),1,15) AS BIGINT)`` — 60 bits, always positive).
+
+Scale design:
+- exact dedup: hash-groupBy on sha256(text) — one shuffle on the digest, not
+  the text payload.
+- shingle Jaccard: explode distinct shingles -> self-join on shingle ->
+  per-pair intersection counts. The join key is the (small) shingle string;
+  frequent-shingle skew is the known hazard -> ``max_shingle_df`` drops
+  shingles appearing in more than a fraction of docs (standard stop-shingle
+  practice, also keeps the pair blow-up bounded).
+- MinHash/LSH: k independent permutations approximated by (a*h+b) mod p;
+  banding groups rows of the signature; candidate pairs only within equal
+  band-hash buckets. Everything is DataFrame ops -> Catalyst handles the
+  rest. This is the 100 TB path: cost is O(docs * k) + bucket-local joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit md5-derived token/shingle hash, cross-engine reproducible
+MD5_INT_SPARK = "CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+MD5_INT_DUCK = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def sha_exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: sha256 digest -> group size + canonical (min) id.
+    Only the 32-byte digest shuffles, never the document payload."""
+    return (
+        docs.select(F.sha2(F.col(text_col), 256).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def token_shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct n-token shingles per document: (id, shingle)."""
+    toks = F.split(F.col(text_col), " ")
+    idxs = F.sequence(F.lit(0), F.size(toks) - n)
+    shingle_at = f"""
+      transform(sequence(0, size(split({text_col}, ' ')) - {n}),
+                i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))
+    """
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct(F.expr(shingle_at))).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: float | None = 0.5,
+) -> DataFrame:
+    """All-pairs n-token-shingle Jaccard similarity above ``threshold``.
+
+    |A ∩ B| from a shingle self-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
+    Shingles occurring in > max_shingle_df of documents are dropped from
+    BOTH the intersection and the set sizes (consistent metric; kills join
+    skew from boilerplate shingles).
+    """
+    sh = token_shingles(docs, text_col, id_col, n)
+    if max_shingle_df is not None:
+        n_docs = docs.count()
+        common = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df * n_docs)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(common), "shingle", "left_anti")
+    sh = sh.cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "d1", "sz": "s1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc_id": "d2", "sz": "s2"}), "d2")
+        .withColumn("jaccard", F.col("k") / (F.col("s1") + F.col("s2") - F.col("k")))
+        .filter(F.col("jaccard") > threshold)
+        .select("d1", "d2", "jaccard", F.col("k").alias("n_common"))
+    )
+    return out
+
+
+def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients (a odd, b arbitrary, both < 2^31)
+    from a fixed LCG (public-domain constants) — the oracle SQL embeds the
+    same literal values, so both engines evaluate the identical hash family."""
+    coeffs = []
+    state = seed & 0xFFFFFFFF
+    for _ in range(num_hashes):
+        state = (state * 1103515245 + 12345) & 0x7FFFFFFF
+        a = (state % ((1 << 31) - 2)) | 1
+        state = (state * 1103515245 + 12345) & 0x7FFFFFFF
+        b = state % ((1 << 31) - 1)
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document, long format (id, hash_idx, minhash).
+
+    The i-th permutation is h_i(x) = (a_i * (x mod 2^30) + b_i) mod (2^31-1):
+    the shingle hash is folded to 30 bits so a*h fits signed int64 in BOTH
+    engines (no silent overflow divergence); 2^-30 fold-collision odds are
+    irrelevant for dedup banding."""
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    p = (1 << 31) - 1
+    sh = token_shingles(docs, text_col, id_col, n)
+    h30 = (F.expr(MD5_INT_SPARK.format(col="shingle")) % (1 << 30)).alias("h")
+    sh = sh.select(id_col, h30)
+    structs = [
+        F.struct(
+            F.lit(i).alias("hash_idx"), ((F.col("h") * a + b) % p).alias("hv")
+        )
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    exploded = sh.select(id_col, F.explode(F.array(*structs)).alias("s")).select(
+        id_col, F.col("s.hash_idx").alias("hash_idx"), F.col("s.hv").alias("hv")
+    )
+    return exploded.groupBy(id_col, "hash_idx").agg(F.min("hv").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band the long-format signature and emit candidate pairs sharing any
+    band bucket. Bucket key = (band, xor-combined row hashes) — only equal
+    full bands collide. Join is bucket-local: the 100 TB-safe path."""
+    sig = signatures.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
+    band_key = sig.groupBy(id_col, "band").agg(
+        # order-independent combine of the band's minhashes
+        (F.sum("minhash") % MERSENNE61).alias("bsum"),
+        F.count(F.lit(1)).alias("_n"),
+    ).filter(F.col("_n") == rows_per_band)
+    a = band_key.select(F.col(id_col).alias("d1"), "band", "bsum")
+    b = band_key.select(F.col(id_col).alias("d2"), "band", "bsum")
+    return (
+        a.join(b, ["band", "bsum"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash document fingerprint: per bit, sum +1/-1 over token-hash bits;
+    fingerprint = sum of (bit_set << bit). Explode tokens x bits -> two
+    aggregations. ``bits=32`` keeps the fingerprint in int64 comfortably."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = F.expr(MD5_INT_SPARK.format(col="tok"))
+    toks = toks.select(id_col, h.alias("h"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    tb = toks.select(id_col, "h", bit)
+    # SQL shiftright/shiftleft accept a column shift amount (the DataFrame
+    # API functions require a literal)
+    votes = tb.groupBy(id_col, "bit").agg(
+        F.sum(
+            F.when(F.expr("shiftright(h, bit)").bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias("vote")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

@@ -1,1 +1,252 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Dedup tier queries (SURVEY §2.12 [EXT]): exact, n-gram Jaccard, MinHash
++ LSH banding, SimHash — over the ``documents`` table. Every hash is
+md5-derived so the DuckDB oracle evaluates the identical integers."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
+from drug_target_discovery_spark.operators.dedup import (
+    MD5_INT_DUCK,
+    MERSENNE61,
+    _minhash_coeffs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    sha_exact_dedup,
+    simhash_fingerprints,
+)
+from drug_target_discovery_spark.queries.registry import register
+from drug_target_discovery_spark.sources.tables import load_table
+
+_N = 3  # shingle width
+_NUM_HASHES = 16
+_SEED = 42
+_BANDS_ROWS = 2  # rows per band -> 8 bands
+_JACCARD_T = 0.8
+
+_H_DUCK = MD5_INT_DUCK.format(col="shingle")
+
+# shared oracle CTE: distinct 3-token shingles per doc
+_SHINGLES_SQL = f"""
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(l, i, i + {_N - 1}), ' ') AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           unnest(range(1, len(l) - {_N} + 2)) AS t(i)
+      WHERE len(l) >= {_N}
+    )
+"""
+
+_COEFF_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(_minhash_coeffs(_NUM_HASHES, _SEED))
+)
+
+_SIG_SQL = f"""
+    {_SHINGLES_SQL},
+    hashed AS (
+      SELECT doc_id, ({_H_DUCK}) % 1073741824 AS h FROM shingles
+    ),
+    coeffs(hash_idx, a, b) AS (VALUES {_COEFF_VALUES}),
+    sig AS (
+      SELECT doc_id, hash_idx, min((a * h + b) % 2147483647) AS minhash
+      FROM hashed CROSS JOIN coeffs
+      GROUP BY doc_id, hash_idx
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# --------------------------------------------------------------------------
+@register(
+    "exact_dedup_sha256",
+    tags=("dedup",),
+    oracle="""
+    SELECT sha256(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_docs
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def exact_dedup_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content digest: only the 32-byte sha256
+    shuffles, never the payload — the canonical 100 TB exact-dedup shape."""
+    return sha_exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs
+# --------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_near_dups",
+    tags=("dedup", "join"),
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    ndocs AS (SELECT count(*) AS n FROM documents),
+    stop AS (
+      SELECT shingle FROM shingles CROSS JOIN ndocs
+      GROUP BY shingle, n HAVING count(*) > 0.5 * n
+    ),
+    sh AS (SELECT * FROM shingles WHERE shingle NOT IN (SELECT shingle FROM stop)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS k
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           {rnd_sql("k * 1.0 / (s1.sz + s2.sz - k)", 6)} AS jaccard,
+           k AS n_common
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE k * 1.0 / (s1.sz + s2.sz - k) > {_JACCARD_T}
+    """,
+)
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by 3-token-shingle Jaccard > 0.8: explode
+    distinct shingles, self-join on shingle (bucketed by content, never
+    all-pairs), intersection counts -> Jaccard. Stop-shingles (df > 50%)
+    dropped to bound skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=_N, threshold=_JACCARD_T, max_shingle_df=0.5)
+    return pairs.select("d1", "d2", rnd("jaccard", 6).alias("jaccard"), "n_common")
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures
+# --------------------------------------------------------------------------
+@register(
+    "minhash_signatures",
+    tags=("dedup", "minhash"),
+    oracle=f"""
+    WITH {_SIG_SQL}
+    SELECT doc_id, hash_idx, minhash FROM sig
+    """,
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format MinHash signatures (16 affine permutations over folded
+    md5 shingle hashes). Cost O(docs x shingles x k) map-side + one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, n=_N, num_hashes=_NUM_HASHES, seed=_SEED)
+
+
+# --------------------------------------------------------------------------
+# LSH banding candidate pairs
+# --------------------------------------------------------------------------
+@register(
+    "lsh_candidate_pairs",
+    tags=("dedup", "minhash"),
+    oracle=f"""
+    WITH {_SIG_SQL},
+    banded AS (
+      SELECT doc_id, hash_idx // {_BANDS_ROWS} AS band,
+             sum(minhash) % {MERSENNE61} AS bsum, count(*) AS n
+      FROM sig GROUP BY doc_id, hash_idx // {_BANDS_ROWS}
+      HAVING count(*) = {_BANDS_ROWS}
+    )
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bsum = b.bsum AND a.doc_id < b.doc_id
+    """,
+)
+def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates: equal 2-row band buckets. The join runs inside hash
+    buckets only — the all-pairs blow-up never happens; this is the MinHash
+    scale path for 100 TB corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n=_N, num_hashes=_NUM_HASHES, seed=_SEED)
+    return lsh_candidate_pairs(sig, bands=_NUM_HASHES // _BANDS_ROWS, rows_per_band=_BANDS_ROWS)
+
+
+# --------------------------------------------------------------------------
+# LSH-verified near-dup groups (end-to-end dedup)
+# --------------------------------------------------------------------------
+@register(
+    "near_dup_groups",
+    tags=("dedup", "pipeline"),
+    oracle=f"""
+    WITH {_SIG_SQL},
+    banded AS (
+      SELECT doc_id, hash_idx // {_BANDS_ROWS} AS band,
+             sum(minhash) % {MERSENNE61} AS bsum, count(*) AS n
+      FROM sig GROUP BY doc_id, hash_idx // {_BANDS_ROWS}
+      HAVING count(*) = {_BANDS_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bsum = b.bsum AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    verified AS (
+      SELECT c.d1, c.d2
+      FROM cand c
+      JOIN (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS k
+            FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) i ON c.d1 = i.d1 AND c.d2 = i.d2
+      JOIN sizes s1 ON c.d1 = s1.doc_id
+      JOIN sizes s2 ON c.d2 = s2.doc_id
+      WHERE i.k * 1.0 / (s1.sz + s2.sz - i.k) > {_JACCARD_T}
+    ),
+    members AS (
+      SELECT d1 AS doc_id, d1 AS nbr FROM verified
+      UNION SELECT d2, d1 FROM verified
+      UNION SELECT d1, d2 FROM verified
+      UNION SELECT d2, d2 FROM verified
+    )
+    SELECT doc_id, min(nbr) AS canonical_id FROM members GROUP BY doc_id
+    """,
+)
+def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: LSH candidates -> Jaccard verification ->
+    canonical id = min over the verified neighborhood (single-hop star
+    canonicalization; full transitive closure is `connected_components`,
+    graph tier). Returns only docs that have a near-duplicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n=_N, num_hashes=_NUM_HASHES, seed=_SEED)
+    cand = lsh_candidate_pairs(sig, rows_per_band=_BANDS_ROWS)
+    jac = ngram_jaccard_pairs(docs, n=_N, threshold=_JACCARD_T, max_shingle_df=None)
+    verified = cand.join(jac.select("d1", "d2"), ["d1", "d2"], "inner")
+    members = (
+        verified.select(F.col("d1").alias("doc_id"), F.col("d1").alias("nbr"))
+        .union(verified.select("d2", "d1"))
+        .union(verified.select("d1", "d2"))
+        .union(verified.select("d2", "d2"))
+        .distinct()
+    )
+    return members.groupBy("doc_id").agg(F.min("nbr").alias("canonical_id"))
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints
+# --------------------------------------------------------------------------
+@register(
+    "simhash_fingerprints",
+    tags=("dedup", "simhash"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, {MD5_INT_DUCK.format(col="tok")} AS h
+      FROM toks WHERE tok <> ''
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM hashed, unnest(range(0, 32)) AS t(bit)
+      GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (token-level): per-bit +1/-1 votes over
+    md5 token hashes, majority bit -> fingerprint. Near-dups then reduce to
+    Hamming-distance joins on the fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, bits=32)

@@ -1,1 +1,244 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Event-time tier (SURVEY §2.10 [EXT]): tumbling/sliding/session windows,
+stateful dedup, JSON prop extraction, pivot — on the `events` table.
+
+Window aggregations delegate to streaming/events.py transforms, which run
+unchanged under Structured Streaming (tests/test_streaming.py proves
+batch==stream on the same data). Timestamps surface as epoch seconds so
+oracle hashing is timezone-proof (session timezone is UTC; DuckDB
+time_bucket buckets align with Spark window starts at whole-unit windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
+from drug_target_discovery_spark.queries.registry import register
+from drug_target_discovery_spark.sources.tables import load_table
+from drug_target_discovery_spark.streaming.events import (
+    sessionize_builtin,
+    windowed_event_counts,
+)
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# --------------------------------------------------------------------------
+# Tumbling window
+# --------------------------------------------------------------------------
+@register(
+    "tumbling_event_counts",
+    tags=("events", "window"),
+    oracle=f"""
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {rnd_sql("sum(value)", 4)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows per event_type — the same
+    transform runs under readStream with a watermark (§2.10)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, window="1 hour")
+    return out.select(
+        "window_start", "event_type", "n_events", rnd("sum_value", 4).alias("sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding window
+# --------------------------------------------------------------------------
+@register(
+    "sliding_window_stats",
+    tags=("events", "window"),
+    oracle=f"""
+    WITH expanded AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT) - k * 1800
+               AS window_start,
+             value
+      FROM events, unnest(range(0, 2)) AS t(k)
+    )
+    SELECT window_start,
+           count(*) AS n_events,
+           {rnd_sql("avg(value)", 6)} AS avg_value
+    FROM expanded
+    GROUP BY window_start
+    """,
+)
+def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2
+    windows). Spark's window(slide) does the expansion natively; the oracle
+    reproduces it with an explicit unnest."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "n_events",
+            rnd("avg_value", 6).alias("avg_value"),
+        )
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Session windows (gap-based), window-function formulation
+# --------------------------------------------------------------------------
+@register(
+    "session_windows_gap",
+    tags=("events", "window", "session"),
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_s,
+           count(*) AS n_events,
+           {rnd_sql("sum(value)", 4)} AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def session_windows_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity) as lag + running sum
+    — the classic batch formulation. The streaming-native builtin
+    (session_window) produces the same sessions; tests assert equivalence."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    lag_ts = F.lag("ts").over(w_ord)
+    sess = (
+        ev.withColumn(
+            "is_new",
+            F.when(
+                lag_ts.isNull()
+                | (F.col("ts").cast("long") - lag_ts.cast("long") > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("is_new").over(w_run))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("session_start_s"),
+        F.unix_timestamp(F.max("ts")).alias("session_end_s"),
+        F.count(F.lit(1)).alias("n_events"),
+        rnd(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@register("session_windows_builtin", tags=("events", "window", "session"))
+def session_windows_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window builtin (merging-state form used under streaming).
+    Rows-only driver check; equivalence with the gap formulation is unit-
+    tested."""
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize_builtin(ev, gap="30 minutes")
+    return out.select(
+        "user_id", "session_start", "n_events", rnd("sum_value", 4).alias("sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Latest event per key (stateful-dedup shape)
+# --------------------------------------------------------------------------
+@register(
+    "latest_event_per_user",
+    tags=("events", "window"),
+    oracle="""
+    SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key (the compaction/upsert primitive): row_number
+    over (key, ts desc) — at scale this is the one-shuffle dedup that
+    replaces full re-sorts."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.unix_timestamp("ts").alias("ts_s"), "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON property extraction (§2.9 JSON family)
+# --------------------------------------------------------------------------
+@register(
+    "json_props_extract",
+    tags=("events", "json"),
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           {rnd_sql("avg(CAST(json_extract_string(props, '$.k') AS BIGINT))", 6)} AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON props column (get_json_object) and aggregate the
+    extracted field — JVM-side JSON path evaluation, no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        rnd(F.avg(k), 6).alias("avg_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot (wide conditional aggregation)
+# --------------------------------------------------------------------------
+@register(
+    "event_type_pivot",
+    tags=("events", "pivot"),
+    oracle="""
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,
+           count(CASE WHEN event_type = 'error'    THEN 1 END) AS n_error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           count(CASE WHEN event_type = 'signup'   THEN 1 END) AS n_signup,
+           count(CASE WHEN event_type = 'view'     THEN 1 END) AS n_view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts as a pivot with EXPLICIT value list —
+    never inferred (inference is a separate distinct scan and is
+    nondeterministic under new categories at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {t: f"n_{t}" for t in _EVENT_TYPES}
+    out = out.withColumnsRenamed(renames)
+    return out.select(
+        "user_id", *[F.coalesce(f"n_{t}", F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )

@@ -1,1 +1,270 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Similarity-search tier (SURVEY §2.12 [EXT]) over `embeddings`
+(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
+
+Vector math stays JVM-side: ``zip_with``/``aggregate`` fold the dot product
+inside whole-stage codegen (no Python, no UDF). The fold is left-to-right in
+both Spark and DuckDB, so doubles match bit-for-bit.
+
+Brute-force top-k is the exactness baseline (O(Q x N) — fine for small Q or
+reranking); the IVF-style bucketed variant is the scale path: a deterministic
+coarse quantizer (sign bits of leading dimensions) prunes candidates to one
+bucket, turning the cross join into a bucket-equi-join — the same plan shape
+a 100 TB ANN sweep needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
+from drug_target_discovery_spark.queries.registry import register
+from drug_target_discovery_spark.sources.tables import load_table
+
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+_TOP_K = 5
+
+# dot(a,b) as a left-to-right fold — identical association in both engines
+_DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+_NORM_SPARK = "sqrt(aggregate(transform({a}, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+_DOT_DUCK = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
+_NORM_DUCK = "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))"
+
+
+def _emb_double(df: DataFrame, out: str = "emb") -> DataFrame:
+    return df.withColumn(out, F.col("embedding").cast("array<double>"))
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k
+# --------------------------------------------------------------------------
+@register(
+    "cosine_topk_bruteforce",
+    tags=("similarity", "topk"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, emb AS qemb FROM v WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.qid, v.vec_id AS nbr_id,
+             {_DOT_DUCK.format(a="q.qemb", b="v.emb")}
+               / ({_NORM_DUCK.format(a="q.qemb")} * {_NORM_DUCK.format(a="v.emb")})
+             AS cosine
+      FROM q CROSS JOIN v
+      WHERE q.qid <> v.vec_id
+    ),
+    ranked AS (
+      SELECT qid, nbr_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nbr_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT qid, nbr_id, {rnd_sql("cosine", 6)} AS cosine, rnk
+    FROM ranked WHERE rnk <= {_TOP_K}
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{_TOP_K} per query vector (brute force): broadcast
+    the small query set against all candidates, fold the dot product
+    JVM-side, per-query window top-k with deterministic tie-break."""
+    v = _emb_double(load_table(spark, sf_dir, "embeddings")).select("vec_id", "emb")
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nbr_id"),
+            (
+                F.expr(_DOT_SPARK.format(a="qemb", b="emb"))
+                / (
+                    F.expr(_NORM_SPARK.format(a="qemb"))
+                    * F.expr(_NORM_SPARK.format(a="emb"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("qid", "nbr_id", rnd("cosine", 6).alias("cosine"), "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-style bucketed ANN (the scale path)
+# --------------------------------------------------------------------------
+_BUCKET_SPARK = (
+    "CAST(CASE WHEN element_at(emb, 1) > 0 THEN 4 ELSE 0 END "
+    "+ CASE WHEN element_at(emb, 2) > 0 THEN 2 ELSE 0 END "
+    "+ CASE WHEN element_at(emb, 3) > 0 THEN 1 ELSE 0 END AS INT)"
+)
+_BUCKET_DUCK = (
+    "CAST(CASE WHEN emb[1] > 0 THEN 4 ELSE 0 END "
+    "+ CASE WHEN emb[2] > 0 THEN 2 ELSE 0 END "
+    "+ CASE WHEN emb[3] > 0 THEN 1 ELSE 0 END AS INT)"
+)
+
+
+@register(
+    "ann_ivf_bucketed_topk",
+    tags=("similarity", "topk"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    b AS (SELECT vec_id, emb, {_BUCKET_DUCK} AS bucket FROM v),
+    q AS (SELECT vec_id AS qid, emb AS qemb, bucket FROM b WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.qid, b.vec_id AS nbr_id,
+             {_DOT_DUCK.format(a="q.qemb", b="b.emb")}
+               / ({_NORM_DUCK.format(a="q.qemb")} * {_NORM_DUCK.format(a="b.emb")})
+             AS cosine
+      FROM q JOIN b USING (bucket)
+      WHERE q.qid <> b.vec_id
+    ),
+    ranked AS (
+      SELECT qid, nbr_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nbr_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT qid, nbr_id, {rnd_sql("cosine", 6)} AS cosine, rnk
+    FROM ranked WHERE rnk <= {_TOP_K}
+    """,
+)
+def ann_ivf_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: a deterministic 8-cell coarse quantizer (sign bits
+    of dims 1-3) restricts each query to its own cell — the cross join
+    becomes a bucket equi-join. Same recall/cost trade as IVF-nprobe=1;
+    swap the quantizer for k-means centroids without changing the plan."""
+    v = _emb_double(load_table(spark, sf_dir, "embeddings")).select("vec_id", "emb")
+    b = v.withColumn("bucket", F.expr(_BUCKET_SPARK))
+    q = b.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(b, "bucket")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nbr_id"),
+            (
+                F.expr(_DOT_SPARK.format(a="qemb", b="emb"))
+                / (
+                    F.expr(_NORM_SPARK.format(a="qemb"))
+                    * F.expr(_NORM_SPARK.format(a="emb"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("qid", "nbr_id", rnd("cosine", 6).alias("cosine"), "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding statistics
+# --------------------------------------------------------------------------
+@register(
+    "embedding_label_stats",
+    tags=("similarity", "agg"),
+    oracle=f"""
+    WITH v AS (
+      SELECT label, {_NORM_DUCK.format(a="CAST(embedding AS DOUBLE[])")} AS nrm
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n,
+           {rnd_sql("avg(nrm)", 6)} AS avg_norm,
+           {rnd_sql("min(nrm)", 6)} AS min_norm,
+           {rnd_sql("max(nrm)", 6)} AS max_norm
+    FROM v GROUP BY label
+    """,
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution per label: array fold map-side, one aggregation
+    shuffle on the (tiny) label key."""
+    v = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    nrm = F.expr(_NORM_SPARK.format(a="emb"))
+    return (
+        v.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.avg("nrm"), 6).alias("avg_norm"),
+            rnd(F.min("nrm"), 6).alias("min_norm"),
+            rnd(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Centroid assignment (one k-means E-step)
+# --------------------------------------------------------------------------
+@register(
+    "centroid_assignment",
+    tags=("similarity", "iterative"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    dims AS (
+      SELECT label, i, avg(emb[i]) AS c
+      FROM v, unnest(range(1, len(emb) + 1)) AS t(i)
+      GROUP BY label, i
+    ),
+    centroids AS (
+      SELECT label AS clabel, list(c ORDER BY i) AS cemb FROM dims GROUP BY label
+    ),
+    dist AS (
+      SELECT v.vec_id, v.label AS actual_label, c.clabel,
+             {_DOT_DUCK.format(a="v.emb", b="c.cemb")}
+               / ({_NORM_DUCK.format(a="v.emb")} * {_NORM_DUCK.format(a="c.cemb")}) AS cosine
+      FROM v CROSS JOIN centroids c
+    ),
+    ranked AS (
+      SELECT vec_id, actual_label, clabel, cosine,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, clabel ASC) AS rnk
+      FROM dist
+    )
+    SELECT vec_id, actual_label, clabel AS assigned_label, {rnd_sql("cosine", 6)} AS cosine
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means E-step with label-seeded centroids: per-label mean vector
+    (posexplode + two aggregations), broadcast centroids, nearest-by-cosine
+    assignment. The building block for iterative clustering over 100 TB —
+    per iteration: one agg shuffle + a map-side broadcast join."""
+    v = _emb_double(load_table(spark, sf_dir, "embeddings")).select("vec_id", "label", "emb")
+    dims = v.select("label", F.posexplode("emb").alias("i", "x")).groupBy("label", "i").agg(
+        F.avg("x").alias("c")
+    )
+    centroids = (
+        dims.groupBy(F.col("label").alias("clabel"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("_sc"))
+        .select("clabel", F.expr("transform(_sc, s -> s.c)").alias("cemb"))
+    )
+    dist = v.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        F.col("label").alias("actual_label"),
+        "clabel",
+        (
+            F.expr(_DOT_SPARK.format(a="emb", b="cemb"))
+            / (F.expr(_NORM_SPARK.format(a="emb")) * F.expr(_NORM_SPARK.format(a="cemb")))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("clabel"))
+    return (
+        dist.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "actual_label", F.col("clabel").alias("assigned_label"),
+                rnd("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,85 @@
+"""Event-time operators, batch- and stream-capable (SURVEY §2.10 [EXT]).
+
+Each transform takes a DataFrame that may come from ``spark.read`` (batch)
+or ``spark.readStream`` (Structured Streaming) — the logical plan is
+identical; only the sink differs. Watermarks are applied when requested and
+are required for append-mode streaming aggregation; on batch inputs
+``withWatermark`` is a no-op, so the same function serves both paths
+(tests/test_streaming.py runs both and compares).
+
+Event-time semantics are deterministic on a static table, which is what
+makes these oracle-checkable in DuckDB (time_bucket etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is set) event-time window
+    aggregation per event_type: count + sum(value). Streaming: pass a
+    watermark (late rows beyond it are dropped by the engine)."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        df.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_builtin(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows via the built-in ``session_window`` (merging state
+    machine — the streaming-native form). Batch output matches the
+    lag/cumsum formulation in queries/events.py (asserted in tests)."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Exactly-once by key: batch ``dropDuplicates``; with a watermark on a
+    stream this becomes ``dropDuplicatesWithinWatermark`` (bounded state —
+    the only form that survives an unbounded stream)."""
+    keys = keys or ["event_id"]
+    if watermark is not None:
+        df = events.withWatermark(ts_col, watermark)
+        if df.isStreaming:
+            return df.dropDuplicatesWithinWatermark(keys)
+        return df.dropDuplicates(keys)
+    return events.dropDuplicates(keys)

@@ -1,0 +1,99 @@
+"""Structured Streaming parity (SURVEY §2.10): the event-time transforms
+produce identical results under readStream (availableNow micro-batches) and
+plain batch — the core guarantee that makes them one operator, not two."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.sources.tables import load_table
+from drug_target_discovery_spark.streaming.events import (
+    dedup_events,
+    sessionize_builtin,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir():
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{SF}/events.parquet", f"{d}/events.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _open_stream(spark, d):
+    """readStream over the raw parquet (ts arrives as nano-long via
+    nanosAsLong) + the same micros normalization load_table applies."""
+    raw_schema = spark.read.parquet(d).schema
+    src = spark.readStream.schema(raw_schema).parquet(d)
+    if dict(src.dtypes)["ts"] == "bigint":
+        src = src.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return src
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _as_sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestStreamingParity:
+    def test_windowed_counts_stream_equals_batch(self, spark, events_stream_dir):
+        batch_src = load_table(spark, SF, "events")
+        stream_src = _open_stream(spark, events_stream_dir)
+        got = _run_stream(
+            spark,
+            windowed_event_counts(stream_src, window="1 hour", watermark="2 hours"),
+            "win_counts",
+        )
+        expected = windowed_event_counts(batch_src, window="1 hour")
+        assert _as_sorted_rows(got) == _as_sorted_rows(expected)
+
+    def test_session_builtin_matches_gap_formulation(self, spark):
+        from drug_target_discovery_spark.queries.events import session_windows_gap
+
+        builtin = sessionize_builtin(load_table(spark, SF, "events"), gap="30 minutes")
+        got = sorted(
+            (r["user_id"], r["session_start"], r["n_events"], round(r["sum_value"], 4))
+            for r in builtin.collect()
+        )
+        gap = session_windows_gap(spark, SF)
+        expected = sorted(
+            (r["user_id"], r["session_start_s"], r["n_events"], r["sum_value"])
+            for r in gap.collect()
+        )
+        assert got == expected
+
+    def test_dedup_events_batch_and_stream(self, spark, events_stream_dir):
+        batch_src = load_table(spark, SF, "events")
+        doubled = batch_src.union(batch_src)
+        assert dedup_events(doubled).count() == batch_src.count()
+
+        stream_src = _open_stream(spark, events_stream_dir)
+        deduped = dedup_events(stream_src, watermark="1 hour")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.sql("SELECT count(*) c FROM dedup_stream").collect()[0]["c"] == batch_src.count()
