@@ -1,1 +1,74 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Driver-visible end-to-end pipeline queries (SURVEY §3): the full GEO ->
+targets chain on the deterministic synthetic fixture. Rows-only driver
+checks (the chain crosses the t-CDF and iterative-graph boundaries that SQL
+can't express); stage-level numeric parity is covered by the oracle-checked
+operator queries plus tests/test_pipeline.py's pandas/networkx golden
+comparison."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.functions.rounding import rnd
+from drug_target_discovery_spark.plans.pipeline import (
+    DrugTargetPipeline,
+    PipelineParams,
+    deterministic_fake_client,
+)
+from drug_target_discovery_spark.queries.registry import register
+from drug_target_discovery_spark.sources.geo import (
+    parse_geo_series_matrix,
+    read_probe_mapping_csv,
+)
+from drug_target_discovery_spark.sources.geo_fixture import write_fixture
+
+_FIXTURE_VERSION = "v1"
+
+
+def _fixture_dir() -> str:
+    d = os.path.join(tempfile.gettempdir(), f"dtd_geo_fixture_{_FIXTURE_VERSION}")
+    marker = os.path.join(d, "series_matrix.txt")
+    if not os.path.exists(marker):
+        write_fixture(d, gz=False)
+    return d
+
+
+def _run(spark: SparkSession) -> dict[str, DataFrame]:
+    d = _fixture_dir()
+    expr, meta = parse_geo_series_matrix(spark, os.path.join(d, "series_matrix.txt"))
+    mapping = read_probe_mapping_csv(spark, os.path.join(d, "mapping.csv"))
+    pipe = DrugTargetPipeline(PipelineParams())
+    return pipe.run(expr, meta, mapping, client=deterministic_fake_client)
+
+
+@register("geo_pipeline_differential", tags=("pipeline", "geo"))
+def geo_pipeline_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1-4 (parse -> preprocess -> map -> Welch/BH differential
+    table) on the synthetic GEO fixture — schema matches the reference's
+    differential_expression.csv (gene, log2FC, pvalue, adjusted_pvalue)."""
+    out = _run(spark)["differential"]
+    return out.select(
+        "gene",
+        rnd("log2FC", 6).alias("log2FC"),
+        rnd("pvalue", 8).alias("pvalue"),
+        rnd("adjusted_pvalue", 8).alias("adjusted_pvalue"),
+    )
+
+
+@register("geo_pipeline_targets", tags=("pipeline", "geo"))
+def geo_pipeline_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full nine-stage chain to validated targets (schema of the
+    reference's GSE46602_final_targets.csv) with the deterministic offline
+    enrichment client."""
+    out = _run(spark)["validated_targets"]
+    return out.select(
+        "gene",
+        rnd("composite_score", 6).alias("composite_score"),
+        "num_known_drugs",
+        rnd("avg_association_score", 6).alias("avg_association_score"),
+        rnd("drugability_score", 6).alias("drugability_score"),
+    )
