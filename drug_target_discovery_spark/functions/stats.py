@@ -213,14 +213,27 @@ def bh_fdr(df: DataFrame, p: str = "pvalue", out: str = "adjusted_pvalue") -> Da
     post-aggregation key tables (<=10^7 rows). For larger, see
     ``bh_fdr_scalable``.
     """
+    # The input is a post-aggregation p-value table (small by contract) while
+    # its lineage is typically the expensive part of the whole job (Welch agg
+    # + t-CDF). It is consumed three times below (non-null branch, null
+    # branch, count) — cache it so the upstream runs once.
+    df = df.cache()
     nn = df.filter(F.col(p).isNotNull() & ~F.isnan(p))
     nulls = df.filter(F.col(p).isNull() | F.isnan(p)).withColumn(
         out, F.lit(None).cast("double")
     )
     w_rank = W.orderBy(F.col(p).asc())
-    w_rev = W.orderBy(F.col(p).asc()).rowsBetween(W.currentRow, W.unboundedFollowing)
+    # The textbook suffix-min frame (CURRENT ROW .. UNBOUNDED FOLLOWING) is
+    # O(n^2) in Spark's WindowExec (per-row frame rescan). A running min over
+    # the unique rank DESCENDING is the O(n) incremental formulation of the
+    # exact same quantity (rank is duplicate-free, so tie order cannot change
+    # the result).
+    w_rev = W.orderBy(F.col("_r").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+    # m via a 1-row broadcast aggregate (a `count(*) over ()` window would
+    # haul the table into a single partition once more than necessary)
+    m = nn.agg(F.count(F.lit(1)).alias("_m"))
     adjusted = (
-        nn.withColumn("_m", F.count(F.lit(1)).over(W.partitionBy()))
+        nn.crossJoin(F.broadcast(m))
         .withColumn("_r", F.row_number().over(w_rank))
         .withColumn("_raw", F.col(p) * F.col("_m") / F.col("_r"))
         .withColumn(out, F.least(F.min("_raw").over(w_rev), F.lit(1.0)))
@@ -265,8 +278,9 @@ def bh_fdr_scalable(
         [(int(k), int(v)) for k, v in offsets.items()], "_pid INT, _off BIGINT"
     )
     w_in = W.partitionBy("_pid").orderBy(F.col(p).asc())
+    # O(n) running-min formulation (see bh_fdr) per range partition
     w_rev_in = (
-        W.partitionBy("_pid").orderBy(F.col(p).asc()).rowsBetween(W.currentRow, W.unboundedFollowing)
+        W.partitionBy("_pid").orderBy(F.col("_r").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     with_rank = (
         ranged.join(F.broadcast(off_df), "_pid")

