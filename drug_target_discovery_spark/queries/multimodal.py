@@ -1,0 +1,112 @@
+"""Multimodal tier queries (SURVEY §2.12 [EXT]): binary payload columns +
+typed metadata, decode/extract/resize/frame-sample kernels. The media table
+derives deterministically from `documents` (payload = utf-8 bytes), so the
+metadata-level queries are DuckDB-oracle-checkable; the kernel queries are
+rows-only (codec seam) with unit-tested batch shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
+from drug_target_discovery_spark.operators.multimodal import (
+    extract_features,
+    media_stats,
+    resize_images,
+    sample_frames,
+    synthesize_media,
+)
+from drug_target_discovery_spark.queries.registry import register
+from drug_target_discovery_spark.sources.tables import load_table
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synthesize_media(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "media_metadata_stats",
+    tags=("multimodal", "agg"),
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             encode(text) AS payload,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+             CASE WHEN doc_id % 3 = 0 THEN 'png'
+                  WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format
+      FROM documents
+    )
+    SELECT media_type, format,
+           count(*) AS n,
+           sum(octet_length(payload)) AS total_bytes,
+           {rnd_sql("avg(octet_length(payload))", 4)} AS avg_bytes
+    FROM media GROUP BY media_type, format
+    """,
+)
+def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata + payload-size stats per media type. Column pruning keeps
+    the binary payload out of everything except length() — verify with
+    .explain: the scan reads only the needed columns."""
+    out = media_stats(_media(spark, sf_dir))
+    return out.select(
+        "media_type", "format", "n", "total_bytes", rnd("avg_bytes", 4).alias("avg_bytes")
+    )
+
+
+@register(
+    "media_payload_digest",
+    tags=("multimodal",),
+    oracle="""
+    -- DuckDB sha256 takes VARCHAR and hashes its UTF-8 bytes — exactly the
+    -- payload bytes (payload = encode(text, 'utf-8'))
+    SELECT doc_id AS media_id,
+           sha256(text) AS digest,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def media_payload_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column content addressing: sha256 over the payload bytes —
+    the exact-dedup primitive for media corpora."""
+    m = _media(spark, sf_dir)
+    return m.select(
+        "media_id",
+        F.sha2("payload", 256).alias("digest"),
+        F.length("payload").alias("n_bytes"),
+    )
+
+
+@register("media_feature_extraction", tags=("multimodal", "mapInPandas"))
+def media_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> pooled feature vector via the Arrow-batched kernel (codec
+    stubbed, plumbing real). Rows-only driver check; batch shape and
+    determinism unit-tested (tests/test_multimodal.py)."""
+    feats = extract_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_values",
+        F.element_at("feature", 1).cast("double").alias("f0"),
+    ).withColumn("f0", rnd("f0", 6))
+
+
+@register("media_resize_shapes", tags=("multimodal", "mapInPandas"))
+def media_resize_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize kernel output shapes (64x48 target): payload re-encoded
+    batch-at-a-time; result sizes prove the kernel ran per-row."""
+    resized = resize_images(_media(spark, sf_dir), width=64, height=48)
+    return resized.select(
+        "media_id", "width", "height", F.length("payload").alias("n_bytes")
+    )
+
+
+@register("media_frame_sample", tags=("multimodal", "mapInPandas"))
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (UDTF-shaped: 4 rows out per video in)."""
+    m = _media(spark, sf_dir).filter(F.col("meta.media_type") == "video")
+    frames = sample_frames(m, n_frames=4)
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame_payload").alias("n_bytes")
+    )

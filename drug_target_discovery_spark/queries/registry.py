@@ -50,6 +50,7 @@ def all_queries() -> dict[str, Query]:
         dedup,
         events,
         graphq,
+        multimodal,
         pipelineq,
         relational,
         similarity,
