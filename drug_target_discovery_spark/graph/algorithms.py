@@ -1,0 +1,207 @@
+"""Iterative graph algorithms beyond centralities (SURVEY §2.7 G6 [EXT]):
+connected components and PageRank as driver-looped DataFrame programs —
+the same machinery as eigenvector centrality (join-aggregate per iteration,
+cache + periodic localCheckpoint to cut lineage)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 50,
+    checkpoint_every: int = 5,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Min-label propagation to fixpoint: component id = min node id
+    reachable. Returns (node, component).
+
+    Small graphs (< driver_threshold nodes) run union-find on the collected
+    edge list — per-iteration Spark job latency would dominate by orders of
+    magnitude. Large graphs run the distributed loop: per iteration one
+    join-aggregate label'(v) = min(label(v), min over neighbors of
+    label(u)); O(diameter) rounds (HashToMin family — the
+    large-star/small-star variant halves rounds at extreme scale, same plan
+    shape)."""
+    if nodes.count() < driver_threshold:
+        return _cc_driver(edges, nodes)
+    return _cc_distributed(edges, nodes, max_iter, checkpoint_every)
+
+
+def _cc_driver(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Union-find on the collected edge list (exact, O(E α(V)))."""
+    import pandas as pd
+
+    spark = edges.sparkSession
+    node_list = [r["node"] for r in nodes.select("node").collect()]
+    parent = {v: v for v in node_list}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.select("src", "dst").collect():
+        a, b = find(r["src"]), find(r["dst"])
+        if a != b:
+            if b < a:
+                a, b = b, a
+            parent[b] = a
+    comp = {v: find(v) for v in node_list}
+    pdf = pd.DataFrame({"node": node_list, "component": [comp[v] for v in node_list]})
+    return spark.createDataFrame(pdf)
+
+
+def _cc_distributed(
+    edges: DataFrame, nodes: DataFrame, max_iter: int, checkpoint_every: int
+) -> DataFrame:
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .cache()
+    )
+    labels = nodes.select("node", F.col("node").alias("component")).cache()
+    labels.count()
+    for it in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("n"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == F.col("n"), "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "node")
+            .filter(F.col("a.component") != F.col("b.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1.0e-6,
+    checkpoint_every: int = 5,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """PageRank on the undirected (symmetrized) graph, networkx-compatible:
+    pr'(v) = (1-d)/N + d * (sum_{u->v} pr(u)/outdeg(u) + dangling mass/N);
+    converged when sum|pr' - pr| < N * tol. Returns (node, pagerank).
+
+    Small graphs run the numpy iteration on the driver (three Spark actions
+    per distributed iteration would otherwise dominate); large graphs run
+    the join-aggregate loop."""
+    if nodes.count() < driver_threshold:
+        return _pagerank_driver(edges, nodes, damping, max_iter, tol)
+    return _pagerank_distributed(edges, nodes, damping, max_iter, tol, checkpoint_every)
+
+
+def _pagerank_driver(
+    edges: DataFrame, nodes: DataFrame, damping: float, max_iter: int, tol: float
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    spark = edges.sparkSession
+    node_list = [r["node"] for r in nodes.select("node").collect()]
+    idx = {v: i for i, v in enumerate(node_list)}
+    n = len(node_list)
+    e = [(idx[r["src"]], idx[r["dst"]]) for r in edges.select("src", "dst").collect()]
+    src = np.array([p[0] for p in e] + [p[1] for p in e], dtype=np.int64)
+    dst = np.array([p[1] for p in e] + [p[0] for p in e], dtype=np.int64)
+    deg = np.zeros(n)
+    np.add.at(deg, src, 1.0)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        prev = pr
+        share = np.where(deg > 0, prev / np.where(deg > 0, deg, 1.0), 0.0)
+        mass = np.zeros(n)
+        np.add.at(mass, dst, share[src])
+        dangling = prev[deg == 0].sum()
+        pr = (1.0 - damping) / n + damping * (mass + dangling / n)
+        if np.abs(pr - prev).sum() < n * tol:
+            break
+    pdf = pd.DataFrame({"node": node_list, "pagerank": pr})
+    return spark.createDataFrame(pdf)
+
+
+def _pagerank_distributed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    damping: float,
+    max_iter: int,
+    tol: float,
+    checkpoint_every: int,
+) -> DataFrame:
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .cache()
+    )
+    n = nodes.count()
+    outdeg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr")).cache()
+    ranks.count()
+    for it in range(max_iter):
+        with_deg = ranks.join(outdeg, "node", "left")
+        dangling = (
+            with_deg.filter(F.col("deg").isNull()).agg(F.sum("pr").alias("d")).collect()[0]["d"]
+            or 0.0
+        )
+        contrib = (
+            sym.join(with_deg.filter(F.col("deg").isNotNull()), sym["src"] == F.col("node"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("mass"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            ranks.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias("pr"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            new_ranks = new_ranks.cache()
+        delta = (
+            new_ranks.alias("a")
+            .join(ranks.alias("b"), "node")
+            .agg(F.sum(F.abs(F.col("a.pr") - F.col("b.pr"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+        if delta < n * tol:
+            break
+    sym.unpersist()
+    return ranks.select("node", F.col("pr").alias("pagerank"))

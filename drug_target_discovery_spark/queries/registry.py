@@ -50,6 +50,7 @@ def all_queries() -> dict[str, Query]:
         dedup,
         events,
         graphq,
+        graphx,
         multimodal,
         pipelineq,
         relational,

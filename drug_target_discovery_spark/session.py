@@ -31,6 +31,16 @@ def get_spark(
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Executor Python workers must import this package for pandas_udf /
+    # mapInPandas kernels. Driver sys.path does NOT propagate to workers —
+    # in local mode they inherit the env, so export PYTHONPATH; on a real
+    # cluster ship the package instead (spark.submit.pyFiles / a wheel).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

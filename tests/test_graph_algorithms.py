@@ -1,0 +1,85 @@
+"""Connected components + PageRank parity vs networkx, on both the driver
+and distributed execution paths."""
+
+import networkx as nx
+import pytest
+
+from drug_target_discovery_spark.graph.algorithms import connected_components, pagerank
+
+
+@pytest.fixture(scope="module")
+def graph_dfs(spark):
+    g = nx.gnm_random_graph(40, 45, seed=5)  # sparse -> several components
+    g.add_nodes_from([90, 91])
+    edges = list(g.edges())
+    return (
+        g,
+        spark.createDataFrame([(n,) for n in g.nodes()], "node INT"),
+        spark.createDataFrame(edges, "src INT, dst INT"),
+    )
+
+
+def _cc_expected(g):
+    out = {}
+    for comp in nx.connected_components(g):
+        m = min(comp)
+        for v in comp:
+            out[v] = m
+    return out
+
+
+class TestCC:
+    def test_driver_path(self, spark, graph_dfs):
+        g, nodes, edges = graph_dfs
+        got = {r["node"]: r["component"] for r in connected_components(edges, nodes).collect()}
+        assert got == _cc_expected(g)
+
+    def test_distributed_path(self, spark, graph_dfs):
+        g, nodes, edges = graph_dfs
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(edges, nodes, driver_threshold=0).collect()
+        }
+        assert got == _cc_expected(g)
+
+
+def _pagerank_reference(g, alpha=0.85, max_iter=200, tol=1e-10):
+    """Pure-python power iteration with dangling redistribution (the
+    textbook formulation nx.pagerank implements; nx itself needs scipy,
+    which this runtime deliberately lacks)."""
+    nodes = list(g.nodes())
+    n = len(nodes)
+    adj = {v: list(g[v]) for v in nodes}
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(max_iter):
+        dangling = sum(pr[v] for v in nodes if not adj[v])
+        nxt = {v: (1 - alpha) / n + alpha * dangling / n for v in nodes}
+        for u in nodes:
+            if adj[u]:
+                share = pr[u] / len(adj[u])
+                for v in adj[u]:
+                    nxt[v] += alpha * share
+        delta = sum(abs(nxt[v] - pr[v]) for v in nodes)
+        pr = nxt
+        if delta < n * tol:
+            break
+    return pr
+
+
+class TestPageRank:
+    def test_driver_path_matches_reference(self, spark, graph_dfs):
+        g, nodes, edges = graph_dfs
+        got = {r["node"]: r["pagerank"] for r in pagerank(edges, nodes, max_iter=100).collect()}
+        expected = _pagerank_reference(g)
+        for n, v in expected.items():
+            assert got[n] == pytest.approx(v, abs=1e-5), n
+
+    def test_distributed_path_matches_driver(self, spark, graph_dfs):
+        g, nodes, edges = graph_dfs
+        a = {r["node"]: r["pagerank"] for r in pagerank(edges, nodes, max_iter=15).collect()}
+        b = {
+            r["node"]: r["pagerank"]
+            for r in pagerank(edges, nodes, max_iter=15, driver_threshold=0).collect()
+        }
+        for n in a:
+            assert a[n] == pytest.approx(b[n], rel=1e-9), n
