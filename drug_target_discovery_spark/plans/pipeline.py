@@ -233,9 +233,12 @@ class DrugTargetPipeline:
         calls')."""
         import pandas as pd
 
+        from drug_target_discovery_spark.sources.geo import valid_gene_symbol
+
         p = self.params
         top = (
             target_scores.select("gene", "composite_score")
+            .filter(valid_gene_symbol("gene"))  # P8, pipeline2.py:794-827
             .orderBy(F.desc("composite_score"), F.asc("gene"))
             .limit(p.n_top_targets)
         )

@@ -189,6 +189,24 @@ def classify_condition(meta: DataFrame) -> DataFrame:
     )
 
 
+def valid_gene_symbol(col):
+    """Gene-symbol validity predicate (P8, pipeline2.py:794-827) as a pure
+    column expression: 1-20 chars, not probe-like (`_at`), not the UNKNOWN_
+    sentinel, contains a letter, alphanumeric plus `-.` only."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        c.isNotNull()
+        & (F.length(c) >= 1)
+        & (F.length(c) <= 20)
+        & ~F.lower(c).contains("_at")
+        & ~c.startswith("UNKNOWN_")
+        & c.rlike("[A-Za-z]")
+        & c.rlike("^[A-Za-z0-9.-]+$")
+    )
+
+
 def read_probe_mapping_csv(spark: SparkSession, path: str) -> DataFrame:
     """Probe->gene mapping dim (S4, pipeline2.py:98-119): CSV with header
     (PROBEID, SYMBOL), empty symbols dropped. ~54K rows — a broadcast dim;

@@ -67,6 +67,45 @@ def sessionize_builtin(
     )
 
 
+USER_TOTALS_SCHEMA = "user_id BIGINT, n_events BIGINT, sum_value DOUBLE"
+_STATE_SCHEMA = "n BIGINT, s DOUBLE"
+
+
+def stateful_user_totals(stream_df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Custom stateful streaming operator (SURVEY §2.10:
+    applyInPandasWithState): running per-user event count + value sum,
+    state carried across micro-batches. The batch-equivalent is a plain
+    groupBy aggregate — tests assert the streamed final state matches it.
+
+    This is the template for reference-style accumulating analytics over an
+    unbounded stream (per-gene running statistics, per-user profiles):
+    state is a tiny fixed-width tuple per key, never the event history.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return (
+        stream_df.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def dedup_events(
     events: DataFrame,
     keys: list[str] | None = None,

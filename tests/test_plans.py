@@ -1,0 +1,70 @@
+"""Physical-plan assertions (the '.explain and iterate' mandate): predicate
+pushdown reaches the parquet scan, column pruning trims ReadSchema, small
+dims broadcast, top-k plans as TakeOrderedAndProject, and pandas_udf stages
+are Arrow-batched. These are the properties that decide 100 TB behavior —
+asserted so a regression fails CI, not a cluster."""
+
+import pytest
+
+from drug_target_discovery_spark.queries.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    q = all_queries()[name]
+    return q.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPlanShape:
+    def test_filter_pushdown_reaches_scan(self, spark):
+        plan = plan_of(spark, "pricing_summary")
+        # the shipdate filter must appear as a parquet PushedFilter
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+    def test_column_pruning(self, spark):
+        plan = plan_of(spark, "supplier_part_distincts")
+        read = plan.split("ReadSchema:")[-1].splitlines()[0]
+        # only the three referenced columns are read from the fact table
+        assert "l_extendedprice" not in read and "l_shipdate" not in read, read
+
+    def test_star_join_broadcasts_dims(self, spark):
+        plan = plan_of(spark, "revenue_by_nation")
+        assert plan.count("BroadcastHashJoin") >= 2, plan  # customer + nation
+
+    def test_topk_is_take_ordered(self, spark):
+        plan = plan_of(spark, "top_variance_parts")
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_semi_join_form(self, spark):
+        plan = plan_of(spark, "parts_shipped_to_top_nation")
+        assert "LeftSemi" in plan, plan
+
+    def test_anti_join_form(self, spark):
+        plan = plan_of(spark, "customers_without_orders")
+        assert "LeftAnti" in plan, plan
+
+    def test_pandas_udf_is_arrow_batched(self, spark):
+        plan = plan_of(spark, "differential_expression")
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+    def test_zscore_single_shuffle(self, spark):
+        # the whole per-key standardization is scan -> ONE exchange -> window
+        plan = plan_of(spark, "zscore_by_part")
+        assert plan.count("Exchange") == 1, plan
+        read = plan.split("ReadSchema:")[-1].splitlines()[0]
+        assert "l_shipdate" not in read, read  # pruned
+
+    def test_partial_aggregation_before_shuffle(self, spark):
+        # map-side partial_sum/partial_count proves two-phase aggregation
+        plan = plan_of(spark, "pricing_summary")
+        assert "partial_sum" in plan, plan
+
+    def test_window_topk_pushes_group_limit(self, spark):
+        # Spark 4 WindowGroupLimit: the rank<=3 filter runs BEFORE and after
+        # the shuffle (partial/final) — per-group top-k never ships full
+        # groups. df dim broadcast; <=5 exchanges total (tf, df x2, window).
+        plan = plan_of(spark, "tfidf_top_terms")
+        assert "WindowGroupLimit" in plan, plan
+        assert "BroadcastExchange" in plan, plan
+        assert plan.count("Exchange") <= 5, plan

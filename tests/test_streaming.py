@@ -81,6 +81,39 @@ class TestStreamingParity:
         )
         assert got == expected
 
+    def test_stateful_user_totals_matches_batch(self, spark, events_stream_dir):
+        """applyInPandasWithState: the last update per user equals the plain
+        batch aggregate — running state across micro-batches is correct."""
+        from drug_target_discovery_spark.streaming.events import stateful_user_totals
+
+        stream_src = _open_stream(spark, events_stream_dir)
+        q = (
+            stateful_user_totals(stream_src)
+            .writeStream.format("memory")
+            .queryName("user_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # update mode appends one row per user per batch: keep each user's max
+        got = {
+            r["user_id"]: (r["n_events"], round(r["sum_value"], 4))
+            for r in spark.sql(
+                """SELECT user_id, max_by(n_events, n_events) n_events,
+                          max_by(sum_value, n_events) sum_value
+                   FROM user_totals GROUP BY user_id"""
+            ).collect()
+        }
+        batch = load_table(spark, SF, "events")
+        expected = {
+            r["user_id"]: (r["n"], round(r["s"], 4))
+            for r in batch.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        assert got == expected
+
     def test_dedup_events_batch_and_stream(self, spark, events_stream_dir):
         batch_src = load_table(spark, SF, "events")
         doubled = batch_src.union(batch_src)
