@@ -57,6 +57,7 @@ def all_queries() -> dict[str, Query]:
         similarity,
         stats,
         text,
+        windows,
     )
 
     return REGISTRY

@@ -1,0 +1,131 @@
+"""Window-function + advanced-aggregation coverage: moving averages,
+cumulative sums, CUBE, approx distinct — the remaining §2.5/§2.8/§2.9
+analytics shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
+from drug_target_discovery_spark.queries.registry import register
+from drug_target_discovery_spark.sources.tables import load_table
+
+
+@register(
+    "moving_avg_daily_revenue",
+    tags=("window",),
+    oracle=f"""
+    WITH daily AS (
+      -- daily revenue is rounded BEFORE the running aggregates: the raw sums
+      -- differ between engines at ulp level, and a cumulative sum amplifies
+      -- that across thousands of rows; rounded inputs accumulate identically
+      SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 day', l_shipdate))) AS BIGINT) AS day_s,
+             {rnd_sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+      FROM lineitem GROUP BY 1
+    )
+    SELECT day_s,
+           {rnd_sql("revenue", 2)} AS revenue,
+           {rnd_sql("avg(revenue) OVER (ORDER BY day_s ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)", 2)} AS revenue_7d_avg,
+           {rnd_sql("sum(revenue) OVER (ORDER BY day_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)} AS revenue_cum
+    FROM daily
+    """,
+)
+def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average + cumulative revenue over daily buckets:
+    aggregate first (the window then runs on ~2.5K rows, not 600K), running
+    ROWS frames only (O(n) incremental evaluation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(F.unix_timestamp(F.date_trunc("day", "l_shipdate")).alias("day_s"))
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    w7 = W.orderBy("day_s").rowsBetween(-6, 0)
+    wc = W.orderBy("day_s").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day_s",
+        rnd("revenue", 2).alias("revenue"),
+        rnd(F.avg("revenue").over(w7), 2).alias("revenue_7d_avg"),
+        rnd(F.sum("revenue").over(wc), 2).alias("revenue_cum"),
+    )
+
+
+@register(
+    "cube_order_stats",
+    tags=("agg", "cube"),
+    oracle=f"""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS grp_id,
+           count(*) AS n_orders,
+           {rnd_sql("avg(o_totalprice)", 4)} AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping() markers — all 2^2 aggregation granularities in
+    one pass (map-side grouping-set expansion, single shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.avg("o_totalprice"), 4).alias("avg_price"),
+            (
+                F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority")
+            ).alias("grp_id"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "grp_id",
+            "n_orders",
+            "avg_price",
+        )
+    )
+
+
+@register("approx_distinct_parts", tags=("agg", "approx"))
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate per supplier (A10 approx family).
+    Rows-only driver check (HLL sketches are engine-specific by nature);
+    tests assert <=5% relative error vs exact counts. At 100 TB this is the
+    difference between a mergeable sketch and a full distinct shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "ntile_price_bands",
+    tags=("window",),
+    oracle=f"""
+    WITH banded AS (
+      SELECT p_partkey, p_retailprice,
+             ntile(10) OVER (ORDER BY p_retailprice ASC, p_partkey ASC) AS band
+      FROM part
+    )
+    SELECT band, count(*) AS n,
+           {rnd_sql("min(p_retailprice)", 2)} AS lo,
+           {rnd_sql("max(p_retailprice)", 2)} AS hi
+    FROM banded GROUP BY band
+    """,
+)
+def ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding via ntile + per-band stats (rank-family window
+    coverage; deterministic tie-break so both engines tile identically)."""
+    part = load_table(spark, sf_dir, "part")
+    w = W.orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
+    banded = part.select("p_partkey", "p_retailprice", F.ntile(10).over(w).alias("band"))
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.min("p_retailprice"), 2).alias("lo"),
+        rnd(F.max("p_retailprice"), 2).alias("hi"),
+    )

@@ -10,7 +10,19 @@ from drug_target_discovery_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", cpus=8)
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="dtd_wh_")
+    s = get_spark(
+        "tests",
+        cpus=8,
+        extra_conf={
+            # static configs for the bucketed-table tests: keep the Hive
+            # warehouse + derby metastore out of the repo tree
+            "spark.sql.warehouse.dir": wh,
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={wh}",
+        },
+    )
     yield s
 
 

@@ -1,0 +1,100 @@
+"""Sink tests: CSV round-trip, GEXF emission, and the bucketing scale
+property — a join of two tables bucketed on the join key runs with NO
+shuffle exchange (the 100 TB co-location tool)."""
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.sources.sinks import (
+    write_csv,
+    write_gexf,
+    write_parquet,
+    write_summary_report,
+)
+from drug_target_discovery_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestSinks:
+    def test_csv_roundtrip(self, spark, tmp_path):
+        df = load_table(spark, SF, "nation")
+        path = str(tmp_path / "nation_csv")
+        write_csv(df, path, single_file=True)
+        back = spark.read.option("header", True).csv(path)
+        assert back.count() == df.count()
+        assert set(back.columns) == set(df.columns)
+
+    def test_gexf_structure(self, spark, tmp_path):
+        nodes = spark.createDataFrame([(1,), (2,), (3,)], "node INT")
+        edges = spark.createDataFrame([(1, 2, 0.9), (2, 3, 0.8)], "src INT, dst INT, weight DOUBLE")
+        path = str(tmp_path / "g.gexf")
+        write_gexf(nodes, edges, path)
+        txt = open(path).read()
+        assert txt.count("<node ") == 3 and txt.count("<edge ") == 2
+        assert 'weight="0.9"' in txt
+
+    def test_summary_report(self, spark, tmp_path):
+        path = str(tmp_path / "summary.txt")
+        write_summary_report(
+            {"Counts": {"a": 1}, "Top": load_table(spark, SF, "region")}, path
+        )
+        txt = open(path).read()
+        assert "== Counts ==" in txt and "a: 1" in txt and "r_name" in txt
+
+    def test_partitioned_parquet_prunes(self, spark, tmp_path):
+        df = load_table(spark, SF, "orders").withColumn(
+            "status", F.col("o_orderstatus")
+        )
+        path = str(tmp_path / "orders_part")
+        write_parquet(df, path, partition_by=["status"])
+        back = spark.read.parquet(path).filter(F.col("status") == "F")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(status" in plan, plan
+
+    def test_bucketed_join_no_shuffle(self, spark):
+        """Both sides bucketed+sorted on the join key -> SortMergeJoin with
+        ZERO Exchange operators: the pre-shuffle is amortized at write time."""
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+        try:
+            li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+            ords = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+            (
+                li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+                .saveAsTable("li_b")
+            )
+            (
+                ords.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+                .saveAsTable("ord_b")
+            )
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = spark.table("li_b").join(
+                spark.table("ord_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert j.count() == load_table(spark, SF, "lineitem").count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.sql("DROP TABLE IF EXISTS li_b")
+            spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+class TestApproxDistinct:
+    def test_hll_error_bound(self, spark):
+        from drug_target_discovery_spark.queries.registry import all_queries
+
+        q = all_queries()["approx_distinct_parts"]
+        rows = q.fn(spark, SF).collect()
+        assert rows
+        for r in rows:
+            rel = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
+            assert rel <= 0.05, (r["l_suppkey"], rel)
