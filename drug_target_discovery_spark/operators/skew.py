@@ -1,0 +1,83 @@
+"""Skew mitigation (SURVEY §4 / north-star scale mandate).
+
+AQE's skew-join splitting (enabled in session.py) handles most cases at
+runtime; these operators are the explicit forms for when the skew is known
+ahead of time or the join shape defeats AQE:
+
+- ``salted_join``: replicate the small side R times, scatter the big side's
+  hot keys across R salt buckets — a hot key's rows spread over R tasks
+  instead of one straggler.
+- ``two_phase_agg``: pre-aggregate on (key, salt) then finish on key — the
+  map-side-combine trick made explicit for high-cardinality-input /
+  low-cardinality-output aggregations where one reducer would drown.
+
+Both are pure DataFrame programs; results are exactly equal to the unsalted
+forms (tests/test_skew.py asserts it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated
+    ``salt_buckets`` times. Equivalent to ``big.join(small, key, how)`` for
+    inner/left joins; the hot-key shuffle partition is split R ways.
+
+    Cost model: small side grows R times (still broadcast-sized by
+    assumption); the big side adds one cheap column. Use when one key holds
+    >> 1/num_partitions of the rows and AQE's split isn't available (e.g.
+    an aggregation directly on the join output pins partitioning)."""
+    salted_big = big.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    replicated_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_big.join(replicated_small, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Salted two-phase aggregation: phase 1 groups by (key, salt) —
+    spreading a hot key across ``salt_buckets`` reducers — phase 2 merges
+    partials by key.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    {'sum', 'count', 'min', 'max'} (the re-aggregatable functions; avg is
+    sum/count composed by the caller)."""
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    phase1_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    p1 = salted.groupBy(key, "_salt").agg(
+        *[phase1_fn[fn](col).alias(out) for out, (col, fn) in aggs.items()]
+    )
+    p2 = p1.groupBy(key).agg(
+        *[merge_fn[fn](out).alias(out) for out, (col, fn) in aggs.items()]
+    )
+    return p2
+
+
+def hot_keys(df: DataFrame, key: str, threshold_fraction: float = 0.05) -> DataFrame:
+    """Diagnostic: keys holding more than ``threshold_fraction`` of all rows
+    (the candidates for salting / broadcast isolation)."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > threshold_fraction * total)
+        .withColumn("fraction", F.col("n_rows") / float(total))
+    )

@@ -54,6 +54,7 @@ def all_queries() -> dict[str, Query]:
         multimodal,
         pipelineq,
         relational,
+        setops,
         similarity,
         stats,
         text,
