@@ -33,7 +33,14 @@ def _fixture_dir() -> str:
     d = os.path.join(tempfile.gettempdir(), f"dtd_geo_fixture_{_FIXTURE_VERSION}")
     marker = os.path.join(d, "series_matrix.txt")
     if not os.path.exists(marker):
-        write_fixture(d, gz=False)
+        # atomic publish: write into a scratch dir, rename into place (a
+        # concurrent caller sees either nothing or the complete fixture)
+        scratch = tempfile.mkdtemp(prefix="dtd_geo_fixture_build_")
+        write_fixture(scratch, gz=False)
+        try:
+            os.rename(scratch, d)
+        except OSError:  # raced: someone else published first
+            pass
     return d
 
 

@@ -51,6 +51,7 @@ def all_queries() -> dict[str, Query]:
         events,
         graphq,
         graphx,
+        mllibq,
         multimodal,
         pipelineq,
         relational,
