@@ -41,7 +41,18 @@ _NANO_TS_COLS = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one testdata table lazily, normalizing nano-timestamps."""
+    """Scan one testdata table lazily, normalizing nano-timestamps.
+
+    Self-configures the session it is handed (the driver's harness may pass
+    a session built without our factory): nanosAsLong so TIMESTAMP(NANOS)
+    parquet (events.ts) is readable at all, and UTC session timezone so
+    naive parquet timestamps surface the same epoch seconds the DuckDB
+    oracle computes. Both are dynamic SQL confs — safe to set repeatedly."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # locked-down session: proceed with its settings
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLS.get(name, []):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
