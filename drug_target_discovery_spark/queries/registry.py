@@ -53,6 +53,7 @@ def all_queries() -> dict[str, Query]:
         graphx,
         mllibq,
         multimodal,
+        percentiles,
         pipelineq,
         relational,
         setops,
