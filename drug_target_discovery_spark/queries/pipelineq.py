@@ -54,6 +54,10 @@ def _run(spark: SparkSession) -> dict[str, DataFrame]:
     if key not in _RUN_CACHE:
         d = _fixture_dir()
         expr, meta = parse_geo_series_matrix(spark, os.path.join(d, "series_matrix.txt"))
+        # right-size partitioning to the data volume: the fixture long table
+        # is ~1K rows; 32-partition stages would be pure scheduling overhead
+        # (at real scale the parser inherits the file split count instead)
+        expr = expr.coalesce(2)
         mapping = read_probe_mapping_csv(spark, os.path.join(d, "mapping.csv"))
         pipe = DrugTargetPipeline(PipelineParams())
         out = pipe.run(expr, meta, mapping, client=deterministic_fake_client)

@@ -171,6 +171,56 @@ def ann_ivf_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (dedup by vector similarity)
+# --------------------------------------------------------------------------
+_NEAR_DUP_T = 0.40
+
+
+@register(
+    "embedding_cosine_near_dups",
+    tags=("dedup", "similarity"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DOT_DUCK.format(a="a.emb", b="b.emb")}
+               / ({_NORM_DUCK.format(a="a.emb")} * {_NORM_DUCK.format(a="b.emb")})
+             AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, {rnd_sql("cosine", 6)} AS cosine
+    FROM pairs WHERE cosine > {_NEAR_DUP_T}
+    """,
+)
+def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection by embedding cosine: all pairs with
+    cosine > {_NEAR_DUP_T}, upper triangle only (id_a < id_b). Exact form is
+    the correctness baseline; at 100 TB the pair space is pruned first with
+    an LSH blocker (the sign-bit quantizer of ``ann_ivf_bucketed_topk`` or
+    MLlib BucketedRandomProjectionLSH) and this exact predicate reranks only
+    candidate pairs — the plan shape stays broadcast-or-bucket join + fold."""
+    v = _emb_double(load_table(spark, sf_dir, "embeddings")).select("vec_id", "emb")
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    pairs = F.broadcast(a).join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        (
+            F.expr(_DOT_SPARK.format(a="emb_a", b="emb_b"))
+            / (
+                F.expr(_NORM_SPARK.format(a="emb_a"))
+                * F.expr(_NORM_SPARK.format(a="emb_b"))
+            )
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") > _NEAR_DUP_T).select(
+        "id_a", "id_b", rnd("cosine", 6).alias("cosine")
+    )
+
+
+# --------------------------------------------------------------------------
 # Per-label embedding statistics
 # --------------------------------------------------------------------------
 @register(
