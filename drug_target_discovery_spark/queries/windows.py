@@ -90,6 +90,48 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grouping_sets_ship_stats",
+    tags=("agg", "groupingsets"),
+    oracle=f"""
+    SELECT coalesce(l_linestatus, 'ALL') AS linestatus,
+           coalesce(l_returnflag, 'ALL') AS returnflag,
+           grouping(l_linestatus) + 2 * grouping(l_returnflag) AS grp_id,
+           count(*) AS n_items,
+           {rnd_sql("sum(l_quantity)", 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_linestatus, l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_ship_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A10): the three granularities the report needs
+    and none of the 2^n CUBE would add — one shuffle, map-side expansion
+    only into the requested sets (at 100 TB, CUBE over k columns multiplies
+    shuffle volume 2^k; GROUPING SETS keeps it |sets|)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_linestatus", "l_returnflag"], ["l_linestatus"], []],
+            "l_linestatus",
+            "l_returnflag",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            (
+                F.grouping("l_linestatus") + 2 * F.grouping("l_returnflag")
+            ).alias("grp_id"),
+        )
+        .select(
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            "grp_id",
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
 @register("approx_distinct_parts", tags=("agg", "approx"))
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate per supplier (A10 approx family).
