@@ -286,6 +286,11 @@ class DrugTargetPipeline:
         sig = self.significant_genes(diff)
         top = self.select_network_genes(gene_cond, sig)
         nodes, edges = self.build_network(gene_cond, top)
+        # the edge list is small by construction (<= n_top_genes^2 thresholded
+        # pairs) and every downstream consumer — three centralities, the
+        # composite join, the sink — re-reads it: cache once here so the
+        # corr self-join never re-executes
+        edges = edges.cache()
         scores = self.score_targets(nodes, edges)
         out = {
             "normalized": normalized,
