@@ -191,6 +191,73 @@ def _brandes_single_source(adj: dict, s) -> dict:
     return delta
 
 
+def centralities_fused_driver(
+    edges: DataFrame, nodes: DataFrame, normalized: bool = True
+) -> pd.DataFrame:
+    """All three centralities from ONE edge-list collect, computed on the
+    driver — the small-graph fast path (the reference's top-K construction
+    bounds the graph at n_top_genes<=500 nodes, pipeline2.py:663).
+
+    Running degree + eigenvector + betweenness as separate DataFrame
+    programs costs ~20 tiny Spark jobs on a bounded graph; one collect plus
+    numpy/pure-Python is the same arithmetic with two jobs. The distributed
+    functions below remain the scale path for graphs that don't fit.
+
+    Returns a pandas DataFrame (node, degree_centrality,
+    betweenness_centrality, eigenvector_centrality) with the exact networkx
+    conventions of the individual functions."""
+    import numpy as np
+
+    node_list = [r["node"] for r in nodes.select("node").collect()]
+    n = len(node_list)
+    idx = {v: i for i, v in enumerate(node_list)}
+    adj: dict = {v: [] for v in node_list}
+    pairs = []
+    for r in edges.select("src", "dst").collect():
+        s, d = r["src"], r["dst"]
+        if s in idx and d in idx:
+            adj[s].append(d)
+            adj[d].append(s)
+            pairs.append((idx[s], idx[d]))
+    # degree: deg / (n-1)
+    deg = np.array([len(adj[v]) for v in node_list], dtype=np.float64)
+    degree = deg / float(max(n - 1, 1))
+    # eigenvector: power iteration on (I + A), L2 normalized (nx parity)
+    src = np.array([p[0] for p in pairs], dtype=np.int64)
+    dst = np.array([p[1] for p in pairs], dtype=np.int64)
+    x = np.full(n, 1.0 / n) if n else np.zeros(0)
+    for _ in range(1000):
+        xlast = x
+        ax = np.zeros(n)
+        np.add.at(ax, dst, xlast[src])
+        np.add.at(ax, src, xlast[dst])
+        x = xlast + ax
+        norm = float(np.sqrt((x * x).sum())) or 1.0
+        x = x / norm
+        if float(np.abs(x - xlast).sum()) < n * 1.0e-6:
+            break
+    else:
+        raise RuntimeError("eigenvector centrality failed to converge in 1000 iterations")
+    # betweenness: exact Brandes over every source
+    bc = dict.fromkeys(node_list, 0.0)
+    for s in node_list:
+        for v, dep in _brandes_single_source(adj, s).items():
+            if dep:
+                bc[v] += dep
+    scale = 0.5
+    if normalized and n > 2:
+        scale *= 2.0 / ((n - 1) * (n - 2))
+    betweenness = np.array([bc[v] * scale for v in node_list])
+    return pd.DataFrame(
+        {
+            "node": node_list,
+            "degree_centrality": degree,
+            "betweenness_centrality": betweenness,
+            "eigenvector_centrality": x,
+        }
+    )
+
+
 def betweenness_centrality(
     edges: DataFrame, nodes: DataFrame, normalized: bool = True
 ) -> DataFrame:

@@ -188,18 +188,40 @@ class DrugTargetPipeline:
         )
 
     # ---- stage 6: network analysis (pipeline2.py:722-792) ---------------
-    def score_targets(self, nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    def score_targets(
+        self, nodes: DataFrame, edges: DataFrame, driver_threshold: int = 100_000
+    ) -> DataFrame:
         """All three centralities -> min-max scale -> composite mean ->
-        ranked desc with deterministic tie-break (G2-G4, T4, T5, K3)."""
+        ranked desc with deterministic tie-break (G2-G4, T4, T5, K3).
+
+        Small graphs (the reference's top-K construction bounds nodes at
+        n_top_genes) take the fused driver path: one edge-list collect, all
+        three centralities in numpy/pure-Python, one createDataFrame — vs
+        ~20 tiny Spark jobs for the distributed program. Graphs past
+        ``driver_threshold`` nodes run the distributed DataFrame path."""
         e = edges.select("src", "dst")
-        dc = degree_centrality(e, nodes)
-        ec = eigenvector_centrality(e, nodes, max_iter=1000, tol=1e-6)
-        bc = betweenness_centrality(e, nodes, normalized=True)
-        joined = dc.join(ec, "node").join(bc, "node")
-        scaled = minmax_scale(
-            joined,
-            ["degree_centrality", "betweenness_centrality", "eigenvector_centrality"],
-        )
+        n_nodes = nodes.count()
+        cent_cols = ["degree_centrality", "betweenness_centrality", "eigenvector_centrality"]
+        if n_nodes <= driver_threshold:
+            from drug_target_discovery_spark.graph.centrality import (
+                centralities_fused_driver,
+            )
+
+            pdf = centralities_fused_driver(e, nodes, normalized=True)
+            # min-max + composite stay driver-side too (same sklearn
+            # constant-column->0 convention as minmax_scale)
+            for c in cent_cols:
+                rng = pdf[c].max() - pdf[c].min()
+                pdf[c + "_scaled"] = (
+                    0.0 if rng == 0.0 else (pdf[c] - pdf[c].min()) / rng
+                )
+            scaled = nodes.sparkSession.createDataFrame(pdf)
+        else:
+            dc = degree_centrality(e, nodes)
+            ec = eigenvector_centrality(e, nodes, max_iter=1000, tol=1e-6)
+            bc = betweenness_centrality(e, nodes, normalized=True)
+            joined = dc.join(ec, "node").join(bc, "node")
+            scaled = minmax_scale(joined, cent_cols)
         return (
             scaled.select(
                 F.col("node").alias("gene"),
@@ -282,9 +304,16 @@ class DrugTargetPipeline:
         normalized = self.preprocess(expr_long)
         gene_long = self.map_probes_to_genes(normalized, mapping)
         gene_cond = self.attach_condition(gene_long, meta).cache()
-        diff = self.differential_expression(gene_cond)
+        # cache the differential table: it is one row per gene (bounded far
+        # below the input long table) and every downstream stage re-derives
+        # from it — the significance probe (take(1)), the top-K cut, and each
+        # centrality's node actions would otherwise re-execute the Welch +
+        # BH + t-CDF chain once per action
+        diff = self.differential_expression(gene_cond).cache()
         sig = self.significant_genes(diff)
-        top = self.select_network_genes(gene_cond, sig)
+        # top is <= n_top_genes rows by construction: cache so the three
+        # centralities and the corr self-join all reuse one materialization
+        top = self.select_network_genes(gene_cond, sig).cache()
         nodes, edges = self.build_network(gene_cond, top)
         # the edge list is small by construction (<= n_top_genes^2 thresholded
         # pairs) and every downstream consumer — three centralities, the

@@ -51,10 +51,14 @@ def parse_geo_series_matrix(
     lines = spark.read.text(path).select(F.col("value").alias("line"))
 
     # ---- pass 1: metadata + header (tiny, collected) -------------------
-    meta_rows = (
-        lines.filter(F.col("line").startswith("!"))
-        .collect()
-    )
+    # one scan pulls both the !-metadata lines AND the ID_REF header row so
+    # the file is read once, not twice, on the driver pass
+    pass1 = lines.filter(
+        F.col("line").startswith("!")
+        | (_strip_quotes(F.split("line", "\t").getItem(0)) == "ID_REF")
+    ).collect()
+    meta_rows = [r for r in pass1 if r["line"].startswith("!")]
+    header_like = [r for r in pass1 if not r["line"].startswith("!")][:1]
     sample_ids: list[str] = []
     titles: list[str] = []
     characteristics: list[list[str]] = []  # one list per ch-line
@@ -99,16 +103,13 @@ def parse_geo_series_matrix(
     meta = classify_condition(meta)
 
     # ---- pass 2: distributed data rows ---------------------------------
-    # find the header row (first row of the data zone) on the driver: it is
+    # header row (first row of the data zone) was captured in pass 1: it is
     # the single line starting with "ID_REF (quoted or not)
     data = lines.filter(
         ~F.col("line").startswith("!")
         & ~F.col("line").rlike(r'^\s*$')
         & ~F.col("line").startswith("#")
     )
-    header_like = data.filter(
-        _strip_quotes(F.split("line", "\t").getItem(0)) == "ID_REF"
-    ).limit(2).collect()
     if header_like:
         header_cols = [c.strip().strip('"') for c in header_like[0]["line"].split("\t")][1:]
     else:
