@@ -195,13 +195,26 @@ def network_target_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     are not SQL-expressible); component parity unit-tested."""
     nodes, edges = _corr_graph(spark, sf_dir)
     e = edges.select("src", "dst")
-    dc = degree_centrality(e, nodes)
-    ec = eigenvector_centrality(e, nodes, max_iter=1000, tol=1e-6)
-    bc = betweenness_centrality(e, nodes, normalized=True)
-    joined = dc.join(ec, "node").join(bc, "node")
-    scaled = minmax_scale(
-        joined, ["degree_centrality", "betweenness_centrality", "eigenvector_centrality"]
-    )
+    cent_cols = ["degree_centrality", "betweenness_centrality", "eigenvector_centrality"]
+    if nodes.count() <= 100_000:
+        # small-graph fast path: all three centralities + min-max from one
+        # edge-list collect (the top-K construction bounds the graph), vs
+        # ~20 tiny Spark jobs for the three separate DataFrame programs
+        from drug_target_discovery_spark.graph.centrality import (
+            centralities_fused_driver,
+        )
+
+        pdf = centralities_fused_driver(e, nodes, normalized=True)
+        for c in cent_cols:
+            span = pdf[c].max() - pdf[c].min()
+            pdf[c + "_scaled"] = 0.0 if span == 0.0 else (pdf[c] - pdf[c].min()) / span
+        scaled = spark.createDataFrame(pdf)
+    else:
+        dc = degree_centrality(e, nodes)
+        ec = eigenvector_centrality(e, nodes, max_iter=1000, tol=1e-6)
+        bc = betweenness_centrality(e, nodes, normalized=True)
+        joined = dc.join(ec, "node").join(bc, "node")
+        scaled = minmax_scale(joined, cent_cols)
     return (
         scaled.select(
             "node",

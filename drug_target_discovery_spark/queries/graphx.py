@@ -58,7 +58,10 @@ def connected_components_near_dups(spark: SparkSession, sf_dir: str) -> DataFram
     propagation, G6) over the LSH candidate-pair graph — the full-closure
     upgrade of near_dup_groups' single-hop canonicalization."""
     sig = _signatures(spark, sf_dir)
-    pairs = lsh_candidate_pairs(sig, rows_per_band=_BANDS_ROWS)
+    # cache the candidate edge list: the component computation consumes it
+    # three times (node count, node collect, edge collect) and the LSH band
+    # self-join upstream is the expensive part of the chain
+    pairs = lsh_candidate_pairs(sig, rows_per_band=_BANDS_ROWS).cache()
     nodes = (
         pairs.select(F.col("d1").alias("node"))
         .union(pairs.select("d2"))
