@@ -53,16 +53,31 @@ def _run(spark: SparkSession) -> dict[str, DataFrame]:
     key = spark.sparkContext.applicationId
     if key not in _RUN_CACHE:
         d = _fixture_dir()
-        expr, meta = parse_geo_series_matrix(spark, os.path.join(d, "series_matrix.txt"))
-        # right-size partitioning to the data volume: the fixture long table
-        # is ~1K rows; 32-partition stages would be pure scheduling overhead
-        # (at real scale the parser inherits the file split count instead)
-        expr = expr.coalesce(2)
-        mapping = read_probe_mapping_csv(spark, os.path.join(d, "mapping.csv"))
-        pipe = DrugTargetPipeline(PipelineParams())
-        out = pipe.run(expr, meta, mapping, client=deterministic_fake_client)
-        out["differential"] = out["differential"].cache()
-        out["target_scores"] = out["target_scores"].cache()
+        # right-size shuffle width to the data volume for the duration of
+        # the chain's internal actions (significance probe, centrality
+        # collects): the fixture long table is ~1K rows, so 32-partition
+        # shuffle stages are pure scheduling overhead. Restored afterwards —
+        # at real GEO scale the session default / AQE coalescing governs.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            expr, meta = parse_geo_series_matrix(
+                spark, os.path.join(d, "series_matrix.txt")
+            )
+            expr = expr.coalesce(2)
+            mapping = read_probe_mapping_csv(spark, os.path.join(d, "mapping.csv"))
+            pipe = DrugTargetPipeline(PipelineParams())
+            out = pipe.run(expr, meta, mapping, client=deterministic_fake_client)
+            out["differential"] = out["differential"].cache()
+            out["target_scores"] = out["target_scores"].cache()
+            # materialize the two driver-visible tables while the narrow
+            # shuffle width is in effect (they are bounded: one row per gene
+            # / per target)
+            out["differential"].count()
+            out["validated_targets"] = out["validated_targets"].cache()
+            out["validated_targets"].count()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
         _RUN_CACHE[key] = out
     return _RUN_CACHE[key]
 
