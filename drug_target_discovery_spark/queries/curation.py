@@ -1,0 +1,200 @@
+"""Training-data curation tier (SURVEY §2.12 [EXT], north-star surface):
+the dataset-assembly operators an LLM pipeline runs between raw crawl and
+training shards — deterministic stratified sampling, per-source (domain)
+caps, fixed-budget chunk packing, and mixture rebalance planning.
+
+No reference counterpart (the reference is a microarray pipeline); these are
+first-class extension operators over the driver's `documents` table.
+
+Scale design:
+- sampling is a map-side filter on an md5-derived hash — zero shuffles, and
+  the SAME hash on every engine (reproducible across reruns/backfills, the
+  property real curation pipelines need; RNG sampling is neither
+  deterministic nor oracle-checkable).
+- per-source caps are one window shuffle; the rank predicate lets Spark plan
+  WindowGroupLimit (top-k per group without a full sort of each group).
+- chunk packing is a pure map-side explode of a `sequence()` — no shuffle,
+  no Python.
+- mixture rebalance aggregates per-stratum counts (one shuffle) and joins
+  the 1-row corpus total by broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
+from drug_target_discovery_spark.operators.dedup import MD5_INT_DUCK, MD5_INT_SPARK
+from drug_target_discovery_spark.queries.registry import register
+from drug_target_discovery_spark.sources.tables import load_table
+
+# Per-language keep rates (downsample head languages, keep the tail):
+# deterministic hash-threshold sampling — doc kept iff
+# md5_int(doc_id) % 1000 < rate * 1000.
+_LANG_RATES: dict[str, float] = {"en": 0.2, "es": 0.5, "de": 0.5, "fr": 0.5, "zh": 0.8}
+_DEFAULT_RATE = 0.1
+
+_HASH_SPARK = MD5_INT_SPARK.format(col="CAST(doc_id AS STRING)")
+_HASH_DUCK = MD5_INT_DUCK.format(col="CAST(doc_id AS VARCHAR)")
+
+_CHUNK = 64   # tokens per packed chunk
+_CAP = 10     # max docs per source
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in _LANG_RATES.items()
+    )
+    return f"CASE lang {whens} ELSE {_DEFAULT_RATE} END"
+
+
+def _rate_col():
+    expr = None
+    for lang, rate in _LANG_RATES.items():
+        cond = F.col("lang") == lang
+        expr = F.when(cond, F.lit(rate)) if expr is None else expr.when(cond, F.lit(rate))
+    return expr.otherwise(F.lit(_DEFAULT_RATE))
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash-stratified sampling
+# --------------------------------------------------------------------------
+@register(
+    "hash_stratified_sample",
+    tags=("curation", "sampling"),
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ({_HASH_DUCK}) % 1000 < ({_rate_case_sql()}) * 1000
+    """,
+)
+def hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling: keep a doc iff its md5-derived
+    hash falls under the stratum's keep-rate threshold. Map-side filter
+    only — no shuffle, no RNG, reproducible across engines and reruns (the
+    property curation backfills require)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_HASH_SPARK)
+    return docs.filter((h % 1000) < _rate_col() * 1000).select(
+        "doc_id", "lang", "source"
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source (domain) cap
+# --------------------------------------------------------------------------
+@register(
+    "per_source_doc_cap",
+    tags=("curation", "window"),
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ({_HASH_DUCK}) ASC, doc_id ASC
+             ) AS priority
+      FROM documents
+    )
+    SELECT doc_id, source, priority FROM ranked WHERE priority <= {_CAP}
+    """,
+)
+def per_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source (domain) at _CAP documents, selecting by
+    deterministic hash priority — the anti-boilerplate / anti-SEO-farm
+    mixture control. One window shuffle on source; the rank<=K predicate
+    plans as WindowGroupLimit (per-group top-k, no full per-group sort
+    retention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.expr(_HASH_SPARK).asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("priority"))
+        .filter(F.col("priority") <= _CAP)
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-budget chunk packing
+# --------------------------------------------------------------------------
+@register(
+    "doc_chunk_packing",
+    tags=("curation", "array"),
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT s.doc_id, t.chunk_id,
+           least({_CHUNK}, s.n_tokens - t.chunk_id * {_CHUNK}) AS chunk_tokens
+    FROM sized s,
+         unnest(generate_series(0, CAST(ceil(s.n_tokens * 1.0 / {_CHUNK}) AS BIGINT) - 1))
+           AS t(chunk_id)
+    """,
+)
+def doc_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document's token stream into fixed _CHUNK-token training
+    chunks: (doc_id, chunk_id, chunk_tokens) with a short tail chunk. Pure
+    map-side sequence+explode — no shuffle, no Python; at 100 TB this runs
+    entirely inside the scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    n_chunks = F.floor((n + _CHUNK - 1) / _CHUNK).cast("bigint")
+    return (
+        docs.select("doc_id", n.alias("n_tokens"), n_chunks.alias("n_chunks"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.least(
+                F.lit(_CHUNK).cast("bigint"),
+                F.col("n_tokens") - F.col("chunk_id") * _CHUNK,
+            ).alias("chunk_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Mixture rebalance planning
+# --------------------------------------------------------------------------
+@register(
+    "corpus_mixture_rebalance",
+    tags=("curation", "agg"),
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT sum(n_docs) AS total, count(*) AS n_langs FROM counts
+    )
+    SELECT c.lang, c.n_docs,
+           {rnd_sql("least(1.0, (t.total * 1.0 / t.n_langs) / c.n_docs)", 6)} AS keep_frac,
+           CAST(floor(c.n_docs * least(1.0, (t.total * 1.0 / t.n_langs) / c.n_docs))
+                AS BIGINT) AS expected_kept
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan a uniform language mixture: per-stratum keep fraction =
+    min(1, target_share/actual_share) and the expected post-sampling count.
+    One aggregation shuffle; the 1-row corpus total joins by broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    target = F.col("total") / F.col("n_langs")
+    frac = F.least(F.lit(1.0), target / F.col("n_docs"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            rnd(frac, 6).alias("keep_frac"),
+            F.floor(F.col("n_docs") * frac).cast("bigint").alias("expected_kept"),
+        )
+    )

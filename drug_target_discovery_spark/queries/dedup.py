@@ -218,8 +218,19 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph tier). Returns only docs that have a near-duplicate."""
     docs = load_table(spark, sf_dir, "documents")
     sig = _signatures(spark, sf_dir)
-    cand = lsh_candidate_pairs(sig, rows_per_band=_BANDS_ROWS)
-    jac = ngram_jaccard_pairs(docs, n=_N, threshold=_JACCARD_T, max_shingle_df=None)
+    cand = lsh_candidate_pairs(sig, rows_per_band=_BANDS_ROWS).cache()
+    # Jaccard-verify ONLY docs that appear in some candidate pair: the LSH
+    # prefilter guarantees candidates << corpus, so the shingle self-join
+    # runs on the small candidate member set instead of every document.
+    # Result-identical (per-doc shingle sizes don't depend on the doc set,
+    # and verified keeps only candidate pairs anyway).
+    members = (
+        cand.select(F.col("d1").alias("doc_id"))
+        .union(cand.select("d2"))
+        .distinct()
+    )
+    docs_cand = docs.join(F.broadcast(members), "doc_id", "left_semi")
+    jac = ngram_jaccard_pairs(docs_cand, n=_N, threshold=_JACCARD_T, max_shingle_df=None)
     verified = cand.join(jac.select("d1", "d2"), ["d1", "d2"], "inner")
     members = (
         verified.select(F.col("d1").alias("doc_id"), F.col("d1").alias("nbr"))

@@ -47,6 +47,7 @@ def all_queries() -> dict[str, Query]:
     """Import every query module (side-effect registration) and return all."""
     # Local import to avoid circulars; each module registers on import.
     from drug_target_discovery_spark.queries import (  # noqa: F401
+        curation,
         dedup,
         events,
         graphq,

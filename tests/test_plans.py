@@ -68,3 +68,22 @@ class TestPlanShape:
         assert "WindowGroupLimit" in plan, plan
         assert "BroadcastExchange" in plan, plan
         assert plan.count("Exchange") <= 5, plan
+
+    def test_hash_sample_is_shuffle_free_scan_filter(self, spark):
+        # deterministic sampling must stay a map-side filter: no Exchange
+        plan = plan_of(spark, "hash_stratified_sample")
+        assert "Exchange" not in plan, plan
+        read = plan.split("ReadSchema:")[-1].splitlines()[0]
+        assert "text" not in read, read  # sampling never reads the payload
+
+    def test_source_cap_plans_window_group_limit(self, spark):
+        # per-source cap: rank<=K runs as WindowGroupLimit, one shuffle
+        plan = plan_of(spark, "per_source_doc_cap")
+        assert "WindowGroupLimit" in plan, plan
+        assert plan.count("Exchange") == 1, plan
+
+    def test_chunk_packing_is_shuffle_free(self, spark):
+        # sequence+explode packing runs entirely inside the scan stage
+        plan = plan_of(spark, "doc_chunk_packing")
+        assert "Exchange" not in plan, plan
+        assert "Generate explode" in plan, plan
