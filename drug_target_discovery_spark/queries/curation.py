@@ -198,3 +198,84 @@ def corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n_docs") * frac).cast("bigint").alias("expected_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation pipeline (flagship composition)
+# --------------------------------------------------------------------------
+_MIN_TOKENS, _MAX_TOKENS = 5, 1000
+_MAX_AVG_TOKEN_LEN = 15.0
+
+
+@register(
+    "curation_pipeline_summary",
+    tags=("curation", "pipeline"),
+    oracle=f"""
+    WITH canon AS (
+      SELECT doc_id, lang, source, n_chars, text,
+             min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id
+      FROM documents
+    ),
+    deduped AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM canon WHERE doc_id = canonical_id
+    ),
+    gated AS (
+      SELECT * FROM deduped
+      WHERE n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+        AND n_chars * 1.0 / n_tokens < {_MAX_AVG_TOKEN_LEN}
+    ),
+    sampled AS (
+      SELECT * FROM gated
+      WHERE ({_HASH_DUCK}) % 1000 < ({_rate_case_sql()}) * 1000
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY ({_HASH_DUCK}) ASC, doc_id ASC
+               ) AS priority
+        FROM sampled
+      ) WHERE priority <= {_CAP}
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           {rnd_sql("avg(n_tokens)", 4)} AS avg_tokens
+    FROM capped GROUP BY lang
+    """,
+)
+def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain as one composed plan: exact dedup (sha256
+    canonical) -> token/length quality gate -> deterministic stratified
+    sample -> per-source cap -> per-language corpus summary. Every stage is
+    a DataFrame transform, so Catalyst fuses the dedup window, the map-side
+    gates, and the cap window into one pipeline with two shuffles (digest,
+    source) plus the final aggregation — the shape a 100 TB curation run
+    needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_HASH_SPARK)
+    w_dup = W.partitionBy(F.sha2("text", 256))
+    deduped = (
+        docs.withColumn("canonical_id", F.min("doc_id").over(w_dup))
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select(
+            "doc_id", "lang", "source", "n_chars",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+    )
+    gated = deduped.filter(
+        F.col("n_tokens").between(_MIN_TOKENS, _MAX_TOKENS)
+        & (F.col("n_chars") * 1.0 / F.col("n_tokens") < _MAX_AVG_TOKEN_LEN)
+    )
+    sampled = gated.filter((h % 1000) < _rate_col() * 1000)
+    w_cap = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    capped = sampled.withColumn("priority", F.row_number().over(w_cap)).filter(
+        F.col("priority") <= _CAP
+    )
+    return capped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        rnd(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
