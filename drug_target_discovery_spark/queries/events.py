@@ -143,11 +143,39 @@ def session_windows_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("session_windows_builtin", tags=("events", "window", "session"))
+@register(
+    "session_windows_builtin",
+    tags=("events", "window", "session"),
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events,
+           {rnd_sql("sum(value)", 4)} AS sum_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
 def session_windows_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window builtin (merging-state form used under streaming).
-    Rows-only driver check; equivalence with the gap formulation is unit-
-    tested."""
+
+    Exact oracle via the gaps-and-islands reformulation with the builtin's
+    STRICT overlap rule: an event extends a session only while its gap to
+    the previous event is < the 30-minute window (diff >= gap starts a new
+    session) — one comparator different from session_windows_gap's lag
+    formulation, which merges on equality."""
     ev = load_table(spark, sf_dir, "events")
     out = sessionize_builtin(ev, gap="30 minutes")
     return out.select(
