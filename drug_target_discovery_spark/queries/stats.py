@@ -386,13 +386,20 @@ def top_variance_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def supplier_composite_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-max scale three per-key metrics and rank by their mean (T4+T5,
     pipeline2.py:759-771) — the reference's target-scoring shape. Scaling via
-    one 1-row stats aggregate broadcast-joined back (no global window)."""
+    one 1-row stats aggregate broadcast-joined back (no global window).
+
+    The plain-sum and the two distinct aggregates run as separate passes
+    joined on the group key: two distincts over different columns in one
+    agg force Expand planning (every row duplicated per distinct branch),
+    tripling shuffle volume — the split keeps each distinct a clean
+    two-phase aggregate, and the joins co-partition on l_suppkey."""
     li = load_table(spark, sf_dir, "lineitem")
-    m = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
-        F.countDistinct("l_partkey").alias("n_parts"),
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
+    nord = li.groupBy("l_suppkey").agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    npart = li.groupBy("l_suppkey").agg(F.countDistinct("l_partkey").alias("n_parts"))
+    m = rev.join(nord, "l_suppkey").join(npart, "l_suppkey")
     m = m.withColumn("n_orders", F.col("n_orders").cast("double")).withColumn(
         "n_parts", F.col("n_parts").cast("double")
     )
