@@ -279,3 +279,54 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         rnd(F.avg("n_tokens"), 4).alias("avg_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Greedy sequence packing (applyInPandas stateful scan, recursive-CTE oracle)
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 256  # tokens per training sequence
+
+
+@register(
+    "sequence_packing",
+    tags=("curation", "applyInPandas"),
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk(source, rn, doc_id, n_tokens, pack_id, pack_pos, cum_tokens) AS (
+      SELECT source, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), n_tokens
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.source, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN w.cum_tokens + o.n_tokens > {_PACK_BUDGET}
+                  THEN w.pack_id + 1 ELSE w.pack_id END,
+             CASE WHEN w.cum_tokens + o.n_tokens > {_PACK_BUDGET}
+                  THEN 0 ELSE w.pack_pos + 1 END,
+             CASE WHEN w.cum_tokens + o.n_tokens > {_PACK_BUDGET}
+                  THEN o.n_tokens ELSE w.cum_tokens + o.n_tokens END
+      FROM walk w JOIN ordered o ON o.source = w.source AND o.rn = w.rn + 1
+    )
+    SELECT doc_id, source AS group_key, n_tokens, pack_id, pack_pos FROM walk
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy packing of documents into fixed token-budget training
+    sequences per source — the shard-assembly step after chunking. The
+    assignment is a running sum that resets on overflow: a stateful scan no
+    SQL window expresses, so it runs as a grouped-map applyInPandas kernel
+    (one shuffle on the group key, Arrow both ways). The DuckDB oracle
+    replays the same scan as a recursive CTE — the kernel is still
+    exact-value-checked despite not being window-expressible."""
+    from drug_target_discovery_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, budget=_PACK_BUDGET, group_col="source", id_col="doc_id",
+        tokens_col="n_tokens",
+    )
