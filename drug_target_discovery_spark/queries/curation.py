@@ -330,3 +330,83 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, budget=_PACK_BUDGET, group_col="source", id_col="doc_id",
         tokens_col="n_tokens",
     )
+
+
+# --------------------------------------------------------------------------
+# Mixture diagnostics: per-source language entropy
+# --------------------------------------------------------------------------
+@register(
+    "source_lang_entropy",
+    tags=("curation", "diagnostics"),
+    oracle=f"""
+    WITH c AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+    ),
+    t AS (SELECT source, sum(n) AS tot FROM c GROUP BY source)
+    SELECT c.source,
+           count(*) AS n_langs,
+           {rnd_sql("-sum((c.n * 1.0 / t.tot) * ln(c.n * 1.0 / t.tot))", 6)}
+             AS lang_entropy
+    FROM c JOIN t ON c.source = t.source
+    GROUP BY c.source
+    """,
+)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language mixture — the diversity
+    diagnostic curation dashboards track (a source collapsing to one
+    language flags a crawler or classifier fault). Two aggregations on the
+    same key; the per-source totals join co-partitioned."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    return (
+        c.join(t, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            rnd(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Doc-length histogram per language
+# --------------------------------------------------------------------------
+_BUCKET_W = 50   # tokens per histogram bucket
+_N_BUCKETS = 10  # last bucket is open-ended
+
+
+@register(
+    "doc_length_histogram",
+    tags=("curation", "diagnostics"),
+    oracle=f"""
+    WITH sized AS (
+      SELECT lang,
+             least({_N_BUCKETS - 1},
+                   CAST(floor(len(string_split(text, ' ')) * 1.0 / {_BUCKET_W}) AS BIGINT))
+               AS bucket
+      FROM documents
+    )
+    SELECT lang, bucket,
+           bucket * {_BUCKET_W} AS bucket_lo,
+           count(*) AS n_docs
+    FROM sized GROUP BY lang, bucket
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width token-length histogram per language (open-ended top
+    bucket) — the length-distribution diagnostic behind truncation/packing
+    decisions. Map-side bucket arithmetic + one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    bucket = F.least(
+        F.lit(_N_BUCKETS - 1).cast("bigint"),
+        F.floor(n * 1.0 / _BUCKET_W).cast("bigint"),
+    )
+    return (
+        docs.select(F.col("lang"), bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("lang", "bucket", (F.col("bucket") * _BUCKET_W).alias("bucket_lo"), "n_docs")
+    )
