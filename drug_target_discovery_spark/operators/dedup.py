@@ -64,17 +64,34 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: float | None = 0.5,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """All-pairs n-token-shingle Jaccard similarity above ``threshold``.
 
-    |A ∩ B| from a shingle self-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
+    |A ∩ B| from a shingle join, |A ∪ B| = |A| + |B| - |A ∩ B|.
     Shingles occurring in > max_shingle_df of documents are dropped from
     BOTH the intersection and the set sizes (consistent metric; kills join
     skew from boilerplate shingles).
+
+    ``prefix_filter`` enables the AllPairs/PPJoin prefix principle: under a
+    global rarity order, two sets with Jaccard >= t MUST share a shingle in
+    their first ``|A| - ceil(t*|A|) + 1`` shingles — so the candidate join
+    runs on the (1-t)-sized prefixes only (~(1-t)^2 of the pair blow-up),
+    and candidates are verified exactly against the full per-doc shingle
+    arrays JVM-side (array_intersect). Lossless: the final predicate is the
+    same exact Jaccard either way. This is the 100 TB path — the full
+    shingle self-join's pair explosion never materializes.
+
+    Default (None) auto-selects: small corpora take the plain self-join
+    (the prefix machinery's extra shuffles cost more than the join saves
+    below ~100K docs); large corpora take the prefix path, where the
+    quadratic pair blow-up is the thing that matters.
     """
+    n_docs = docs.count()
+    if prefix_filter is None:
+        prefix_filter = n_docs > 100_000
     sh = token_shingles(docs, text_col, id_col, n)
     if max_shingle_df is not None:
-        n_docs = docs.count()
         common = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -84,22 +101,60 @@ def ngram_jaccard_pairs(
         sh = sh.join(F.broadcast(common), "shingle", "left_anti")
     sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("d1"), "shingle")
-    b = sh.select(F.col(id_col).alias("d2"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("k"))
+
+    if not prefix_filter:
+        a = sh.select(F.col(id_col).alias("d1"), "shingle")
+        b = sh.select(F.col(id_col).alias("d2"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("d1") < F.col("d2"))
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
+        return (
+            inter.join(sizes.withColumnsRenamed({"doc_id": "d1", "sz": "s1"}), "d1")
+            .join(sizes.withColumnsRenamed({"doc_id": "d2", "sz": "s2"}), "d2")
+            .withColumn("jaccard", F.col("k") / (F.col("s1") + F.col("s2") - F.col("k")))
+            .filter(F.col("jaccard") > threshold)
+            .select("d1", "d2", "jaccard", F.col("k").alias("n_common"))
+        )
+
+    from pyspark.sql import Window as W
+
+    # canonical rarity order (global df asc, shingle asc): rare shingles
+    # first makes prefixes maximally selective
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w_doc = W.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("shingle"))
+    ordered = (
+        sh.join(df_tbl, "shingle")
+        .withColumn("_pos", F.row_number().over(w_doc))
+        .join(sizes, id_col)
     )
-    out = (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "d1", "sz": "s1"}), "d1")
-        .join(sizes.withColumnsRenamed({"doc_id": "d2", "sz": "s2"}), "d2")
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = ordered.filter(F.col("_pos") <= prefix_len).select(id_col, "shingle")
+    cand = (
+        prefix.select(F.col(id_col).alias("d1"), "shingle")
+        .join(prefix.select(F.col(id_col).alias("d2"), "shingle"), "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    # exact verification: per-doc sorted shingle arrays, JVM array_intersect
+    sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("_toks"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    s1 = sets.select(F.col(id_col).alias("d1"), F.col("_toks").alias("_t1"), F.col("sz").alias("s1"))
+    s2 = sets.select(F.col(id_col).alias("d2"), F.col("_toks").alias("_t2"), F.col("sz").alias("s2"))
+    k = F.size(F.array_intersect("_t1", "_t2"))
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("k", k)
         .withColumn("jaccard", F.col("k") / (F.col("s1") + F.col("s2") - F.col("k")))
         .filter(F.col("jaccard") > threshold)
         .select("d1", "d2", "jaccard", F.col("k").alias("n_common"))
     )
-    return out
 
 
 def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:

@@ -68,3 +68,23 @@ class TestDedupKernels:
         assert fp[1] == fp[2]
         # disjoint token sets should differ in many bits
         assert bin(fp[1] ^ fp[4]).count("1") > 4
+
+
+class TestPrefixFilterEquivalence:
+    def test_prefix_filter_matches_full_join(self, spark, docs):
+        # the AllPairs prefix filter is lossless: identical pair set and
+        # jaccard values vs the full shingle self-join, at any threshold
+        for t in (0.0, 0.4, 0.8):
+            full = {
+                (r["d1"], r["d2"]): (r["jaccard"], r["n_common"])
+                for r in ngram_jaccard_pairs(
+                    docs, n=3, threshold=t, max_shingle_df=None, prefix_filter=False
+                ).collect()
+            }
+            pref = {
+                (r["d1"], r["d2"]): (r["jaccard"], r["n_common"])
+                for r in ngram_jaccard_pairs(
+                    docs, n=3, threshold=t, max_shingle_df=None, prefix_filter=True
+                ).collect()
+            }
+            assert pref == full, (t, pref, full)
