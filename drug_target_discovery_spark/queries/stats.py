@@ -416,3 +416,61 @@ def supplier_composite_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("composite_score"), F.asc("l_suppkey"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# T1b: robust (median/MAD) standardization
+# --------------------------------------------------------------------------
+@register(
+    "robust_zscore_by_part",
+    tags=("stats", "agg"),
+    oracle=f"""
+    WITH med AS (
+      SELECT l_partkey, median(l_extendedprice) AS med
+      FROM lineitem GROUP BY l_partkey
+    ),
+    mad AS (
+      SELECT l.l_partkey, median(abs(l.l_extendedprice - m.med)) AS mad
+      FROM lineitem l JOIN med m ON l.l_partkey = m.l_partkey
+      GROUP BY l.l_partkey
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           {rnd_sql('''
+             CASE WHEN d.mad = 0 THEN 0.0
+                  ELSE (l.l_extendedprice - m.med) / (1.4826 * d.mad)
+             END''', 6)} AS robust_z
+    FROM lineitem l
+    JOIN med m ON l.l_partkey = m.l_partkey
+    JOIN mad d ON l.l_partkey = d.l_partkey
+    """,
+)
+def robust_zscore_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-resistant standardization: (x - median) / (1.4826 * MAD),
+    the robust alternative to T1's mean/stddev z-score that QC pipelines
+    use when heavy tails would poison the moments. Exact medians at both
+    levels (never percentile_approx — the oracle hash-match demands it);
+    two aggregations co-partitioned on the key, then one join back to the
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+    med = li.groupBy("l_partkey").agg(F.median("l_extendedprice").alias("med"))
+    mad = (
+        li.join(med, "l_partkey")
+        .groupBy("l_partkey")
+        .agg(F.median(F.abs(F.col("l_extendedprice") - F.col("med"))).alias("mad"))
+    )
+    return (
+        li.join(med, "l_partkey")
+        .join(mad, "l_partkey")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            rnd(
+                F.when(F.col("mad") == 0.0, F.lit(0.0)).otherwise(
+                    (F.col("l_extendedprice") - F.col("med")) / (1.4826 * F.col("mad"))
+                ),
+                6,
+            ).alias("robust_z"),
+        )
+    )
