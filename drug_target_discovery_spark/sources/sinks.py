@@ -89,3 +89,22 @@ def write_summary_report(sections: dict[str, object], path: str) -> None:
             else:
                 f.write(str(body) + "\n")
             f.write("\n")
+
+
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """JSON-lines sink — the LLM-corpus interchange format (one JSON object
+    per line, gzip-splittable when uncompressed). Partitioned directory by
+    default; ``single_file=True`` coalesces for driver-scale outputs."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Pass an explicit schema at scale: schema-less
+    reads trigger a full inference pass over the data (twice the IO), and
+    inferred types drift between shards — the canonical JSONL ingestion
+    mistake."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

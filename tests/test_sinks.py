@@ -98,3 +98,18 @@ class TestApproxDistinct:
         for r in rows:
             rel = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
             assert rel <= 0.05, (r["l_suppkey"], rel)
+
+
+class TestJsonlRoundtrip:
+    def test_jsonl_roundtrip_preserves_rows(self, spark, tmp_path):
+        from drug_target_discovery_spark.sources.sinks import read_jsonl, write_jsonl
+
+        df = spark.createDataFrame(
+            [(1, "hello world", "en"), (2, 'quote " and\ttab', "de"), (3, None, "fr")],
+            "doc_id BIGINT, text STRING, lang STRING",
+        )
+        path = str(tmp_path / "docs_jsonl")
+        write_jsonl(df, path)
+        back = read_jsonl(spark, path, schema="doc_id BIGINT, text STRING, lang STRING")
+        got = sorted((r["doc_id"], r["text"], r["lang"]) for r in back.collect())
+        assert got == [(1, "hello world", "en"), (2, 'quote " and\ttab', "de"), (3, None, "fr")]
