@@ -87,3 +87,16 @@ class TestPlanShape:
         plan = plan_of(spark, "doc_chunk_packing")
         assert "Exchange" not in plan, plan
         assert "Generate explode" in plan, plan
+
+    def test_curation_pipeline_two_shuffles(self, spark):
+        # dedup window (sha digest) + cap window (source); the final agg
+        # reuses the source partitioning or coalesces under AQE
+        plan = plan_of(spark, "curation_pipeline_summary")
+        assert plan.count("Exchange hashpartitioning") <= 3, plan
+        assert "WindowGroupLimit" in plan, plan
+
+    def test_sequence_packing_is_grouped_map(self, spark):
+        # the reset-scan runs as ONE grouped-map Arrow stage, one shuffle
+        plan = plan_of(spark, "sequence_packing")
+        assert "FlatMapGroupsInPandas" in plan, plan
+        assert plan.count("Exchange") == 1, plan
