@@ -74,6 +74,8 @@ def eigenvector_centrality(
       iteration.
     """
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("eigenvector_centrality"))
     if n_nodes < driver_threshold:
         return _eigenvector_driver(edges, nodes, n_nodes, max_iter, tol)
     return _eigenvector_distributed(edges, nodes, max_iter, tol, checkpoint_every)
@@ -210,6 +212,17 @@ def centralities_fused_driver(
 
     node_list = [r["node"] for r in nodes.select("node").collect()]
     n = len(node_list)
+    if n == 0:
+        # empty graph: the power iteration below would never satisfy
+        # sum|dx| < n*tol (0 < 0) — return the empty typed frame directly
+        return pd.DataFrame(
+            {
+                "node": pd.Series([], dtype=object),
+                "degree_centrality": pd.Series([], dtype="float64"),
+                "betweenness_centrality": pd.Series([], dtype="float64"),
+                "eigenvector_centrality": pd.Series([], dtype="float64"),
+            }
+        )
     idx = {v: i for i, v in enumerate(node_list)}
     adj: dict = {v: [] for v in node_list}
     pairs = []

@@ -87,11 +87,16 @@ def ngram_jaccard_pairs(
     below ~100K docs); large corpora take the prefix path, where the
     quadratic pair blow-up is the thing that matters.
     """
-    n_docs = docs.count()
+    # docs.count() is an eager full-scan job — only pay for it when a branch
+    # actually needs the cardinality (auto-select or the relative df cap)
+    n_docs: int | None = None
     if prefix_filter is None:
+        n_docs = docs.count()
         prefix_filter = n_docs > 100_000
     sh = token_shingles(docs, text_col, id_col, n)
     if max_shingle_df is not None:
+        if n_docs is None:
+            n_docs = docs.count()
         common = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))

@@ -24,11 +24,22 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
-PACKED_SCHEMA = (
-    "doc_id BIGINT, group_key STRING, n_tokens BIGINT, pack_id BIGINT, "
-    "pack_pos BIGINT"
-)
+def _packed_schema(docs: DataFrame, id_col: str, group_col: str) -> StructType:
+    """Output schema built from the INPUT's actual id/group column types —
+    a string doc id or an int group key must round-trip through Arrow
+    unchanged, not be miscast to a hardcoded BIGINT/STRING."""
+    in_schema = {f.name: f.dataType for f in docs.schema.fields}
+    return StructType(
+        [
+            StructField("doc_id", in_schema[id_col]),
+            StructField("group_key", in_schema[group_col]),
+            StructField("n_tokens", LongType()),
+            StructField("pack_id", LongType()),
+            StructField("pack_pos", LongType()),
+        ]
+    )
 
 
 def pack_sequences(
@@ -76,4 +87,5 @@ def pack_sequences(
     if order not in (id_col, group_col):
         cols.append(F.col(order))
     prepared = docs.select(*cols)
-    return prepared.groupBy(group_col).applyInPandas(pack, schema=PACKED_SCHEMA)
+    schema = _packed_schema(docs, id_col, group_col)
+    return prepared.groupBy(group_col).applyInPandas(pack, schema=schema)

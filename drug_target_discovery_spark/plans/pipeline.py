@@ -189,20 +189,23 @@ class DrugTargetPipeline:
 
     # ---- stage 6: network analysis (pipeline2.py:722-792) ---------------
     def score_targets(
-        self, nodes: DataFrame, edges: DataFrame, driver_threshold: int = 100_000
+        self, nodes: DataFrame, edges: DataFrame, driver_threshold: int = 2_000
     ) -> DataFrame:
         """All three centralities -> min-max scale -> composite mean ->
         ranked desc with deterministic tie-break (G2-G4, T4, T5, K3).
 
         Small graphs (the reference's top-K construction bounds nodes at
-        n_top_genes) take the fused driver path: one edge-list collect, all
-        three centralities in numpy/pure-Python, one createDataFrame — vs
-        ~20 tiny Spark jobs for the distributed program. Graphs past
-        ``driver_threshold`` nodes run the distributed DataFrame path."""
+        n_top_genes<=500) take the fused driver path: one edge-list collect,
+        all three centralities in numpy/pure-Python, one createDataFrame —
+        vs ~20 tiny Spark jobs for the distributed program. The threshold is
+        a few thousand nodes because the fused path runs exact Brandes
+        serially (O(V·E) in pure Python); past it, betweenness stays on the
+        source-parallel mapInPandas path. Empty graphs also take the
+        distributed path (typed empty result, no pandas schema inference)."""
         e = edges.select("src", "dst")
         n_nodes = nodes.count()
         cent_cols = ["degree_centrality", "betweenness_centrality", "eigenvector_centrality"]
-        if n_nodes <= driver_threshold:
+        if 0 < n_nodes <= driver_threshold:
             from drug_target_discovery_spark.graph.centrality import (
                 centralities_fused_driver,
             )

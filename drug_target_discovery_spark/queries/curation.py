@@ -241,7 +241,7 @@ _MAX_AVG_TOKEN_LEN = 15.0
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            {rnd_sql("avg(n_tokens)", 4)} AS avg_tokens
     FROM capped GROUP BY lang
     """,

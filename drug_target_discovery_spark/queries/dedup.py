@@ -263,7 +263,8 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, bit
     )
     SELECT doc_id,
-           sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
 )

@@ -94,7 +94,7 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "window", "session"),
     oracle=f"""
     WITH ordered AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL '30 minutes'
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -103,8 +103,9 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM ordered
     )
     SELECT user_id, session_id,
@@ -122,7 +123,11 @@ def session_windows_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session_window) produces the same sessions; tests assert equivalence."""
     ev = load_table(spark, sf_dir, "events")
     w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
-    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     lag_ts = F.lag("ts").over(w_ord)
     sess = (
         ev.withColumn(
@@ -148,7 +153,7 @@ def session_windows_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "window", "session"),
     oracle=f"""
     WITH ordered AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        >= INTERVAL '30 minutes'
@@ -157,7 +162,7 @@ def session_windows_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM ordered
     )
@@ -220,7 +225,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            {rnd_sql("avg(CAST(json_extract_string(props, '$.k') AS BIGINT))", 6)} AS avg_k
     FROM events
     GROUP BY event_type

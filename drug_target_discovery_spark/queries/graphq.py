@@ -196,10 +196,14 @@ def network_target_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, edges = _corr_graph(spark, sf_dir)
     e = edges.select("src", "dst")
     cent_cols = ["degree_centrality", "betweenness_centrality", "eigenvector_centrality"]
-    if nodes.count() <= 100_000:
+    if 0 < nodes.count() <= 2_000:
         # small-graph fast path: all three centralities + min-max from one
         # edge-list collect (the top-K construction bounds the graph), vs
-        # ~20 tiny Spark jobs for the three separate DataFrame programs
+        # ~20 tiny Spark jobs for the three separate DataFrame programs.
+        # Bounded at a few thousand nodes: the fused path runs exact Brandes
+        # serially in Python; larger graphs keep the source-parallel
+        # mapInPandas betweenness. Empty graphs take the distributed branch
+        # (typed empty result, no pandas schema inference).
         from drug_target_discovery_spark.graph.centrality import (
             centralities_fused_driver,
         )

@@ -40,7 +40,7 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT media_type, format,
            count(*) AS n,
-           sum(octet_length(payload)) AS total_bytes,
+           CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
            {rnd_sql("avg(octet_length(payload))", 4)} AS avg_bytes
     FROM media GROUP BY media_type, format
     """,

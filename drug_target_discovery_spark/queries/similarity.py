@@ -174,6 +174,7 @@ def ann_ivf_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-cosine near-duplicate pairs (dedup by vector similarity)
 # --------------------------------------------------------------------------
 _NEAR_DUP_T = 0.40
+_GEMM_BLOCK = 2048  # target rows per GEMM block (block-pair prescreen)
 
 
 @register(
@@ -203,12 +204,24 @@ _NEAR_DUP_T = 0.40
 )
 def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection by embedding cosine: all pairs with
-    cosine > {_NEAR_DUP_T}, upper triangle only (id_a < id_b). Vectors are
-    unit-normalized once up front, so the pair stage is one dot fold — the
-    exact correctness baseline. At 100 TB the pair space is pruned first with
-    an LSH blocker (the sign-bit quantizer of ``ann_ivf_bucketed_topk`` or
-    MLlib BucketedRandomProjectionLSH) and this exact predicate reranks only
-    candidate pairs — the plan shape stays broadcast-or-bucket join + fold."""
+    cosine > {_NEAR_DUP_T}, upper triangle only (id_a < id_b). Exact — and
+    at this low threshold an LSH blocker would drop true pairs, so the pair
+    space is covered losslessly by BLOCK-PAIR GEMM:
+
+    - vectors are unit-normalized once (JVM fold), hashed into B blocks of
+      ~{_GEMM_BLOCK} rows;
+    - every block pair (i <= j) becomes one cogrouped task: left = block i,
+      right = block j, kernel = one BLAS matmul + threshold (1e-9 slack so
+      fold-vs-GEMM drift can't drop a true pair);
+    - survivors get the engine-identical left-to-right dot fold, so emitted
+      cosines hash-match the DuckDB oracle bit-for-bit.
+
+    Fully distributed: no driver collect, no closure-captured matrix. Each
+    vector is shuffled to B+1 tasks, so shuffle volume grows as N·sqrt(N /
+    block) while the (unavoidable-for-exact) O(N^2) FLOPs stay inside BLAS.
+    On a cluster, B block-pair tasks spread over all executors; the same
+    kernel serves LSH-blocked rerank when the threshold is high enough to
+    prune."""
     import numpy as np
     import pandas as pd
 
@@ -217,36 +230,46 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.withColumn("nrm", F.expr(_NORM_SPARK.format(a="emb")))
         .select("vec_id", F.expr("transform(emb, x -> x / nrm)").alias("nemb"))
     )
-
-    # Stage 1 — GEMM prescreen: blocked matrix multiply per Arrow batch
-    # against the broadcast unit-vector matrix. BLAS evaluates the full pair
-    # space ~1000x faster than per-pair expression folds; a 1e-9 slack on the
-    # threshold guarantees no true pair is dropped (fold-vs-GEMM drift for a
-    # 64-term dot is <= ~1e-13). At 100 TB the broadcast side becomes tiles
-    # of a partitioned matrix and this same kernel runs per tile pair.
-    rows = nv.collect()  # gate/bench scale: N*dim doubles, a few MB
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.nemb for r in rows], dtype=np.float64)
+    n_vec = v.count()
+    n_blocks = max(1, -(-n_vec // _GEMM_BLOCK))
     slack = _NEAR_DUP_T - 1e-9
 
-    def prescreen(batches):
-        for pdf in batches:
-            block = np.vstack(pdf["nemb"].to_numpy())
-            bids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            sims = block @ mat.T
-            bi, mj = np.nonzero((sims > slack) & (bids[:, None] < ids[None, :]))
-            yield pd.DataFrame({"id_a": bids[bi], "id_b": ids[mj]})
+    blk = F.pmod(F.hash("vec_id"), F.lit(n_blocks))
+    # left member of pair (i, j): block i replicated to every j >= i
+    left = nv.withColumn("bi", blk).withColumn(
+        "bj", F.explode(F.sequence(F.col("bi"), F.lit(n_blocks - 1)))
+    )
+    # right member: block j replicated to every i <= j
+    right = nv.withColumn("bj", blk).withColumn(
+        "bi", F.explode(F.sequence(F.lit(0), F.col("bj")))
+    )
 
-    cand = nv.mapInPandas(prescreen, "id_a BIGINT, id_b BIGINT")
+    def gemm_pair(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        lm = np.vstack(lpdf["nemb"].to_numpy()).astype(np.float64)
+        rm = np.vstack(rpdf["nemb"].to_numpy()).astype(np.float64)
+        lids = lpdf["vec_id"].to_numpy(dtype=np.int64)
+        rids = rpdf["vec_id"].to_numpy(dtype=np.int64)
+        sims = lm @ rm.T
+        li, rj = np.nonzero((sims > slack) & (lids[:, None] < rids[None, :]))
+        return pd.DataFrame({"id_a": lids[li], "id_b": rids[rj]})
 
-    # Stage 2 — exact rerank: the surviving ~0.01% of pairs get the
-    # engine-identical left-to-right fold, so emitted cosines hash-match the
-    # oracle bit-for-bit.
+    cand = (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(gemm_pair, "id_a BIGINT, id_b BIGINT")
+    )
+
+    # Exact rerank: the surviving ~0.01% of pairs get the engine-identical
+    # fold. Plain equi-joins — AQE broadcasts the small side at runtime; at
+    # scale these are shuffle joins on vec_id, never a full-table broadcast.
     a = nv.select(F.col("vec_id").alias("id_a"), F.col("nemb").alias("nemb_a"))
     b = nv.select(F.col("vec_id").alias("id_b"), F.col("nemb").alias("nemb_b"))
     pairs = (
-        cand.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -123,7 +123,7 @@ def median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT
       count(*) AS n_rows,
-      sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_missing,
+      CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
       {rnd_sql("avg(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1.0 ELSE 0.0 END)", 6)} AS missing_rate
     FROM lineitem
     """,

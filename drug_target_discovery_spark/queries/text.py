@@ -43,7 +43,7 @@ def _sql_list(words: list[str]) -> str:
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            {rnd_sql("avg(n_tokens)", 4)} AS avg_tokens,
            {rnd_sql("avg(n_chars * 1.0 / n_tokens)", 4)} AS avg_chars_per_token
     FROM per_doc GROUP BY source

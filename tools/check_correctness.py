@@ -37,11 +37,46 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def kind(dtype) -> str:
+    """Coarse dtype kind — the granularity the driver's value-hash sees.
+
+    An int64 Spark column vs a float64 oracle column (e.g. DuckDB sum(INT)
+    -> HUGEINT -> float64) compares equal pairwise but renders differently
+    (5 vs 5.0), so the driver's order-insensitive value-hash diverges.
+    """
+    if np.issubdtype(dtype, np.floating):
+        return "float"
+    if np.issubdtype(dtype, np.integer):
+        return "int"
+    if np.issubdtype(dtype, np.datetime64):
+        return "datetime"
+    if dtype == bool:
+        return "bool"
+    return "object"
+
+
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
         return False, f"columns differ: {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
     if len(spark_pdf) != len(oracle_pdf):
         return False, f"row counts differ: {len(spark_pdf)} vs {len(oracle_pdf)}"
+    for c in sorted(spark_pdf.columns):
+        ks, ko = kind(spark_pdf[c].dtype), kind(oracle_pdf[c].dtype)
+        if ks != ko:
+            return False, (
+                f"col {c}: dtype-kind mismatch spark={spark_pdf[c].dtype}({ks}) "
+                f"vs oracle={oracle_pdf[c].dtype}({ko}) — driver hash would diverge"
+            )
+        if ks == "datetime":
+            return False, (
+                f"col {c}: raw datetime output — emit epoch seconds (BIGINT) instead; "
+                f"ns-vs-us pandas units make the driver hash engine-dependent"
+            )
+        if ks == "float":
+            neg0_s = bool(((spark_pdf[c] == 0) & np.signbit(spark_pdf[c].fillna(0.0))).any())
+            neg0_o = bool(((oracle_pdf[c] == 0) & np.signbit(oracle_pdf[c].fillna(0.0))).any())
+            if neg0_s != neg0_o:
+                return False, f"col {c}: -0.0 on one side only (spark={neg0_s}, oracle={neg0_o})"
     a, b = canon(spark_pdf), canon(oracle_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
