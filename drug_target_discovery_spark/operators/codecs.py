@@ -1,0 +1,175 @@
+"""Real image codecs for the multimodal decode seam — pure numpy + stdlib.
+
+The container has no Pillow/ffmpeg, but BMP (BITMAPINFOHEADER, 24-bit
+uncompressed) and PPM (P6) are simple enough to implement from their public
+specifications with ``struct`` + numpy. Registering these through
+``register_decoder``/``register_encoder`` turns the multimodal kernels
+(`operators/multimodal.py`) into REAL decode -> transform -> re-encode
+pipelines for image payloads; audio/video stay on the documented stub until
+a real codec is plugged in.
+
+Parity: the reference treats media as opaque blobs only (it has no media
+path at all); this module exists for the [EXT] training-data-pipeline tier.
+
+Scale notes: codecs are per-row pure functions invoked inside Arrow-batched
+``mapInPandas`` kernels — no state, no shared buffers, nothing that breaks
+when the kernel runs on 1000 executors.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BMP: 24-bit uncompressed, BITMAPINFOHEADER, bottom-up rows, 4-byte padding
+# ---------------------------------------------------------------------------
+
+_BMP_HEADER_SIZE = 14
+_DIB_HEADER_SIZE = 40
+_BMP_OFFSET = _BMP_HEADER_SIZE + _DIB_HEADER_SIZE
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit uncompressed BMP."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got shape {img.shape}")
+    h, w = img.shape[:2]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    img_size = (row_bytes + pad) * h
+
+    # pixel data: bottom-up row order, BGR channel order, padded rows
+    bgr = img[::-1, :, ::-1].astype(np.uint8)
+    if pad:
+        rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+        rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+        pixels = rows.tobytes()
+    else:
+        pixels = bgr.tobytes()
+
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", _BMP_OFFSET + img_size, 0, 0, _BMP_OFFSET
+    )
+    dib_header = struct.pack(
+        "<IiiHHIIiiII",
+        _DIB_HEADER_SIZE, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0,
+    )
+    return file_header + dib_header + pixels
+
+
+def decode_bmp(payload: bytes, meta: dict | None = None) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP into an (H, W, 3) float32 RGB array
+    scaled to [0, 1] (the contract of the decoder seam)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp}, comp={compression})")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = data.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    # BGR -> RGB
+    return (rows[:, :, ::-1].astype(np.float32)) / 255.0
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6): ASCII header, binary RGB triplets
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as binary PPM (P6, maxval 255)."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got shape {img.shape}")
+    h, w = img.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes, meta: dict | None = None) -> np.ndarray:
+    """Decode a binary PPM (P6) into an (H, W, 3) float32 RGB array in [0, 1].
+
+    Header tokens (magic, width, height, maxval) may be separated by any
+    whitespace and interleaved with ``#`` comments, per the spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    i += 1  # single whitespace byte after maxval, then raster
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3).astype(np.float32) / 255.0
+
+
+# ---------------------------------------------------------------------------
+# Sniffing dispatcher + registration
+# ---------------------------------------------------------------------------
+
+
+def decode_image(payload: bytes, meta: dict | None = None) -> np.ndarray:
+    """Magic-byte dispatching image decoder: BMP ('BM') or PPM ('P6')."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload, meta)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload, meta)
+    raise ValueError(f"unrecognized image payload (magic {payload[:2]!r})")
+
+
+def encode_image(img: np.ndarray, fmt: str = "bmp") -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array in the given format."""
+    if fmt == "bmp":
+        return encode_bmp(img)
+    if fmt == "ppm":
+        return encode_ppm(img)
+    raise ValueError(f"unsupported image format {fmt!r}")
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (H, W, C) array to (height, width, C).
+    Deterministic (pure index arithmetic) so re-encoded payloads are
+    byte-stable across runs and executors."""
+    h, w = img.shape[:2]
+    ri = ((np.arange(height) + 0.5) * h / height).astype(int).clip(0, h - 1)
+    ci = ((np.arange(width) + 0.5) * w / width).astype(int).clip(0, w - 1)
+    return img[ri][:, ci]
+
+
+def register_builtin_image_codecs() -> None:
+    """Wire the numpy BMP/PPM codecs into the multimodal decoder/encoder
+    registries. Idempotent; audio/video remain on the documented stub."""
+    from drug_target_discovery_spark.operators.multimodal import (
+        register_decoder,
+        register_encoder,
+    )
+
+    register_decoder("image", decode_image)
+    register_encoder("image", lambda img: encode_bmp(img))

@@ -4,12 +4,16 @@ metadata struct, and run decode / feature-extract / resize / frame-sample
 as Arrow-batched ``mapInPandas`` kernels.
 
 The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
-shapes — is real and tested. The codec step itself is STUBBED behind
-``DecoderRegistry`` because image/audio libraries are not in this runtime:
-``register_decoder`` plugs a real Pillow/ffmpeg-backed callable in
-production; the default deterministic fake derives features from the bytes
-so tests are reproducible. This is the standard seam: the cluster plumbing
-never changes when the codec does.
+shapes — is real and tested. The codec step sits behind a registry seam:
+``register_decoder``/``register_encoder`` plug real callables in. For
+IMAGES a real pure-numpy BMP/PPM codec ships in ``operators.codecs``
+(``register_builtin_image_codecs``) — decode/resize/feature-extract run
+against actual pixel data, oracle-checked end to end by
+``media_image_decode_dims``. Audio/video remain on the deterministic fake
+(those libraries are not in this runtime); the default fake derives
+features from the payload digest so tests are reproducible either way.
+This is the standard seam: the cluster plumbing never changes when the
+codec does.
 
 Scale notes: payloads stay in executor memory only batch-at-a-time (Arrow
 record batches); metadata-only queries never touch the binary column
@@ -44,12 +48,29 @@ MEDIA_METADATA_SCHEMA = T.StructType(
 # ---------------------------------------------------------------------------
 
 Decoder = Callable[[bytes, dict], np.ndarray]
+Encoder = Callable[[np.ndarray], bytes]
 _DECODERS: dict[str, Decoder] = {}
+_ENCODERS: dict[str, Encoder] = {}
 
 
 def register_decoder(media_type: str, fn: Decoder) -> None:
-    """Plug a real codec (e.g. Pillow for 'image') into the pipeline."""
+    """Plug a real codec (numpy BMP/PPM via ``operators.codecs``, Pillow,
+    ffmpeg, ...) into the pipeline. Kernels snapshot this registry into
+    their closures at DataFrame-construction time, so a registration made
+    on the driver reaches every executor's Python worker."""
     _DECODERS[media_type] = fn
+
+
+def register_encoder(media_type: str, fn: Encoder) -> None:
+    """Inverse seam: re-encode a decoded array back to payload bytes
+    (used by transform kernels such as resize)."""
+    _ENCODERS[media_type] = fn
+
+
+def unregister_codecs(media_type: str) -> None:
+    """Remove any registered codec pair (test-scoping helper)."""
+    _DECODERS.pop(media_type, None)
+    _ENCODERS.pop(media_type, None)
 
 
 def _fake_decode(payload: bytes, meta: dict) -> np.ndarray:
@@ -107,12 +128,15 @@ def extract_features(media: DataFrame, pool: int = FEATURE_DIM) -> DataFrame:
     """Decode each payload (codec seam) and pool the decoded array into a
     fixed-dim feature vector. Arrow-batched; one payload in memory per row
     of the batch, never the whole partition."""
+    # snapshot the registry into the closure: executor workers are separate
+    # Python processes and never see driver-side mutation of module globals
+    decoders = dict(_DECODERS)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, mtype, payload in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
-                arr = get_decoder(mtype)(bytes(payload), {})
+                arr = decoders.get(mtype, _fake_decode)(bytes(payload), {}).ravel()
                 chunks = np.array_split(arr, pool)
                 feat = np.array([float(c.mean()) for c in chunks], dtype=np.float32)
                 out.append((int(mid), str(mtype), feat.tolist(), int(arr.size)))
@@ -130,24 +154,41 @@ _RESIZE_SCHEMA = "media_id BIGINT, width INT, height INT, payload BINARY"
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize kernel: decode -> resample -> re-encode. The resample here is
-    a deterministic byte-level downsample (codec stub); swapping in Pillow
-    changes only the kernel body, not the plan."""
+    """Resize kernel: decode -> resample -> re-encode.
+
+    When a decoder AND encoder are registered for the row's media type
+    (e.g. the numpy BMP/PPM pair in ``operators.codecs``), this is a REAL
+    image resize: decode to (H, W, 3), nearest-neighbor resample, re-encode.
+    Without a codec pair it falls back to the documented byte-level
+    downsample stub. Either way the plan is identical — a map-only
+    Arrow-batched stage."""
+    decoders, encoders = dict(_DECODERS), dict(_ENCODERS)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drug_target_discovery_spark.operators.codecs import resize_nearest
+
         target = width * height
         for pdf in batches:
             rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            for mid, mtype, payload in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
                 b = bytes(payload)
                 if len(b) == 0:
                     rows.append((int(mid), width, height, b""))
+                    continue
+                if mtype in decoders and mtype in encoders:
+                    img = decoders[mtype](b, {})
+                    small = resize_nearest(img, width, height)
+                    out = encoders[mtype]((small * 255.0).round().astype(np.uint8))
+                    rows.append((int(mid), width, height, out))
                     continue
                 idx = np.linspace(0, len(b) - 1, num=min(target, len(b))).astype(int)
                 rows.append((int(mid), width, height, bytes(np.frombuffer(b, dtype=np.uint8)[idx])))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "payload"])
 
-    return media.select("media_id", "payload").mapInPandas(kernel, schema=_RESIZE_SCHEMA)
+    cols = media.select(
+        "media_id", F.col("meta.media_type").alias("media_type"), "payload"
+    )
+    return cols.mapInPandas(kernel, schema=_RESIZE_SCHEMA)
 
 
 _FRAME_SCHEMA = "media_id BIGINT, frame_idx INT, frame_payload BINARY"

@@ -1,8 +1,10 @@
 """Multimodal tier queries (SURVEY §2.12 [EXT]): binary payload columns +
 typed metadata, decode/extract/resize/frame-sample kernels. The media table
 derives deterministically from `documents` (payload = utf-8 bytes), so the
-metadata-level queries are DuckDB-oracle-checkable; the kernel queries are
-rows-only (codec seam) with unit-tested batch shapes."""
+metadata-level queries are DuckDB-oracle-checkable; the stub-codec kernel
+queries are rows-only with unit-tested batch shapes, and
+`media_image_decode_dims` oracle-checks the REAL numpy BMP codec
+(operators/codecs.py) end to end."""
 
 from __future__ import annotations
 
@@ -90,6 +92,68 @@ def media_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_values",
         F.element_at("feature", 1).cast("double").alias("f0"),
     ).withColumn("f0", rnd("f0", 6))
+
+
+@register(
+    "media_image_decode_dims",
+    tags=("multimodal", "mapInPandas", "codec"),
+    oracle="""
+    -- BMP layout has a closed form: 54-byte header + rows of 3*w bytes
+    -- padded to 4-byte multiples, h rows. The Spark side round-trips real
+    -- bytes through the numpy BMP codec; matching n_bytes/width/height
+    -- proves encode AND header-parse decode ran per row.
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 13 + 1 AS INT) AS width,
+           CAST(doc_id % 7 + 1 AS INT) AS height,
+           CAST(54 + (3 * (doc_id % 13 + 1)
+                      + (4 - (3 * (doc_id % 13 + 1)) % 4) % 4)
+                    * (doc_id % 7 + 1) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def media_image_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec, end to end in executors: synthesize a deterministic
+    (h, w, 3) image per doc, encode it to BMP bytes, decode those bytes back
+    with the header-parsing decoder, and emit the decoded dimensions plus
+    payload size. Map-only Arrow-batched stage — the oracle checks the BMP
+    byte layout arithmetic, so a codec that mis-writes padding or parses the
+    header wrong diverges."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 13 + 1).cast("int").alias("w"),
+            (F.col("doc_id") % 7 + 1).cast("int").alias("h"),
+        )
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drug_target_discovery_spark.operators.codecs import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                rng = (np.arange(int(h) * int(w) * 3, dtype=np.int64) * (int(mid) + 7)) % 256
+                img = rng.reshape(int(h), int(w), 3).astype(np.uint8)
+                payload = encode_bmp(img)
+                decoded = decode_bmp(payload)
+                rows.append(
+                    (int(mid), decoded.shape[1], decoded.shape[0], len(payload))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "n_bytes"])
+
+    return docs.mapInPandas(
+        kernel, schema="media_id BIGINT, width INT, height INT, n_bytes BIGINT"
+    )
 
 
 @register("media_resize_shapes", tags=("multimodal", "mapInPandas"))
