@@ -23,6 +23,11 @@ from drug_target_discovery_spark.operators.correlation import corr_edges
 from drug_target_discovery_spark.queries.registry import register
 from drug_target_discovery_spark.sources.tables import load_table
 
+try:  # fixture VALUES oracles (networkx on the sf0.01 graph) — generated
+    from drug_target_discovery_spark.queries._graph_oracles import GRAPH_ORACLES
+except ImportError:  # pragma: no cover - regenerate via tools/gen_graph_oracles.py
+    GRAPH_ORACLES = {}
+
 TOP_K = 50
 MIN_CELLS = 10
 MIN_PERIODS = 5
@@ -161,11 +166,16 @@ def degree_centrality_corr_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # G4: eigenvector centrality (iterative join-aggregate)
 # --------------------------------------------------------------------------
-@register("eigenvector_centrality_corr_graph", tags=("graph", "iterative"))
+@register(
+    "eigenvector_centrality_corr_graph",
+    tags=("graph", "iterative"),
+    oracle=GRAPH_ORACLES.get("eigenvector_centrality_corr_graph"),
+)
 def eigenvector_centrality_corr_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power iteration x' = (I+A)x with L2 norm, networkx-parity convergence
-    (G4, pipeline2.py:749). Iterative DataFrame program — no SQL oracle
-    (driver does rows-only); parity vs networkx in tests/test_graph.py."""
+    (G4, pipeline2.py:749). Iterative DataFrame program — the oracle is a
+    networkx-computed fixture (tools/gen_graph_oracles.py) on the sf0.01
+    graph; parity also unit-tested in tests/test_graph.py."""
     nodes, edges = _corr_graph(spark, sf_dir)
     ec = eigenvector_centrality(edges.select("src", "dst"), nodes, max_iter=1000, tol=1e-6)
     return ec.select("node", rnd("eigenvector_centrality", 6).alias("eigenvector_centrality"))
@@ -174,11 +184,15 @@ def eigenvector_centrality_corr_graph(spark: SparkSession, sf_dir: str) -> DataF
 # --------------------------------------------------------------------------
 # G3: betweenness centrality (source-parallel exact Brandes)
 # --------------------------------------------------------------------------
-@register("betweenness_centrality_corr_graph", tags=("graph", "mapInPandas"))
+@register(
+    "betweenness_centrality_corr_graph",
+    tags=("graph", "mapInPandas"),
+    oracle=GRAPH_ORACLES.get("betweenness_centrality_corr_graph"),
+)
 def betweenness_centrality_corr_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Brandes betweenness, parallel across sources with broadcast
-    adjacency (G3, pipeline2.py:748). Rows-only driver check; networkx
-    parity in tests/test_graph.py."""
+    adjacency (G3, pipeline2.py:748). Oracle = networkx fixture values on
+    the sf0.01 graph; parity also unit-tested in tests/test_graph.py."""
     nodes, edges = _corr_graph(spark, sf_dir)
     bc = betweenness_centrality(edges.select("src", "dst"), nodes, normalized=True)
     return bc.select("node", rnd("betweenness_centrality", 6).alias("betweenness_centrality"))
@@ -187,12 +201,16 @@ def betweenness_centrality_corr_graph(spark: SparkSession, sf_dir: str) -> DataF
 # --------------------------------------------------------------------------
 # G2+G3+G4 + T4 + T5: the reference's network target scoring, end to end
 # --------------------------------------------------------------------------
-@register("network_target_scores", tags=("graph", "pipeline"))
+@register(
+    "network_target_scores",
+    tags=("graph", "pipeline"),
+    oracle=GRAPH_ORACLES.get("network_target_scores"),
+)
 def network_target_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's analyze_network stage (pipeline2.py:722-792): all
     three centralities -> min-max scale -> composite = mean -> ranked desc
-    with deterministic tie-break. Rows-only check (eigenvector/betweenness
-    are not SQL-expressible); component parity unit-tested."""
+    with deterministic tie-break. Oracle = networkx fixture values
+    (centralities AND the min-max composite) on the sf0.01 graph."""
     nodes, edges = _corr_graph(spark, sf_dir)
     e = edges.select("src", "dst")
     cent_cols = ["degree_centrality", "betweenness_centrality", "eigenvector_centrality"]

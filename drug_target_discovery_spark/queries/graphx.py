@@ -12,7 +12,7 @@ from drug_target_discovery_spark.graph.algorithms import connected_components, p
 from drug_target_discovery_spark.operators.asof import asof_join_backward
 from drug_target_discovery_spark.queries.dedup import _SIG_SQL, _BANDS_ROWS, _signatures
 from drug_target_discovery_spark.operators.dedup import MERSENNE61, lsh_candidate_pairs
-from drug_target_discovery_spark.queries.graphq import _corr_graph
+from drug_target_discovery_spark.queries.graphq import GRAPH_ORACLES, _corr_graph
 from drug_target_discovery_spark.queries.registry import register
 from drug_target_discovery_spark.sources.tables import load_table
 
@@ -75,10 +75,16 @@ def connected_components_near_dups(spark: SparkSession, sf_dir: str) -> DataFram
 # --------------------------------------------------------------------------
 # G6: PageRank on the correlation graph (networkx parity, rows-only)
 # --------------------------------------------------------------------------
-@register("pagerank_corr_graph", tags=("graph", "iterative"))
+@register(
+    "pagerank_corr_graph",
+    tags=("graph", "iterative"),
+    oracle=GRAPH_ORACLES.get("pagerank_corr_graph"),
+)
 def pagerank_corr_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-expression graph — iterative join-aggregate
-    with dangling-mass redistribution; parity vs networkx in tests."""
+    with dangling-mass redistribution; oracle = textbook-PageRank fixture
+    values (tools/gen_graph_oracles.py) on the sf0.01 graph, parity vs a
+    reference implementation in tests."""
     nodes, edges = _corr_graph(spark, sf_dir)
     pr = pagerank(edges.select("src", "dst"), nodes, damping=0.85, max_iter=30)
     return pr.select("node", rnd("pagerank", 6).alias("pagerank"))
