@@ -250,20 +250,34 @@ def bh_fdr_scalable(
     partitions (SURVEY §4). Same results as ``bh_fdr``; avoids the
     single-partition window.
 
-    Design: repartitionByRange(p) keeps a total order across partitions, so
-    the global rank = per-partition rank + broadcast offset, and the reverse
-    running-min can be composed from per-partition tails. Implemented with
-    mapInPandas over sorted range partitions.
+    Design: assign each row a RANGE BUCKET from approxQuantile boundaries
+    embedded as literals — a deterministic expression of the VALUE, so every
+    pass of this multi-pass algorithm sees identical bucket assignment.
+    (``repartitionByRange`` + ``spark_partition_id`` would NOT work here:
+    its sampled boundaries are seeded per-execution, so the rank offsets
+    collected in pass 1 could disagree with the partitioning of pass 2.)
+    Buckets preserve the total order, so the global rank = per-bucket
+    row_number + broadcast offset, and the reverse running-min folds in
+    per-bucket tails from higher buckets.
     """
-    import pandas as _pd  # noqa: F401
-
     nn = df.filter(F.col(p).isNotNull() & ~F.isnan(p))
     nulls = df.filter(F.col(p).isNull() | F.isnan(p)).withColumn(
         out, F.lit(None).cast("double")
     )
-    ranged = nn.repartitionByRange(partitions, F.col(p)).sortWithinPartitions(F.col(p))
-    ranged = ranged.withColumn("_pid", F.spark_partition_id())
-    # pass 1: per-partition counts -> rank offsets (tiny driver-side table)
+    qs = nn.stat.approxQuantile(
+        p, [i / partitions for i in range(1, partitions)], 0.001
+    )
+    if qs:
+        arr = ", ".join(f"CAST({b!r} AS DOUBLE)" for b in qs)
+        bucket = F.expr(
+            f"aggregate(array({arr}), 0, (acc, b) -> acc + CASE WHEN {p} >= b THEN 1 ELSE 0 END)"
+        )
+    else:  # empty input
+        bucket = F.lit(0)
+    # no explicit repartition: the per-bucket windows below induce their own
+    # hashpartitioning(_pid) exchange — adding one here would shuffle twice
+    ranged = nn.withColumn("_pid", bucket)
+    # pass 1: per-bucket counts -> rank offsets (tiny driver-side table)
     counts = (
         ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).orderBy("_pid").collect()
     )

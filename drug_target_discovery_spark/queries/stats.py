@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
 from drug_target_discovery_spark.functions.stats import (
     bh_fdr,
+    bh_fdr_scalable,
     minmax_scale,
     student_t_two_sided_p,
     welch_t_stats,
@@ -315,6 +316,68 @@ def bh_fdr_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = bh_fdr(pv, "pvalue", "adjusted_pvalue")
     return adj.select(
         "l_partkey",
+        rnd("pvalue", 6).alias("pvalue"),
+        rnd("adjusted_pvalue", 6).alias("adjusted_pvalue"),
+    )
+
+
+# Row-level pseudo p-value over the full fact table: the inner mod keeps the
+# product within int64 (Spark 4 ANSI mode would error on overflow; DuckDB
+# would silently widen to HUGEINT — either way the engines must agree).
+# ~1% of rows get NULL to exercise the statsmodels-style NaN passthrough.
+_PSEUDO_P_ROW = (
+    "CASE WHEN (l_orderkey + l_linenumber) % 97 = 0 THEN NULL "
+    "ELSE (((l_orderkey * 131071 + l_linenumber) % 1000003) * 2654435761 % 1000003)"
+    " / 1000003e0 END"
+)
+
+
+@register(
+    "bh_fdr_scalable_adjust",
+    tags=("stats", "window", "scalable"),
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_orderkey, l_linenumber, {_PSEUDO_P_ROW} AS pvalue FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_orderkey, l_linenumber, pvalue,
+             row_number() OVER (ORDER BY pvalue ASC) AS r,
+             count(*) OVER () AS m
+      FROM pv WHERE pvalue IS NOT NULL
+    ),
+    adj AS (
+      SELECT l_orderkey, l_linenumber, pvalue,
+             least(min(pvalue * m / r) OVER
+                     (ORDER BY pvalue ASC ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                   1.0) AS adjusted_pvalue
+      FROM ranked
+    )
+    SELECT l_orderkey, l_linenumber,
+           {rnd_sql("pvalue", 6)} AS pvalue,
+           {rnd_sql("adjusted_pvalue", 6)} AS adjusted_pvalue
+    FROM adj
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, NULL, NULL
+    FROM pv WHERE pvalue IS NULL
+    """,
+)
+def bh_fdr_scalable_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH-FDR via the RANGE-PARTITIONED two-pass variant (T3 at 100x
+    cardinality): repartitionByRange on p keeps a global order, ranks are
+    per-partition row_numbers plus broadcast offsets, and the reverse
+    running-min folds per-partition tails — no single-partition window
+    anywhere (bh_fdr's escape hatch, functions/stats.py). Runs over every
+    lineitem row (fact-table cardinality), including NULL passthrough and
+    hash-collision p-value ties; exact equality with ``bh_fdr`` is pinned in
+    tests/test_stats.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.select("l_orderkey", "l_linenumber").withColumn(
+        "pvalue", F.expr(_PSEUDO_P_ROW)
+    )
+    adj = bh_fdr_scalable(pv, "pvalue", "adjusted_pvalue", partitions=32)
+    return adj.select(
+        "l_orderkey",
+        "l_linenumber",
         rnd("pvalue", 6).alias("pvalue"),
         rnd("adjusted_pvalue", 6).alias("adjusted_pvalue"),
     )

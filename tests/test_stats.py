@@ -98,6 +98,54 @@ class TestBH:
         expected = bh_numpy(pdata)
         assert np.allclose(got, expected, rtol=1e-12, equal_nan=True)
 
+    @pytest.fixture(scope="class")
+    def big_p(self, spark):
+        """>=10^5-row p-table with NULLs and hash-collision ties, built
+        distributed (spark.range) so the input spans many partitions."""
+        from pyspark.sql import functions as F
+
+        return spark.range(120_000).select(
+            F.col("id").alias("gene"),
+            F.expr(
+                "CASE WHEN id % 97 = 0 THEN CAST(NULL AS DOUBLE) "
+                "ELSE ((id * 2654435761) % 49999) / 49999e0 END"
+            ).alias("pvalue"),
+        )
+
+    def test_scalable_exactly_equals_window_variant_at_1e5(self, spark, big_p):
+        """The designed 100x-cardinality path must be EXACTLY the single-
+        partition window program, value for value (not just allclose): both
+        compute p * m / r in the same double order."""
+        a = bh_fdr(big_p, "pvalue", "adj").toPandas().sort_values("gene").reset_index(drop=True)
+        b = (
+            bh_fdr_scalable(big_p, "pvalue", "adj", partitions=32)
+            .toPandas()
+            .sort_values("gene")
+            .reset_index(drop=True)
+        )
+        assert len(a) == len(b) == 120_000
+        assert a["gene"].equals(b["gene"])
+        av, bv = a["adj"].to_numpy(), b["adj"].to_numpy()
+        nan_a, nan_b = np.isnan(av), np.isnan(bv)
+        assert (nan_a == nan_b).all()
+        assert (av[~nan_a] == bv[~nan_b]).all(), "scalable BH diverges from bh_fdr"
+
+    def test_scalable_plan_has_no_single_partition_exchange(self, spark, big_p):
+        """Plan shape: bh_fdr's global windows hit Exchange SinglePartition
+        (fine at post-aggregation cardinality); the scalable variant must
+        never funnel the fact table through one partition."""
+        small_plan = (
+            bh_fdr(big_p, "pvalue", "adj")._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SinglePartition" in small_plan  # positive control
+        big_plan = (
+            bh_fdr_scalable(big_p, "pvalue", "adj", partitions=32)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SinglePartition" not in big_plan, big_plan
+
 
 # ---------------------------------------------------------------------------
 # z-score (ddof=0) and Welch sufficient statistics
