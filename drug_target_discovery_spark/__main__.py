@@ -40,6 +40,13 @@ def main(argv: list[str] | None = None) -> int:
         help="validation enrichment client: none (skip stage 7), "
         "fake (deterministic offline), http (Ensembl+OpenTargets, needs network)",
     )
+    ap.add_argument(
+        "--figures",
+        action="store_true",
+        help="write the reference's three PNGs (volcano, top targets, "
+        "network) into <out>/figures/ — matplotlib when available, "
+        "built-in rasterizer otherwise",
+    )
     args = ap.parse_args(argv)
 
     from drug_target_discovery_spark.plans.pipeline import (
@@ -97,6 +104,15 @@ def main(argv: list[str] | None = None) -> int:
     write_gexf(
         out["network_nodes"], out["network_edges"], os.path.join(out_dir, "network.gexf")
     )
+    if args.figures:
+        from drug_target_discovery_spark.sources.figures import write_figures
+
+        write_figures(
+            out,
+            os.path.join(out_dir, "figures"),
+            p_threshold=args.p_threshold,
+            fc_threshold=args.fc_threshold,
+        )
 
     n_sig = out["significant"].count()
     from pyspark.sql import functions as F
