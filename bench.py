@@ -16,6 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from drug_target_discovery_spark.caching import release_caches
 from drug_target_discovery_spark.queries.registry import all_queries
 from drug_target_discovery_spark.session import get_spark
 from drug_target_discovery_spark.sources.tables import load_table
@@ -39,7 +40,11 @@ def main() -> None:
         except Exception as e:  # a failing query must not hide the rest
             timings[name] = -1.0
             print(f"BENCH-ERROR {name}: {type(e).__name__}: {e}", file=sys.stderr)
+        # drop query-scoped caches (outside the timed window; sweep-scoped
+        # fixtures survive so shared intermediates keep amortizing)
+        release_caches()
 
+    release_caches(fixtures=True)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {
         "metric": "sum_query_wall_sec",

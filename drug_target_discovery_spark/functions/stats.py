@@ -216,8 +216,10 @@ def bh_fdr(df: DataFrame, p: str = "pvalue", out: str = "adjusted_pvalue") -> Da
     # The input is a post-aggregation p-value table (small by contract) while
     # its lineage is typically the expensive part of the whole job (Welch agg
     # + t-CDF). It is consumed three times below (non-null branch, null
-    # branch, count) — cache it so the upstream runs once.
-    df = df.cache()
+    # branch, count) — cache it so the upstream runs once (query-scoped).
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    df = scoped_cache(df)
     nn = df.filter(F.col(p).isNotNull() & ~F.isnan(p))
     nulls = df.filter(F.col(p).isNull() | F.isnan(p)).withColumn(
         out, F.lit(None).cast("double")

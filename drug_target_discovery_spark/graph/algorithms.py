@@ -99,6 +99,9 @@ def _cc_distributed(
         if changed == 0:
             break
     sym.unpersist()
+    from drug_target_discovery_spark.caching import track
+
+    track(labels)  # surviving generation, released by the harness loop
     return labels
 
 
@@ -204,4 +207,7 @@ def _pagerank_distributed(
         if delta < n * tol:
             break
     sym.unpersist()
+    from drug_target_discovery_spark.caching import track
+
+    track(ranks)  # surviving generation, released by the harness loop
     return ranks.select("node", F.col("pr").alias("pagerank"))

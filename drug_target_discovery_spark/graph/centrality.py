@@ -161,6 +161,9 @@ def _eigenvector_distributed(
     else:
         raise RuntimeError(f"eigenvector centrality failed to converge in {max_iter} iterations")
     sym.unpersist()
+    from drug_target_discovery_spark.caching import track
+
+    track(x)  # surviving generation stays cached for the consumer's action
     return x.select("node", F.col("x").alias("eigenvector_centrality"))
 
 

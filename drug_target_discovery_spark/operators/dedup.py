@@ -104,7 +104,12 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(common), "shingle", "left_anti")
-    sh = sh.cache()
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    # intra-plan diamond: sh feeds sizes + both join sides (and, on the
+    # prefix path, df_tbl/ordered/sets). Query-scoped — harness loops
+    # release it after the result is consumed.
+    sh = scoped_cache(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     if not prefix_filter:

@@ -306,23 +306,28 @@ class DrugTargetPipeline:
         writes each to CSV — S5 — callers can sink whichever they need)."""
         normalized = self.preprocess(expr_long)
         gene_long = self.map_probes_to_genes(normalized, mapping)
-        gene_cond = self.attach_condition(gene_long, meta).cache()
+        from drug_target_discovery_spark.caching import fixture_cache
+
+        # the four caches below back every returned DataFrame (and the
+        # registry's memoized pipeline outputs) — sweep-scoped: released by
+        # caching.release_caches(fixtures=True)
+        gene_cond = fixture_cache(self.attach_condition(gene_long, meta))
         # cache the differential table: it is one row per gene (bounded far
         # below the input long table) and every downstream stage re-derives
         # from it — the significance probe (take(1)), the top-K cut, and each
         # centrality's node actions would otherwise re-execute the Welch +
         # BH + t-CDF chain once per action
-        diff = self.differential_expression(gene_cond).cache()
+        diff = fixture_cache(self.differential_expression(gene_cond))
         sig = self.significant_genes(diff)
         # top is <= n_top_genes rows by construction: cache so the three
         # centralities and the corr self-join all reuse one materialization
-        top = self.select_network_genes(gene_cond, sig).cache()
+        top = fixture_cache(self.select_network_genes(gene_cond, sig))
         nodes, edges = self.build_network(gene_cond, top)
         # the edge list is small by construction (<= n_top_genes^2 thresholded
         # pairs) and every downstream consumer — three centralities, the
         # composite join, the sink — re-reads it: cache once here so the
         # corr self-join never re-executes
-        edges = edges.cache()
+        edges = fixture_cache(edges)
         scores = self.score_targets(nodes, edges)
         out = {
             "normalized": normalized,

@@ -33,14 +33,20 @@ _H_DUCK = MD5_INT_DUCK.format(col="shingle")
 # and near_dup_groups all need the same signatures — compute once, cache.
 _SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+from drug_target_discovery_spark.caching import register_fixture_hook  # noqa: E402
+
+register_fixture_hook(_SIG_CACHE.clear)
+
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SIG_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        _SIG_CACHE[key] = minhash_signatures(
-            docs, n=_N, num_hashes=_NUM_HASHES, seed=_SEED
-        ).cache()
+        from drug_target_discovery_spark.caching import fixture_cache
+
+        _SIG_CACHE[key] = fixture_cache(
+            minhash_signatures(docs, n=_N, num_hashes=_NUM_HASHES, seed=_SEED)
+        )
     return _SIG_CACHE[key]
 
 # shared oracle CTE: distinct 3-token shingles per doc
@@ -218,7 +224,9 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph tier). Returns only docs that have a near-duplicate."""
     docs = load_table(spark, sf_dir, "documents")
     sig = _signatures(spark, sf_dir)
-    cand = lsh_candidate_pairs(sig, rows_per_band=_BANDS_ROWS).cache()
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    cand = scoped_cache(lsh_candidate_pairs(sig, rows_per_band=_BANDS_ROWS))
     # Jaccard-verify ONLY docs that appear in some candidate pair: the LSH
     # prefilter guarantees candidates << corpus, so the shingle self-join
     # runs on the small candidate member set instead of every document.

@@ -94,6 +94,10 @@ def _top_genes(cell: DataFrame) -> DataFrame:
 # the Spark-idiomatic "materialized shared intermediate".
 _GRAPH_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
+from drug_target_discovery_spark.caching import register_fixture_hook  # noqa: E402
+
+register_fixture_hook(_GRAPH_CACHE.clear)
+
 
 def _corr_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(nodes, edges) of the thresholded correlation graph (G1). The top-K
@@ -103,14 +107,18 @@ def _corr_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
+    from drug_target_discovery_spark.caching import fixture_cache
+
     cell = _cell_matrix(spark, sf_dir)
     top = _top_genes(cell)
     sub = cell.join(F.broadcast(top), "g", "left_semi")
     edges = corr_edges(sub, "g", "s", "v", threshold=CORR_THRESHOLD, min_periods=MIN_PERIODS)
-    nodes = top.select(F.col("g").alias("node")).cache()
-    edges = edges.select(
-        F.col("g1").alias("src"), F.col("g2").alias("dst"), "r", "weight", "n_samples"
-    ).cache()
+    nodes = fixture_cache(top.select(F.col("g").alias("node")))
+    edges = fixture_cache(
+        edges.select(
+            F.col("g1").alias("src"), F.col("g2").alias("dst"), "r", "weight", "n_samples"
+        )
+    )
     _GRAPH_CACHE[key] = (nodes, edges)
     return nodes, edges
 

@@ -60,8 +60,10 @@ def connected_components_near_dups(spark: SparkSession, sf_dir: str) -> DataFram
     sig = _signatures(spark, sf_dir)
     # cache the candidate edge list: the component computation consumes it
     # three times (node count, node collect, edge collect) and the LSH band
-    # self-join upstream is the expensive part of the chain
-    pairs = lsh_candidate_pairs(sig, rows_per_band=_BANDS_ROWS).cache()
+    # self-join upstream is the expensive part of the chain (query-scoped)
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    pairs = scoped_cache(lsh_candidate_pairs(sig, rows_per_band=_BANDS_ROWS))
     nodes = (
         pairs.select(F.col("d1").alias("node"))
         .union(pairs.select("d2"))

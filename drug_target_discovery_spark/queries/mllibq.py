@@ -28,8 +28,11 @@ def mllib_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ng = NGram(n=3, inputCol="tokens", outputCol="ngrams")
     tf = HashingTF(inputCol="ngrams", outputCol="features", numFeatures=1 << 18)
     staged = tf.transform(ng.transform(tok.transform(docs)))
-    # MinHashLSH requires at least one non-zero feature
-    staged = staged.filter(F.expr("size(ngrams) > 0")).cache()
+    # MinHashLSH requires at least one non-zero feature; cached because
+    # fit() + both approxSimilarityJoin sides consume it (query-scoped)
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    staged = scoped_cache(staged.filter(F.expr("size(ngrams) > 0")))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(staged)
     pairs = model.approxSimilarityJoin(staged, staged, 0.3, distCol="jaccard_dist")

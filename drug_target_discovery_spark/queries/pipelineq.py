@@ -46,6 +46,13 @@ def _fixture_dir() -> str:
 
 _RUN_CACHE: dict[str, dict[str, DataFrame]] = {}
 
+from drug_target_discovery_spark.caching import (  # noqa: E402
+    fixture_cache,
+    register_fixture_hook,
+)
+
+register_fixture_hook(_RUN_CACHE.clear)
+
 
 def _run(spark: SparkSession) -> dict[str, DataFrame]:
     """Pipeline outputs, memoized per application: the differential and
@@ -68,13 +75,13 @@ def _run(spark: SparkSession) -> dict[str, DataFrame]:
             mapping = read_probe_mapping_csv(spark, os.path.join(d, "mapping.csv"))
             pipe = DrugTargetPipeline(PipelineParams())
             out = pipe.run(expr, meta, mapping, client=deterministic_fake_client)
-            out["differential"] = out["differential"].cache()
-            out["target_scores"] = out["target_scores"].cache()
+            out["differential"] = fixture_cache(out["differential"])
+            out["target_scores"] = fixture_cache(out["target_scores"])
             # materialize the two driver-visible tables while the narrow
             # shuffle width is in effect (they are bounded: one row per gene
             # / per target)
             out["differential"].count()
-            out["validated_targets"] = out["validated_targets"].cache()
+            out["validated_targets"] = fixture_cache(out["validated_targets"])
             out["validated_targets"].count()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)

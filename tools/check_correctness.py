@@ -19,6 +19,7 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from drug_target_discovery_spark.caching import release_caches
 from drug_target_discovery_spark.queries.registry import all_queries
 from drug_target_discovery_spark.session import get_spark
 from drug_target_discovery_spark.sources.tables import TABLES, register_views
@@ -114,6 +115,7 @@ def main() -> int:
     for name, q in sorted(reg.items()):
         if only and name not in only:
             continue
+        release_caches()  # previous query's scoped caches; fixtures survive
         t0 = time.time()
         try:
             sdf = q.fn(spark, sf_dir)
@@ -137,7 +139,9 @@ def main() -> int:
         print(f"{status} {name}: {msg} ({len(spdf)} rows, {time.time()-t0:.1f}s)")
         n_pass += ok
         n_fail += not ok
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    leaked = release_caches(fixtures=True)
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
+          f"({leaked} sweep caches released)")
     return 1 if n_fail else 0
 
 
