@@ -261,7 +261,19 @@ def bh_fdr_scalable(
     Buckets preserve the total order, so the global rank = per-bucket
     row_number + broadcast offset, and the reverse running-min folds in
     per-bucket tails from higher buckets.
+
+    Multi-pass discipline: the algorithm takes four actions (approxQuantile,
+    bucket counts, per-bucket tails, the consumer's final job). Without
+    persistence each one re-scans the source and the tails pass re-runs the
+    per-bucket sort window the final job needs again — at fact-table
+    cardinality that is 4 source scans and 2 window sorts. Both reused
+    frames (the non-null projection and the ranked/windowed frame) are
+    query-scoped caches (MEMORY_AND_DISK by default, so they spill rather
+    than OOM at scale), cutting it to 1 scan and 1 sort.
     """
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    df = scoped_cache(df)
     nn = df.filter(F.col(p).isNotNull() & ~F.isnan(p))
     nulls = df.filter(F.col(p).isNull() | F.isnan(p)).withColumn(
         out, F.lit(None).cast("double")
@@ -298,7 +310,7 @@ def bh_fdr_scalable(
     w_rev_in = (
         W.partitionBy("_pid").orderBy(F.col("_r").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    with_rank = (
+    with_rank = scoped_cache(
         ranged.join(F.broadcast(off_df), "_pid")
         .withColumn("_r", F.row_number().over(w_in) + F.col("_off"))
         .withColumn("_raw", F.col(p) * F.lit(float(m)) / F.col("_r"))
