@@ -275,7 +275,10 @@ def centralities_fused_driver(
 
 
 def betweenness_centrality(
-    edges: DataFrame, nodes: DataFrame, normalized: bool = True
+    edges: DataFrame,
+    nodes: DataFrame,
+    normalized: bool = True,
+    driver_threshold: int = 512,
 ) -> DataFrame:
     """Exact betweenness (pipeline2.py:748), parallel across sources.
 
@@ -296,10 +299,31 @@ def betweenness_centrality(
         if r["src"] in adj and r["dst"] in adj:
             adj[r["src"]].append(r["dst"])
             adj[r["dst"]].append(r["src"])
-    badj = spark.sparkContext.broadcast(adj)
     n = len(node_rows)
 
     node_field = nodes.select("node").schema.fields[0]
+    result_schema = StructType(
+        [node_field, StructField("betweenness_centrality", DoubleType(), False)]
+    )
+    if n <= driver_threshold:
+        # Small-graph driver path: the adjacency is already collected (it is
+        # the broadcast payload either way), and at <=512 sources serial
+        # Brandes in Python beats the mapInPandas fan-out's worker-startup +
+        # shuffle overhead by seconds. Same numbers as the distributed path
+        # (equivalence pinned in tests/test_graph.py); larger graphs keep
+        # the source-parallel plan.
+        bc_acc = dict.fromkeys(node_rows, 0.0)
+        for s in node_rows:
+            for v, dep in _brandes_single_source(adj, s).items():
+                if dep:
+                    bc_acc[v] += dep
+        scale = 0.5
+        if normalized and n > 2:
+            scale *= 2.0 / ((n - 1) * (n - 2))
+        return spark.createDataFrame(
+            [(v, bc_acc[v] * scale) for v in node_rows], schema=result_schema
+        )
+    badj = spark.sparkContext.broadcast(adj)
     out_schema = StructType([node_field, StructField("dep", DoubleType(), False)])
 
     def per_source_batch(pdf_iter):

@@ -107,9 +107,15 @@ def _corr_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
-    from drug_target_discovery_spark.caching import fixture_cache
+    from drug_target_discovery_spark.caching import fixture_cache, scoped_cache
 
-    cell = _cell_matrix(spark, sf_dir)
+    # The cell matrix is a diamond: consumed by top-K variance, by the
+    # semi-joined pairwise-corr input, and (via top) by the node set. Without
+    # a cache the lineitem⋈orders fact-fact join runs three times. Cell is
+    # post-aggregation small (|parts|×|nations|), so cache it query-scoped —
+    # once nodes/edges materialize into their own fixture caches it is dead
+    # weight, and the harness releases it at query end.
+    cell = scoped_cache(_cell_matrix(spark, sf_dir))
     top = _top_genes(cell)
     sub = cell.join(F.broadcast(top), "g", "left_semi")
     edges = corr_edges(sub, "g", "s", "v", threshold=CORR_THRESHOLD, min_periods=MIN_PERIODS)

@@ -80,6 +80,19 @@ class TestCentralities:
         for n, v in expected.items():
             assert got[n] == pytest.approx(v, abs=1e-12)
 
+    def test_betweenness_distributed_path(self, spark, graph_dfs):
+        # force the source-parallel mapInPandas variant (driver_threshold=0)
+        # and check it matches both networkx and the driver fast path
+        g, nodes, edges = graph_dfs
+        got = _collect(
+            betweenness_centrality(edges, nodes, driver_threshold=0),
+            "betweenness_centrality",
+        )
+        expected = nx.betweenness_centrality(g, normalized=True)
+        assert set(got) == set(expected)
+        for n, v in expected.items():
+            assert got[n] == pytest.approx(v, abs=1e-12), n
+
 
 class TestCorrGraphPipeline:
     def test_network_target_scores_against_networkx(self, spark):
