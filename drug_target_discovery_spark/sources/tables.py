@@ -55,10 +55,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass  # locked-down session: proceed with its settings
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLS.get(name, []):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+        if col not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[col]
+        if dtype == "bigint":
+            # TIMESTAMP(NANOS) parquet surfaced as nano-long
             df = df.withColumn(
                 col, F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long"))
             )
+        elif dtype == "timestamp_ntz":
+            # naive micros parquet: with the UTC session tz this cast is a
+            # pure retag (same wall values, same epoch DuckDB computes) and
+            # restores TimestampType for downstream epoch-seconds casts,
+            # which Spark forbids on TIMESTAMP_NTZ
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

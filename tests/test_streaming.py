@@ -35,6 +35,8 @@ def _open_stream(spark, d):
         src = src.withColumn(
             "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
         )
+    elif dict(src.dtypes)["ts"] == "timestamp_ntz":
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     return src
 
 
