@@ -51,6 +51,14 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # was fixed, (3) queries whose oracle or implementation changed this round.
 # Everything else (all green in r01) follows, slow rows-only pipelines last.
 _PRIORITY: tuple[str, ...] = (
+    # -- new this round: corpus-quality tier + decision-support extras
+    "benchmark_decontamination",
+    "repeated_ngram_fraction",
+    "gopher_quality_flags",
+    "winnowing_fingerprints",
+    "promo_revenue_share",
+    "small_lot_revenue",
+    "large_quantity_orders",
     # -- never driver-checked in r01: setops / similarity / stats / text / windows
     "customer_cohort_set_ops",
     "part_name_analysis",
@@ -111,11 +119,13 @@ def all_queries() -> dict[str, Query]:
         multimodal,
         percentiles,
         pipelineq,
+        quality,
         relational,
         setops,
         similarity,
         stats,
         text,
+        tpchx,
         windows,
     )
 
