@@ -49,6 +49,30 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return _SIG_CACHE[key]
 
+
+# The band self-join (signatures -> banded sums -> bucket-local join ->
+# distinct pairs) is the expensive half of the LSH chain and is consumed by
+# three queries (lsh_candidate_pairs, near_dup_groups,
+# connected_components_near_dups). Sweep-scoped like the signatures: the
+# pair table is tiny (candidates << corpus by construction), so memoizing
+# it trades kilobytes of storage for re-running the band join per query.
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+register_fixture_hook(_PAIR_CACHE.clear)
+
+
+def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PAIR_CACHE:
+        from drug_target_discovery_spark.caching import fixture_cache
+
+        _PAIR_CACHE[key] = fixture_cache(
+            lsh_candidate_pairs(
+                _signatures(spark, sf_dir), rows_per_band=_BANDS_ROWS
+            )
+        )
+    return _PAIR_CACHE[key]
+
 # shared oracle CTE: distinct 3-token shingles per doc
 _SHINGLES_SQL = f"""
     shingles AS (
@@ -174,8 +198,7 @@ def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates: equal 2-row band buckets. The join runs inside hash
     buckets only — the all-pairs blow-up never happens; this is the MinHash
     scale path for 100 TB corpora."""
-    sig = _signatures(spark, sf_dir)
-    return lsh_candidate_pairs(sig, bands=_NUM_HASHES // _BANDS_ROWS, rows_per_band=_BANDS_ROWS)
+    return candidate_pairs(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -223,10 +246,7 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalization; full transitive closure is `connected_components`,
     graph tier). Returns only docs that have a near-duplicate."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = _signatures(spark, sf_dir)
-    from drug_target_discovery_spark.caching import scoped_cache
-
-    cand = scoped_cache(lsh_candidate_pairs(sig, rows_per_band=_BANDS_ROWS))
+    cand = candidate_pairs(spark, sf_dir)
     # Jaccard-verify ONLY docs that appear in some candidate pair: the LSH
     # prefilter guarantees candidates << corpus, so the shingle self-join
     # runs on the small candidate member set instead of every document.

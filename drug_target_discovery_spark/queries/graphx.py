@@ -10,8 +10,8 @@ from pyspark.sql import functions as F
 from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
 from drug_target_discovery_spark.graph.algorithms import connected_components, pagerank
 from drug_target_discovery_spark.operators.asof import asof_join_backward
-from drug_target_discovery_spark.queries.dedup import _SIG_SQL, _BANDS_ROWS, _signatures
-from drug_target_discovery_spark.operators.dedup import MERSENNE61, lsh_candidate_pairs
+from drug_target_discovery_spark.queries.dedup import _SIG_SQL, _BANDS_ROWS, candidate_pairs
+from drug_target_discovery_spark.operators.dedup import MERSENNE61
 from drug_target_discovery_spark.queries.graphq import GRAPH_ORACLES, _corr_graph
 from drug_target_discovery_spark.queries.registry import register
 from drug_target_discovery_spark.sources.tables import load_table
@@ -57,13 +57,11 @@ def connected_components_near_dups(spark: SparkSession, sf_dir: str) -> DataFram
     """True transitive near-dup groups: connected components (min-label
     propagation, G6) over the LSH candidate-pair graph — the full-closure
     upgrade of near_dup_groups' single-hop canonicalization."""
-    sig = _signatures(spark, sf_dir)
-    # cache the candidate edge list: the component computation consumes it
-    # three times (node count, node collect, edge collect) and the LSH band
-    # self-join upstream is the expensive part of the chain (query-scoped)
-    from drug_target_discovery_spark.caching import scoped_cache
-
-    pairs = scoped_cache(lsh_candidate_pairs(sig, rows_per_band=_BANDS_ROWS))
+    # the candidate edge list is the sweep-scoped memo shared with
+    # lsh_candidate_pairs / near_dup_groups: the component computation
+    # consumes it three times (node count, node collect, edge collect) and
+    # the LSH band self-join upstream is the expensive part of the chain
+    pairs = candidate_pairs(spark, sf_dir)
     nodes = (
         pairs.select(F.col("d1").alias("node"))
         .union(pairs.select("d2"))
