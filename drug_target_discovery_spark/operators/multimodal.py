@@ -9,9 +9,12 @@ shapes — is real and tested. The codec step sits behind a registry seam:
 IMAGES a real pure-numpy BMP/PPM codec ships in ``operators.codecs``
 (``register_builtin_image_codecs``) — decode/resize/feature-extract run
 against actual pixel data, oracle-checked end to end by
-``media_image_decode_dims``. Audio/video remain on the deterministic fake
-(those libraries are not in this runtime); the default fake derives
-features from the payload digest so tests are reproducible either way.
+``media_image_decode_dims``. For AUDIO a real RIFF/WAV PCM codec ships
+alongside it (``register_builtin_audio_codecs``), oracle-checked by
+``media_audio_decode_stats``. Video remains on the deterministic fake
+(no container format is simple enough to hand-roll honestly); the default
+fake derives features from the payload digest so tests are reproducible
+either way.
 This is the standard seam: the cluster plumbing never changes when the
 codec does.
 

@@ -156,6 +156,95 @@ def media_image_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_audio_decode_stats",
+    tags=("multimodal", "mapInPandas", "codec"),
+    oracle="""
+    -- PCM WAV layout has a closed form: 44-byte canonical header + 2 bytes
+    -- per sample per channel. The Spark side round-trips real int16 PCM
+    -- through the RIFF encoder and the chunk-walking decoder
+    -- (operators/codecs.py); matching n_bytes/n_samples/first_sample_i16
+    -- proves both the byte layout and the sample data survived the trip.
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 400 + 50 AS BIGINT) AS n_samples,
+           CAST(doc_id % 2 + 1 AS INT) AS n_channels,
+           CAST(8000 + (doc_id % 4) * 2000 AS INT) AS sample_rate,
+           CAST(44 + 2 * (doc_id % 400 + 50) * (doc_id % 2 + 1) AS BIGINT)
+             AS n_bytes,
+           CAST(floor((doc_id % 400 + 50) * 1000.0
+                      / (8000 + (doc_id % 4) * 2000)) AS BIGINT) AS duration_ms,
+           CAST((doc_id * 31) % 65536 - 32768 AS INT) AS first_sample_i16
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def media_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec, end to end in executors (the WAV analog of
+    media_image_decode_dims): synthesize deterministic int16 PCM per audio
+    doc, encode to RIFF/WAV bytes, decode them back with the chunk-walking
+    parser, and emit the decoded stream stats. The first decoded sample is
+    rescaled back to int16 — an exact integer in both engines, so the oracle
+    proves the data path (not just the header arithmetic) with no
+    float-rounding tie hazards. Map-only Arrow-batched stage."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 400 + 50).cast("int").alias("n"),
+            (F.col("doc_id") % 2 + 1).cast("int").alias("c"),
+            (F.lit(8000) + (F.col("doc_id") % 4) * 2000).cast("int").alias("sr"),
+        )
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drug_target_discovery_spark.operators.codecs import (
+            decode_wav,
+            encode_wav,
+            wav_info,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, n, c, sr in zip(pdf["media_id"], pdf["n"], pdf["c"], pdf["sr"]):
+                mid, n, c, sr = int(mid), int(n), int(c), int(sr)
+                flat = (mid * 31 + np.arange(n * c, dtype=np.int64) * 17) % 65536 - 32768
+                samples = flat.reshape(n, c).astype(np.int16)
+                payload = encode_wav(samples, sr)
+                info = wav_info(payload)
+                arr = decode_wav(payload)
+                rows.append(
+                    (
+                        mid,
+                        arr.shape[0],
+                        arr.shape[1],
+                        info["sample_rate"],
+                        len(payload),
+                        arr.shape[0] * 1000 // info["sample_rate"],
+                        int(np.rint(float(arr[0, 0]) * 32768.0)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "n_channels", "sample_rate",
+                    "n_bytes", "duration_ms", "first_sample_i16",
+                ],
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        schema=(
+            "media_id BIGINT, n_samples BIGINT, n_channels INT, sample_rate INT, "
+            "n_bytes BIGINT, duration_ms BIGINT, first_sample_i16 INT"
+        ),
+    )
+
+
 @register("media_resize_shapes", tags=("multimodal", "mapInPandas"))
 def media_resize_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize kernel output shapes (64x48 target): payload re-encoded

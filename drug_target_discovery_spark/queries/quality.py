@@ -60,14 +60,17 @@ def _grams_sql(k: int) -> str:
       FROM words, LATERAL unnest(generate_series(1, len(w) - 4)) AS t(i)
       WHERE len(w) >= 5
     ),
-    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
-    train AS (SELECT * FROM grams WHERE doc_id % 20 <> 0)
+    hashed AS (
+      SELECT doc_id, {MD5_INT_DUCK.format(col="g")} AS hg FROM grams
+    ),
+    bench AS (SELECT DISTINCT hg FROM hashed WHERE doc_id % 20 = 0),
+    train AS (SELECT * FROM hashed WHERE doc_id % 20 <> 0)
     SELECT train.doc_id,
            count(*) AS n_grams,
-           CAST(count(bench.g) AS BIGINT) AS n_hit,
-           {rnd_sql("count(bench.g) * 1.0 / count(*)", 4)} AS contamination,
-           CASE WHEN count(bench.g) > 0 THEN 1 ELSE 0 END AS is_contaminated
-    FROM train LEFT JOIN bench ON train.g = bench.g
+           CAST(count(bench.hg) AS BIGINT) AS n_hit,
+           {rnd_sql("count(bench.hg) * 1.0 / count(*)", 4)} AS contamination,
+           CASE WHEN count(bench.hg) > 0 THEN 1 ELSE 0 END AS is_contaminated
+    FROM train LEFT JOIN bench ON train.hg = bench.hg
     GROUP BY train.doc_id
     """,
 )
@@ -76,24 +79,34 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a held-out benchmark split (here: doc_id % 20 == 0, deterministic).
 
     Scale shape: per-doc distinct grams are built map-side (array_distinct
-    BEFORE explode, so duplicate grams never hit the shuffle); the benchmark
-    gram set is tiny relative to the corpus and is broadcast — the train
-    side never shuffles. One aggregation by doc_id closes the plan.
+    BEFORE explode, so duplicate grams never hit the shuffle), and only a
+    60-bit md5 gram hash ever reaches the join — never the gram string.
+    The benchmark split is carved from the corpus itself, so it grows
+    linearly with the corpus; no broadcast hint is forced — AQE picks
+    broadcast when the bench side is genuinely small at runtime and falls
+    back to a shuffled hash join when it is not. (Both engines join on the
+    identical md5-derived integers, so hash collisions — ~2^-60 — cannot
+    diverge the counts.) One aggregation by doc_id closes the plan.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     )
-    grams = docs.filter(F.size("w") >= 5).select(
-        "doc_id", F.explode(F.array_distinct(word_grams(F.col("w"), 5))).alias("g")
+    hg = F.expr(MD5_INT_SPARK.format(col="g"))
+    grams = (
+        docs.filter(F.size("w") >= 5)
+        .select(
+            "doc_id", F.explode(F.array_distinct(word_grams(F.col("w"), 5))).alias("g")
+        )
+        .select("doc_id", hg.alias("hg"))
     )
     bench = (
         grams.filter(F.col("doc_id") % 20 == 0)
-        .select("g")
+        .select("hg")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     train = grams.filter(F.col("doc_id") % 20 != 0)
-    joined = train.join(F.broadcast(bench), "g", "left")
+    joined = train.join(bench, "hg", "left")
     n_hit = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),

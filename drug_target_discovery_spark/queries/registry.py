@@ -44,64 +44,61 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # Driver-visit priority. The driver's correctness gate walks the queries()
-# dict in insertion order and (empirically, round 1) may not reach the tail
-# — CORRECTNESS_r01 covered exactly the first 50 entries. Front-load the
-# queries that most need a driver-verified row this round: (1) the 29 the
-# round-1 gate never reached, (2) the 5 whose value-hash canonicalization
-# was fixed, (3) queries whose oracle or implementation changed this round.
-# Everything else (all green in r01) follows, slow rows-only pipelines last.
+# dict in insertion order and stops at 50 entries per round, so coverage is a
+# rotation problem: order round 3's list as (1) queries never driver-checked
+# in any round, (2) queries whose oracle or implementation changed this round,
+# (3) the 37 queries last verified in round 1 (implementations unchanged, but
+# stale evidence), then everything r2-green.
 _PRIORITY: tuple[str, ...] = (
-    # -- new this round: corpus-quality tier + decision-support extras
-    "benchmark_decontamination",
-    "repeated_ngram_fraction",
-    "gopher_quality_flags",
-    "winnowing_fingerprints",
-    "promo_revenue_share",
-    "small_lot_revenue",
-    "large_quantity_orders",
-    # -- never driver-checked in r01: setops / similarity / stats / text / windows
-    "customer_cohort_set_ops",
-    "part_name_analysis",
-    "cosine_topk_bruteforce",
-    "ann_ivf_bucketed_topk",
-    "embedding_cosine_near_dups",
-    "embedding_label_stats",
-    "centroid_assignment",
-    "median_quantity_by_part",
-    "median_impute",
-    "missing_census",
-    "conditional_log2",
-    "zscore_by_part",
-    "robust_zscore_by_part",
-    "welch_t_by_part",
-    "bh_fdr_adjust",
-    "na_threshold_filter",
-    "top_variance_parts",
-    "supplier_composite_score",
+    # -- never driver-checked in any round
+    "media_image_decode_dims",
+    # -- new this round
+    "media_audio_decode_stats",
+    # -- oracle gained / implementation changed this round
     "differential_expression",
-    "token_count_stats",
-    "text_quality_scores",
-    "lang_id_stopwords",
-    "rolling_hash_fingerprint",
-    "tfidf_top_terms",
-    "moving_avg_daily_revenue",
-    "ntile_price_bands",
-    "cube_order_stats",
-    "grouping_sets_ship_stats",
-    "approx_distinct_parts",
-    # -- value-hash canonicalization fixed this round
-    "curation_pipeline_summary",
-    "simhash_fingerprints",
-    "session_windows_gap",
-    "json_props_extract",
-    "media_metadata_stats",
-    # -- implementation/oracle changed this round
-    "session_windows_builtin",
-    "sequence_packing",
-    "eigenvector_centrality_corr_graph",
-    "betweenness_centrality_corr_graph",
-    "network_target_scores",
-    "pagerank_corr_graph",
+    "geo_pipeline_differential",
+    "geo_pipeline_targets",
+    "connected_components_near_dups",
+    "benchmark_decontamination",
+    "bh_fdr_scalable_adjust",
+    "mllib_corr_matrix_top",
+    "small_lot_revenue",
+    # -- last verified in round 1 only (unchanged; re-verify before evidence
+    #    goes stale two rounds deep)
+    "corpus_mixture_rebalance",
+    "corr_edges_top_parts",
+    "customers_without_orders",
+    "degree_centrality_corr_graph",
+    "doc_chunk_packing",
+    "doc_length_histogram",
+    "event_interarrival_stats",
+    "event_type_pivot",
+    "events_in_purchase_hour",
+    "exact_dedup_sha256",
+    "hash_stratified_sample",
+    "latest_event_per_user",
+    "lsh_candidate_pairs",
+    "media_feature_extraction",
+    "media_frame_sample",
+    "media_payload_digest",
+    "media_resize_shapes",
+    "minhash_signatures",
+    "mllib_minhash_neardups",
+    "near_dup_groups",
+    "ngram_jaccard_near_dups",
+    "order_priority_rollup",
+    "part_type_classifier",
+    "parts_shipped_to_top_nation",
+    "per_source_doc_cap",
+    "positional_zip_join",
+    "price_percentiles_by_brand",
+    "pricing_summary",
+    "revenue_by_nation",
+    "sliding_window_stats",
+    "source_lang_entropy",
+    "supplier_part_distincts",
+    "top_orders_by_revenue",
+    "tumbling_event_counts",
 )
 
 

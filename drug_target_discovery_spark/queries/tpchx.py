@@ -73,7 +73,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_partkey
     )
     SELECT p_brand,
-           {rnd_sql("sum(l_extendedprice) / 7.0", 2)} AS avg_yearly,
+           {rnd_sql("sum(l_extendedprice) / 7.0", 0)} AS avg_yearly,
            count(*) AS n_small_lots
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -93,7 +93,13 @@ def small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of the fact table. part is broadcast. The thresholds are exact
     across engines: integer-valued quantities sum exactly in doubles, so
     avg and the 0.2× product are bit-identical and the `<` predicate cannot
-    diverge."""
+    diverge.
+
+    avg_yearly rounds an absolute double SUM, whose cross-engine
+    summation-order error grows with group size (~n·eps·sum: ~4e-5 at
+    sf0.01, ~4e-3 at sf1) — so it is rounded to whole units, keeping the
+    boundary-mismatch probability ~2·err/1 negligible at every SF the
+    harness runs, where 2-decimal rounding would start flipping at sf≳1."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
@@ -107,7 +113,7 @@ def small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand")
         .agg(
-            rnd(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            rnd(F.sum("l_extendedprice") / 7.0, 0).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_small_lots"),
         )
     )

@@ -64,11 +64,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 col, F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long"))
             )
         elif dtype == "timestamp_ntz":
-            # naive micros parquet: with the UTC session tz this cast is a
-            # pure retag (same wall values, same epoch DuckDB computes) and
-            # restores TimestampType for downstream epoch-seconds casts,
-            # which Spark forbids on TIMESTAMP_NTZ
-            df = df.withColumn(col, F.col(col).cast("timestamp"))
+            # naive micros parquet: restore TimestampType for downstream
+            # epoch-seconds casts, which Spark forbids on TIMESTAMP_NTZ.
+            # Under a UTC session tz the cast is a pure retag (same wall
+            # values, same epoch DuckDB computes). If the conf.set above was
+            # rejected (locked-down session) and the session tz is NOT UTC,
+            # a bare cast would shift epochs by the host offset — compensate
+            # with from_utc_timestamp, which adds the session-tz offset back
+            # (cast: epoch = micros - offset; from_utc_timestamp: + offset).
+            try:
+                tz = spark.conf.get("spark.sql.session.timeZone")
+            except Exception:
+                tz = None
+            ts = F.col(col).cast("timestamp")
+            if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+                ts = F.from_utc_timestamp(ts, tz or "UTC")
+            df = df.withColumn(col, ts)
     return df
 
 

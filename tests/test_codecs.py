@@ -148,3 +148,65 @@ class TestKernelsWithRealCodec:
         # audio/video remain stubbed
         with pytest.raises(NotImplementedError):
             strict_decoder("audio")
+
+
+class TestWavCodec:
+    @pytest.mark.parametrize("n,c,sr", [(1, 1, 8000), (50, 2, 16000), (441, 1, 44100)])
+    def test_wav_round_trip(self, n, c, sr):
+        from drug_target_discovery_spark.operators.codecs import (
+            decode_wav,
+            encode_wav,
+            wav_info,
+        )
+
+        rng = np.random.default_rng(7)
+        samples = rng.integers(-32768, 32768, size=(n, c), dtype=np.int64).astype(
+            np.int16
+        )
+        payload = encode_wav(samples, sr)
+        assert len(payload) == 44 + 2 * n * c
+        info = wav_info(payload)
+        assert (info["n_samples"], info["n_channels"], info["sample_rate"]) == (n, c, sr)
+        decoded = decode_wav(payload)
+        assert decoded.shape == (n, c)
+        back = np.rint(decoded * 32768.0).astype(np.int16)
+        assert np.array_equal(back, samples)
+
+    def test_wav_extra_chunk_walk(self):
+        # a LIST chunk before data must not break the parser (chunk walking,
+        # not fixed-offset parsing)
+        import struct
+
+        from drug_target_discovery_spark.operators.codecs import decode_wav, encode_wav
+
+        canonical = encode_wav(np.array([[100], [-200]], dtype=np.int16), 8000)
+        fmt_chunk = canonical[12:36]
+        data_chunk = canonical[36:]
+        extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+        body = fmt_chunk + extra + data_chunk
+        payload = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+        decoded = decode_wav(payload)
+        assert np.array_equal(
+            np.rint(decoded * 32768.0).astype(np.int16), [[100], [-200]]
+        )
+
+    def test_wav_rejects_non_pcm(self):
+        import struct
+
+        from drug_target_discovery_spark.operators.codecs import encode_wav, wav_info
+
+        payload = bytearray(encode_wav(np.zeros((4, 1), dtype=np.int16), 8000))
+        struct.pack_into("<H", payload, 20, 3)  # audio_fmt = IEEE float
+        with pytest.raises(ValueError):
+            wav_info(bytes(payload))
+
+    def test_strict_decoder_satisfied_for_audio(self):
+        from drug_target_discovery_spark.operators.codecs import (
+            register_builtin_audio_codecs,
+        )
+
+        register_builtin_audio_codecs()
+        try:
+            assert strict_decoder("audio") is not None
+        finally:
+            unregister_codecs("audio")
