@@ -61,6 +61,7 @@ def welch_t_stats(
     condition: str,
     case_label: str = "case",
     control_label: str = "control",
+    value_scale: int | None = None,
 ) -> DataFrame:
     """Welch t statistic + Satterthwaite df per key, in ONE aggregation pass.
 
@@ -69,15 +70,36 @@ def welch_t_stats(
     zero get NULL t (mirrors the reference's NaN on scipy failure,
     pipeline2.py:602-603). log2fc = mean_case - mean_control
     (pipeline2.py:596 — values are already log2-scale).
+
+    ``value_scale``: when the values live on a decimal lattice (prices in
+    cents -> 100), group means are computed from EXACT int64 sums of the
+    scaled values instead of float avg. Float sums are summation-order
+    dependent, and Spark's partial-aggregate merge order is not
+    deterministic across runs — a mean landing within 1 ulp of a rounding
+    boundary (which lattice data does: means of .XX25-lattice prices
+    produce true .XXXX5 ties) can flip its rounded digit between runs.
+    Integer sums make the mean a single exact-operand division:
+    bit-identical across runs, engines, and partitionings.
     """
     is_case = F.col(condition) == case_label
     is_control = F.col(condition) == control_label
     v = F.col(value)
+    if value_scale is not None:
+        vi = F.round(v * value_scale).cast("long")
+        mean_case = F.sum(F.when(is_case, vi)).cast("double") / (
+            F.count(F.when(is_case, 1)) * float(value_scale)
+        )
+        mean_control = F.sum(F.when(is_control, vi)).cast("double") / (
+            F.count(F.when(is_control, 1)) * float(value_scale)
+        )
+    else:
+        mean_case = F.avg(F.when(is_case, v))
+        mean_control = F.avg(F.when(is_control, v))
     agg = df.groupBy(key).agg(
         F.count(F.when(is_case, 1)).alias("n_case"),
         F.count(F.when(is_control, 1)).alias("n_control"),
-        F.avg(F.when(is_case, v)).alias("mean_case"),
-        F.avg(F.when(is_control, v)).alias("mean_control"),
+        mean_case.alias("mean_case"),
+        mean_control.alias("mean_control"),
         F.var_samp(F.when(is_case, v)).alias("var_case"),
         F.var_samp(F.when(is_control, v)).alias("var_control"),
     )

@@ -1,9 +1,10 @@
 """Driver-visible end-to-end pipeline queries (SURVEY §3): the full GEO ->
-targets chain on the deterministic synthetic fixture. Rows-only driver
-checks (the chain crosses the t-CDF and iterative-graph boundaries that SQL
-can't express); stage-level numeric parity is covered by the oracle-checked
-operator queries plus tests/test_pipeline.py's pandas/networkx golden
-comparison."""
+targets chain on the deterministic synthetic fixture. The chain crosses the
+t-CDF and iterative-graph boundaries SQL can't express, but the fixture is
+deterministic — so both queries carry fixture VALUES oracles computed by an
+independent pandas/numpy/networkx implementation (tools/gen_geo_oracles.py,
+same reference code the golden test tests/test_pipeline.py compares
+against)."""
 
 from __future__ import annotations
 
@@ -89,11 +90,21 @@ def _run(spark: SparkSession) -> dict[str, DataFrame]:
     return _RUN_CACHE[key]
 
 
-@register("geo_pipeline_differential", tags=("pipeline", "geo"))
+from drug_target_discovery_spark.queries._geo_oracles import GEO_ORACLES  # noqa: E402
+
+
+@register(
+    "geo_pipeline_differential",
+    tags=("pipeline", "geo"),
+    oracle=GEO_ORACLES.get("geo_pipeline_differential"),
+)
 def geo_pipeline_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stages 1-4 (parse -> preprocess -> map -> Welch/BH differential
     table) on the synthetic GEO fixture — schema matches the reference's
-    differential_expression.csv (gene, log2FC, pvalue, adjusted_pvalue)."""
+    differential_expression.csv (gene, log2FC, pvalue, adjusted_pvalue).
+    Oracle: fixture VALUES computed by the independent pandas/numpy
+    reference implementation (tools/gen_geo_oracles.py); SF-independent
+    because the fixture is."""
     out = _run(spark)["differential"]
     return out.select(
         "gene",
@@ -103,11 +114,16 @@ def geo_pipeline_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("geo_pipeline_targets", tags=("pipeline", "geo"))
+@register(
+    "geo_pipeline_targets",
+    tags=("pipeline", "geo"),
+    oracle=GEO_ORACLES.get("geo_pipeline_targets"),
+)
 def geo_pipeline_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full nine-stage chain to validated targets (schema of the
     reference's GSE46602_final_targets.csv) with the deterministic offline
-    enrichment client."""
+    enrichment client. Oracle: fixture VALUES (tools/gen_geo_oracles.py),
+    networkx centralities + the fake client's closed-form enrichment."""
     out = _run(spark)["validated_targets"]
     return out.select(
         "gene",

@@ -215,8 +215,20 @@ def na_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey,
              count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_case,
              count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n_control,
-             avg(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS mean_case,
-             avg(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS mean_control,
+             -- exact int64 sums of cent-lattice prices: the mean is a single
+             -- exact-operand division, bit-identical across engines and
+             -- summation orders (functions/stats.py welch_t_stats
+             -- value_scale)
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+                  AS DOUBLE)
+               / (count(CASE WHEN l_returnflag = 'R' THEN 1 END) * 100.0)
+               AS mean_case,
+             CAST(sum(CASE WHEN l_returnflag = 'A'
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+                  AS DOUBLE)
+               / (count(CASE WHEN l_returnflag = 'A' THEN 1 END) * 100.0)
+               AS mean_control,
              var_samp(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS var_case,
              var_samp(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS var_control
       FROM lineitem GROUP BY l_partkey
@@ -239,11 +251,15 @@ def welch_t_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch t-test per gene from sufficient statistics (T2,
     pipeline2.py:584-607): ONE aggregation pass for every key replaces the
     reference's per-gene Python loop — the single most important
-    scale-up rewrite in the engine. case = returnflag 'R', control = 'A'."""
+    scale-up rewrite in the engine. case = returnflag 'R', control = 'A'.
+    Means via exact cent-lattice integer sums (value_scale=100) so the 4dp
+    log2fc is deterministic across summation orders."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_returnflag"
     )
-    t = welch_t_stats(li, "l_partkey", "l_extendedprice", "l_returnflag", "R", "A")
+    t = welch_t_stats(
+        li, "l_partkey", "l_extendedprice", "l_returnflag", "R", "A", value_scale=100
+    )
     return t.select(
         "l_partkey",
         "n_case",
@@ -257,16 +273,31 @@ def welch_t_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # T2b: full differential expression with p-values (pandas_udf t CDF)
 # --------------------------------------------------------------------------
-@register("differential_expression", tags=("stats", "pandas_udf"))
+from drug_target_discovery_spark.queries._diffexpr_oracle import (  # noqa: E402
+    DIFFEXPR_ORACLE,
+)
+
+
+@register(
+    "differential_expression",
+    tags=("stats", "pandas_udf"),
+    oracle=DIFFEXPR_ORACLE,
+)
 def differential_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full differential-expression table (T2+T3): Welch t -> two-sided p
     via Arrow-batched numpy t-CDF -> BH-FDR -> significance flag (P5).
-    No SQL oracle (DuckDB has no t CDF) -> rows-only driver check; numeric
-    parity is unit-tested against reference t-tables (tests/test_stats.py)."""
+    DuckDB has no t CDF, so the oracle is a fixture VALUES table
+    (tools/gen_diffexpr_oracle.py): Welch sufficient stats computed by
+    DuckDB, p/BH by the independent numpy reference, bound to the gate's
+    sf0.01 tables. Means via exact cent-lattice integer sums
+    (value_scale=100) keep the 4dp log2fc deterministic; numeric parity is
+    also unit-tested against reference t-tables (tests/test_stats.py)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_returnflag"
     )
-    t = welch_t_stats(li, "l_partkey", "l_extendedprice", "l_returnflag", "R", "A")
+    t = welch_t_stats(
+        li, "l_partkey", "l_extendedprice", "l_returnflag", "R", "A", value_scale=100
+    )
     withp = t.withColumn("pvalue", student_t_two_sided_p("t_stat", "t_df"))
     adj = bh_fdr(withp, "pvalue", "adjusted_pvalue")
     return adj.select(
@@ -274,10 +305,14 @@ def differential_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd("log2fc", 4).alias("log2fc"),
         rnd("pvalue", 6).alias("pvalue"),
         rnd("adjusted_pvalue", 6).alias("adjusted_pvalue"),
-        (
+        # coalesce: undefined p (NULL) is NOT significant — the reference's
+        # filter drops NaN rows (pipeline2.py:639-643); a NULL boolean would
+        # also render differently in the two engines' value-hash
+        F.coalesce(
             (F.col("adjusted_pvalue") < 0.05)
             & (F.abs(F.col("log2fc")) > 1)
-            & F.col("log2fc").isNotNull()
+            & F.col("log2fc").isNotNull(),
+            F.lit(False),
         ).alias("significant"),
     )
 
