@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 def connected_components(
     edges: DataFrame,
-    nodes: DataFrame,
+    nodes: DataFrame | None = None,
     max_iter: int = 50,
     checkpoint_every: int = 5,
     driver_threshold: int = 1_000_000,
@@ -25,18 +25,36 @@ def connected_components(
     join-aggregate label'(v) = min(label(v), min over neighbors of
     label(u)); O(diameter) rounds (HashToMin family — the
     large-star/small-star variant halves rounds at extreme scale, same plan
-    shape)."""
+    shape).
+
+    ``nodes=None`` declares the node set is exactly the edge endpoints (no
+    isolated nodes — true for candidate-pair graphs by construction): the
+    small-graph path then runs off ONE collect of the edge list plus a
+    cheap count, instead of the count/collect/collect trio a separate node
+    table needs."""
+    if nodes is None:
+        if edges.count() < driver_threshold:  # node count <= 2x edge count
+            rows = edges.select("src", "dst").collect()
+            node_list = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+            return _union_find(rows, node_list, edges.sparkSession)
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        return _cc_distributed(edges, nodes, max_iter, checkpoint_every)
     if nodes.count() < driver_threshold:
-        return _cc_driver(edges, nodes)
+        node_list = [r["node"] for r in nodes.select("node").collect()]
+        return _union_find(
+            edges.select("src", "dst").collect(), node_list, edges.sparkSession
+        )
     return _cc_distributed(edges, nodes, max_iter, checkpoint_every)
 
 
-def _cc_driver(edges: DataFrame, nodes: DataFrame) -> DataFrame:
-    """Union-find on the collected edge list (exact, O(E α(V)))."""
+def _union_find(edge_rows, node_list, spark) -> DataFrame:
+    """Union-find over collected edges (exact, O(E α(V)))."""
     import pandas as pd
 
-    spark = edges.sparkSession
-    node_list = [r["node"] for r in nodes.select("node").collect()]
     parent = {v: v for v in node_list}
 
     def find(x):
@@ -47,7 +65,7 @@ def _cc_driver(edges: DataFrame, nodes: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in edges.select("src", "dst").collect():
+    for r in edge_rows:
         a, b = find(r["src"]), find(r["dst"])
         if a != b:
             if b < a:

@@ -141,7 +141,13 @@ def extract_features(media: DataFrame, pool: int = FEATURE_DIM) -> DataFrame:
             for mid, mtype, payload in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
                 arr = decoders.get(mtype, _fake_decode)(bytes(payload), {}).ravel()
                 chunks = np.array_split(arr, pool)
-                feat = np.array([float(c.mean()) for c in chunks], dtype=np.float32)
+                # pool in float64 (sequential-sum territory for <128-element
+                # chunks): deterministic and SQL-mirrorable, where a float32
+                # pairwise mean is neither
+                feat = np.array(
+                    [float(c.astype(np.float64).mean()) for c in chunks],
+                    dtype=np.float32,
+                )
                 out.append((int(mid), str(mtype), feat.tolist(), int(arr.size)))
             yield pd.DataFrame(
                 out, columns=["media_id", "media_type", "feature", "n_values"]

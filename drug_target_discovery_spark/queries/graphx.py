@@ -58,17 +58,13 @@ def connected_components_near_dups(spark: SparkSession, sf_dir: str) -> DataFram
     propagation, G6) over the LSH candidate-pair graph — the full-closure
     upgrade of near_dup_groups' single-hop canonicalization."""
     # the candidate edge list is the sweep-scoped memo shared with
-    # lsh_candidate_pairs / near_dup_groups: the component computation
-    # consumes it three times (node count, node collect, edge collect) and
-    # the LSH band self-join upstream is the expensive part of the chain
+    # lsh_candidate_pairs / near_dup_groups; nodes = edge endpoints by
+    # construction, so nodes=None lets the small-graph union-find run off
+    # ONE collect of the (tiny) pair list — the LSH band self-join upstream
+    # is the expensive part of the chain and runs once into the memo
     pairs = candidate_pairs(spark, sf_dir)
-    nodes = (
-        pairs.select(F.col("d1").alias("node"))
-        .union(pairs.select("d2"))
-        .distinct()
-    )
     edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-    cc = connected_components(edges, nodes)
+    cc = connected_components(edges, nodes=None)
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 

@@ -50,15 +50,23 @@ def mllib_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mllib_corr_matrix_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense Pearson correlation matrix via ml.stat.Correlation (SURVEY A7
     option (b)) on the top-10 most-variable genes: VectorAssembler over the
-    pivoted sample x gene table -> one Correlation.corr call. Kept small by
-    construction — the dense form is for driver-edge analytics; the fused
-    self-join (corr_edges_top_parts) is the distributed path."""
+    pivoted sample x gene table -> one Correlation.corr call.
+
+    DEMO, BOUNDED BY CONSTRUCTION: the dense pivot + driver collect is the
+    K x K matrix form for driver-edge analytics and is capped at K=10 genes
+    (tests/test_mllib.py pins the bound); the fused self-join
+    (corr_edges_top_parts) is the distributed path that does the same work
+    as a pure DataFrame plan. Do not grow K here — grow the fused plan."""
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.stat import Correlation
 
+    from drug_target_discovery_spark.caching import scoped_cache
     from drug_target_discovery_spark.queries.graphq import _cell_matrix
 
-    cell = _cell_matrix(spark, sf_dir)
+    # the cell matrix (fact-fact join + aggregation) is consumed by two
+    # actions here (top-gene collect, correlation job) — cache it so the
+    # lineitem⋈orders join runs once, not twice
+    cell = scoped_cache(_cell_matrix(spark, sf_dir))
     top = (
         cell.groupBy("g")
         .agg(F.var_samp("v").alias("_var"), F.count(F.lit(1)).alias("_n"))

@@ -80,11 +80,36 @@ def media_payload_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_feature_extraction", tags=("multimodal", "mapInPandas"))
+# The fake decoder expands the payload's sha256 digest (32 bytes) to 256
+# values, so every 32-value pool chunk IS the digest: f0 = float32 of the
+# float64 mean over float32(byte/255) — mirrored term by term, left-
+# associative, so both engines execute the identical IEEE sequence.
+_F0_SUM = " + ".join(
+    f"CAST(CAST(CAST(('0x' || substr(d, {2 * k + 1}, 2)) AS INT) / 255.0 AS REAL) AS DOUBLE)"
+    for k in range(32)
+)
+
+
+@register(
+    "media_feature_extraction",
+    tags=("multimodal", "mapInPandas"),
+    oracle=f"""
+    WITH dg AS (SELECT doc_id, sha256(text) AS d FROM documents)
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(256 AS INT) AS n_values,
+           {rnd_sql(f"CAST(CAST(({_F0_SUM}) / 32.0 AS REAL) AS DOUBLE)", 6)} AS f0
+    FROM dg
+    """,
+)
 def media_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode -> pooled feature vector via the Arrow-batched kernel (codec
-    stubbed, plumbing real). Rows-only driver check; batch shape and
-    determinism unit-tested (tests/test_multimodal.py)."""
+    """Decode -> pooled feature vector via the Arrow-batched kernel. The
+    oracle proves the PLUMBING (mapInPandas batching, pooling arithmetic,
+    Arrow float32 schema) end to end against the documented deterministic
+    stand-in codec's closed form — a registered real codec (images: BMP/PPM,
+    audio: WAV) changes the decode, not the plumbing, and is oracle-checked
+    by media_image_decode_dims / media_audio_decode_stats."""
     feats = extract_features(_media(spark, sf_dir))
     return feats.select(
         "media_id",
@@ -245,19 +270,54 @@ def media_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_resize_shapes", tags=("multimodal", "mapInPandas"))
+@register(
+    "media_resize_shapes",
+    tags=("multimodal", "mapInPandas"),
+    oracle="""
+    -- stub byte-downsample closed form: linspace over payload bytes emits
+    -- min(64*48, len) bytes; empty payloads pass through as 0 bytes
+    SELECT doc_id AS media_id,
+           CAST(64 AS INT) AS width,
+           CAST(48 AS INT) AS height,
+           CAST(least(3072, octet_length(encode(text))) AS INT) AS n_bytes
+    FROM documents
+    """,
+)
 def media_resize_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize kernel output shapes (64x48 target): payload re-encoded
-    batch-at-a-time; result sizes prove the kernel ran per-row."""
+    batch-at-a-time; result sizes prove the kernel ran per-row. The oracle
+    pins the documented stub's byte-count closed form (no codecs are
+    registered in driver runs; the real-codec path is oracle-checked by
+    media_image_decode_dims)."""
     resized = resize_images(_media(spark, sf_dir), width=64, height=48)
     return resized.select(
         "media_id", "width", "height", F.length("payload").alias("n_bytes")
     )
 
 
-@register("media_frame_sample", tags=("multimodal", "mapInPandas"))
+@register(
+    "media_frame_sample",
+    tags=("multimodal", "mapInPandas"),
+    oracle="""
+    -- equal-slice stub frames: step = max(len // 4, 1); frame i covers
+    -- bytes [i*step, min(len, (i+1)*step)) — frames past the payload end
+    -- are empty rows, and empty payloads emit no rows at all
+    WITH media AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(greatest(0, least(len, (i + 1) * greatest(len // 4, 1))
+                            - i * greatest(len // 4, 1)) AS INT) AS n_bytes
+    FROM media, unnest([0, 1, 2, 3]) AS t(i)
+    WHERE len > 0
+    """,
+)
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling (UDTF-shaped: 4 rows out per video in)."""
+    """Frame sampling (UDTF-shaped: 4 rows out per video in). The oracle
+    pins the stub's slice arithmetic per emitted row — proving the
+    rows-out>rows-in mapInPandas shape end to end."""
     m = _media(spark, sf_dir).filter(F.col("meta.media_type") == "video")
     frames = sample_frames(m, n_frames=4)
     return frames.select(

@@ -52,6 +52,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
+        # shuffle/spill scratch on tmpfs: this box has 128 GiB RAM and a
+        # throttled disk — RAM-backed scratch removes iowait spikes from
+        # bench timings. On a real cluster this is the executors' local
+        # SSD setting; the 100 TB design never depends on it.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         # vectorized parquet reader + pushdown are on by default; pin anyway
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")

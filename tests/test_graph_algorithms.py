@@ -42,6 +42,21 @@ class TestCC:
         }
         assert got == _cc_expected(g)
 
+    def test_endpoints_only_paths(self, spark, graph_dfs):
+        # nodes=None declares node set == edge endpoints: isolated nodes
+        # (90, 91) are excluded, everything else matches, on BOTH paths
+        g, _, edges = graph_dfs
+        exp = _cc_expected(g)
+        exp = {v: c for v, c in exp.items() if g.degree(v) > 0}
+        for thr in (1_000_000, 0):
+            got = {
+                r["node"]: r["component"]
+                for r in connected_components(
+                    edges, nodes=None, driver_threshold=thr
+                ).collect()
+            }
+            assert got == exp, f"driver_threshold={thr}"
+
 
 def _pagerank_reference(g, alpha=0.85, max_iter=200, tol=1e-10):
     """Pure-python power iteration with dangling redistribution (the

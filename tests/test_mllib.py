@@ -27,6 +27,10 @@ class TestMLlibParity:
             for r in pairwise_pearson(sub, "g", "s", "v", min_periods=1).collect()
         }
         assert mllib  # non-empty
+        # demo bound: the dense pivot + collect form must stay capped at
+        # K=10 genes (<= 45 upper-triangle pairs) — growth belongs in the
+        # fused distributed plan, not here
+        assert len(keys) <= 10 and len(mllib) <= 45
         for pair, r in mllib.items():
             if pair in ours and ours[pair] is not None:
                 # MLlib pivots with na.fill(0) so only fully-observed pairs
