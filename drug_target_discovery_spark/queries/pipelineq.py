@@ -55,39 +55,76 @@ from drug_target_discovery_spark.caching import (  # noqa: E402
 register_fixture_hook(_RUN_CACHE.clear)
 
 
-def _run(spark: SparkSession) -> dict[str, DataFrame]:
-    """Pipeline outputs, memoized per application: the differential and
-    targets queries share one chain instead of re-running stages 1-6."""
-    key = spark.sparkContext.applicationId
-    if key not in _RUN_CACHE:
-        d = _fixture_dir()
-        # right-size shuffle width to the data volume for the duration of
-        # the chain's internal actions (significance probe, centrality
-        # collects): the fixture long table is ~1K rows, so 32-partition
-        # shuffle stages are pure scheduling overhead. Restored afterwards —
-        # at real GEO scale the session default / AQE coalescing governs.
+def _narrow_shuffle(spark: SparkSession):
+    """Context: right-size shuffle width to the fixture volume for the
+    duration of the chain's internal actions (significance probe,
+    centrality collects): the fixture long table is ~1K rows, so
+    32-partition shuffle stages are pure scheduling overhead. Restored
+    afterwards — at real GEO scale the session default / AQE coalescing
+    governs. (Shuffle width binds at EXECUTION time, which is why the
+    chain materializes inside this window.)"""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return cm()
+
+
+def _diff_chain(spark: SparkSession) -> dict[str, DataFrame]:
+    """Stages 1-4 (parse -> preprocess -> map -> differential), memoized.
+    Split from the graph/validation half so the differential query pays
+    only its own stages; the targets query extends the same memo."""
+    key = spark.sparkContext.applicationId
+    if key not in _RUN_CACHE:
+        d = _fixture_dir()
+        with _narrow_shuffle(spark):
             expr, meta = parse_geo_series_matrix(
                 spark, os.path.join(d, "series_matrix.txt")
             )
             expr = expr.coalesce(2)
             mapping = read_probe_mapping_csv(spark, os.path.join(d, "mapping.csv"))
             pipe = DrugTargetPipeline(PipelineParams())
-            out = pipe.run(expr, meta, mapping, client=deterministic_fake_client)
-            out["differential"] = fixture_cache(out["differential"])
-            out["target_scores"] = fixture_cache(out["target_scores"])
-            # materialize the two driver-visible tables while the narrow
-            # shuffle width is in effect (they are bounded: one row per gene
-            # / per target)
-            out["differential"].count()
-            out["validated_targets"] = fixture_cache(out["validated_targets"])
-            out["validated_targets"].count()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-        _RUN_CACHE[key] = out
+            normalized = pipe.preprocess(expr)
+            gene_long = pipe.map_probes_to_genes(normalized, mapping)
+            gene_cond = fixture_cache(pipe.attach_condition(gene_long, meta))
+            diff = fixture_cache(pipe.differential_expression(gene_cond))
+            diff.count()
+        _RUN_CACHE[key] = {"pipe": pipe, "gene_cond": gene_cond, "differential": diff}
     return _RUN_CACHE[key]
+
+
+def _full_chain(spark: SparkSession) -> dict[str, DataFrame]:
+    """Stages 5-7 (network -> centralities -> validation) on top of the
+    stage-1-4 memo."""
+    out = _diff_chain(spark)
+    if "validated_targets" not in out:
+        pipe, gene_cond, diff = out["pipe"], out["gene_cond"], out["differential"]
+        with _narrow_shuffle(spark):
+            sig = pipe.significant_genes(diff)
+            top = fixture_cache(pipe.select_network_genes(gene_cond, sig))
+            nodes, edges = pipe.build_network(gene_cond, top)
+            edges = fixture_cache(edges)
+            scores = fixture_cache(pipe.score_targets(nodes, edges))
+            validated = fixture_cache(
+                pipe.validate_targets(scores, deterministic_fake_client)
+            )
+            validated.count()
+        out.update(
+            {
+                "network_nodes": nodes,
+                "network_edges": edges,
+                "target_scores": scores,
+                "validated_targets": validated,
+            }
+        )
+    return out
 
 
 from drug_target_discovery_spark.queries._geo_oracles import GEO_ORACLES  # noqa: E402
@@ -105,7 +142,7 @@ def geo_pipeline_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: fixture VALUES computed by the independent pandas/numpy
     reference implementation (tools/gen_geo_oracles.py); SF-independent
     because the fixture is."""
-    out = _run(spark)["differential"]
+    out = _diff_chain(spark)["differential"]
     return out.select(
         "gene",
         rnd("log2FC", 6).alias("log2FC"),
@@ -124,7 +161,7 @@ def geo_pipeline_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's GSE46602_final_targets.csv) with the deterministic offline
     enrichment client. Oracle: fixture VALUES (tools/gen_geo_oracles.py),
     networkx centralities + the fake client's closed-form enrichment."""
-    out = _run(spark)["validated_targets"]
+    out = _full_chain(spark)["validated_targets"]
     return out.select(
         "gene",
         rnd("composite_score", 6).alias("composite_score"),
