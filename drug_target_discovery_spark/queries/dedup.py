@@ -302,3 +302,55 @@ def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-distance joins on the fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_fingerprints(docs, bits=32)
+
+
+# --------------------------------------------------------------------------
+# Normalization-aware exact dedup (C4-style canonicalization before hashing)
+# --------------------------------------------------------------------------
+@register(
+    "normalized_dedup_groups",
+    tags=("dedup", "text"),
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS digest,
+             sha256(text) AS raw_digest
+      FROM documents
+    )
+    SELECT digest,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT raw_digest) AS BIGINT) AS n_raw_variants
+    FROM norm GROUP BY digest
+    """,
+)
+def normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after text canonicalization (lowercase, strip
+    punctuation, collapse whitespace — the C4-style normalization that
+    catches case/punctuation-only duplicates plain sha-dedup misses).
+    Map-side normalize + hash; only the two 32-byte digests shuffle, never
+    the text. n_raw_variants counts how many distinct raw texts collapsed
+    into each normalized group. (Corpus is ASCII; for full Unicode the
+    normalize step would add NFKC via a pandas_udf.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.sha2(norm, 256).alias("digest"),
+            F.sha2(F.col("text"), 256).alias("raw_digest"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw_digest").alias("n_raw_variants"),
+        )
+    )

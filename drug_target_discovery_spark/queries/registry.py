@@ -54,6 +54,8 @@ _PRIORITY: tuple[str, ...] = (
     "media_image_decode_dims",
     # -- new this round
     "media_audio_decode_stats",
+    "embedding_quantize_int8",
+    "normalized_dedup_groups",
     # -- oracle gained / implementation changed this round
     "differential_expression",
     "geo_pipeline_differential",

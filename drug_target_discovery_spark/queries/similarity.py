@@ -379,3 +379,85 @@ def centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "actual_label", F.col("clabel").alias("assigned_label"),
                 rnd("cosine", 6).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# Int8 embedding quantization (ANN storage/scale path)
+# --------------------------------------------------------------------------
+@register(
+    "embedding_quantize_int8",
+    tags=("similarity", "quantize"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) AS scale
+      FROM v
+    ),
+    c AS (
+      SELECT vec_id, emb, scale,
+             list_transform(emb, x ->
+               CASE WHEN scale = 0 THEN 0
+                    ELSE CAST(floor(x / scale * 127 + 0.5) AS INT) END) AS codes
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(len(emb) AS INT) AS n_dims,
+           {rnd_sql("scale", 6)} AS scale,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                            (a, b) -> a + b) AS BIGINT) AS code_sum,
+           CAST(list_min(codes) AS INT) AS code_min,
+           CAST(list_max(codes) AS INT) AS code_max,
+           {rnd_sql('''list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(list_zip(emb, codes),
+                          p -> abs(CAST(p[1] AS DOUBLE) - (p[2] * scale) / 127.0))),
+                        (a, b) -> greatest(a, b))''', 6)} AS max_abs_err
+    FROM c
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per embedding (max-abs scaling): the
+    standard 4x storage/bandwidth reduction for ANN sweeps — at 100 TB the
+    quantized codes are what the IVF buckets scan, with the float rerank
+    only on the shortlist. Entirely JVM-side array algebra (transform /
+    aggregate folds inside codegen, no UDF); code arithmetic is integer
+    (order-independent), float reductions are max-folds (order-independent),
+    and the quantize expression mirrors the oracle op-for-op. Emits per-
+    vector code stats + the max reconstruction error |x - c*s/127|."""
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings")).select("vec_id", "emb")
+    s = F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x)))
+    q = emb.withColumn("scale", s)
+    codes = F.transform(
+        F.col("emb"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.floor(x / F.col("scale") * 127 + 0.5))
+        .cast("int"),
+    )
+    q = q.withColumn("codes", codes)
+    err = F.aggregate(
+        F.zip_with(
+            F.col("emb"),
+            F.col("codes"),
+            lambda x, c: F.abs(x - (c * F.col("scale")) / F.lit(127.0)),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda a, b: F.greatest(a, b),
+    )
+    # bind err to the RAW scale before the output projection re-aliases
+    # "scale" to its rounded rendering — a late F.col("scale") inside the
+    # lambda would resolve against the rounded column and drift off the
+    # oracle by an ulp
+    q = q.withColumn("_err", err)
+    return q.select(
+        "vec_id",
+        F.size("emb").cast("int").alias("n_dims"),
+        rnd("scale", 6).alias("scale"),
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("code_sum"),
+        F.array_min("codes").cast("int").alias("code_min"),
+        F.array_max("codes").cast("int").alias("code_max"),
+        rnd("_err", 6).alias("max_abs_err"),
+    )
