@@ -100,3 +100,23 @@ class TestPlanShape:
         plan = plan_of(spark, "sequence_packing")
         assert "FlatMapGroupsInPandas" in plan, plan
         assert plan.count("Exchange") == 1, plan
+
+    def test_quantize_int8_is_map_only(self, spark):
+        # per-vector quantization is pure array algebra: scan -> project,
+        # zero exchanges, nothing leaves the JVM
+        plan = plan_of(spark, "embedding_quantize_int8")
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
+        read = plan.split("ReadSchema:")[-1].splitlines()[0]
+        assert "label" not in read, read  # column pruning reaches the scan
+
+    def test_normalized_dedup_shuffles_digests_only(self, spark):
+        # the distinct-count expands to two digest-keyed aggregation
+        # exchanges ((digest, raw_digest) partial, then digest) — fine; what
+        # must never happen is the text payload reaching any exchange key
+        plan = plan_of(spark, "normalized_dedup_groups")
+        n = plan.count("Exchange hashpartitioning")
+        assert 1 <= n <= 2, plan
+        for part in plan.split("Exchange hashpartitioning")[1:]:
+            key = part.split("\n")[0]
+            assert "text" not in key, key
