@@ -56,6 +56,7 @@ _PRIORITY: tuple[str, ...] = (
     "media_audio_decode_stats",
     "embedding_quantize_int8",
     "normalized_dedup_groups",
+    "embedding_covariance",
     # -- oracle gained / implementation changed this round
     "differential_expression",
     "geo_pipeline_differential",

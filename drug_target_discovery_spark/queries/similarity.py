@@ -461,3 +461,55 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("codes").cast("int").alias("code_max"),
         rnd("_err", 6).alias("max_abs_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding covariance matrix (PCA/whitening input) — join-free outer product
+# --------------------------------------------------------------------------
+@register(
+    "embedding_covariance",
+    tags=("similarity", "linalg"),
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    )
+    SELECT i, j,
+           count(*) AS n,
+           {rnd_sql("avg(emb[i+1] * emb[j+1]) - avg(emb[i+1]) * avg(emb[j+1])", 6)}
+             AS cov
+    FROM x,
+         unnest(generate_series(0, len(emb) - 1)) AS t1(i),
+         unnest(generate_series(0, len(emb) - 1)) AS t2(j)
+    WHERE j >= i
+    GROUP BY i, j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance of the embedding dimensions (the input to
+    PCA/whitening, the classic pre-step before quantization or IVF
+    training). JOIN-FREE: each row explodes its own D*(D+1)/2 upper-
+    triangle products, and the groupBy's map-side partial aggregation
+    collapses them to <= D^2 groups per task BEFORE the shuffle — the
+    exchange carries O(tasks * D^2) partial sums regardless of row count,
+    which is what makes this shape survive 100 TB (a self-join on vec_id
+    would shuffle the entire exploded table instead). Driver-side
+    eigendecomposition of the resulting D x D matrix (64 x 64 here) is then
+    trivial. cov = E[xy] - E[x]E[y], mirrored op-for-op in the oracle."""
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings")).select("emb")
+    pairs = F.expr(
+        """
+        flatten(transform(sequence(0, size(emb) - 1), i ->
+          transform(sequence(i, size(emb) - 1), j ->
+            struct(i AS i, j AS j,
+                   emb[i] * emb[j] AS xy, emb[i] AS x, emb[j] AS y))))
+        """
+    )
+    return (
+        emb.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.xy", "p.x", "p.y")
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.avg("xy") - F.avg("x") * F.avg("y"), 6).alias("cov"),
+        )
+    )
