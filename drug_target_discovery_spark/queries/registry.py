@@ -57,6 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     "normalized_dedup_groups",
     "embedding_covariance",
+    "embedding_pca_variance_explained",
     # -- oracle gained / implementation changed this round
     "differential_expression",
     "geo_pipeline_differential",

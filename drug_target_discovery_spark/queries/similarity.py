@@ -495,6 +495,13 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     would shuffle the entire exploded table instead). Driver-side
     eigendecomposition of the resulting D x D matrix (64 x 64 here) is then
     trivial. cov = E[xy] - E[x]E[y], mirrored op-for-op in the oracle."""
+    cov = _covariance_df(spark, sf_dir)
+    return cov.select("i", "j", "n", rnd("_cov", 6).alias("cov"))
+
+
+def _covariance_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unrounded upper-triangle covariance cells (i, j, n, _cov) — the
+    join-free outer-product aggregation described in embedding_covariance."""
     emb = _emb_double(load_table(spark, sf_dir, "embeddings")).select("emb")
     pairs = F.expr(
         """
@@ -510,6 +517,51 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            rnd(F.avg("xy") - F.avg("x") * F.avg("y"), 6).alias("cov"),
+            (F.avg("xy") - F.avg("x") * F.avg("y")).alias("_cov"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# PCA variance explained (eigendecomposition of the covariance)
+# --------------------------------------------------------------------------
+try:  # fixture VALUES oracle — generated by tools/gen_pca_oracle.py
+    from drug_target_discovery_spark.queries._pca_oracle import PCA_ORACLE
+except ImportError:  # pragma: no cover — regenerate via the tool
+    PCA_ORACLE = None
+
+
+@register(
+    "embedding_pca_variance_explained",
+    tags=("similarity", "linalg", "iterative"),
+    oracle=PCA_ORACLE,
+)
+def embedding_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal-component eigenvalues + cumulative variance ratio of
+    the embedding covariance: the whitening/IVF-training diagnostic. The
+    covariance aggregation is fully distributed (see embedding_covariance);
+    only the D x D cell table — bounded by DIMENSIONALITY, not corpus size
+    — is collected for the driver-side symmetric eigendecomposition, the
+    standard split for tall-and-skinny PCA at any scale. Oracle: fixture
+    VALUES (tools/gen_pca_oracle.py — DuckDB covariance + numpy eigh)."""
+    import math
+
+    import numpy as np
+
+    cells = _covariance_df(spark, sf_dir).select("i", "j", "_cov").collect()
+    d = max(r["i"] for r in cells) + 1
+    cov = np.zeros((d, d))
+    for r in cells:
+        cov[r["i"], r["j"]] = r["_cov"]
+        cov[r["j"], r["i"]] = r["_cov"]
+    vals = np.linalg.eigvalsh(cov)[::-1]
+    total = float(vals.sum())
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # rnd's IEEE formula
+    rows = []
+    cum = 0.0
+    for k in range(8):
+        cum += float(vals[k])
+        rows.append((k + 1, r6(float(vals[k])), r6(cum / total)))
+    return spark.createDataFrame(
+        rows, "component INT, eigenvalue DOUBLE, cum_variance_ratio DOUBLE"
     )
