@@ -499,9 +499,28 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cov.select("i", "j", "n", rnd("_cov", 6).alias("cov"))
 
 
+# covariance cells are consumed by two queries (the cell table and the PCA
+# eigendecomposition) — sweep-scoped memo like the LSH signatures
+_COV_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+from drug_target_discovery_spark.caching import register_fixture_hook  # noqa: E402
+
+register_fixture_hook(_COV_CACHE.clear)
+
+
 def _covariance_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unrounded upper-triangle covariance cells (i, j, n, _cov) — the
-    join-free outer-product aggregation described in embedding_covariance."""
+    join-free outer-product aggregation described in embedding_covariance.
+    Memoized per (application, sf_dir); the cell table is D^2-bounded."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COV_CACHE:
+        from drug_target_discovery_spark.caching import fixture_cache
+
+        _COV_CACHE[key] = fixture_cache(_covariance_plan(spark, sf_dir))
+    return _COV_CACHE[key]
+
+
+def _covariance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_double(load_table(spark, sf_dir, "embeddings")).select("emb")
     pairs = F.expr(
         """

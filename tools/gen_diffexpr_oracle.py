@@ -28,7 +28,6 @@ import duckdb
 import numpy as np
 
 from tools._geo_reference import bh_adjust
-from tools.gen_geo_oracles import boundary_margin
 
 SF_DIR = "/root/testdata/sf0.01"
 OUT = os.path.join(
