@@ -334,3 +334,49 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_fingerprints"),
         rnd(F.countDistinct("fp") * 1.0 / F.count(F.lit(1)), 4).alias("density"),
     )
+
+
+# --------------------------------------------------------------------------
+# Blocklist filter + redaction stats (C4-style badwords gate / PII scrub)
+# --------------------------------------------------------------------------
+# An innocuous stand-in term list: the mechanics (word-boundary alternation
+# scan, per-doc counts, redaction) are exactly the C4 badwords filter and
+# the regex tier of a PII scrub; swap the list for the real one in
+# production. \b and alternation behave identically in Java regex and RE2
+# over ASCII corpora.
+_BLOCKLIST_PAT = r"\b(spark|window|shuffle)\b"
+
+
+@register(
+    "blocklist_redaction_stats",
+    tags=("quality", "text"),
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN regexp_matches(text, '{_BLOCKLIST_PAT}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(len(regexp_extract_all(text, '{_BLOCKLIST_PAT}')))
+                AS BIGINT) AS total_matches,
+           {rnd_sql(f"avg(length(regexp_replace(text, '{_BLOCKLIST_PAT}', '[REDACTED]', 'g')))", 4)}
+             AS avg_redacted_len
+    FROM documents GROUP BY source
+    """,
+)
+def blocklist_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-policy filter stats per source: docs flagged by a
+    word-boundary blocklist scan, total term occurrences, and the mean
+    document length after redaction — the C4 badwords-gate / regex-PII
+    shape. Entirely map-side scalar regex inside codegen (flag, count,
+    replace are all per-row); ONE aggregation by source closes the plan.
+    At 100 TB the regex scan is embarrassingly parallel and the shuffle
+    carries only per-source partial sums."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    pat = _BLOCKLIST_PAT
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("text").rlike(pat).cast("long")).alias("n_flagged"),
+        F.sum(F.regexp_count("text", F.lit(pat))).alias("total_matches"),
+        rnd(
+            F.avg(F.length(F.regexp_replace("text", pat, "[REDACTED]"))), 4
+        ).alias("avg_redacted_len"),
+    )

@@ -58,6 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     "normalized_dedup_groups",
     "embedding_covariance",
     "embedding_pca_variance_explained",
+    "blocklist_redaction_stats",
     # -- oracle gained / implementation changed this round
     "differential_expression",
     "geo_pipeline_differential",
