@@ -48,8 +48,12 @@ def main() -> None:
         # +3-5s on mid-sweep queries (differential_expression 6.8s with
         # accumulated debt vs 3.6s after a forced GC; round-2 regression
         # cluster). Per-query numbers should measure the query, not the
-        # sweep position.
-        spark.sparkContext._jvm.System.gc()
+        # sweep position. Best-effort: a failed JVM call must never kill
+        # the sweep (the driver needs the JSON line regardless).
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     release_caches(fixtures=True)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
