@@ -86,11 +86,14 @@ def welch_t_stats(
     v = F.col(value)
     if value_scale is not None:
         vi = F.round(v * value_scale).cast("long")
+        # denominator counts NON-NULL values (count over vi, not the row
+        # predicate) so NULL cells are excluded from the mean exactly as
+        # F.avg excludes them — the two paths must agree on any input
         mean_case = F.sum(F.when(is_case, vi)).cast("double") / (
-            F.count(F.when(is_case, 1)) * float(value_scale)
+            F.count(F.when(is_case, vi)) * float(value_scale)
         )
         mean_control = F.sum(F.when(is_control, vi)).cast("double") / (
-            F.count(F.when(is_control, 1)) * float(value_scale)
+            F.count(F.when(is_control, vi)) * float(value_scale)
         )
     else:
         mean_case = F.avg(F.when(is_case, v))

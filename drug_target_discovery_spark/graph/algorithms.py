@@ -32,11 +32,12 @@ def connected_components(
     small-graph path then runs off ONE collect of the edge list plus a
     cheap count, instead of the count/collect/collect trio a separate node
     table needs."""
+    node_type = dict(edges.dtypes)["src"]
     if nodes is None:
         if edges.count() < driver_threshold:  # node count <= 2x edge count
             rows = edges.select("src", "dst").collect()
             node_list = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
-            return _union_find(rows, node_list, edges.sparkSession)
+            return _union_find(rows, node_list, edges.sparkSession, node_type)
         nodes = (
             edges.select(F.col("src").alias("node"))
             .union(edges.select(F.col("dst").alias("node")))
@@ -46,15 +47,21 @@ def connected_components(
     if nodes.count() < driver_threshold:
         node_list = [r["node"] for r in nodes.select("node").collect()]
         return _union_find(
-            edges.select("src", "dst").collect(), node_list, edges.sparkSession
+            edges.select("src", "dst").collect(), node_list, edges.sparkSession, node_type
         )
     return _cc_distributed(edges, nodes, max_iter, checkpoint_every)
 
 
-def _union_find(edge_rows, node_list, spark) -> DataFrame:
-    """Union-find over collected edges (exact, O(E α(V)))."""
+def _union_find(edge_rows, node_list, spark, node_type="bigint") -> DataFrame:
+    """Union-find over collected edges (exact, O(E α(V))). An empty graph
+    returns an empty (node, component) frame with an explicit schema —
+    createDataFrame cannot infer one from zero rows."""
     import pandas as pd
 
+    if not node_list:
+        return spark.createDataFrame(
+            [], f"node {node_type}, component {node_type}"
+        )
     parent = {v: v for v in node_list}
 
     def find(x):

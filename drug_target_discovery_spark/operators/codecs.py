@@ -169,10 +169,19 @@ def wav_info(payload: bytes) -> dict:
     data_span: tuple[int, int] | None = None
     while i + 8 <= len(payload):
         cid, sz = struct.unpack_from("<4sI", payload, i)
+        if i + 8 + sz > len(payload):
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {sz} bytes, "
+                f"only {len(payload) - i - 8} remain"
+            )
         if cid == b"fmt ":
+            if sz < 16:
+                raise ValueError(f"fmt chunk too short ({sz} bytes, need >= 16)")
             audio_fmt, n_ch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", payload, i + 8)
             if audio_fmt != 1:
                 raise ValueError(f"only PCM (fmt=1) supported, got fmt={audio_fmt}")
+            if n_ch == 0:
+                raise ValueError("fmt chunk declares zero channels")
             fmt = (n_ch, sr, bits)
         elif cid == b"data":
             data_span = (i + 8, sz)

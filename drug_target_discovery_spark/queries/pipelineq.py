@@ -55,26 +55,24 @@ from drug_target_discovery_spark.caching import (  # noqa: E402
 register_fixture_hook(_RUN_CACHE.clear)
 
 
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
 def _narrow_shuffle(spark: SparkSession):
-    """Context: right-size shuffle width to the fixture volume for the
-    duration of the chain's internal actions (significance probe,
-    centrality collects): the fixture long table is ~1K rows, so
-    32-partition shuffle stages are pure scheduling overhead. Restored
-    afterwards — at real GEO scale the session default / AQE coalescing
-    governs. (Shuffle width binds at EXECUTION time, which is why the
-    chain materializes inside this window.)"""
-    import contextlib
-
-    @contextlib.contextmanager
-    def cm():
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
-            yield
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-
-    return cm()
+    """Right-size shuffle width to the fixture volume for the duration of
+    the chain's internal actions (significance probe, centrality collects):
+    the fixture long table is ~1K rows, so 32-partition shuffle stages are
+    pure scheduling overhead. Restored afterwards — at real GEO scale the
+    session default / AQE coalescing governs. (Shuffle width binds at
+    EXECUTION time, which is why the chain materializes inside this
+    window.)"""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _diff_chain(spark: SparkSession) -> dict[str, DataFrame]:

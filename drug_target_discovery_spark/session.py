@@ -52,11 +52,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
-        # shuffle/spill scratch on tmpfs: this box has 128 GiB RAM and a
-        # throttled disk — RAM-backed scratch removes iowait spikes from
-        # bench timings. On a real cluster this is the executors' local
-        # SSD setting; the 100 TB design never depends on it.
-        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         # vectorized parquet reader + pushdown are on by default; pin anyway
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
@@ -64,6 +59,24 @@ def get_spark(
         # for; read as long and normalize in sources.tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # shuffle/spill scratch on tmpfs when it can actually hold it: this box
+    # has 128 GiB RAM and a throttled disk, so RAM-backed scratch removes
+    # iowait spikes from bench timings. Guarded — a standard container's
+    # 64 MB /dev/shm would turn every sizable shuffle into ENOSPC, so fall
+    # back to Spark's default local dir unless /dev/shm has >= 16 GiB free.
+    # (Respects SPARK_LOCAL_DIRS, which Spark itself also honors.) On a real
+    # cluster this is the executors' local SSD setting; the 100 TB design
+    # never depends on it.
+    local_dirs = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dirs is None:
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 16 << 30:
+                local_dirs = "/dev/shm/spark-local"
+        except OSError:
+            pass
+    if local_dirs:
+        builder = builder.config("spark.local.dir", local_dirs)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

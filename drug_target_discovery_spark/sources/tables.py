@@ -69,16 +69,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Under a UTC session tz the cast is a pure retag (same wall
             # values, same epoch DuckDB computes). If the conf.set above was
             # rejected (locked-down session) and the session tz is NOT UTC,
-            # a bare cast would shift epochs by the host offset — compensate
-            # with from_utc_timestamp, which adds the session-tz offset back
-            # (cast: epoch = micros - offset; from_utc_timestamp: + offset).
+            # a bare cast shifts epochs by the host offset — and offset
+            # COMPENSATION (from/to_utc_timestamp) is wrong by the DST delta
+            # around transitions, because the cast and the compensation
+            # evaluate the offset at different instants. Instead, derive the
+            # epoch micros from the NTZ's CALENDAR FIELDS (date ordinal +
+            # h/m/s.micros) — pure field arithmetic, timezone-independent,
+            # exact for any wall time including the DST gap.
             try:
                 tz = spark.conf.get("spark.sql.session.timeZone")
             except Exception:
                 tz = None
-            ts = F.col(col).cast("timestamp")
-            if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
-                ts = F.from_utc_timestamp(ts, tz or "UTC")
+            if tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+                ts = F.col(col).cast("timestamp")
+            else:
+                ts = F.timestamp_micros(
+                    F.expr(
+                        f"CAST(unix_date(CAST({col} AS DATE)) AS BIGINT) * 86400000000"
+                        f" + hour({col}) * 3600000000"
+                        f" + minute({col}) * 60000000"
+                        f" + CAST(date_part('SECOND', {col}) * 1000000 AS BIGINT)"
+                    )
+                )
             df = df.withColumn(col, ts)
     return df
 

@@ -98,3 +98,19 @@ class TestPageRank:
         }
         for n in a:
             assert a[n] == pytest.approx(b[n], rel=1e-9), n
+
+
+class TestCCEmptyGraph:
+    def test_empty_edges_endpoints_path(self, spark):
+        # zero LSH candidate pairs must yield an empty result, not a
+        # CANNOT_INFER_EMPTY_SCHEMA crash
+        edges = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+        out = connected_components(edges, nodes=None)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["node", "component"]
+
+    def test_empty_edges_with_nodes(self, spark):
+        nodes = spark.createDataFrame([(7,)], "node BIGINT")
+        edges = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+        got = {r["node"]: r["component"] for r in connected_components(edges, nodes).collect()}
+        assert got == {7: 7}

@@ -120,3 +120,16 @@ class TestPlanShape:
         for part in plan.split("Exchange hashpartitioning")[1:]:
             key = part.split("\n")[0]
             assert "text" not in key, key
+
+    def test_priority_names_all_resolve(self, spark):
+        # all_queries() silently skips unknown _PRIORITY names — a renamed
+        # query would silently lose its gate-rotation slot, so pin every
+        # name here instead
+        from drug_target_discovery_spark.queries.registry import (
+            _PRIORITY,
+            all_queries,
+        )
+
+        reg = all_queries()
+        missing = [n for n in _PRIORITY if n not in reg]
+        assert not missing, f"_PRIORITY names absent from registry: {missing}"

@@ -97,7 +97,7 @@ class TestStreamingParity:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in 120s"
         # update mode appends one row per user per batch: keep each user's max
         got = {
             r["user_id"]: (r["n_events"], round(r["sum_value"], 4))
@@ -137,7 +137,7 @@ class TestStreamingParity:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in 120s"
         got = {
             r["user_id"]: (r["n_events"], round(r["sum_value"], 4))
             for r in spark.sql(
@@ -185,5 +185,5 @@ class TestStreamingParity:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in 120s"
         assert spark.sql("SELECT count(*) c FROM dedup_stream").collect()[0]["c"] == batch_src.count()
