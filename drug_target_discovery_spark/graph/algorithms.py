@@ -31,10 +31,13 @@ def connected_components(
     isolated nodes — true for candidate-pair graphs by construction): the
     small-graph path then runs off ONE collect of the edge list plus a
     cheap count, instead of the count/collect/collect trio a separate node
-    table needs."""
+    table needs. ``driver_threshold`` bounds NODES on the nodes-given path;
+    on the nodes=None path the gate is ``driver_threshold // 2`` EDGES, so
+    the implied node bound (<= 2x edges) is the same threshold and the
+    collected edge rows never exceed half of it."""
     node_type = dict(edges.dtypes)["src"]
     if nodes is None:
-        if edges.count() < driver_threshold:  # node count <= 2x edge count
+        if edges.count() < max(driver_threshold // 2, 1):  # nodes <= 2x edges
             rows = edges.select("src", "dst").collect()
             node_list = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
             return _union_find(rows, node_list, edges.sparkSession, node_type)

@@ -231,8 +231,11 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
 ) -> DataFrame:
     """Band the long-format signature and emit candidate pairs sharing any
-    band bucket. Bucket key = (band, sum-combined row hashes) — only equal
-    full bands collide. Join is bucket-local: the 100 TB-safe path.
+    band bucket. Bucket key = (band, sum-combined row hashes) — equal full
+    bands always collide; unequal bands collide only when their minhash sums
+    coincide mod M61 (rare false positives, filtered by the downstream
+    Jaccard verification and mirrored in the oracle). Join is bucket-local:
+    the 100 TB-safe path.
 
     The band count is determined by the signature itself
     (num_hashes / rows_per_band) — it is not an independent knob."""

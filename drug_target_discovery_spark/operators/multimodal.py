@@ -141,9 +141,13 @@ def extract_features(media: DataFrame, pool: int = FEATURE_DIM) -> DataFrame:
             for mid, mtype, payload in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
                 arr = decoders.get(mtype, _fake_decode)(bytes(payload), {}).ravel()
                 chunks = np.array_split(arr, pool)
-                # pool in float64 (sequential-sum territory for <128-element
-                # chunks): deterministic and SQL-mirrorable, where a float32
-                # pairwise mean is neither
+                # pool in float64: deterministic and SQL-mirrorable to 6dp.
+                # NOTE numpy's mean is NOT left-associative here — for
+                # 9-128-element chunks it runs an 8-accumulator unrolled
+                # pairwise order — so the float64 partials differ from a
+                # sequential SQL sum by ~ulps; the downstream float32 cast
+                # + rounding absorbs that, and oracles must not assume
+                # identical IEEE sequences
                 feat = np.array(
                     [float(c.astype(np.float64).mean()) for c in chunks],
                     dtype=np.float32,

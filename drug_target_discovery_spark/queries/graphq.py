@@ -93,10 +93,29 @@ def _top_genes(cell: DataFrame) -> DataFrame:
 # cached nodes/edges instead of re-running the fact join + pairwise corr —
 # the Spark-idiomatic "materialized shared intermediate".
 _GRAPH_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+# The cell matrix gets its own sweep-scoped memo (VERDICT r3 #3): it is a
+# diamond INSIDE _corr_graph (top-K variance + semi-joined pairwise input)
+# AND a cross-query intermediate (mllib_corr_matrix_top pivots the same
+# table) — query-scoping it made the lineitem⋈orders fact-fact join rebuild
+# once per consuming query. Post-aggregation it is small (|parts|×|nations|
+# rows), so holding it for the sweep costs little storage.
+_CELL_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 from drug_target_discovery_spark.caching import register_fixture_hook  # noqa: E402
 
 register_fixture_hook(_GRAPH_CACHE.clear)
+register_fixture_hook(_CELL_CACHE.clear)
+
+
+def cell_matrix_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-scoped memo of the (g, s, v) cell matrix — the single shared
+    build of the only fact-fact join in the graph/mllib tiers."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CELL_CACHE:
+        from drug_target_discovery_spark.caching import fixture_cache
+
+        _CELL_CACHE[key] = fixture_cache(_cell_matrix(spark, sf_dir))
+    return _CELL_CACHE[key]
 
 
 def _corr_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -107,15 +126,12 @@ def _corr_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
-    from drug_target_discovery_spark.caching import fixture_cache, scoped_cache
+    from drug_target_discovery_spark.caching import fixture_cache
 
-    # The cell matrix is a diamond: consumed by top-K variance, by the
-    # semi-joined pairwise-corr input, and (via top) by the node set. Without
-    # a cache the lineitem⋈orders fact-fact join runs three times. Cell is
-    # post-aggregation small (|parts|×|nations|), so cache it query-scoped —
-    # once nodes/edges materialize into their own fixture caches it is dead
-    # weight, and the harness releases it at query end.
-    cell = scoped_cache(_cell_matrix(spark, sf_dir))
+    # Without the shared memo the lineitem⋈orders fact-fact join would run
+    # three times inside this builder alone (top-K variance, semi-joined
+    # pairwise-corr input, node set) plus once more in mllib_corr_matrix_top.
+    cell = cell_matrix_cached(spark, sf_dir)
     top = _top_genes(cell)
     sub = cell.join(F.broadcast(top), "g", "left_semi")
     edges = corr_edges(sub, "g", "s", "v", threshold=CORR_THRESHOLD, min_periods=MIN_PERIODS)

@@ -567,7 +567,10 @@ def embedding_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFr
 
     import numpy as np
 
+    out_schema = "component INT, eigenvalue DOUBLE, cum_variance_ratio DOUBLE"
     cells = _covariance_df(spark, sf_dir).select("i", "j", "_cov").collect()
+    if not cells:  # empty embeddings table -> typed empty result
+        return spark.createDataFrame([], out_schema)
     d = max(r["i"] for r in cells) + 1
     cov = np.zeros((d, d))
     for r in cells:
@@ -578,9 +581,7 @@ def embedding_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFr
     r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # rnd's IEEE formula
     rows = []
     cum = 0.0
-    for k in range(8):
+    for k in range(min(8, d)):
         cum += float(vals[k])
         rows.append((k + 1, r6(float(vals[k])), r6(cum / total)))
-    return spark.createDataFrame(
-        rows, "component INT, eigenvalue DOUBLE, cum_variance_ratio DOUBLE"
-    )
+    return spark.createDataFrame(rows, out_schema)

@@ -218,16 +218,19 @@ def na_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- exact int64 sums of cent-lattice prices: the mean is a single
              -- exact-operand division, bit-identical across engines and
              -- summation orders (functions/stats.py welch_t_stats
-             -- value_scale)
+             -- value_scale). Mean denominators count NON-NULL VALUES
+             -- (CASE ... THEN l_extendedprice), mirroring the Spark side's
+             -- count over vi — identical to the row count on lineitem (no
+             -- NULL prices) but NULL-safe on any input.
              CAST(sum(CASE WHEN l_returnflag = 'R'
                       THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
                   AS DOUBLE)
-               / (count(CASE WHEN l_returnflag = 'R' THEN 1 END) * 100.0)
+               / (count(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) * 100.0)
                AS mean_case,
              CAST(sum(CASE WHEN l_returnflag = 'A'
                       THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
                   AS DOUBLE)
-               / (count(CASE WHEN l_returnflag = 'A' THEN 1 END) * 100.0)
+               / (count(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) * 100.0)
                AS mean_control,
              var_samp(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS var_case,
              var_samp(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS var_control
