@@ -213,6 +213,122 @@ def decode_wav(payload: bytes, meta: dict | None = None) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2): the uncompressed video container — ASCII stream header,
+# then per-frame "FRAME" markers followed by raw planes. Public spec (the
+# mjpegtools yuv4mpeg manpage); simple enough to hand-roll honestly, which
+# is exactly why it retires the last fake decoder. C444 only (three full
+# H x W planes per frame) — subsampled colorspaces raise, like non-24-bit
+# BMP above.
+# ---------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """Encode a (T, H, W, 3) uint8 clip as YUV4MPEG2 / C444: stream header,
+    then per frame a ``FRAME\\n`` marker + the three channel planes. Plane
+    bytes are written planar (channel-major), per the container layout; no
+    colorspace conversion is applied — the three channels ARE the three
+    planes, which round-trips bit-exactly."""
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"expected (T, H, W, 3) clip, got shape {frames.shape}")
+    t, h, w = frames.shape[:3]
+    num, den = fps
+    header = f"YUV4MPEG2 W{w} H{h} F{num}:{den} Ip A1:1 C444\n".encode("ascii")
+    parts = [header]
+    planar = np.ascontiguousarray(
+        frames.astype(np.uint8).transpose(0, 3, 1, 2)  # (T, 3, H, W)
+    )
+    for f in range(t):
+        parts.append(b"FRAME\n")
+        parts.append(planar[f].tobytes())
+    return b"".join(parts)
+
+
+def y4m_info(payload: bytes) -> dict:
+    """Parse a YUV4MPEG2 stream: header tagged parameters (W/H/F required,
+    I/A/X ignored per spec, C must be 444) and a walk over the FRAME chunks.
+    Returns width, height, fps_num, fps_den, n_frames, and the byte offset
+    of each frame's plane data."""
+    if payload[: len(_Y4M_MAGIC)] != _Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 payload (missing magic)")
+    eol = payload.find(b"\n")
+    if eol < 0:
+        raise ValueError("truncated Y4M: unterminated stream header")
+    width = height = None
+    fps_num, fps_den = 30, 1  # spec default when F is absent
+    colorspace = "420jpeg"  # spec default when C is absent
+    for tag in payload[len(_Y4M_MAGIC) : eol].split(b" "):
+        if not tag:
+            continue
+        key, val = tag[:1], tag[1:]
+        if key == b"W":
+            width = int(val)
+        elif key == b"H":
+            height = int(val)
+        elif key == b"F":
+            num, den = val.split(b":")
+            fps_num, fps_den = int(num), int(den)
+        elif key == b"C":
+            colorspace = val.decode("ascii")
+        # I (interlacing), A (aspect), X (extensions): ignored
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W or H")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"Y4M header declares empty geometry {width}x{height}")
+    if not colorspace.startswith("444"):
+        raise ValueError(f"only C444 Y4M supported, got C{colorspace}")
+    frame_bytes = width * height * 3
+    offsets: list[int] = []
+    i = eol + 1
+    while i < len(payload):
+        if payload[i : i + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {i}")
+        feol = payload.find(b"\n", i + 5)
+        if feol < 0:
+            raise ValueError("truncated Y4M: unterminated FRAME header")
+        if i + 5 != feol and payload[i + 5 : i + 6] != b" ":
+            raise ValueError("malformed FRAME parameters (missing separator)")
+        if feol + 1 + frame_bytes > len(payload):
+            raise ValueError(
+                f"truncated Y4M: frame {len(offsets)} declares {frame_bytes} "
+                f"plane bytes, only {len(payload) - feol - 1} remain"
+            )
+        offsets.append(feol + 1)
+        i = feol + 1 + frame_bytes
+    return {
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "colorspace": colorspace,
+        "n_frames": len(offsets),
+        "frame_offsets": offsets,
+    }
+
+
+def decode_y4m(payload: bytes, meta: dict | None = None) -> np.ndarray:
+    """Decode a C444 YUV4MPEG2 stream into a (T, H, W, 3) float32 array in
+    [0, 1] (the decoder-seam contract): planar channel data back to
+    interleaved pixels, frames stacked in stream order."""
+    info = y4m_info(payload)
+    w, h = info["width"], info["height"]
+    n = w * h * 3
+    frames = [
+        np.frombuffer(payload, dtype=np.uint8, count=n, offset=off)
+        .reshape(3, h, w)
+        .transpose(1, 2, 0)
+        for off in info["frame_offsets"]
+    ]
+    stacked = (
+        np.stack(frames) if frames else np.zeros((0, h, w, 3), dtype=np.uint8)
+    )
+    return stacked.astype(np.float32) / 255.0
+
+
+# ---------------------------------------------------------------------------
 # Sniffing dispatcher + registration
 # ---------------------------------------------------------------------------
 
@@ -273,3 +389,30 @@ def register_builtin_audio_codecs(sample_rate: int = 16000) -> None:
 
     register_decoder("audio", decode_wav)
     register_encoder("audio", _enc)
+
+
+def register_builtin_video_codecs(fps: tuple[int, int] = (25, 1)) -> None:
+    """Wire the Y4M codec into the multimodal registries: decode returns the
+    (T, H, W, 3) float32 clip; encode expects uint8 frames (float inputs in
+    [0, 1] are rescaled). Idempotent."""
+    from drug_target_discovery_spark.operators.multimodal import (
+        register_decoder,
+        register_encoder,
+    )
+
+    def _enc(arr: np.ndarray) -> bytes:
+        if np.issubdtype(arr.dtype, np.floating):
+            arr = np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
+        return encode_y4m(arr, fps)
+
+    register_decoder("video", decode_y4m)
+    register_encoder("video", _enc)
+
+
+def register_builtin_codecs() -> None:
+    """Register the full real-codec set: BMP/PPM images, RIFF/WAV audio,
+    Y4M video. After this call no media type falls back to the deterministic
+    stand-in decoder."""
+    register_builtin_image_codecs()
+    register_builtin_audio_codecs()
+    register_builtin_video_codecs()

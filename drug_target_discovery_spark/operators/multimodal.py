@@ -5,16 +5,16 @@ as Arrow-batched ``mapInPandas`` kernels.
 
 The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
 shapes — is real and tested. The codec step sits behind a registry seam:
-``register_decoder``/``register_encoder`` plug real callables in. For
-IMAGES a real pure-numpy BMP/PPM codec ships in ``operators.codecs``
-(``register_builtin_image_codecs``) — decode/resize/feature-extract run
-against actual pixel data, oracle-checked end to end by
-``media_image_decode_dims``. For AUDIO a real RIFF/WAV PCM codec ships
-alongside it (``register_builtin_audio_codecs``), oracle-checked by
-``media_audio_decode_stats``. Video remains on the deterministic fake
-(no container format is simple enough to hand-roll honestly); the default
-fake derives features from the payload digest so tests are reproducible
-either way.
+``register_decoder``/``register_encoder`` plug real callables in, and
+``operators.codecs`` ships a REAL pure-stdlib codec for every media type:
+BMP/PPM images (``register_builtin_image_codecs``, oracle-checked by
+``media_image_decode_dims``), RIFF/WAV PCM audio
+(``register_builtin_audio_codecs``, oracle-checked by
+``media_audio_decode_stats``), and YUV4MPEG2 (Y4M) video
+(``register_builtin_video_codecs``, oracle-checked by
+``media_video_decode_stats``). The deterministic digest-based stand-in
+(``_fake_decode``) survives only as the documented fallback for
+UNREGISTERED types — no registered query path uses it.
 This is the standard seam: the cluster plumbing never changes when the
 codec does.
 
@@ -123,14 +123,26 @@ def media_stats(media: DataFrame) -> DataFrame:
 
 FEATURE_DIM = 8
 _FEATURE_SCHEMA = (
-    "media_id BIGINT, media_type STRING, feature ARRAY<FLOAT>, n_values INT"
+    "media_id BIGINT, media_type STRING, feature ARRAY<FLOAT>, n_values INT, "
+    "value_sum BIGINT"
 )
+
+
+def _quantized_sum(arr: np.ndarray, media_type: str) -> int:
+    """Exact integer checksum of a decoded array: undo the seam's float
+    scaling (audio is int16/32768, image/video are byte/255 — both exactly
+    recoverable with rint) and sum in int64. Order-independent and
+    engine-mirrorable, unlike any float reduction."""
+    scale = 32768.0 if media_type == "audio" else 255.0
+    return int(np.rint(arr.astype(np.float64) * scale).astype(np.int64).sum())
 
 
 def extract_features(media: DataFrame, pool: int = FEATURE_DIM) -> DataFrame:
     """Decode each payload (codec seam) and pool the decoded array into a
-    fixed-dim feature vector. Arrow-batched; one payload in memory per row
-    of the batch, never the whole partition."""
+    fixed-dim feature vector, plus an exact integer checksum of the decoded
+    values (the oracle hook: proves WHICH bytes were decoded, not just how
+    many). Arrow-batched; one payload in memory per row of the batch, never
+    the whole partition."""
     # snapshot the registry into the closure: executor workers are separate
     # Python processes and never see driver-side mutation of module globals
     decoders = dict(_DECODERS)
@@ -149,12 +161,21 @@ def extract_features(media: DataFrame, pool: int = FEATURE_DIM) -> DataFrame:
                 # + rounding absorbs that, and oracles must not assume
                 # identical IEEE sequences
                 feat = np.array(
-                    [float(c.astype(np.float64).mean()) for c in chunks],
+                    [float(c.astype(np.float64).mean()) if c.size else 0.0 for c in chunks],
                     dtype=np.float32,
                 )
-                out.append((int(mid), str(mtype), feat.tolist(), int(arr.size)))
+                out.append(
+                    (
+                        int(mid),
+                        str(mtype),
+                        feat.tolist(),
+                        int(arr.size),
+                        _quantized_sum(arr, str(mtype)),
+                    )
+                )
             yield pd.DataFrame(
-                out, columns=["media_id", "media_type", "feature", "n_values"]
+                out,
+                columns=["media_id", "media_type", "feature", "n_values", "value_sum"],
             )
 
     cols = media.select(
@@ -204,25 +225,46 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return cols.mapInPandas(kernel, schema=_RESIZE_SCHEMA)
 
 
-_FRAME_SCHEMA = "media_id BIGINT, frame_idx INT, frame_payload BINARY"
+_FRAME_SCHEMA = "media_id BIGINT, frame_idx INT, src_frame INT, frame_payload BINARY"
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame-sampling kernel for video-typed payloads: emits n_frames rows
-    per input (UDTF-shaped mapInPandas — rows out > rows in). Frame bytes
-    are equal slices of the payload under the stub codec."""
+    per input (UDTF-shaped mapInPandas — rows out > rows in).
+
+    With a registered video decoder AND image encoder (the builtin Y4M +
+    BMP pair), this is a REAL frame sample: decode the clip to (T, H, W, 3),
+    pick n_frames evenly spaced source frames (``src_frame = i * T //
+    n_frames`` — repeats when T < n_frames), and re-encode each selected
+    frame as a standalone image payload. Without codecs it falls back to
+    the documented equal-byte-slice stub (src_frame = frame_idx). Either
+    way: one map-only Arrow-batched stage, payloads batch-at-a-time."""
+    decoders, encoders = dict(_DECODERS), dict(_ENCODERS)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = "video" in decoders and "image" in encoders
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
                 if not b:
                     continue
+                if real:
+                    clip = decoders["video"](b, {})
+                    t = clip.shape[0]
+                    if t == 0:
+                        continue
+                    for i in range(n_frames):
+                        src = i * t // n_frames
+                        frame = np.clip(np.rint(clip[src] * 255.0), 0, 255).astype(np.uint8)
+                        rows.append((int(mid), i, src, encoders["image"](frame)))
+                    continue
                 step = max(len(b) // n_frames, 1)
                 for i in range(n_frames):
-                    rows.append((int(mid), i, b[i * step : (i + 1) * step]))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_payload"])
+                    rows.append((int(mid), i, i, b[i * step : (i + 1) * step]))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "src_frame", "frame_payload"]
+            )
 
     return media.select("media_id", "payload").mapInPandas(kernel, schema=_FRAME_SCHEMA)
 
@@ -256,5 +298,94 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
             F.when(mt == "image", (F.col("n_chars") % 480 + 1).cast("int")).alias("height"),
             F.when(mt != "image", (F.col("n_chars") * 40).cast("long")).alias("duration_ms"),
             F.when(mt == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+# Deterministic synth parameters shared by synthesize_real_media and the
+# query oracles (queries/multimodal.py): every dimension and every sample
+# value is a closed form of doc_id, so DuckDB can reproduce byte counts and
+# decoded-value checksums without ever seeing the payloads.
+REAL_MEDIA_FPS = (25, 1)
+
+
+def _real_media_params(mid: int) -> dict:
+    if mid % 3 == 0:  # image: (h, w, 3) interleaved RGB
+        return {"kind": "image", "w": mid % 13 + 1, "h": mid % 7 + 1}
+    if mid % 3 == 1:  # audio: (n, c) int16 PCM
+        return {
+            "kind": "audio",
+            "n": mid % 400 + 50,
+            "c": mid % 2 + 1,
+            "sr": 8000 + (mid % 4) * 2000,
+        }
+    return {"kind": "video", "w": mid % 16 + 8, "h": mid % 9 + 4, "t": mid % 6 + 2}
+
+
+def synthesize_real_media(docs: DataFrame) -> DataFrame:
+    """REAL-payload media table: per doc_id, an actual BMP image, RIFF/WAV
+    PCM stream, or Y4M clip, built deterministically in an Arrow-batched
+    kernel (value k of media m is ``(31*m + 17*k) mod range``). This is the
+    codec-exercising twin of ``synthesize_media`` — every payload parses
+    with the real builtin codecs, and every byte is closed-form predictable
+    for the DuckDB oracles. Map-only; payloads exist batch-at-a-time."""
+    from collections.abc import Iterator as _It
+
+    from drug_target_discovery_spark.operators.codecs import (
+        encode_bmp,
+        encode_wav,
+        encode_y4m,
+    )
+
+    def kernel(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                p = _real_media_params(mid)
+                if p["kind"] == "image":
+                    w, h = p["w"], p["h"]
+                    flat = (mid * 31 + np.arange(h * w * 3, dtype=np.int64) * 17) % 256
+                    payload = encode_bmp(flat.reshape(h, w, 3).astype(np.uint8))
+                    rows.append((mid, "image", "bmp", w, h, None, None, payload))
+                elif p["kind"] == "audio":
+                    n, c, sr = p["n"], p["c"], p["sr"]
+                    flat = (mid * 31 + np.arange(n * c, dtype=np.int64) * 17) % 65536 - 32768
+                    payload = encode_wav(flat.reshape(n, c).astype(np.int16), sr)
+                    rows.append(
+                        (mid, "audio", "wav", None, None, n * 1000 // sr, sr, payload)
+                    )
+                else:
+                    w, h, t = p["w"], p["h"], p["t"]
+                    flat = (mid * 31 + np.arange(t * 3 * h * w, dtype=np.int64) * 17) % 256
+                    # planar layout (T, 3, H, W) -> (T, H, W, 3): encode_y4m
+                    # writes planes back channel-major, so the stream's plane
+                    # bytes are exactly this flat series
+                    frames = flat.reshape(t, 3, h, w).transpose(0, 2, 3, 1).astype(np.uint8)
+                    num, den = REAL_MEDIA_FPS
+                    payload = encode_y4m(frames, REAL_MEDIA_FPS)
+                    rows.append(
+                        (mid, "video", "y4m", w, h, t * 1000 * den // num, None, payload)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "format", "width", "height",
+                    "duration_ms", "sample_rate", "payload",
+                ],
+            )
+
+    flat = docs.select("doc_id").select(F.col("doc_id").alias("media_id")).mapInPandas(
+        kernel,
+        schema=(
+            "media_id BIGINT, media_type STRING, format STRING, width INT, "
+            "height INT, duration_ms BIGINT, sample_rate INT, payload BINARY"
+        ),
+    )
+    return flat.select(
+        "media_id",
+        "payload",
+        F.struct(
+            "media_type", "format", "width", "height", "duration_ms", "sample_rate"
         ).alias("meta"),
     )

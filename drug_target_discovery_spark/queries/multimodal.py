@@ -1,10 +1,13 @@
 """Multimodal tier queries (SURVEY §2.12 [EXT]): binary payload columns +
-typed metadata, decode/extract/resize/frame-sample kernels. The media table
-derives deterministically from `documents` (payload = utf-8 bytes), so the
-metadata-level queries are DuckDB-oracle-checkable; the stub-codec kernel
-queries are rows-only with unit-tested batch shapes, and
-`media_image_decode_dims` oracle-checks the REAL numpy BMP codec
-(operators/codecs.py) end to end."""
+typed metadata, decode/extract/resize/frame-sample kernels — all running
+REAL pure-stdlib codecs (BMP/PPM, RIFF/WAV, Y4M; operators/codecs.py).
+
+Two media tables: `synthesize_media` (payload = utf-8 doc bytes) backs the
+metadata/digest queries that never decode; `synthesize_real_media` (actual
+BMP/WAV/Y4M containers with closed-form contents) backs every decoding
+kernel, so each query's DuckDB oracle can reproduce byte counts AND exact
+decoded-value checksums without seeing a single payload byte. No query
+path uses the deterministic stand-in decoder."""
 
 from __future__ import annotations
 
@@ -80,43 +83,53 @@ def media_payload_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The fake decoder expands the payload's sha256 digest (32 bytes) to 256
-# values, so every 32-value pool chunk IS the digest: f0 = float32 of the
-# float64 mean over float32(byte/255) — mirrored term by term, left-
-# associative, so both engines execute the identical IEEE sequence.
-_F0_SUM = " + ".join(
-    f"CAST(CAST(CAST(('0x' || substr(d, {2 * k + 1}, 2)) AS INT) / 255.0 AS REAL) AS DOUBLE)"
-    for k in range(32)
-)
+# Real-payload synth closed forms (operators/multimodal.py
+# _real_media_params): value k of media m is (31m + 17k) mod 256 for
+# image/video planes, mod 65536 - 32768 for audio PCM. The oracles below
+# reproduce decoded-value checksums from these forms alone — DuckDB never
+# sees a payload byte, so a codec that mis-parses any byte diverges.
+_REAL_PARAMS_SQL = """
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             CASE doc_id % 3
+               WHEN 0 THEN (doc_id % 13 + 1) * (doc_id % 7 + 1) * 3
+               WHEN 1 THEN (doc_id % 400 + 50) * (doc_id % 2 + 1)
+               ELSE (doc_id % 6 + 2) * 3 * (doc_id % 9 + 4) * (doc_id % 16 + 8)
+             END AS n
+      FROM documents
+"""
 
 
 @register(
     "media_feature_extraction",
-    tags=("multimodal", "mapInPandas"),
+    tags=("multimodal", "mapInPandas", "codec"),
     oracle=f"""
-    WITH dg AS (SELECT doc_id, sha256(text) AS d FROM documents)
-    SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'image'
-                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-           CAST(256 AS INT) AS n_values,
-           {rnd_sql(f"CAST(CAST(({_F0_SUM}) / 32.0 AS REAL) AS DOUBLE)", 6)} AS f0
-    FROM dg
+    WITH p AS ({_REAL_PARAMS_SQL}),
+    s AS (SELECT media_id, media_type, n, unnest(range(0, n)) AS k FROM p)
+    SELECT media_id, media_type,
+           CAST(n AS INT) AS n_values,
+           CAST(sum(CASE WHEN media_type = 'audio'
+                         THEN (31 * media_id + 17 * k) % 65536 - 32768
+                         ELSE (31 * media_id + 17 * k) % 256 END)
+                AS BIGINT) AS value_sum
+    FROM s GROUP BY media_id, media_type, n
     """,
 )
 def media_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode -> pooled feature vector via the Arrow-batched kernel. The
-    oracle proves the PLUMBING (mapInPandas batching, pooling arithmetic,
-    Arrow float32 schema) end to end against the documented deterministic
-    stand-in codec's closed form — a registered real codec (images: BMP/PPM,
-    audio: WAV) changes the decode, not the plumbing, and is oracle-checked
-    by media_image_decode_dims / media_audio_decode_stats."""
-    feats = extract_features(_media(spark, sf_dir))
-    return feats.select(
-        "media_id",
-        "media_type",
-        "n_values",
-        F.element_at("feature", 1).cast("double").alias("f0"),
-    ).withColumn("f0", rnd("f0", 6))
+    """Decode -> pooled feature vector via the Arrow-batched kernel, against
+    REAL payloads and REAL codecs for all three media types (BMP images,
+    RIFF/WAV audio, Y4M video — operators/codecs.py). The oracle checks the
+    decoded size AND the exact integer checksum of every decoded value per
+    payload: proof that each real container was parsed and its full sample
+    data recovered, not just that rows flowed through the kernel."""
+    from drug_target_discovery_spark.operators.codecs import register_builtin_codecs
+    from drug_target_discovery_spark.operators.multimodal import synthesize_real_media
+
+    register_builtin_codecs()
+    media = synthesize_real_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select("media_id", "media_type", "n_values", "value_sum")
 
 
 @register(
@@ -271,55 +284,239 @@ def media_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "media_resize_shapes",
-    tags=("multimodal", "mapInPandas"),
+    "media_video_decode_stats",
+    tags=("multimodal", "mapInPandas", "codec"),
     oracle="""
-    -- stub byte-downsample closed form: linspace over payload bytes emits
-    -- min(64*48, len) bytes; empty payloads pass through as 0 bytes
-    SELECT doc_id AS media_id,
+    -- Y4M layout has a closed form: stream header
+    -- 'YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\\n' (33 chars + the digits of
+    -- w and h), then per frame 'FRAME\\n' (6 bytes) + 3*h*w plane bytes.
+    -- The Spark side round-trips real frames through the Y4M encoder and
+    -- the chunk-walking parser (operators/codecs.py); matching
+    -- n_bytes/n_frames/dims proves the container layout, and value_sum
+    -- (exact integer checksum of every decoded sample) proves the plane
+    -- data survived the trip.
+    WITH v AS (
+      SELECT doc_id AS media_id, doc_id % 16 + 8 AS w, doc_id % 9 + 4 AS h,
+             doc_id % 6 + 2 AS t
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    s AS (SELECT media_id, w, h, t, unnest(range(0, t * 3 * h * w)) AS k FROM v)
+    SELECT media_id,
+           CAST(t AS INT) AS n_frames,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(25 AS INT) AS fps_num,
+           CAST(33 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                   + t * (6 + 3 * h * w) AS BIGINT) AS n_bytes,
+           CAST(t * 40 AS BIGINT) AS duration_ms,
+           CAST((31 * media_id) % 256 AS INT) AS first_px,
+           CAST(sum((31 * media_id + 17 * k) % 256) AS BIGINT) AS value_sum
+    FROM s GROUP BY media_id, w, h, t
+    """,
+)
+def media_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec, end to end in executors (the Y4M analog of
+    media_audio_decode_stats, closing the last fake decoder): synthesize a
+    deterministic clip per video doc, encode it to a YUV4MPEG2 stream, parse
+    the stream back with the FRAME-walking parser, and emit the decoded clip
+    stats plus the exact integer checksum of every decoded sample. Map-only
+    Arrow-batched stage over synthesize_real_media payloads."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from drug_target_discovery_spark.operators.multimodal import synthesize_real_media
+
+    media = synthesize_real_media(load_table(spark, sf_dir, "documents")).filter(
+        F.col("meta.media_type") == "video"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drug_target_discovery_spark.operators.codecs import decode_y4m, y4m_info
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                info = y4m_info(b)
+                clip = decode_y4m(b)
+                ints = np.rint(clip.astype(np.float64) * 255.0).astype(np.int64)
+                rows.append(
+                    (
+                        int(mid),
+                        clip.shape[0],
+                        clip.shape[2],
+                        clip.shape[1],
+                        info["fps_num"],
+                        len(b),
+                        clip.shape[0] * 1000 * info["fps_den"] // info["fps_num"],
+                        int(ints[0, 0, 0, 0]) if clip.size else None,
+                        int(ints.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "width", "height", "fps_num",
+                    "n_bytes", "duration_ms", "first_px", "value_sum",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel,
+        schema=(
+            "media_id BIGINT, n_frames INT, width INT, height INT, fps_num INT, "
+            "n_bytes BIGINT, duration_ms BIGINT, first_px INT, value_sum BIGINT"
+        ),
+    )
+
+
+@register(
+    "media_resize_shapes",
+    tags=("multimodal", "mapInPandas", "codec"),
+    oracle="""
+    -- REAL resize closed form: decode the (h, w, 3) BMP, nearest-neighbor
+    -- resample to 48x64 (source indices ri = floor((2r+1)h/96),
+    -- ci = floor((2c+1)w/128) — never on an integer boundary since
+    -- 32 never divides h<=7 and 128 never divides w<=13, so the float and
+    -- integer forms agree), re-encode as BMP (64*3 row bytes, no padding:
+    -- 54 + 192*48 = 9270 bytes). value_sum checksums every resampled pixel.
+    WITH im AS (
+      SELECT doc_id AS media_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    s AS (SELECT media_id, w, h, unnest(range(0, 9216)) AS k FROM im),
+    px AS (
+      SELECT media_id, w,
+             ((2 * (k // 192) + 1) * h) // 96 AS ri,
+             ((2 * ((k % 192) // 3) + 1) * w) // 128 AS ci,
+             k % 3 AS ch
+      FROM s
+    )
+    SELECT media_id,
            CAST(64 AS INT) AS width,
            CAST(48 AS INT) AS height,
-           CAST(least(3072, octet_length(encode(text))) AS INT) AS n_bytes
-    FROM documents
+           CAST(9270 AS BIGINT) AS n_bytes,
+           CAST(sum((31 * media_id + 17 * ((ri * w + ci) * 3 + ch)) % 256)
+                AS BIGINT) AS value_sum
+    FROM px GROUP BY media_id
     """,
 )
 def media_resize_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize kernel output shapes (64x48 target): payload re-encoded
-    batch-at-a-time; result sizes prove the kernel ran per-row. The oracle
-    pins the documented stub's byte-count closed form (no codecs are
-    registered in driver runs; the real-codec path is oracle-checked by
-    media_image_decode_dims)."""
-    resized = resize_images(_media(spark, sf_dir), width=64, height=48)
-    return resized.select(
-        "media_id", "width", "height", F.length("payload").alias("n_bytes")
+    """REAL image resize, end to end: decode each real BMP payload, resample
+    to 64x48 with the deterministic nearest-neighbor kernel, re-encode to
+    BMP — then a second Arrow stage decodes the resized payload and
+    checksums every pixel. The oracle reproduces the resample's index
+    arithmetic in SQL, so a kernel that picks different source pixels (or a
+    codec that corrupts any byte on the second round trip) diverges."""
+    from drug_target_discovery_spark.operators.codecs import register_builtin_codecs
+    from drug_target_discovery_spark.operators.multimodal import synthesize_real_media
+
+    register_builtin_codecs()
+    media = synthesize_real_media(load_table(spark, sf_dir, "documents")).filter(
+        F.col("meta.media_type") == "image"
+    )
+    resized = resize_images(media, width=64, height=48)
+
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def checksum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drug_target_discovery_spark.operators.codecs import decode_bmp
+
+        for pdf in batches:
+            rows = []
+            for mid, w, h, payload in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                img = decode_bmp(b)
+                ints = np.rint(img.astype(np.float64) * 255.0).astype(np.int64)
+                rows.append((int(mid), int(w), int(h), len(b), int(ints.sum())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "n_bytes", "value_sum"]
+            )
+
+    return resized.mapInPandas(
+        checksum,
+        schema="media_id BIGINT, width INT, height INT, n_bytes BIGINT, value_sum BIGINT",
     )
 
 
 @register(
     "media_frame_sample",
-    tags=("multimodal", "mapInPandas"),
+    tags=("multimodal", "mapInPandas", "codec"),
     oracle="""
-    -- equal-slice stub frames: step = max(len // 4, 1); frame i covers
-    -- bytes [i*step, min(len, (i+1)*step)) — frames past the payload end
-    -- are empty rows, and empty payloads emit no rows at all
-    WITH media AS (
-      SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+    -- REAL frame sampling closed form: 4 evenly spaced source frames
+    -- (src = i*t//4, repeats when t < 4), each re-encoded as a standalone
+    -- BMP of the frame's h x w pixels (54 + (3w + pad)h bytes). value_sum
+    -- checksums the selected frame's full plane data — slice
+    -- [src*3hw, (src+1)*3hw) of the synth series.
+    WITH v AS (
+      SELECT doc_id AS media_id, doc_id % 16 + 8 AS w, doc_id % 9 + 4 AS h,
+             doc_id % 6 + 2 AS t
       FROM documents WHERE doc_id % 3 = 2
-    )
+    ),
+    fr AS (
+      SELECT media_id, w, h, t, i AS frame_idx, (i * t) // 4 AS src
+      FROM v, unnest([0, 1, 2, 3]) AS u(i)
+    ),
+    s AS (SELECT media_id, w, h, frame_idx, src,
+                 unnest(range(0, 3 * h * w)) AS j
+          FROM fr)
     SELECT media_id,
-           CAST(i AS INT) AS frame_idx,
-           CAST(greatest(0, least(len, (i + 1) * greatest(len // 4, 1))
-                            - i * greatest(len // 4, 1)) AS INT) AS n_bytes
-    FROM media, unnest([0, 1, 2, 3]) AS t(i)
-    WHERE len > 0
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(src AS INT) AS src_frame,
+           CAST(54 + (3 * w + (4 - (3 * w) % 4) % 4) * h AS BIGINT) AS n_bytes,
+           CAST(sum((31 * media_id + 17 * (src * 3 * h * w + j)) % 256)
+                AS BIGINT) AS value_sum
+    FROM s GROUP BY media_id, frame_idx, src, w, h
     """,
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling (UDTF-shaped: 4 rows out per video in). The oracle
-    pins the stub's slice arithmetic per emitted row — proving the
-    rows-out>rows-in mapInPandas shape end to end."""
-    m = _media(spark, sf_dir).filter(F.col("meta.media_type") == "video")
-    frames = sample_frames(m, n_frames=4)
-    return frames.select(
-        "media_id", "frame_idx", F.length("frame_payload").alias("n_bytes")
+    """REAL frame sampling (UDTF-shaped: 4 rows out per video in): decode
+    each Y4M clip, select 4 evenly spaced frames, re-encode each as a
+    standalone BMP image payload — then checksum the sampled frames through
+    a second decode. Proves the rows-out>rows-in mapInPandas shape AND that
+    the sampled pixels are exactly the selected source frames' planes."""
+    from drug_target_discovery_spark.operators.codecs import register_builtin_codecs
+    from drug_target_discovery_spark.operators.multimodal import synthesize_real_media
+
+    register_builtin_codecs()
+    media = synthesize_real_media(load_table(spark, sf_dir, "documents")).filter(
+        F.col("meta.media_type") == "video"
+    )
+    frames = sample_frames(media, n_frames=4)
+
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def checksum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drug_target_discovery_spark.operators.codecs import decode_bmp
+
+        for pdf in batches:
+            rows = []
+            for mid, fi, src, payload in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["src_frame"], pdf["frame_payload"]
+            ):
+                b = bytes(payload)
+                img = decode_bmp(b)
+                ints = np.rint(img.astype(np.float64) * 255.0).astype(np.int64)
+                rows.append((int(mid), int(fi), int(src), len(b), int(ints.sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "src_frame", "n_bytes", "value_sum"],
+            )
+
+    return frames.mapInPandas(
+        checksum,
+        schema=(
+            "media_id BIGINT, frame_idx INT, src_frame INT, "
+            "n_bytes BIGINT, value_sum BIGINT"
+        ),
     )

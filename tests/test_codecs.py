@@ -145,9 +145,10 @@ class TestKernelsWithRealCodec:
         np.testing.assert_array_equal(
             strict_decoder("image")(encode_bmp(img), {}), decode_bmp(encode_bmp(img))
         )
-        # audio/video remain stubbed
+        # a type nothing registers stays strict (registry state for the
+        # builtin types is process-global, so don't assert on those here)
         with pytest.raises(NotImplementedError):
-            strict_decoder("audio")
+            strict_decoder("never-registered-type")
 
 
 class TestWavCodec:
@@ -210,3 +211,81 @@ class TestWavCodec:
             assert strict_decoder("audio") is not None
         finally:
             unregister_codecs("audio")
+
+
+class TestY4MCodec:
+    @pytest.mark.parametrize("t,h,w", [(1, 1, 1), (3, 4, 6), (6, 9, 23)])
+    def test_y4m_round_trip(self, t, h, w):
+        from drug_target_discovery_spark.operators.codecs import (
+            decode_y4m,
+            encode_y4m,
+            y4m_info,
+        )
+
+        rng = np.random.default_rng(t * 100 + h * 10 + w)
+        frames = rng.integers(0, 256, size=(t, h, w, 3)).astype(np.uint8)
+        payload = encode_y4m(frames, (30, 1))
+        info = y4m_info(payload)
+        assert (info["width"], info["height"], info["n_frames"]) == (w, h, t)
+        assert (info["fps_num"], info["fps_den"]) == (30, 1)
+        decoded = decode_y4m(payload)
+        assert decoded.shape == (t, h, w, 3)
+        np.testing.assert_array_equal(
+            np.rint(decoded * 255).astype(np.uint8), frames
+        )
+
+    def test_y4m_byte_layout_closed_form(self):
+        from drug_target_discovery_spark.operators.codecs import encode_y4m
+
+        frames = np.zeros((4, 7, 12, 3), dtype=np.uint8)
+        payload = encode_y4m(frames, (25, 1))
+        header_len = 33 + len("12") + len("7")
+        assert payload[:9] == b"YUV4MPEG2"
+        assert payload[header_len - 1 : header_len] == b"\n"
+        assert len(payload) == header_len + 4 * (6 + 3 * 7 * 12)
+
+    def test_y4m_frame_params_and_defaults(self):
+        from drug_target_discovery_spark.operators.codecs import (
+            decode_y4m,
+            encode_y4m,
+            y4m_info,
+        )
+
+        frames = np.full((2, 2, 3, 3), 9, dtype=np.uint8)
+        payload = encode_y4m(frames)
+        # per spec, FRAME may carry space-separated parameters
+        patched = payload.replace(b"FRAME\n", b"FRAME Xtimecode\n", 1)
+        info = y4m_info(patched)
+        assert info["n_frames"] == 2
+        np.testing.assert_array_equal(decode_y4m(patched), decode_y4m(payload))
+        # F tag absent -> spec default 30:1
+        no_f = payload.replace(b" F25:1", b"")
+        assert (y4m_info(no_f)["fps_num"], y4m_info(no_f)["fps_den"]) == (30, 1)
+
+    def test_y4m_rejects_malformed(self):
+        from drug_target_discovery_spark.operators.codecs import (
+            encode_y4m,
+            y4m_info,
+        )
+
+        frames = np.zeros((2, 3, 4, 3), dtype=np.uint8)
+        payload = encode_y4m(frames)
+        with pytest.raises(ValueError):
+            y4m_info(payload[:-1])  # truncated final frame
+        with pytest.raises(ValueError):
+            y4m_info(payload.replace(b"C444", b"C420"))  # subsampled
+        with pytest.raises(ValueError):
+            y4m_info(b"JUNK" + payload[4:])  # bad magic
+        with pytest.raises(ValueError):
+            y4m_info(payload.replace(b"FRAME", b"FLAME", 1))  # bad marker
+
+    def test_strict_decoder_satisfied_for_video(self):
+        from drug_target_discovery_spark.operators.codecs import (
+            register_builtin_video_codecs,
+        )
+
+        register_builtin_video_codecs()
+        try:
+            assert strict_decoder("video") is not None
+        finally:
+            unregister_codecs("video")
