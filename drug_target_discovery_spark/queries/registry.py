@@ -45,65 +45,65 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-visit priority. The driver's correctness gate walks the queries()
 # dict in insertion order and stops at 50 entries per round, so coverage is a
-# rotation problem: order round 3's list as (1) queries never driver-checked
-# in any round, (2) queries whose oracle or implementation changed this round,
-# (3) the 37 queries last verified in round 1 (implementations unchanged, but
-# stale evidence), then everything r2-green.
+# rotation problem (VERDICT r3 #1). Round 4's 50: (1) queries that are new or
+# whose oracle/implementation changed this round, (2) the 44 queries whose
+# latest green row is round 2 (the r3 gate's 50 slots went to
+# never-checked/changed/r1-stale entries). Together these are exactly 50, so
+# CORRECTNESS_r04 leaves every registered query with r3-or-r4 evidence.
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked in any round
-    "media_image_decode_dims",
-    # -- new this round
-    "media_audio_decode_stats",
-    "embedding_quantize_int8",
-    "normalized_dedup_groups",
-    "embedding_covariance",
-    "embedding_pca_variance_explained",
-    "blocklist_redaction_stats",
-    # -- oracle gained / implementation changed this round
-    "differential_expression",
-    "geo_pipeline_differential",
-    "geo_pipeline_targets",
-    "connected_components_near_dups",
-    "benchmark_decontamination",
-    "bh_fdr_scalable_adjust",
-    "mllib_corr_matrix_top",
-    "small_lot_revenue",
-    # -- last verified in round 1 only (unchanged; re-verify before evidence
-    #    goes stale two rounds deep)
-    "corpus_mixture_rebalance",
-    "corr_edges_top_parts",
-    "customers_without_orders",
-    "degree_centrality_corr_graph",
-    "doc_chunk_packing",
-    "doc_length_histogram",
-    "event_interarrival_stats",
-    "event_type_pivot",
-    "events_in_purchase_hour",
-    "exact_dedup_sha256",
-    "hash_stratified_sample",
-    "latest_event_per_user",
-    "lsh_candidate_pairs",
-    "media_feature_extraction",
-    "media_frame_sample",
-    "media_payload_digest",
-    "media_resize_shapes",
-    "minhash_signatures",
-    "mllib_minhash_neardups",
-    "near_dup_groups",
-    "ngram_jaccard_near_dups",
-    "order_priority_rollup",
-    "part_type_classifier",
-    "parts_shipped_to_top_nation",
-    "per_source_doc_cap",
-    "positional_zip_join",
-    "price_percentiles_by_brand",
-    "pricing_summary",
-    "revenue_by_nation",
-    "sliding_window_stats",
-    "source_lang_entropy",
-    "supplier_part_distincts",
-    "top_orders_by_revenue",
-    "tumbling_event_counts",
+    # -- new this round (real Y4M video codec)
+    "media_video_decode_stats",
+    # -- implementation or oracle changed this round
+    "media_feature_extraction",   # real payloads + value_sum oracle
+    "media_resize_shapes",        # real resample + checksum oracle
+    "media_frame_sample",         # real frame decode + checksum oracle
+    "approx_distinct_parts",      # gained bounded-error oracle (also r2-stale)
+    "welch_t_by_part",            # NULL-aware oracle denominator (also r2-stale)
+    "connected_components_near_dups",  # nodes=None gate now edge-bounded
+    "embedding_pca_variance_explained",  # empty/low-dim guards
+    # -- last verified in round 2 (unchanged; refresh before two rounds deep)
+    "asof_view_before_purchase",
+    "betweenness_centrality_corr_graph",
+    "bh_fdr_adjust",
+    "centroid_assignment",
+    "conditional_log2",
+    "cosine_topk_bruteforce",
+    "cube_order_stats",
+    "curation_pipeline_summary",
+    "customer_cohort_set_ops",
+    "eigenvector_centrality_corr_graph",
+    "embedding_cosine_near_dups",
+    "embedding_label_stats",
+    "gopher_quality_flags",
+    "grouping_sets_ship_stats",
+    "json_props_extract",
+    "lang_id_stopwords",
+    "large_quantity_orders",
+    "media_metadata_stats",
+    "median_impute",
+    "median_quantity_by_part",
+    "missing_census",
+    "moving_avg_daily_revenue",
+    "na_threshold_filter",
+    "network_target_scores",
+    "ntile_price_bands",
+    "pagerank_corr_graph",
+    "part_name_analysis",
+    "promo_revenue_share",
+    "repeated_ngram_fraction",
+    "robust_zscore_by_part",
+    "rolling_hash_fingerprint",
+    "sequence_packing",
+    "session_windows_builtin",
+    "session_windows_gap",
+    "simhash_fingerprints",
+    "supplier_composite_score",
+    "text_quality_scores",
+    "tfidf_top_terms",
+    "token_count_stats",
+    "top_variance_parts",
+    "winnowing_fingerprints",
+    "zscore_by_part",
 )
 
 
