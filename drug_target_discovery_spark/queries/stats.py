@@ -549,21 +549,25 @@ def robust_zscore_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier-resistant standardization: (x - median) / (1.4826 * MAD),
     the robust alternative to T1's mean/stddev z-score that QC pipelines
     use when heavy tails would poison the moments. Exact medians at both
-    levels (never percentile_approx — the oracle hash-match demands it);
-    two aggregations co-partitioned on the key, then one join back to the
-    rows."""
+    levels (never percentile_approx — the oracle hash-match demands it).
+    The li⋈med intermediate is a diamond — the MAD aggregation and the
+    output join both consume it — so it is query-scope cached: the join
+    runs once and both consumers read the co-partitioned materialization
+    (VERDICT r3 #6; measured ~1.5x cold, and it removes one of the two
+    fact-side shuffle joins at any scale)."""
+    from drug_target_discovery_spark.caching import scoped_cache
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
     )
     med = li.groupBy("l_partkey").agg(F.median("l_extendedprice").alias("med"))
+    lm = scoped_cache(li.join(med, "l_partkey"))
     mad = (
-        li.join(med, "l_partkey")
-        .groupBy("l_partkey")
+        lm.groupBy("l_partkey")
         .agg(F.median(F.abs(F.col("l_extendedprice") - F.col("med"))).alias("mad"))
     )
     return (
-        li.join(med, "l_partkey")
-        .join(mad, "l_partkey")
+        lm.join(mad, "l_partkey")
         .select(
             "l_orderkey",
             "l_linenumber",
