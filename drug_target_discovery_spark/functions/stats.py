@@ -283,18 +283,30 @@ def bh_fdr_scalable(
     (``repartitionByRange`` + ``spark_partition_id`` would NOT work here:
     its sampled boundaries are seeded per-execution, so the rank offsets
     collected in pass 1 could disagree with the partitioning of pass 2.)
-    Buckets preserve the total order, so the global rank = per-bucket
-    row_number + broadcast offset, and the reverse running-min folds in
-    per-bucket tails from higher buckets.
+    The bucket id is a SUM OF COMPARISONS against the boundary literals —
+    whole-stage-codegen'd; the earlier ``aggregate(array(...))``
+    higher-order function ran on the interpreted expression path and cost
+    ~2x on every consumer of the bucketed frame.
 
-    Multi-pass discipline: the algorithm takes four actions (approxQuantile,
-    bucket counts, per-bucket tails, the consumer's final job). Without
-    persistence each one re-scans the source and the tails pass re-runs the
-    per-bucket sort window the final job needs again — at fact-table
-    cardinality that is 4 source scans and 2 window sorts. Both reused
-    frames (the non-null projection and the ranked/windowed frame) are
-    query-scoped caches (MEMORY_AND_DISK by default, so they spill rather
-    than OOM at scale), cutting it to 1 scan and 1 sort.
+    ONE sort total: rank and suffix-min come out of the SAME descending
+    window. Sorting each bucket by p DESC, ``row_number`` plus the
+    broadcast count of strictly-higher buckets gives the global descending
+    rank _rd, so the ascending rank is ``m - _rd + 1``, and the running
+    min over that same descending order IS the suffix min of the ascending
+    order. (BH's adjusted values are tie-order invariant as long as rank
+    and suffix-min use the same total order — which a single window
+    guarantees by construction; pinned exact-equal vs ``bh_fdr`` in
+    tests/test_stats.py.) The asc formulation needed a second sort by _r
+    desc inside each bucket.
+
+    Multi-pass discipline: four actions (approxQuantile, bucket counts,
+    per-bucket tails, the consumer's final job). The reused frames — the
+    non-null projection and the ranked/windowed frame — are query-scoped
+    caches (MEMORY_AND_DISK, spill-not-OOM), so the sweep is 1 source scan
+    and 1 sort. The two tiny per-bucket tables (rank offsets, cross-bucket
+    suffix mins) are folded in as map LITERALS (``element_at`` on a
+    ``create_map`` of the collected rows) — codegen'd lookups, no join
+    operators at all.
     """
     from drug_target_discovery_spark.caching import scoped_cache
 
@@ -309,42 +321,37 @@ def bh_fdr_scalable(
     qs = nn.stat.approxQuantile(
         p, [i / partitions for i in range(1, partitions)], 0.01
     )
-    if qs:
-        arr = ", ".join(f"CAST({b!r} AS DOUBLE)" for b in qs)
-        bucket = F.expr(
-            f"aggregate(array({arr}), 0, (acc, b) -> acc + CASE WHEN {p} >= b THEN 1 ELSE 0 END)"
-        )
-    else:  # empty input
-        bucket = F.lit(0)
-    # no explicit repartition: the per-bucket windows below induce their own
+    bucket: Column = F.lit(0)
+    for b in qs:
+        bucket = bucket + F.when(F.col(p) >= F.lit(float(b)), 1).otherwise(0)
+    # no explicit repartition: the per-bucket window below induces its own
     # hashpartitioning(_pid) exchange — adding one here would shuffle twice
     ranged = nn.withColumn("_pid", bucket)
-    # pass 1: per-bucket counts -> rank offsets (tiny driver-side table)
+    # pass 1: per-bucket counts -> descending-rank offsets (tiny table)
     counts = (
         ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).orderBy("_pid").collect()
     )
     m = sum(r["_cnt"] for r in counts)
-    offsets = {}
+    higher = {}  # bucket -> #rows in strictly-higher buckets
     acc = 0
-    for r in counts:
-        offsets[r["_pid"]] = acc
+    for r in sorted(counts, key=lambda r: -r["_pid"]):
+        higher[r["_pid"]] = acc
         acc += r["_cnt"]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(int(k), int(v)) for k, v in offsets.items()], "_pid INT, _off BIGINT"
+    off_kv: list[Column] = []
+    for k, v in higher.items():
+        off_kv += [F.lit(int(k)), F.lit(int(v))]
+    off_at = (
+        F.element_at(F.create_map(*off_kv), F.col("_pid")) if off_kv else F.lit(0)
     )
-    w_in = W.partitionBy("_pid").orderBy(F.col(p).asc())
-    # O(n) running-min formulation (see bh_fdr) per range partition
-    w_rev_in = (
-        W.partitionBy("_pid").orderBy(F.col("_r").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    w = W.partitionBy("_pid").orderBy(F.col(p).desc())
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     with_rank = scoped_cache(
-        ranged.join(F.broadcast(off_df), "_pid")
-        .withColumn("_r", F.row_number().over(w_in) + F.col("_off"))
+        ranged.withColumn("_rd", F.row_number().over(w) + off_at)
+        .withColumn("_r", F.lit(int(m)) - F.col("_rd") + 1)
         .withColumn("_raw", F.col(p) * F.lit(float(m)) / F.col("_r"))
-        .withColumn("_sufmin", F.min("_raw").over(w_rev_in))
+        .withColumn("_sufmin", F.min("_raw").over(w_run))
     )
-    # pass 2: fold in min of all higher-p partitions (tiny per-partition table)
+    # pass 2: fold in min of all higher-p partitions (tiny per-bucket table)
     tails = (
         with_rank.groupBy("_pid").agg(F.min("_raw").alias("_pmin")).orderBy("_pid").collect()
     )
@@ -353,14 +360,26 @@ def bh_fdr_scalable(
     for r in sorted(tails, key=lambda r: -r["_pid"]):
         suffix[r["_pid"]] = run  # min over strictly-higher partitions
         run = min(run, r["_pmin"])
-    suf_df = spark.createDataFrame(
-        [(int(k), float(v) if v != float("inf") else None) for k, v in suffix.items()],
-        "_pid INT, _suf DOUBLE",
+    suf_kv: list[Column] = []
+    for k, v in suffix.items():
+        suf_kv += [
+            F.lit(int(k)),
+            F.lit(float(v)) if v != float("inf") else F.lit(None).cast("double"),
+        ]
+    suf_at = (
+        F.element_at(F.create_map(*suf_kv), F.col("_pid"))
+        if suf_kv
+        else F.lit(None).cast("double")
     )
     result = (
-        with_rank.join(F.broadcast(suf_df), "_pid")
-        .withColumn(out, F.least(F.least(F.col("_sufmin"), F.coalesce("_suf", F.lit(float("inf")))), F.lit(1.0)))
-        .drop("_pid", "_off", "_r", "_raw", "_sufmin", "_suf")
+        with_rank.withColumn(
+            out,
+            F.least(
+                F.least(F.col("_sufmin"), F.coalesce(suf_at, F.lit(float("inf")))),
+                F.lit(1.0),
+            ),
+        )
+        .drop("_pid", "_rd", "_r", "_raw", "_sufmin")
     )
     return result.unionByName(nulls)
 
