@@ -46,14 +46,18 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Driver-visit priority. The driver's correctness gate walks the queries()
 # dict in insertion order and stops at 50 entries per round, so coverage is a
 # rotation problem (VERDICT r3 #1). Round 4's 50: (1) queries that are new or
-# whose oracle/implementation changed this round, (2) the 44 queries whose
+# whose oracle/implementation changed this round, (2) the queries whose
 # latest green row is round 2 (the r3 gate's 50 slots went to
-# never-checked/changed/r1-stale entries). Together these are exactly 50, so
-# CORRECTNESS_r04 leaves every registered query with r3-or-r4 evidence.
+# never-checked/changed/r1-stale entries). Changed queries outrank stale
+# ones — rewritten plans need current driver evidence more than unchanged
+# ones need a refresh — so adding bh_fdr_scalable_adjust mid-round demotes
+# the trivial, unchanged conditional_log2 to slot 51 (keeps its r2 green
+# row; first in line next round).
 _PRIORITY: tuple[str, ...] = (
     # -- new this round (real Y4M video codec)
     "media_video_decode_stats",
     # -- implementation or oracle changed this round
+    "bh_fdr_scalable_adjust",     # single-sort desc-window rewrite
     "media_feature_extraction",   # real payloads + value_sum oracle
     "media_resize_shapes",        # real resample + checksum oracle
     "media_frame_sample",         # real frame decode + checksum oracle
@@ -66,7 +70,6 @@ _PRIORITY: tuple[str, ...] = (
     "betweenness_centrality_corr_graph",
     "bh_fdr_adjust",
     "centroid_assignment",
-    "conditional_log2",
     "cosine_topk_bruteforce",
     "cube_order_stats",
     "curation_pipeline_summary",
@@ -104,6 +107,8 @@ _PRIORITY: tuple[str, ...] = (
     "top_variance_parts",
     "winnowing_fingerprints",
     "zscore_by_part",
+    # -- slot 51: unchanged since r2, demoted for bh_fdr_scalable_adjust
+    "conditional_log2",
 )
 
 
