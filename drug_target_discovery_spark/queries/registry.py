@@ -45,17 +45,19 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-visit priority. The driver's correctness gate walks the queries()
 # dict in insertion order and stops at 50 entries per round, so coverage is a
-# rotation problem (VERDICT r3 #1). Round 4's 50: (1) queries that are new or
-# whose oracle/implementation changed this round, (2) the queries whose
-# latest green row is round 2 (the r3 gate's 50 slots went to
-# never-checked/changed/r1-stale entries). Changed queries outrank stale
-# ones — rewritten plans need current driver evidence more than unchanged
-# ones need a refresh — so adding bh_fdr_scalable_adjust mid-round demotes
-# the trivial, unchanged conditional_log2 to slot 51 (keeps its r2 green
-# row; first in line next round).
+# rotation problem (VERDICT r3 #1). Round 4's 50: (1) never-checked queries
+# new this round, (2) queries whose oracle/implementation changed this
+# round, (3) queries whose latest green row is round 2 (the r3 gate's 50
+# slots went to never-checked/changed/r1-stale entries). New and changed
+# queries outrank unchanged stale ones — rewritten plans need current
+# driver evidence more than unchanged ones need a refresh — so three
+# trivial unchanged-since-r2 queries sit at slots 51+ (they keep their r2
+# green rows and go first next round).
 _PRIORITY: tuple[str, ...] = (
-    # -- new this round (real Y4M video codec)
-    "media_video_decode_stats",
+    # -- new this round (never-checked queries outrank everything)
+    "heavy_hitter_tokens",        # two-pass exact Misra-Gries
+    "unigram_logprob_quality",    # CCNet-shape unigram LM scorer
+    "media_video_decode_stats",   # real Y4M video codec
     # -- implementation or oracle changed this round
     "bh_fdr_scalable_adjust",     # single-sort desc-window rewrite
     "media_feature_extraction",   # real payloads + value_sum oracle
@@ -85,9 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "media_metadata_stats",
     "median_impute",
     "median_quantity_by_part",
-    "missing_census",
     "moving_avg_daily_revenue",
-    "na_threshold_filter",
     "network_target_scores",
     "ntile_price_bands",
     "pagerank_corr_graph",
@@ -107,8 +107,11 @@ _PRIORITY: tuple[str, ...] = (
     "top_variance_parts",
     "winnowing_fingerprints",
     "zscore_by_part",
-    # -- slot 51: unchanged since r2, demoted for bh_fdr_scalable_adjust
+    # -- slots 51+: unchanged-since-r2 trivia demoted for this round's new
+    # and rewritten queries (they keep their r2 green rows; first next round)
     "conditional_log2",
+    "missing_census",
+    "na_threshold_filter",
 )
 
 
@@ -117,6 +120,7 @@ def all_queries() -> dict[str, Query]:
     ordered so the driver's gate reaches the highest-value queries first."""
     # Local import to avoid circulars; each module registers on import.
     from drug_target_discovery_spark.queries import (  # noqa: F401
+        corpusstats,
         curation,
         dedup,
         events,
