@@ -354,3 +354,129 @@ def normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("raw_digest").alias("n_raw_variants"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new batch vs an existing reference corpus
+# --------------------------------------------------------------------------
+@register(
+    "dedup_against_reference",
+    tags=("dedup", "incremental", "pipeline"),
+    oracle=f"""
+    WITH {_SIG_SQL},
+    banded AS (
+      SELECT doc_id, hash_idx // {_BANDS_ROWS} AS band,
+             sum(minhash) % {MERSENNE61} AS bsum, count(*) AS n
+      FROM sig GROUP BY doc_id, hash_idx // {_BANDS_ROWS}
+      HAVING count(*) = {_BANDS_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bsum = b.bsum AND a.doc_id < b.doc_id
+    ),
+    cross_cand AS (
+      SELECT CASE WHEN d1 % 5 = 0 THEN d1 ELSE d2 END AS b_id,
+             CASE WHEN d1 % 5 = 0 THEN d2 ELSE d1 END AS r_id,
+             d1, d2
+      FROM cand WHERE (d1 % 5 = 0) <> (d2 % 5 = 0)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    verified AS (
+      SELECT c.b_id, max(i.k * 1.0 / (s1.sz + s2.sz - i.k)) AS best_j
+      FROM cross_cand c
+      JOIN (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS k
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) i ON c.d1 = i.d1 AND c.d2 = i.d2
+      JOIN sizes s1 ON c.d1 = s1.doc_id
+      JOIN sizes s2 ON c.d2 = s2.doc_id
+      WHERE i.k * 1.0 / (s1.sz + s2.sz - i.k) > {_JACCARD_T}
+      GROUP BY c.b_id
+    ),
+    exacts AS (
+      SELECT b.doc_id, count(*) AS n_exact
+      FROM documents b JOIN documents r ON sha256(b.text) = sha256(r.text)
+      WHERE b.doc_id % 5 = 0 AND r.doc_id % 5 <> 0
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.n_exact > 0 THEN 'exact_dup'
+                WHEN v.best_j IS NOT NULL THEN 'near_dup'
+                ELSE 'novel' END AS status,
+           coalesce(e.n_exact, 0) AS n_exact_matches,
+           {rnd_sql("v.best_j", 6)} AS best_jaccard
+    FROM documents d
+    LEFT JOIN exacts e ON d.doc_id = e.doc_id
+    LEFT JOIN verified v ON d.doc_id = v.b_id
+    WHERE d.doc_id % 5 = 0
+    """,
+)
+def dedup_against_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape where a NEW batch (here:
+    doc_id % 5 = 0) is deduplicated AGAINST an existing reference corpus
+    (the other 80%) instead of against itself: each batch doc comes back
+    'exact_dup' (same sha256 as some reference doc), 'near_dup' (LSH
+    candidate verified to shingle-Jaccard > t with some reference doc), or
+    'novel', with the exact-match count and the best verified Jaccard.
+
+    Scale design: the exact tier joins 32-byte digests only; the near tier
+    REUSES the sweep-scoped corpus-wide LSH candidate-pair memo (banding is
+    batch-composition-independent, so cross batch/reference candidates are
+    just the pairs whose endpoints straddle the split — no new banding job)
+    and Jaccard-verifies only candidate members, exactly like
+    near_dup_groups. At 100 TB the reference side's signatures are a
+    precomputed table and each new batch bands itself + bucket-joins into
+    it — the work is proportional to the batch, not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 5 == 0
+    batch = docs.filter(is_batch)
+    ref = docs.filter(~is_batch)
+    # exact tier: digests only
+    ref_digests = (
+        ref.select(F.sha2(F.col("text"), 256).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    exacts = (
+        batch.select("doc_id", F.sha2(F.col("text"), 256).alias("digest"))
+        .join(F.broadcast(ref_digests), "digest", "left")
+        .select("doc_id", "n_exact")
+    )
+    # near tier: cross-split candidates out of the corpus-wide pair memo
+    cand = candidate_pairs(spark, sf_dir)
+    cross = cand.filter((F.col("d1") % 5 == 0) != (F.col("d2") % 5 == 0))
+    members = (
+        cross.select(F.col("d1").alias("doc_id"))
+        .union(cross.select("d2"))
+        .distinct()
+    )
+    docs_cand = docs.join(F.broadcast(members), "doc_id", "left_semi")
+    jac = ngram_jaccard_pairs(
+        docs_cand, n=_N, threshold=_JACCARD_T, max_shingle_df=None
+    )
+    verified = (
+        cross.join(jac.select("d1", "d2", "jaccard"), ["d1", "d2"], "inner")
+        .withColumn(
+            "b_id", F.when(F.col("d1") % 5 == 0, F.col("d1")).otherwise(F.col("d2"))
+        )
+        .groupBy("b_id")
+        .agg(F.max("jaccard").alias("best_j"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exacts, "doc_id", "left")
+        .join(verified.withColumnRenamed("b_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n_exact") > 0, F.lit("exact_dup"))
+            .when(F.col("best_j").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.coalesce(F.col("n_exact"), F.lit(0).cast("long")).alias(
+                "n_exact_matches"
+            ),
+            rnd(F.col("best_j"), 6).alias("best_jaccard"),
+        )
+    )
