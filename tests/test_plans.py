@@ -121,6 +121,32 @@ class TestPlanShape:
             key = part.split("\n")[0]
             assert "text" not in key, key
 
+    def test_heavy_hitters_second_pass_broadcasts_candidates(self, spark):
+        # pass 2's exact recount must semi-join the token stream against
+        # the broadcast candidate set BEFORE aggregating — the full token
+        # stream never becomes a shuffle key
+        plan = plan_of(spark, "heavy_hitter_tokens")
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+        # pass 1 is the only Python stage (Arrow-batched MG summaries)
+        assert "MapInPandas" in plan, plan
+
+    def test_robust_zscore_single_shuffle_no_joins(self, spark):
+        # stacked window medians: scan -> ONE exchange -> two window ops
+        plan = plan_of(spark, "robust_zscore_by_part")
+        assert plan.count("Exchange") == 1, plan
+        assert "Join" not in plan, plan
+        read = plan.split("ReadSchema:")[-1].splitlines()[0]
+        assert "l_shipdate" not in read, read
+
+    def test_unigram_model_is_broadcast_joined(self, spark):
+        # the vocab-sized model reaches the token stream via broadcast;
+        # the only hashpartitioning keys are token (model agg) and doc_id
+        # (score agg) — never the text payload
+        plan = plan_of(spark, "unigram_logprob_quality")
+        assert "BroadcastHashJoin" in plan, plan
+        for part in plan.split("Exchange hashpartitioning")[1:]:
+            assert "text" not in part.split("\n")[0], plan
+
     def test_priority_names_all_resolve(self, spark):
         # all_queries() silently skips unknown _PRIORITY names — a renamed
         # query would silently lose its gate-rotation slot, so pin every
