@@ -17,6 +17,7 @@ from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
 from drug_target_discovery_spark.queries.registry import register
 from drug_target_discovery_spark.sources.tables import load_table
 from drug_target_discovery_spark.streaming.events import (
+    interval_join,
     sessionize_builtin,
     windowed_event_counts,
 )
@@ -274,4 +275,65 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.withColumnsRenamed(renames)
     return out.select(
         "user_id", *[F.coalesce(f"n_{t}", F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-interval join: views attributed to purchases within a 1-hour window
+# --------------------------------------------------------------------------
+@register(
+    "view_purchase_attribution",
+    tags=("events", "interval-join", "streaming"),
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+    SELECT p.user_id, p.purchase_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_s,
+           count(v.ts) AS n_views_1h,
+           {rnd_sql("coalesce(sum(CAST(floor(v.value * 1000000.0 + 0.5) AS BIGINT)), 0) / 1000000.0", 6)}
+             AS sum_view_value
+    FROM p LEFT JOIN v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+    GROUP BY p.user_id, p.purchase_id, p.ts
+    """,
+)
+def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window interval join: for every purchase, the count and
+    value-sum of the same user's views in the preceding hour — the classic
+    marketing-attribution shape, and the stream-stream join the as-of
+    operator can't express (ALL rows in the window, not just the latest).
+    The operator (streaming/events.py interval_join) is batch/stream
+    polymorphic; stream parity is pinned in tests/test_streaming.py.
+    View values are integer-quantized before the sum so the aggregate is
+    addition-order independent (cross-engine exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long").alias("v_q"),
+    )
+    joined = interval_join(p, v, lookback="1 hour", how="left_outer")
+    return (
+        joined.groupBy("user_id", "purchase_id", "ts")
+        .agg(
+            F.count("r_ts").alias("n_views_1h"),
+            rnd(
+                F.coalesce(F.sum("v_q"), F.lit(0).cast("long")) / F.lit(1000000.0), 6
+            ).alias("sum_view_value"),
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            F.unix_timestamp("ts").alias("purchase_ts_s"),
+            "n_views_1h",
+            "sum_view_value",
+        )
     )

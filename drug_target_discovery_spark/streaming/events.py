@@ -178,3 +178,44 @@ def dedup_events(
             return df.dropDuplicatesWithinWatermark(keys)
         return df.dropDuplicates(keys)
     return events.dropDuplicates(keys)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str = "user_id",
+    right_on: str = "r_user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    lookback: str = "1 hour",
+    watermark: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Time-interval (attribution-window) join: each left row pairs with
+    every right row of the same key whose timestamp falls in
+    ``[left_ts - lookback, left_ts]``.
+
+    Batch and stream share the plan. As a stream-stream join, Spark uses
+    the watermark plus BOTH time bounds to expire buffered state — per-key
+    state is bounded by (watermark delay + lookback) of rows, the only
+    join shape that survives two unbounded streams. ``how='left_outer'``
+    additionally requires the watermark (outer rows emit once the
+    watermark passes their window); inner results emit as matches arrive.
+
+    The two sides must carry disjoint column names (key and ts included —
+    rename before calling); the output keeps all of both, so downstream
+    aggregation can group by the left key without ambiguity. Batch plan:
+    one hash exchange per side on the equality key; the range predicate is
+    a post-match filter, so the worst case is per-key purchase x view
+    pairs inside the window — never a cross product.
+    """
+    l, r = left, right
+    if watermark is not None:
+        l = l.withWatermark(left_ts, watermark)
+        r = r.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_on) == F.col(right_on))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return l.join(r, cond, how)

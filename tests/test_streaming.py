@@ -83,6 +83,42 @@ class TestStreamingParity:
         )
         assert got == expected
 
+    def test_interval_join_stream_equals_batch(self, spark, events_stream_dir):
+        """Stream-stream time-interval join: the watermarked append-mode
+        run over two readStream sides emits exactly the batch pairs."""
+        from drug_target_discovery_spark.streaming.events import interval_join
+
+        def split(src):
+            p = src.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("event_id").alias("purchase_id"), "ts"
+            )
+            v = src.filter(F.col("event_type") == "view").select(
+                F.col("user_id").alias("r_user_id"),
+                F.col("ts").alias("r_ts"),
+                F.col("event_id").alias("view_id"),
+            )
+            return p, v
+
+        bp, bv = split(load_table(spark, SF, "events"))
+        expected = interval_join(bp, bv, lookback="1 hour").select(
+            "purchase_id", "view_id"
+        )
+        sp, sv = split(_open_stream(spark, events_stream_dir))
+        joined = interval_join(
+            sp, sv, lookback="1 hour", watermark="2 hours"
+        ).select("purchase_id", "view_id")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ij_pairs")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM ij_pairs")
+        assert _as_sorted_rows(got) == _as_sorted_rows(expected)
+        assert expected.count() > 0
+
     def test_stateful_user_totals_matches_batch(self, spark, events_stream_dir):
         """applyInPandasWithState: the last update per user equals the plain
         batch aggregate — running state across micro-batches is correct."""
