@@ -78,3 +78,63 @@ def events_in_purchase_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_prior_events"),
         F.count(F.when(F.col("e.event_type") == "view", 1)).alias("n_prior_views"),
     )
+
+
+@register(
+    "approx_quantile_sketch_bounded",
+    tags=("agg", "approx", "sketch"),
+    oracle=f"""
+    -- The GK-sketch estimates are engine-specific and cannot hash-match, so
+    -- the contract under test is BOUNDED RANK ERROR (the approx_distinct
+    -- pattern): the Spark side emits exact quantiles plus flags asserting
+    -- its own sketch landed inside the +-2*eps rank bracket; the oracle
+    -- asserts the exact columns and that every flag is TRUE.
+    SELECT l_returnflag,
+           count(*) AS n,
+           {rnd_sql("quantile_cont(l_extendedprice, 0.50)", 4)} AS exact_p50,
+           {rnd_sql("quantile_cont(l_extendedprice, 0.95)", 4)} AS exact_p95,
+           TRUE AS p50_in_bracket,
+           TRUE AS p95_in_bracket
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_quantile_sketch_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch with a bounded-error oracle: per group,
+    ``approx_percentile(x, p, accuracy)`` (Greenwald-Khanna; rank error
+    eps <= 1/accuracy) next to the exact ``percentile`` — the driver-
+    checkable flags assert the sketch value lies inside the interpolated
+    [p - 2*eps, p + 2*eps] quantile bracket (2x margin converts GK's
+    discrete-rank guarantee into the continuous bracket both engines can
+    compute). At 100 TB the sketch is the operative path — a fixed-size
+    mergeable aggregate per partition, no per-group sort — and this query
+    is the harness that proves its error budget instead of trusting it.
+    Exact and approx aggregates run in separate passes joined on the key:
+    mixing them in one agg forces Expand planning (approx_distinct_parts
+    has the measurement)."""
+    eps = 1.0 / 100.0  # accuracy=100
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.50), F.lit(100)).alias("a50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(100)).alias("a95"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("exact_p50"),
+        rnd(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("exact_p95"),
+        F.percentile("l_extendedprice", F.lit(0.50 - 2 * eps)).alias("lo50"),
+        F.percentile("l_extendedprice", F.lit(0.50 + 2 * eps)).alias("hi50"),
+        F.percentile("l_extendedprice", F.lit(0.95 - 2 * eps)).alias("lo95"),
+        F.percentile("l_extendedprice", F.lit(min(0.95 + 2 * eps, 1.0))).alias("hi95"),
+    )
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        "exact_p50",
+        "exact_p95",
+        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias(
+            "p50_in_bracket"
+        ),
+        ((F.col("a95") >= F.col("lo95")) & (F.col("a95") <= F.col("hi95"))).alias(
+            "p95_in_bracket"
+        ),
+    )
