@@ -282,3 +282,50 @@ def simhash_fingerprints(
             )
         ).alias("simhash")
     )
+
+
+def jaccard_verify_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of a GIVEN candidate pair set
+    (d1, d2): returns the pairs with jaccard > threshold plus the score.
+
+    The cheap half of the LSH chain done right: shingles are built only
+    for docs that appear in some pair, collected into one sorted array per
+    doc, and each pair is scored with a single JVM ``array_intersect`` —
+    work is O(|pairs| * doc_len), never a shingle x shingle self-join
+    among the members (which re-explodes every co-occurring shingle pair
+    and was ~2x slower at sf0.1). Docs with fewer than ``n`` tokens have
+    no shingles and drop out (inner joins), matching the oracle's
+    shingles CTE semantics."""
+    members = (
+        pairs.select(F.col("d1").alias(id_col))
+        .union(pairs.select("d2"))
+        .distinct()
+    )
+    docs_cand = docs.join(F.broadcast(members), id_col, "left_semi")
+    sh = token_shingles(docs_cand, text_col, id_col, n)
+    sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("_toks"),
+        F.count(F.lit(1)).alias("_sz"),
+    )
+    s1 = sets.select(
+        F.col(id_col).alias("d1"), F.col("_toks").alias("_t1"), F.col("_sz").alias("_s1")
+    )
+    s2 = sets.select(
+        F.col(id_col).alias("d2"), F.col("_toks").alias("_t2"), F.col("_sz").alias("_s2")
+    )
+    k = F.size(F.array_intersect("_t1", "_t2"))
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("_k", k)
+        .withColumn("jaccard", F.col("_k") / (F.col("_s1") + F.col("_s2") - F.col("_k")))
+        .filter(F.col("jaccard") > threshold)
+        .select("d1", "d2", "jaccard", F.col("_k").alias("n_common"))
+    )

@@ -12,6 +12,7 @@ from drug_target_discovery_spark.operators.dedup import (
     MD5_INT_DUCK,
     MERSENNE61,
     _minhash_coeffs,
+    jaccard_verify_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -244,22 +245,15 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: LSH candidates -> Jaccard verification ->
     canonical id = min over the verified neighborhood (single-hop star
     canonicalization; full transitive closure is `connected_components`,
-    graph tier). Returns only docs that have a near-duplicate."""
+    graph tier). Returns only docs that have a near-duplicate.
+    Verification scores exactly the candidate pairs via per-doc shingle
+    arrays + array_intersect (operators/dedup.py jaccard_verify_pairs) —
+    O(|pairs|) work, no shingle self-join among the members."""
     docs = load_table(spark, sf_dir, "documents")
     cand = candidate_pairs(spark, sf_dir)
-    # Jaccard-verify ONLY docs that appear in some candidate pair: the LSH
-    # prefilter guarantees candidates << corpus, so the shingle self-join
-    # runs on the small candidate member set instead of every document.
-    # Result-identical (per-doc shingle sizes don't depend on the doc set,
-    # and verified keeps only candidate pairs anyway).
-    members = (
-        cand.select(F.col("d1").alias("doc_id"))
-        .union(cand.select("d2"))
-        .distinct()
-    )
-    docs_cand = docs.join(F.broadcast(members), "doc_id", "left_semi")
-    jac = ngram_jaccard_pairs(docs_cand, n=_N, threshold=_JACCARD_T, max_shingle_df=None)
-    verified = cand.join(jac.select("d1", "d2"), ["d1", "d2"], "inner")
+    verified = jaccard_verify_pairs(
+        docs, cand, n=_N, threshold=_JACCARD_T
+    ).select("d1", "d2")
     members = (
         verified.select(F.col("d1").alias("doc_id"), F.col("d1").alias("nbr"))
         .union(verified.select("d2", "d1"))
@@ -444,20 +438,12 @@ def dedup_against_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ref_digests), "digest", "left")
         .select("doc_id", "n_exact")
     )
-    # near tier: cross-split candidates out of the corpus-wide pair memo
+    # near tier: cross-split candidates out of the corpus-wide pair memo,
+    # scored pair-exactly by jaccard_verify_pairs (no member self-join)
     cand = candidate_pairs(spark, sf_dir)
     cross = cand.filter((F.col("d1") % 5 == 0) != (F.col("d2") % 5 == 0))
-    members = (
-        cross.select(F.col("d1").alias("doc_id"))
-        .union(cross.select("d2"))
-        .distinct()
-    )
-    docs_cand = docs.join(F.broadcast(members), "doc_id", "left_semi")
-    jac = ngram_jaccard_pairs(
-        docs_cand, n=_N, threshold=_JACCARD_T, max_shingle_df=None
-    )
     verified = (
-        cross.join(jac.select("d1", "d2", "jaccard"), ["d1", "d2"], "inner")
+        jaccard_verify_pairs(docs, cross, n=_N, threshold=_JACCARD_T)
         .withColumn(
             "b_id", F.when(F.col("d1") % 5 == 0, F.col("d1")).otherwise(F.col("d2"))
         )
