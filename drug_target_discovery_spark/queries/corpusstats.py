@@ -1,7 +1,8 @@
 """Corpus-statistics tier (SURVEY §2.12 [EXT]): exact sketch-bounded heavy
-hitters and CCNet-style unigram LM document scoring over ``documents``.
+hitters, CCNet-style unigram LM document scoring, and BM25 keyword
+retrieval over ``documents``.
 
-Both are standard large-scale training-data-pipeline operators with no
+All are standard large-scale training-data-pipeline operators with no
 reference-engine counterpart (the reference has no corpus tier); they join
 the dedup/similarity/quality families the build brief adds beyond
 /root/reference.
@@ -120,5 +121,104 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(
                 F.sum("lp_q") / (F.lit(1000000.0) * F.count(F.lit(1))), 6
             ).alias("mean_logprob"),
+        )
+    )
+
+
+# BM25 parameters (Robertson-Sparck Jones defaults)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("join", "hash", "stream")  # fixed keyword query
+
+_BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+
+
+@register(
+    "bm25_keyword_search",
+    tags=("corpus", "retrieval", "scalable"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl
+    ),
+    q(term) AS (VALUES {_BM25_TERMS_SQL}),
+    tf AS (
+      SELECT doc_id, token AS term, count(*)::DOUBLE AS tf
+      FROM t2 WHERE token IN (SELECT term FROM q)
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+               * 1000000.0 + 0.5) AS BIGINT) AS s_q
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id, count(*) AS n_matched_terms,
+           {rnd_sql("sum(s_q) / 1000000.0", 6)} AS bm25
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed term set —
+    the lexical-search scorer production corpora pair with ANN retrieval.
+
+    Scale design: the token stream is filtered to the query terms BEFORE
+    any aggregation (an ``isin`` over a literal set, codegen'd), so the
+    per-(doc, term) tf aggregation shuffles only matching tokens; document
+    lengths come from one map-side count shuffle bounded by doc count; the
+    df and corpus stats are term-count- and 1-row-sized broadcasts. Per-
+    term scores are quantized to integer micro-units before the per-doc
+    sum (order-independent, cross-engine exact — same discipline as
+    unigram_logprob_quality).
+
+    The doc-length aggregation is the only full-token-stream shuffle, and
+    it carries (doc_id, partial count) pairs — at 100 TB that is the
+    already-minimal footprint; everything else is proportional to query
+    matches."""
+    k1, b = _BM25_K1, _BM25_B
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").cast("double").alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("token").alias("term"))
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    s_q = F.floor(
+        idf * (F.col("tf") * (k1 + 1.0)) / denom * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s_q.alias("s_q"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            rnd(F.sum("s_q") / F.lit(1000000.0), 6).alias("bm25"),
         )
     )
