@@ -147,6 +147,22 @@ class TestPlanShape:
         for part in plan.split("Exchange hashpartitioning")[1:]:
             assert "text" not in part.split("\n")[0], plan
 
+    def test_bm25_no_payload_shuffle(self, spark):
+        # df + corpus stats reach the tf table via broadcast; no exchange
+        # is keyed on the raw text payload
+        plan = plan_of(spark, "bm25_keyword_search")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+        for part in plan.split("Exchange hashpartitioning")[1:]:
+            assert "text" not in part.split("\n")[0], plan
+
+    def test_interval_join_is_equi_with_range_filter(self, spark):
+        # the attribution join plans as a hash/sort-merge EQUI join on the
+        # user key with the time bounds as join-condition filters — never a
+        # BroadcastNestedLoopJoin cross product
+        plan = plan_of(spark, "view_purchase_attribution")
+        assert "NestedLoop" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+
     def test_priority_names_all_resolve(self, spark):
         # all_queries() silently skips unknown _PRIORITY names — a renamed
         # query would silently lose its gate-rotation slot, so pin every
