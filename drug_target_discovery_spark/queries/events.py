@@ -337,3 +337,41 @@ def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_view_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2-style history: validity intervals from an event stream
+# --------------------------------------------------------------------------
+@register(
+    "scd2_user_value_history",
+    tags=("events", "cdc", "window"),
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+           CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS valid_to_s,
+           CASE WHEN lead(ts) OVER w IS NULL THEN TRUE ELSE FALSE END AS is_current,
+           value
+    FROM events
+    WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history built from a change
+    stream: each 'signup' event opens a validity interval that closes at
+    the user's next one — valid_from/valid_to plus an is_current flag, the
+    standard CDC-to-warehouse materialization. ONE shuffle on the entity
+    key, one window sort; at scale this is the canonical merge-free way to
+    keep point-in-time-queryable dimensions from an event log. Deterministic
+    tie-break (ts, event_id) so both engines close intervals identically."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("valid_from_s"),
+        F.unix_timestamp(nxt).alias("valid_to_s"),
+        nxt.isNull().alias("is_current"),
+        "value",
+    )
