@@ -62,7 +62,10 @@ def misra_gries_partials(
         counters: dict[str, int] = {}
         total = 0
         for batch in batches:
-            toks = batch[text_col].astype(str).str.split(" ").explode()
+            # dropna BEFORE astype(str): a NULL text cell must contribute
+            # nothing, not a literal "None" token (which would inflate the
+            # partition total N relative to the JVM-side recount pass)
+            toks = batch[text_col].dropna().astype(str).str.split(" ").explode()
             toks = toks[(toks != "") & toks.notna()]
             total += len(toks)
             for tok, c in toks.value_counts().items():

@@ -87,3 +87,15 @@ def test_empty_and_blank_docs(spark):
     )
     got = {r["token"]: r["cnt"] for r in exact_heavy_hitters(docs, k=K).collect()}
     assert got == {"x": 3}
+
+
+def test_null_text_contributes_nothing(spark):
+    docs = spark.createDataFrame(
+        [(0, None), (1, "a a a"), (2, None), (3, "b")],
+        "doc_id long, text string",
+    )
+    parts = misra_gries_partials(docs, k=K).collect()
+    total = sum(r["lb"] for r in parts if r["token"] is None)
+    assert total == 4  # 3x a + 1x b; NULLs add no "None" tokens
+    got = {r["token"]: r["cnt"] for r in exact_heavy_hitters(docs, k=K).collect()}
+    assert got == {"a": 3, "b": 1}
