@@ -375,3 +375,77 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         "value",
     )
+
+
+# --------------------------------------------------------------------------
+# Conversion funnel: strictly-ordered view -> click -> purchase per user
+# --------------------------------------------------------------------------
+@register(
+    "conversion_funnel",
+    tags=("events", "funnel"),
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS vts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS cts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.vts
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.cts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(floor(epoch(v.vts)) AS BIGINT) AS first_view_s,
+           CAST(floor(epoch(c.cts)) AS BIGINT) AS first_click_s,
+           CAST(floor(epoch(p.pts)) AS BIGINT) AS first_purchase_s,
+           (c.user_id IS NOT NULL) AS reached_click,
+           (p.user_id IS NOT NULL) AS converted
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-stage funnel (first view -> first LATER click ->
+    first later-still purchase) per user — the product-analytics staple
+    that a naive per-type min gets wrong (a click before any view must
+    not count). Three conditional-min aggregations, each shuffling only
+    (user_id, candidate-min) partials on the same key, with the stage
+    anchor arriving via an equi-join that AQE can broadcast (stage tables
+    are user-count-sized, << events). The per-stage ts is exact epoch
+    seconds; stage flags derive from join hits."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v.select("user_id", "vts"), "user_id")
+        .filter(F.col("ts") > F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "cts"), "user_id")
+        .filter(F.col("ts") > F.col("cts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_timestamp("vts").alias("first_view_s"),
+            F.unix_timestamp("cts").alias("first_click_s"),
+            F.unix_timestamp("pts").alias("first_purchase_s"),
+            F.col("cts").isNotNull().alias("reached_click"),
+            F.col("pts").isNotNull().alias("converted"),
+        )
+    )

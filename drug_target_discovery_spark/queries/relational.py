@@ -375,3 +375,56 @@ def positional_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn", "n_name"
     )
     return s.join(n, "rn").select("rn", "s_name", "n_name")
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy matching (entity-resolution shape)
+# --------------------------------------------------------------------------
+@register(
+    "fuzzy_part_name_matches",
+    tags=("linkage", "join", "scalable"),
+    oracle="""
+    WITH names AS (
+      SELECT p_name, count(*) AS n_parts,
+             string_split(p_name, ' ')[-1] AS blk
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS n1, b.p_name AS n2,
+           levenshtein(a.p_name, b.p_name) AS edit_dist,
+           a.n_parts AS n1_parts, b.n_parts AS n2_parts
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution via BLOCKED fuzzy matching: near-identical part
+    names (edit distance <= 2) found without ever forming the all-pairs
+    cross product. The record-linkage recipe at scale: (1) aggregate to
+    DISTINCT names first (dedup before matching — the name table is
+    orders of magnitude smaller than the fact rows), (2) equi-join on a
+    blocking key (here the trailing noun token, so only 'cold bolt' vs
+    'old bolt'-shaped candidates meet), (3) score survivors with the
+    codegen'd levenshtein — an exact integer both engines agree on. The
+    blocked semantics IS the operator (the oracle blocks identically);
+    recall outside the block is the standard linkage trade documented
+    here, not a silent approximation."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("blk", F.element_at(F.split(F.col("p_name"), " "), -1))
+    )
+    a = names.select(
+        F.col("p_name").alias("n1"), F.col("n_parts").alias("n1_parts"), "blk"
+    )
+    b = names.select(
+        F.col("p_name").alias("n2"), F.col("n_parts").alias("n2_parts"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("n1") < F.col("n2"))
+        .withColumn("edit_dist", F.levenshtein("n1", "n2"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("n1", "n2", "edit_dist", "n1_parts", "n2_parts")
+    )
