@@ -410,3 +410,52 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .select("lang", "bucket", (F.col("bucket") * _BUCKET_W).alias("bucket_lo"), "n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted systematic sampling (token-budget-proportional)
+# --------------------------------------------------------------------------
+_W_STEP = 2000  # select ~1 doc per 2000 chars of stratum weight
+
+
+@register(
+    "weighted_systematic_sample",
+    tags=("curation", "sampling", "scalable"),
+    oracle=f"""
+    WITH ordered AS (
+      SELECT doc_id, source, n_chars,
+             sum(n_chars) OVER (PARTITION BY source
+                                ORDER BY ({_HASH_DUCK}) ASC, doc_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars
+    FROM ordered
+    WHERE cum // {_W_STEP} > (cum - n_chars) // {_W_STEP}
+    """,
+)
+def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without RNG or floats: per source the
+    docs are laid on a line in a deterministic md5-shuffled order, each
+    occupying its n_chars of length, and every doc straddling a
+    {_W_STEP}-char boundary is selected — classic systematic sampling,
+    inclusion probability ~ n_chars / {_W_STEP}. Pure INTEGER arithmetic
+    (prefix-sum + floor-division), so both engines select literally the
+    same docs — the reproducibility a curation backfill needs and an RNG
+    sampler can't give. Cost: one window shuffle per stratum key; the
+    md5 order decorrelates the selection from ingest order, giving the
+    variance-reduction property systematic samplers are used for."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.expr(_HASH_SPARK).asc(), F.col("doc_id").asc()
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = F.sum("n_chars").over(w)
+    return (
+        docs.select("doc_id", "source", "n_chars", cum.alias("cum"))
+        .filter(
+            F.floor(F.col("cum") / _W_STEP)
+            > F.floor((F.col("cum") - F.col("n_chars")) / _W_STEP)
+        )
+        .select("doc_id", "source", "n_chars")
+    )

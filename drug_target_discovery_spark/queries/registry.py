@@ -50,7 +50,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # round, (3) queries whose latest green row is round 2 (the r3 gate's 50
 # slots went to never-checked/changed/r1-stale entries). New and changed
 # queries outrank unchanged stale ones — rewritten plans need current
-# driver evidence more than unchanged ones need a refresh — so eleven
+# driver evidence more than unchanged ones need a refresh — so thirteen
 # unchanged-since-r2 queries sit at slots 51+ (they keep their r2
 # green rows and go first next round).
 _PRIORITY: tuple[str, ...] = (
@@ -64,6 +64,8 @@ _PRIORITY: tuple[str, ...] = (
     "scd2_user_value_history",    # CDC validity intervals
     "fuzzy_part_name_matches",    # blocked entity resolution
     "conversion_funnel",          # ordered 3-stage funnel
+    "lineitem_measures_unpivot",  # native unpivot/melt
+    "weighted_systematic_sample", # integer-exact weighted sampling
     "media_video_decode_stats",   # real Y4M video codec
     # -- implementation or oracle changed this round
     "bh_fdr_scalable_adjust",     # single-sort desc-window rewrite
@@ -105,12 +107,12 @@ _PRIORITY: tuple[str, ...] = (
     "robust_zscore_by_part",
     "rolling_hash_fingerprint",
     "sequence_packing",
-    "session_windows_builtin",
-    "session_windows_gap",
     # -- slots 51+: unchanged-since-r2 trivia demoted for this round's new
     # and rewritten queries (they keep their r2 green rows; first next round)
     "conditional_log2",
     "missing_census",
+    "session_windows_builtin",
+    "session_windows_gap",
     "simhash_fingerprints",
     "supplier_composite_score",
     "text_quality_scores",

@@ -428,3 +428,46 @@ def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 2)
         .select("n1", "n2", "edit_dist", "n1_parts", "n2_parts")
     )
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt (wide -> long) + per-metric profile
+# --------------------------------------------------------------------------
+@register(
+    "lineitem_measures_unpivot",
+    tags=("relational", "unpivot"),
+    oracle="""
+    WITH long AS (
+      SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT metric, count(*) AS n,
+           min(value) AS lo, max(value) AS hi,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM long GROUP BY metric
+    """,
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshaping via the native ``unpivot`` operator (the melt
+    half of §2.9's pivot coverage), then a per-metric profile. Unpivot is
+    a zero-shuffle projection (each row expands to 4 metric rows map-side)
+    and the profile partial-aggregates to 4 groups before the exchange —
+    the cheapest possible reshape at any scale. Sums are cent-quantized
+    to integers so the aggregate is addition-order independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")).alias(
+            "sum_cents"
+        ),
+    )
