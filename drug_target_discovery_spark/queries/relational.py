@@ -471,3 +471,109 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Declarative data-quality checks (constraint-validation suite)
+# --------------------------------------------------------------------------
+@register(
+    "data_quality_checks",
+    tags=("quality", "etl"),
+    oracle="""
+    WITH li AS (
+      SELECT count(*) AS n_rows,
+             count(*) - count(l_shipdate) AS null_shipdate,
+             count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+               AS bad_discount,
+             count(CASE WHEN l_quantity <= 0 THEN 1 END) AS bad_quantity
+      FROM lineitem
+    ),
+    dupes AS (
+      SELECT count(*) AS dupe_rows FROM (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+      )
+    ),
+    orphans AS (
+      SELECT count(*) AS orphan_rows
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL
+    )
+    SELECT * FROM (
+      SELECT 'row_count_positive' AS check_name,
+             CAST(n_rows AS BIGINT) AS observed, n_rows > 0 AS passed FROM li
+      UNION ALL
+      SELECT 'shipdate_not_null', null_shipdate, null_shipdate = 0 FROM li
+      UNION ALL
+      SELECT 'discount_in_unit_range', bad_discount, bad_discount = 0 FROM li
+      UNION ALL
+      SELECT 'quantity_positive', bad_quantity, bad_quantity = 0 FROM li
+      UNION ALL
+      SELECT 'orderline_key_unique', dupe_rows, dupe_rows = 0 FROM dupes
+      UNION ALL
+      SELECT 'orderkey_references_orders', orphan_rows, orphan_rows = 0
+      FROM orphans
+    )
+    """,
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint-validation suite (the Deequ/dbt-test shape a
+    production pipeline gates every load on): completeness, range,
+    key-uniqueness and referential-integrity checks, one row per check with
+    the observed violation count and a pass flag. Plan shape: ALL
+    single-pass row-level checks fold into ONE aggregate over the fact scan
+    (no per-check scans); uniqueness adds one keyed aggregation;
+    referential integrity is one anti-join counted — three jobs total
+    regardless of how many row-level constraints are declared. On the
+    synthetic data the uniqueness check legitimately FAILS (the generator
+    reuses (l_orderkey, l_linenumber)) — the suite reports it rather than
+    assuming it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    one = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_shipdate")).alias("null_shipdate"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("bad_discount"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("bad_quantity"),
+    )
+    dupes = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("dupe_rows"))
+    )
+    orphans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_rows"))
+    )
+
+    def row(name, obs, ok):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            obs.cast("long").alias("observed"),
+            ok.alias("passed"),
+        )
+
+    rows1 = one.select(
+        F.explode(
+            F.array(
+                row("row_count_positive", F.col("n_rows"), F.col("n_rows") > 0),
+                row("shipdate_not_null", F.col("null_shipdate"), F.col("null_shipdate") == 0),
+                row("discount_in_unit_range", F.col("bad_discount"), F.col("bad_discount") == 0),
+                row("quantity_positive", F.col("bad_quantity"), F.col("bad_quantity") == 0),
+            )
+        ).alias("r")
+    ).select("r.*")
+    rows2 = dupes.select(
+        F.lit("orderline_key_unique").alias("check_name"),
+        F.col("dupe_rows").cast("long").alias("observed"),
+        (F.col("dupe_rows") == 0).alias("passed"),
+    )
+    rows3 = orphans.select(
+        F.lit("orderkey_references_orders").alias("check_name"),
+        F.col("orphan_rows").cast("long").alias("observed"),
+        (F.col("orphan_rows") == 0).alias("passed"),
+    )
+    return rows1.unionByName(rows2).unionByName(rows3)
