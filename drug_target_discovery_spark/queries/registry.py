@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- implementation or oracle changed this round
     "bh_fdr_scalable_adjust",     # single-sort desc-window rewrite
     "embedding_covariance",       # BLAS-tile mapInPandas rewrite
+    "robust_zscore_by_part",      # stacked-window-medians rewrite
     "media_feature_extraction",   # real payloads + value_sum oracle
     "media_resize_shapes",        # real resample + checksum oracle
     "media_frame_sample",         # real frame decode + checksum oracle
@@ -106,7 +107,6 @@ _PRIORITY: tuple[str, ...] = (
     "part_name_analysis",
     "promo_revenue_share",
     "repeated_ngram_fraction",
-    "robust_zscore_by_part",
     # -- slots 51+: unchanged-since-r2 trivia demoted for this round's new
     # and rewritten queries (they keep their r2 green rows; first next round)
     "conditional_log2",
