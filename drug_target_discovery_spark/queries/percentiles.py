@@ -30,12 +30,25 @@ def price_percentiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB-scale hot paths swap in `approx_percentile` (t-digest sketch,
     mergeable) — exact here because the oracle hash demands it."""
     part = load_table(spark, sf_dir, "part")
-    return part.groupBy("p_brand").agg(
-        rnd(F.percentile("p_retailprice", F.lit(0.25)), 4).alias("p25"),
-        rnd(F.percentile("p_retailprice", F.lit(0.50)), 4).alias("p50"),
-        rnd(F.percentile("p_retailprice", F.lit(0.75)), 4).alias("p75"),
-        rnd(F.percentile("p_retailprice", F.lit(0.95)), 4).alias("p95"),
-        F.count(F.lit(1)).alias("n"),
+    # one array-probability percentile: a single sorted buffer per group
+    # instead of four independent ones (see approx_quantile_sketch_bounded)
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.percentile(
+                "p_retailprice",
+                F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75), F.lit(0.95)),
+            ).alias("_q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "p_brand",
+            rnd(F.col("_q")[0], 4).alias("p25"),
+            rnd(F.col("_q")[1], 4).alias("p50"),
+            rnd(F.col("_q")[2], 4).alias("p75"),
+            rnd(F.col("_q")[3], 4).alias("p95"),
+            "n",
+        )
     )
 
 
@@ -117,14 +130,30 @@ def approx_quantile_sketch_bounded(spark: SparkSession, sf_dir: str) -> DataFram
         F.approx_percentile("l_extendedprice", F.lit(0.50), F.lit(100)).alias("a50"),
         F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(100)).alias("a95"),
     )
-    exact = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        rnd(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("exact_p50"),
-        rnd(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("exact_p95"),
-        F.percentile("l_extendedprice", F.lit(0.50 - 2 * eps)).alias("lo50"),
-        F.percentile("l_extendedprice", F.lit(0.50 + 2 * eps)).alias("hi50"),
-        F.percentile("l_extendedprice", F.lit(0.95 - 2 * eps)).alias("lo95"),
-        F.percentile("l_extendedprice", F.lit(min(0.95 + 2 * eps, 1.0))).alias("hi95"),
+    # ONE percentile aggregate with an array of probabilities: six separate
+    # percentile() expressions each keep their own full-group buffer and
+    # sort it independently (~6x the work and memory); the array form sorts
+    # once and reads all six order statistics out of it.
+    ps = [0.50 - 2 * eps, 0.50, 0.50 + 2 * eps, 0.95 - 2 * eps, 0.95,
+          min(0.95 + 2 * eps, 1.0)]
+    exact = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile(
+                "l_extendedprice", F.array(*[F.lit(p) for p in ps])
+            ).alias("_q"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.col("_q")[0].alias("lo50"),
+            rnd(F.col("_q")[1], 4).alias("exact_p50"),
+            F.col("_q")[2].alias("hi50"),
+            F.col("_q")[3].alias("lo95"),
+            rnd(F.col("_q")[4], 4).alias("exact_p95"),
+            F.col("_q")[5].alias("hi95"),
+        )
     )
     return approx.join(exact, "l_returnflag").select(
         "l_returnflag",

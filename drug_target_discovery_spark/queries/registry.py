@@ -50,7 +50,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # round, (3) queries whose latest green row is round 2 (the r3 gate's 50
 # slots went to never-checked/changed/r1-stale entries). New and changed
 # queries outrank unchanged stale ones — rewritten plans need current
-# driver evidence more than unchanged ones need a refresh — so fifteen
+# driver evidence more than unchanged ones need a refresh — so sixteen
 # unchanged-since-r2 queries sit at slots 51+ (they keep their r2
 # green rows and go first next round).
 _PRIORITY: tuple[str, ...] = (
@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "bh_fdr_scalable_adjust",     # single-sort desc-window rewrite
     "embedding_covariance",       # BLAS-tile mapInPandas rewrite
     "robust_zscore_by_part",      # stacked-window-medians rewrite
+    "price_percentiles_by_brand", # array-probability percentile rewrite
     "media_feature_extraction",   # real payloads + value_sum oracle
     "media_resize_shapes",        # real resample + checksum oracle
     "media_frame_sample",         # real frame decode + checksum oracle
@@ -106,11 +107,11 @@ _PRIORITY: tuple[str, ...] = (
     "pagerank_corr_graph",
     "part_name_analysis",
     "promo_revenue_share",
-    "repeated_ngram_fraction",
     # -- slots 51+: unchanged-since-r2 trivia demoted for this round's new
     # and rewritten queries (they keep their r2 green rows; first next round)
     "conditional_log2",
     "missing_census",
+    "repeated_ngram_fraction",
     "rolling_hash_fingerprint",
     "sequence_packing",
     "session_windows_builtin",
