@@ -580,3 +580,98 @@ def robust_zscore_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# T2 [EXT]: Mann-Whitney U rank-sum test (nonparametric twin of Welch t)
+# --------------------------------------------------------------------------
+@register(
+    "mann_whitney_u_by_part",
+    tags=("stats", "window", "ranktest"),
+    oracle=f"""
+    WITH two AS (
+      SELECT l_partkey, l_returnflag, l_extendedprice AS v
+      FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ),
+    ranked AS (
+      SELECT l_partkey, l_returnflag, v,
+             row_number() OVER (PARTITION BY l_partkey ORDER BY v) AS rn
+      FROM two
+    ),
+    tied AS (
+      SELECT l_partkey, l_returnflag,
+             avg(rn) OVER (PARTITION BY l_partkey, v) AS arank,
+             count(*) OVER (PARTITION BY l_partkey, v) AS t
+      FROM ranked
+    ),
+    g AS (
+      SELECT l_partkey,
+             count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n1,
+             count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n2,
+             sum(CASE WHEN l_returnflag = 'R' THEN arank END) AS r1,
+             sum(t * t - 1.0) AS tiesum
+      FROM tied GROUP BY l_partkey
+    )
+    SELECT l_partkey, n1, n2,
+           {rnd_sql("r1 - n1 * (n1 + 1.0) / 2.0", 2)} AS u_stat,
+           {rnd_sql('''CASE WHEN n1 >= 2 AND n2 >= 2 AND
+                 (n1 * n2 / 12.0) * ((n1 + n2 + 1.0)
+                   - tiesum / ((n1 + n2) * (n1 + n2 - 1.0))) > 0
+            THEN ((r1 - n1 * (n1 + 1.0) / 2.0) - n1 * n2 / 2.0)
+                 / sqrt((n1 * n2 / 12.0) * ((n1 + n2 + 1.0)
+                        - tiesum / ((n1 + n2) * (n1 + n2 - 1.0)))) END''', 6)}
+             AS z_score
+    FROM g WHERE n1 >= 1 AND n2 >= 1
+    """,
+)
+def mann_whitney_u_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test per gene (case 'R' vs control 'A') —
+    the nonparametric differential test pipelines reach for when the
+    t-test's normality assumption fails, with exact midrank tie handling
+    and the tie-corrected normal approximation.
+
+    Exactness without floats-order risk: midranks are averages of integer
+    row_numbers (exact halves in binary doubles), the tie correction
+    Σ(t³-t) folds to a per-row sum of (t²-1) so no second grouping is
+    needed, and z is one identical arithmetic expression on both engines
+    (sqrt is correctly-rounded IEEE in both). Plan: ONE shuffle on
+    l_partkey — the (part, value) tie window's required clustering is
+    satisfied by the part partitioning (subset rule), so Spark inserts
+    only a sort, then the final aggregation is partial-aggregated on the
+    same key. The reference computes rank tests per-gene in a Python
+    loop; this is the whole-table windowed form."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    ).select("l_partkey", "l_returnflag", F.col("l_extendedprice").alias("v"))
+    w_rank = PWindow.partitionBy("l_partkey").orderBy("v")
+    w_tie = PWindow.partitionBy("l_partkey", "v")
+    tied = (
+        li.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("arank", F.avg("rn").over(w_tie))
+        .withColumn("t", F.count(F.lit(1)).over(w_tie))
+    )
+    g = tied.groupBy("l_partkey").agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n1"),
+        F.count(F.when(F.col("l_returnflag") == "A", 1)).alias("n2"),
+        F.sum(F.when(F.col("l_returnflag") == "R", F.col("arank"))).alias("r1"),
+        F.sum(F.col("t") * F.col("t") - 1.0).alias("tiesum"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1.0) / 2.0
+    nn = F.col("n1") + F.col("n2")
+    sigma2 = (F.col("n1") * F.col("n2") / 12.0) * (
+        (nn + 1.0) - F.col("tiesum") / (nn * (nn - 1.0))
+    )
+    z = F.when(
+        (F.col("n1") >= 2) & (F.col("n2") >= 2) & (sigma2 > 0),
+        (u - F.col("n1") * F.col("n2") / 2.0) / F.sqrt(sigma2),
+    )
+    return (
+        g.filter((F.col("n1") >= 1) & (F.col("n2") >= 1))
+        .select(
+            "l_partkey",
+            "n1",
+            "n2",
+            rnd(u, 2).alias("u_stat"),
+            rnd(z, 6).alias("z_score"),
+        )
+    )
