@@ -163,6 +163,13 @@ class TestPlanShape:
         assert "NestedLoop" not in plan, plan
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
 
+    def test_mann_whitney_single_exchange(self, spark):
+        # rank window (part) + tie window (part, value) + final agg all ride
+        # ONE hashpartitioning(l_partkey) — the tie window's clustering is
+        # satisfied by the subset rule, so only sorts are added
+        plan = plan_of(spark, "mann_whitney_u_by_part")
+        assert plan.count("Exchange") == 1, plan
+
     def test_priority_names_all_resolve(self, spark):
         # all_queries() silently skips unknown _PRIORITY names — a renamed
         # query would silently lose its gate-rotation slot, so pin every
