@@ -366,3 +366,60 @@ def clustering_coefficient_corr_graph(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("clustering_coefficient"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A7 [EXT]: Spearman rank correlation edges (rank -> fused Pearson)
+# --------------------------------------------------------------------------
+@register(
+    "spearman_edges_top_parts",
+    tags=("graph", "corr", "ranktest"),
+    oracle=f"""
+    WITH {_CELL_SQL},
+    sub AS (
+      SELECT c.g, c.s, c.v FROM cell c JOIN topg t ON c.g = t.g
+    ),
+    ranked AS (
+      SELECT g, s,
+             avg(rn) OVER (PARTITION BY g, v) AS rk
+      FROM (
+        SELECT g, s, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+        FROM sub
+      )
+    ),
+    sedges AS (
+      SELECT a.g AS g1, b.g AS g2, corr(a.rk, b.rk) AS rho, count(*) AS n_samples
+      FROM ranked a JOIN ranked b ON a.s = b.s AND a.g < b.g
+      GROUP BY 1, 2
+      HAVING count(*) >= {MIN_PERIODS}
+         AND corr(a.rk, b.rk) IS NOT NULL
+         AND abs(corr(a.rk, b.rk)) > {CORR_THRESHOLD}
+    )
+    SELECT g1, g2, {rnd_sql("rho", 6)} AS rho, n_samples
+    FROM sedges
+    """,
+)
+def spearman_edges_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation edges on the same top-variance gene set —
+    the monotone-association twin of the Pearson graph (robust to
+    outliers/nonlinearity, the standard co-expression alternative).
+    Implemented as midrank-within-gene (exact half-integer ranks, same
+    windowed formulation as mann_whitney_u_by_part) followed by the SAME
+    fused self-join + corr aggregate as the Pearson tier — Spearman IS
+    Pearson on midranks, so the whole scale design (cell-memo reuse,
+    broadcast top-K semi-join, no dense matrix) carries over unchanged.
+    corr() of identical midrank inputs agrees across engines at 6dp."""
+    from pyspark.sql import Window as W
+
+    cell = cell_matrix_cached(spark, sf_dir)
+    top = _top_genes(cell)
+    sub = cell.join(F.broadcast(top), "g", "left_semi")
+    ranked = (
+        sub.withColumn("rn", F.row_number().over(W.partitionBy("g").orderBy("v")))
+        .withColumn("rk", F.avg("rn").over(W.partitionBy("g", "v")))
+        .select("g", "s", F.col("rk").alias("v"))
+    )
+    edges = corr_edges(
+        ranked, "g", "s", "v", threshold=CORR_THRESHOLD, min_periods=MIN_PERIODS
+    )
+    return edges.select("g1", "g2", rnd("r", 6).alias("rho"), "n_samples")
