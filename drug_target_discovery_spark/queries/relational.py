@@ -577,3 +577,81 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("orphan_rows") == 0).alias("passed"),
     )
     return rows1.unionByName(rows2).unionByName(rows3)
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence (association rules: support/confidence/lift)
+# --------------------------------------------------------------------------
+_MIN_PAIR_ORDERS = 3
+
+
+@register(
+    "part_pair_affinity",
+    tags=("relational", "basket", "scalable"),
+    oracle=f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_ord AS (SELECT count(DISTINCT l_orderkey)::DOUBLE AS n FROM basket),
+    item AS (SELECT l_partkey, count(*)::DOUBLE AS c FROM basket GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*)::DOUBLE AS c12
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_MIN_PAIR_ORDERS}
+    )
+    SELECT p1, p2, CAST(c12 AS BIGINT) AS n_orders,
+           {rnd_sql("c12 / n_ord.n", 6)} AS support,
+           {rnd_sql("c12 / i1.c", 6)} AS confidence_1to2,
+           {rnd_sql("c12 * n_ord.n / (i1.c * i2.c)", 6)} AS lift
+    FROM pair
+    JOIN item i1 ON p1 = i1.l_partkey
+    JOIN item i2 ON p2 = i2.l_partkey
+    CROSS JOIN n_ord
+    """,
+)
+def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rules mining over order baskets: support, confidence and
+    lift for part pairs co-occurring in >= {_MIN_PAIR_ORDERS} orders — the
+    recommender / market-basket staple. Scale shape: the pair generation
+    is a SELF-JOIN KEYED ON THE ORDER (basket-local, fan-out bounded by
+    basket size squared, never all-parts x all-parts), after a distinct
+    that collapses repeat lines map-side; item counts and the 1-row order
+    total arrive via broadcast. The a<b orientation counts each pair once;
+    ratios are single divisions of exact counts, identical IEEE on both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n_ord = basket.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n")
+    )
+    item = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    a = basket.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = basket.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c12"))
+        .filter(F.col("c12") >= _MIN_PAIR_ORDERS)
+    )
+    i1 = item.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
+    i2 = item.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    return (
+        pair.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "p1",
+            "p2",
+            F.col("c12").cast("long").alias("n_orders"),
+            rnd(F.col("c12") / F.col("n"), 6).alias("support"),
+            rnd(F.col("c12") / F.col("c1"), 6).alias("confidence_1to2"),
+            rnd(F.col("c12") * F.col("n") / (F.col("c1") * F.col("c2")), 6).alias(
+                "lift"
+            ),
+        )
+    )
