@@ -50,7 +50,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # round, (3) queries whose latest green row is round 2 (the r3 gate's 50
 # slots went to never-checked/changed/r1-stale entries). New and changed
 # queries outrank unchanged stale ones — rewritten plans need current
-# driver evidence more than unchanged ones need a refresh — so nineteen
+# driver evidence more than unchanged ones need a refresh — so twenty
 # unchanged-since-r2 queries sit at slots 51+ (they keep their r2
 # green rows and go first next round).
 _PRIORITY: tuple[str, ...] = (
@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "mann_whitney_u_by_part",     # rank-sum test, tie-corrected
     "spearman_edges_top_parts",   # rank-correlation graph edges
     "part_pair_affinity",         # market-basket support/confidence/lift
+    "quantile_normalize_by_supplier",  # binned QN, microarray staple
     "media_video_decode_stats",   # real Y4M video codec
     # -- implementation or oracle changed this round
     "bh_fdr_scalable_adjust",     # single-sort desc-window rewrite
@@ -106,11 +107,11 @@ _PRIORITY: tuple[str, ...] = (
     "median_quantity_by_part",
     "moving_avg_daily_revenue",
     "network_target_scores",
-    "ntile_price_bands",
     # -- slots 51+: unchanged-since-r2 trivia demoted for this round's new
     # and rewritten queries (they keep their r2 green rows; first next round)
     "conditional_log2",
     "missing_census",
+    "ntile_price_bands",
     "pagerank_corr_graph",
     "part_name_analysis",
     "promo_revenue_share",

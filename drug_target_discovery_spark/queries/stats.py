@@ -675,3 +675,88 @@ def mann_whitney_u_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(z, 6).alias("z_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# T1 [EXT]: binned quantile normalization (microarray preprocessing staple)
+# --------------------------------------------------------------------------
+_QN_BINS = 100
+
+
+@register(
+    "quantile_normalize_by_supplier",
+    tags=("stats", "window", "normalization"),
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
+             percent_rank() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice)
+               AS pr,
+             count(*) OVER (PARTITION BY l_suppkey) AS n_s
+      FROM lineitem
+    ),
+    binned AS (
+      SELECT *, CAST(least(floor(pr * {_QN_BINS}), {_QN_BINS} - 1) AS BIGINT) AS bin
+      FROM ranked
+    ),
+    ref AS (
+      SELECT bin,
+             CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 100.0) AS bin_mean
+      FROM binned GROUP BY bin
+    )
+    SELECT b.l_orderkey, b.l_linenumber, b.l_suppkey, b.bin,
+           {rnd_sql("r.bin_mean", 6)} AS qn_value
+    FROM binned b JOIN ref r ON b.bin = r.bin
+    WHERE b.n_s >= 2
+    """,
+)
+def quantile_normalize_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (binned form) — the microarray preprocessing
+    staple (limma/affy 'normalizeQuantiles') the reference's expression
+    pipeline presumes upstream: each sample's (supplier's) values are
+    replaced by the cross-sample mean of their quantile bin, forcing every
+    sample onto a common distribution.
+
+    Exact-by-construction cross-engine: the bin comes from percent_rank
+    (min-rank — TIES SHARE A RANK, so no arbitrary tie placement like
+    ntile's), the bin means are cent-quantized integer sums divided once,
+    and both engines evaluate the identical expressions. Plan: one window
+    shuffle on the sample key (2000 suppliers — real parallelism, unlike a
+    3-group flag partitioning), one B-row reference aggregate joined back
+    by broadcast. Classic full QN interpolates exact per-rank means across
+    equal-length samples; the binned form is the standard large-scale
+    relaxation and is stated as such, not passed off as the exact one."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    w = PWindow.partitionBy("l_suppkey").orderBy("l_extendedprice")
+    wp = PWindow.partitionBy("l_suppkey")
+    binned = (
+        li.withColumn("pr", F.percent_rank().over(w))
+        .withColumn("n_s", F.count(F.lit(1)).over(wp))
+        .withColumn(
+            "bin",
+            F.least(
+                F.floor(F.col("pr") * _QN_BINS), F.lit(_QN_BINS - 1)
+            ).cast("long"),
+        )
+    )
+    ref = binned.groupBy("bin").agg(
+        (
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / (F.count(F.lit(1)) * 100.0)
+        ).alias("bin_mean")
+    )
+    return (
+        binned.filter(F.col("n_s") >= 2)
+        .join(F.broadcast(ref), "bin")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            "bin",
+            rnd(F.col("bin_mean"), 6).alias("qn_value"),
+        )
+    )
