@@ -1,0 +1,113 @@
+"""Scale-up probe: synthesize a ~10x (sf~1) dataset from sf0.1 by key-shifted
+replication, run headline operators at both scales, and report the wall-time
+scaling factor. Linear-ish scaling (factor ~= data factor, not factor^2) is
+the evidence that the partition/shuffle strategy survives growth.
+
+Writes /tmp/sfprobe/{lineitem,orders,customer,documents,embeddings}.parquet
+(key-shifted copies so join relationships and group cardinalities scale
+together), then times each probe query cold at sf0.1 and sf~1.
+
+Usage: python tools/scale_probe.py [replication_factor]   (default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.caching import release_caches
+from drug_target_discovery_spark.queries.registry import all_queries
+from drug_target_discovery_spark.session import get_spark
+from drug_target_discovery_spark.sources.tables import load_table
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/sfprobe"
+
+# key columns to shift per table so replicas keep referential integrity
+# and GROUP CARDINALITY grows with the data (same keys would instead grow
+# group SIZE only — a different, easier scaling mode than production growth)
+SHIFTS = {
+    "lineitem": {"l_orderkey": 1_000_000, "l_partkey": 1_000_000, "l_suppkey": 1_000_000},
+    "orders": {"o_orderkey": 1_000_000, "o_custkey": 1_000_000},
+    "customer": {"c_custkey": 1_000_000},
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+
+PROBES = [
+    "robust_zscore_by_part",
+    "bh_fdr_scalable_adjust",
+    "heavy_hitter_tokens",
+    "unigram_logprob_quality",
+    "exact_dedup_sha256",
+    "revenue_by_nation",
+    "mann_whitney_u_by_part",
+    "bm25_keyword_search",
+]
+
+
+def build(spark, factor: int) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    for table, shifts in SHIFTS.items():
+        src = load_table(spark, BASE, table)
+        parts = []
+        for i in range(factor):
+            df = src
+            for col, step in shifts.items():
+                df = df.withColumn(col, F.col(col) + F.lit(i * step))
+            parts.append(df)
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        out.write.mode("overwrite").parquet(f"{OUT}/{table}.parquet")
+    # small dims unchanged: copy so load_table finds them
+    for small in ("nation", "region", "supplier", "part", "events"):
+        src_path = f"{BASE}/{small}.parquet"
+        dst = f"{OUT}/{small}.parquet"
+        if os.path.isfile(src_path):
+            shutil.copy(src_path, dst)
+        elif os.path.isdir(src_path):  # pragma: no cover
+            shutil.copytree(src_path, dst, dirs_exist_ok=True)
+
+
+def time_probe(spark, name, sf_dir) -> float:
+    q = all_queries()[name]
+    t0 = time.perf_counter()
+    q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    release_caches(fixtures=True)
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    return dt
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale_probe")
+    build(spark, factor)
+    load_table(spark, BASE, "lineitem").count()  # warm session
+    report = {}
+    for name in PROBES:
+        t_small = time_probe(spark, name, BASE)
+        t_big = time_probe(spark, name, OUT)
+        report[name] = {
+            "sf0.1_s": round(t_small, 2),
+            f"x{factor}_s": round(t_big, 2),
+            "scale_factor": round(t_big / t_small, 2) if t_small > 0 else None,
+        }
+        print(name, report[name], flush=True)
+    print(json.dumps({"data_factor": factor, "probes": report}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
