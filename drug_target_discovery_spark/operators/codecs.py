@@ -1,12 +1,12 @@
 """Real image codecs for the multimodal decode seam — pure numpy + stdlib.
 
 The container has no Pillow/ffmpeg, but BMP (BITMAPINFOHEADER, 24-bit
-uncompressed) and PPM (P6) are simple enough to implement from their public
+uncompressed), PPM (P6), RIFF/WAV (PCM 16-bit, chunk-walking) and
+YUV4MPEG2 (C444) are simple enough to implement from their public
 specifications with ``struct`` + numpy. Registering these through
 ``register_decoder``/``register_encoder`` turns the multimodal kernels
 (`operators/multimodal.py`) into REAL decode -> transform -> re-encode
-pipelines for image payloads; audio/video stay on the documented stub until
-a real codec is plugged in.
+pipelines for all three modalities.
 
 Parity: the reference treats media as opaque blobs only (it has no media
 path at all); this module exists for the [EXT] training-data-pipeline tier.
@@ -278,7 +278,10 @@ def y4m_info(payload: bytes) -> dict:
         raise ValueError("Y4M header missing W or H")
     if width <= 0 or height <= 0:
         raise ValueError(f"Y4M header declares empty geometry {width}x{height}")
-    if not colorspace.startswith("444"):
+    # exact match: C444alpha is ALSO prefixed "444" but carries a 4th
+    # (alpha) plane per frame — startswith would mis-size frame_bytes and
+    # surface as a confusing FRAME-marker error mid-stream
+    if colorspace != "444":
         raise ValueError(f"only C444 Y4M supported, got C{colorspace}")
     frame_bytes = width * height * 3
     offsets: list[int] = []
@@ -331,6 +334,20 @@ def decode_y4m(payload: bytes, meta: dict | None = None) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Sniffing dispatcher + registration
 # ---------------------------------------------------------------------------
+
+
+def pixel_ints(img: np.ndarray) -> np.ndarray:
+    """Canonical integer view of decoded [0,1] float pixel/sample data:
+    rint(x*255) as int64. EVERY media checksum oracle (image decode,
+    resize, frame sample, video decode) assumes exactly this convention —
+    change it here or nowhere, or the committed closed-form oracles
+    silently diverge from the kernels."""
+    return np.rint(img.astype(np.float64) * 255.0).astype(np.int64)
+
+
+def pixel_checksum(img: np.ndarray) -> int:
+    """Sum of pixel_ints — the value_sum column of the media oracles."""
+    return int(pixel_ints(img).sum())
 
 
 def decode_image(payload: bytes, meta: dict | None = None) -> np.ndarray:

@@ -101,11 +101,19 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    n_row = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # corpus size N comes from the vocab-sized model table (sum of counts),
+    # NOT from a separate toks.agg — that would be a third full scan+explode
+    # of the fact (the thing the two-scan claim forbids). The counts table
+    # is query-scope cached: it is vocab-sized (cheap to hold) and has two
+    # consumers (N and the model); uncached, each would re-scan the fact.
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    counts = scoped_cache(
+        toks.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    n_row = counts.agg(F.sum("cnt").alias("n"))
     model = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
-        .crossJoin(F.broadcast(n_row))
+        counts.crossJoin(F.broadcast(n_row))
         .select(
             "token",
             F.floor(F.log10(F.col("cnt") / F.col("n")) * 1000000.0 + F.lit(0.5))

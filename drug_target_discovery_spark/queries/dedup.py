@@ -427,7 +427,11 @@ def dedup_against_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_batch = F.col("doc_id") % 5 == 0
     batch = docs.filter(is_batch)
     ref = docs.filter(~is_batch)
-    # exact tier: digests only
+    # exact tier: digests only. NO broadcast hint — the reference-side
+    # digest table grows with the CORPUS (the batch is the small side, if
+    # anything), so forcing it executor-resident would cap the design at
+    # driver memory; a digest-keyed shuffle join moves 32 B/row and AQE
+    # still broadcasts whichever side is actually small at runtime.
     ref_digests = (
         ref.select(F.sha2(F.col("text"), 256).alias("digest"))
         .groupBy("digest")
@@ -435,7 +439,7 @@ def dedup_against_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exacts = (
         batch.select("doc_id", F.sha2(F.col("text"), 256).alias("digest"))
-        .join(F.broadcast(ref_digests), "digest", "left")
+        .join(ref_digests, "digest", "left")
         .select("doc_id", "n_exact")
     )
     # near tier: cross-split candidates out of the corpus-wide pair memo,

@@ -333,7 +333,11 @@ def media_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from drug_target_discovery_spark.operators.codecs import decode_y4m, y4m_info
+        from drug_target_discovery_spark.operators.codecs import (
+            decode_y4m,
+            pixel_ints,
+            y4m_info,
+        )
 
         for pdf in batches:
             rows = []
@@ -341,7 +345,7 @@ def media_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 b = bytes(payload)
                 info = y4m_info(b)
                 clip = decode_y4m(b)
-                ints = np.rint(clip.astype(np.float64) * 255.0).astype(np.int64)
+                ints = pixel_ints(clip)
                 rows.append(
                     (
                         int(mid),
@@ -370,6 +374,37 @@ def media_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bytes BIGINT, duration_ms BIGINT, first_px INT, value_sum BIGINT"
         ),
     )
+
+
+def _bmp_checksum_kernel(carry_cols: list[str], payload_col: str):
+    """mapInPandas kernel factory shared by media_resize_shapes and
+    media_frame_sample: decode each BMP payload and emit the carry columns
+    plus (n_bytes, value_sum) under the canonical pixel_checksum
+    convention (operators/codecs.py) — one definition, so a checksum-
+    convention change cannot diverge between the queries' oracles."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drug_target_discovery_spark.operators.codecs import (
+            decode_bmp,
+            pixel_checksum,
+        )
+
+        for pdf in batches:
+            rows = []
+            for tup in zip(*(pdf[c] for c in carry_cols), pdf[payload_col]):
+                *carry, payload = tup
+                b = bytes(payload)
+                rows.append(
+                    (*[int(x) for x in carry], len(b), pixel_checksum(decode_bmp(b)))
+                )
+            yield pd.DataFrame(
+                rows, columns=[*carry_cols, "n_bytes", "value_sum"]
+            )
+
+    return kernel
 
 
 @register(
@@ -419,29 +454,8 @@ def media_resize_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resized = resize_images(media, width=64, height=48)
 
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    def checksum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from drug_target_discovery_spark.operators.codecs import decode_bmp
-
-        for pdf in batches:
-            rows = []
-            for mid, w, h, payload in zip(
-                pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
-            ):
-                b = bytes(payload)
-                img = decode_bmp(b)
-                ints = np.rint(img.astype(np.float64) * 255.0).astype(np.int64)
-                rows.append((int(mid), int(w), int(h), len(b), int(ints.sum())))
-            yield pd.DataFrame(
-                rows, columns=["media_id", "width", "height", "n_bytes", "value_sum"]
-            )
-
     return resized.mapInPandas(
-        checksum,
+        _bmp_checksum_kernel(["media_id", "width", "height"], "payload"),
         schema="media_id BIGINT, width INT, height INT, n_bytes BIGINT, value_sum BIGINT",
     )
 
@@ -491,30 +505,8 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frames = sample_frames(media, n_frames=4)
 
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    def checksum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from drug_target_discovery_spark.operators.codecs import decode_bmp
-
-        for pdf in batches:
-            rows = []
-            for mid, fi, src, payload in zip(
-                pdf["media_id"], pdf["frame_idx"], pdf["src_frame"], pdf["frame_payload"]
-            ):
-                b = bytes(payload)
-                img = decode_bmp(b)
-                ints = np.rint(img.astype(np.float64) * 255.0).astype(np.int64)
-                rows.append((int(mid), int(fi), int(src), len(b), int(ints.sum())))
-            yield pd.DataFrame(
-                rows,
-                columns=["media_id", "frame_idx", "src_frame", "n_bytes", "value_sum"],
-            )
-
     return frames.mapInPandas(
-        checksum,
+        _bmp_checksum_kernel(["media_id", "frame_idx", "src_frame"], "frame_payload"),
         schema=(
             "media_id BIGINT, frame_idx INT, src_frame INT, "
             "n_bytes BIGINT, value_sum BIGINT"

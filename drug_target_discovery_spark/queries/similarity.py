@@ -530,7 +530,14 @@ def _covariance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = _emb_double(load_table(spark, sf_dir, "embeddings")).select("emb")
+    # NULL embeddings are dropped BEFORE the kernel — the replaced explode
+    # form ignored them implicitly (explode of NULL emits nothing); without
+    # the filter a single NULL row would TypeError np.stack mid-task
+    emb = (
+        _emb_double(load_table(spark, sf_dir, "embeddings"))
+        .filter(F.col("emb").isNotNull())
+        .select("emb")
+    )
 
     def partials(batches):
         # one X^T X tile + column sums per PARTITION (not per batch): the
