@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
 from drug_target_discovery_spark.operators.dedup import (
     MD5_INT_DUCK,
+    MD5_INT_SPARK,
     MERSENNE61,
     _minhash_coeffs,
     jaccard_verify_pairs,
@@ -468,5 +469,137 @@ def dedup_against_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_exact_matches"
             ),
             rnd(F.col("best_j"), 6).alias("best_jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact duplicate-SPAN detection (position-aware substring dedup)
+# --------------------------------------------------------------------------
+_SPAN_K = 6  # token k-gram width; at 6 only genuine shared passages match
+
+_SPAN_H_DUCK = MD5_INT_DUCK.format(col="gram")
+
+
+@register(
+    "duplicate_span_detection",
+    tags=("dedup", "text"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             ({_SPAN_H_DUCK}) AS h
+      FROM (SELECT doc_id,
+                   array_to_string(list_slice(l, i, i + {_SPAN_K - 1}), ' ') AS gram,
+                   i
+            FROM toks, unnest(range(1, len(l) - {_SPAN_K} + 2)) AS t(i)
+            WHERE len(l) >= {_SPAN_K})
+    ),
+    dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM grams WHERE h IN (SELECT h FROM dup)
+    ),
+    spans AS (
+      SELECT doc_id, max(pos) - min(pos) + {_SPAN_K} AS span_tokens
+      FROM hits GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_dup_spans,
+             sum(span_tokens) AS dup_tokens,
+             max(span_tokens) AS longest_span_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(coalesce(p.longest_span_tokens, 0) AS BIGINT) AS longest_span_tokens,
+           {rnd_sql("coalesce(p.dup_tokens, 0) * 1.0 / len(string_split(d.text, ' '))", 6)}
+             AS dup_token_fraction
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def duplicate_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-aware exact substring dedup (the suffix-array pass of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally): find token k-grams that occur in MORE THAN
+    ONE document, merge each doc's duplicated positions into maximal spans
+    (gaps-and-islands), and report per-doc span count / covered tokens /
+    longest span / duplicated-token fraction — the quantities a trainer uses
+    to clip or drop repeated passages rather than whole documents.
+
+    Scale design: the gram TEXT never shuffles — each k-gram is md5-hashed
+    map-side and only (doc_id, pos, h) rows (~20 B) move. The cross-doc
+    test is one partial-aggregated groupBy on h; span merging is a per-doc
+    window (bounded by document length, never corpus-wide); the final join
+    is doc_id-keyed. A corpus-frequent gram (boilerplate) grows one h-group
+    but partial aggregation caps its shuffle contribution per task. This is
+    the relational approximation of the suffix-array pass: identical
+    recall for spans >= k tokens, no global sort, no driver state.
+    """
+    k = _SPAN_K
+    docs = load_table(spark, sf_dir, "documents")
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    toks = docs.select("doc_id", F.split("text", " ").alias("l"))
+    grams = scoped_cache(
+        toks.filter(F.size("l") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(l) - {k} + 1),"
+                    f" i -> concat_ws(' ', slice(l, i, {k})))"
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.expr(MD5_INT_SPARK.format(col="gram")).alias("h"),
+        )
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    from pyspark.sql.window import Window
+
+    hits = grams.join(dup, "h", "left_semi").withColumn(
+        "grp",
+        F.col("pos") - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    spans = hits.groupBy("doc_id", "grp").agg(
+        (F.max("pos") - F.min("pos") + k).alias("span_tokens")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        F.max("span_tokens").cast("long").alias("longest_span_tokens"),
+    )
+    return (
+        docs.select(
+            "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+            F.coalesce("longest_span_tokens", F.lit(0).cast("long")).alias(
+                "longest_span_tokens"
+            ),
+            rnd(
+                F.coalesce("dup_tokens", F.lit(0).cast("long"))
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_token_fraction"),
         )
     )

@@ -632,3 +632,145 @@ def embedding_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFr
         cum += float(vals[k])
         rows.append((k + 1, r6(float(vals[k])), r6(cum / total)))
     return spark.createDataFrame(rows, out_schema)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic deduplication
+# --------------------------------------------------------------------------
+_SEMDEDUP_T = 0.40  # intra-cluster cosine above this -> prune (keep min id)
+
+
+@register(
+    "semantic_dedup_prune",
+    tags=("similarity", "dedup"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    dims AS (
+      SELECT label, i, avg(emb[i]) AS c
+      FROM v, unnest(range(1, len(emb) + 1)) AS t(i)
+      GROUP BY label, i
+    ),
+    centroids AS (
+      SELECT label AS clabel, list(c ORDER BY i) AS cemb FROM dims GROUP BY label
+    ),
+    dist AS (
+      SELECT v.vec_id, v.emb, c.clabel,
+             {_DOT_DUCK.format(a="v.emb", b="c.cemb")}
+               / ({_NORM_DUCK.format(a="v.emb")} * {_NORM_DUCK.format(a="c.cemb")}) AS cosine
+      FROM v CROSS JOIN centroids c
+    ),
+    asn AS (
+      SELECT vec_id, emb, clabel FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, clabel ASC) AS rnk
+        FROM dist) WHERE rnk = 1
+    ),
+    prior AS (
+      SELECT b.vec_id, max(
+               {_DOT_DUCK.format(a="a.emb", b="b.emb")}
+                 / ({_NORM_DUCK.format(a="a.emb")} * {_NORM_DUCK.format(a="b.emb")})
+             ) AS max_sim
+      FROM asn a JOIN asn b ON a.clabel = b.clabel AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id
+      HAVING max({_DOT_DUCK.format(a="a.emb", b="b.emb")}
+                   / ({_NORM_DUCK.format(a="a.emb")} * {_NORM_DUCK.format(a="b.emb")}))
+             > {_SEMDEDUP_T}
+    )
+    SELECT s.vec_id, s.clabel AS cluster,
+           {rnd_sql("p.max_sim", 6)} AS max_sim_to_prior,
+           p.vec_id IS NULL AS is_kept
+    FROM asn s LEFT JOIN prior p ON s.vec_id = p.vec_id
+    """,
+)
+def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
+    space (here: one label-seeded k-means E-step, the same deterministic
+    centroids as ``centroid_assignment``), then prune any vector whose
+    cosine to a LOWER-ID member of its own cluster exceeds τ — the
+    keep-one-representative-per-ε-ball rule made deterministic by the
+    min-id convention. Returns every vector with its cluster, the max
+    similarity to a prior member (NULL if none above τ), and the keep flag.
+
+    Scale design — the point of SemDeDup: pairwise similarity runs only
+    WITHIN clusters, so FLOPs drop from O(N²) to O(Σ cᵢ²) with cᵢ ≈ N/k
+    chosen so each cluster's pair block fits an executor; the candidate
+    join is clabel-partitioned (cluster-local, no global shuffle of pairs)
+    and centroids broadcast exactly as in the E-step. For clusters still
+    too big, the block-pair GEMM kernel of ``embedding_cosine_near_dups``
+    drops in per-cluster unchanged.
+    """
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    v = _emb_double(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "emb"
+    )
+    dims = (
+        v.select("label", F.posexplode("emb").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+    )
+    centroids = (
+        dims.groupBy(F.col("label").alias("clabel"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("_sc"))
+        .select("clabel", F.expr("transform(_sc, s -> s.c)").alias("cemb"))
+    )
+    cos_c = (
+        F.expr(_DOT_SPARK.format(a="emb", b="cemb"))
+        / (F.expr(_NORM_SPARK.format(a="emb")) * F.expr(_NORM_SPARK.format(a="cemb")))
+    ).alias("cosine")
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("clabel"))
+    asn = scoped_cache(
+        v.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "emb", "clabel", cos_c)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "emb", "clabel")
+    )
+    # Cluster-local candidate generation: one numpy GEMM per cluster inside
+    # applyInPandas (slacked threshold), then the engine-identical fold
+    # cosine ONLY on survivors — the same coarse-filter/exact-rerank split
+    # as embedding_cosine_near_dups, so the hot path is BLAS, not per-pair
+    # HOF lambdas, and the oracle match stays bit-exact.
+    import numpy as np
+    import pandas as pd
+
+    slack = _SEMDEDUP_T - 1e-9
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        E = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        nrm = np.linalg.norm(E, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        S = (E / nrm) @ (E / nrm).T
+        ii, jj = np.nonzero((S > slack) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"v1": ids[ii], "v2": ids[jj]})
+
+    cand = (
+        asn.select("clabel", "vec_id", "emb")
+        .groupBy("clabel")
+        .applyInPandas(cluster_pairs, "v1 BIGINT, v2 BIGINT")
+    )
+    e1 = asn.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"))
+    e2 = asn.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"))
+    pair_cos = F.expr(_DOT_SPARK.format(a="e1", b="e2")) / (
+        F.expr(_NORM_SPARK.format(a="e1")) * F.expr(_NORM_SPARK.format(a="e2"))
+    )
+    prior = (
+        cand.join(e1, "v1")
+        .join(e2, "v2")
+        .select("v2", pair_cos.alias("cs"))
+        .filter(F.col("cs") > _SEMDEDUP_T)
+        .groupBy("v2")
+        .agg(F.max("cs").alias("max_sim"))
+    )
+    return (
+        asn.join(prior, asn.vec_id == prior.v2, "left")
+        .select(
+            "vec_id",
+            F.col("clabel").alias("cluster"),
+            rnd(F.col("max_sim"), 6).alias("max_sim_to_prior"),
+            F.col("v2").isNull().alias("is_kept"),
+        )
+    )

@@ -39,16 +39,21 @@ from drug_target_discovery_spark.session import get_spark
 N_CLASSES = 10
 
 
-def build_graph(spark, n: int, extra_per_node: int = 4):
-    """(nodes, edges) DataFrames: stride-10 ring per residue class + seeded
-    random intra-class edges. ~n*(1 + extra_per_node) edges, 10 components."""
+def build_graph(spark, n: int, extra_per_node: int = 4, n_classes: int = N_CLASSES):
+    """(nodes, edges) DataFrames: stride-``n_classes`` ring per residue class
+    plus seeded random intra-class edges — ~n*(1 + extra_per_node) edges,
+    ``n_classes`` components. The multi-component form feeds the CC probe
+    (trivial ground truth); eigenvector/PageRank probes use n_classes=1
+    (one connected component) because the 10 statistically-identical
+    components make the dominant eigenvalue near-degenerate (ratio
+    λ2/λ1 ≈ 1) and power iteration legitimately cannot separate them."""
     rng = np.random.default_rng(4242)
     ids = np.arange(n, dtype=np.int64)
-    ring_src, ring_dst = ids, (ids + N_CLASSES) % n  # stays in class when 10 | n
+    ring_src, ring_dst = ids, (ids + n_classes) % n  # stays in class when n_classes | n
     # random partners within the same residue class
     rnd_src = np.repeat(ids, extra_per_node)
-    offsets = rng.integers(1, n // N_CLASSES, size=rnd_src.size, dtype=np.int64)
-    rnd_dst = (rnd_src + offsets * N_CLASSES) % n
+    offsets = rng.integers(1, n // n_classes, size=rnd_src.size, dtype=np.int64)
+    rnd_dst = (rnd_src + offsets * n_classes) % n
     src = np.concatenate([ring_src, rnd_src])
     dst = np.concatenate([ring_dst, rnd_dst])
     keep = src != dst
@@ -111,13 +116,16 @@ def main() -> None:
     }
     release_caches()
 
-    # --- eigenvector centrality: numpy power iteration vs join-aggregate loop
+    # --- eigenvector centrality: numpy power iteration vs join-aggregate
+    # loop, on the CONNECTED variant (see build_graph docstring)
+    cnodes, cedges = build_graph(spark, n, n_classes=1)
+    cedges.count()
     ev_kw = dict(max_iter=300, tol=1e-6)
-    ev_drv, t_drv = timed(lambda: eigenvector_centrality(edges, nodes, **ev_kw).cache())
+    ev_drv, t_drv = timed(lambda: eigenvector_centrality(cedges, cnodes, **ev_kw).cache())
     ev_drv.count()
     ev_dist, t_dist = timed(
         lambda: eigenvector_centrality(
-            edges, nodes, driver_threshold=1, **ev_kw
+            cedges, cnodes, driver_threshold=1, **ev_kw
         ).cache()
     )
     ev_dist.count()
@@ -129,10 +137,10 @@ def main() -> None:
 
     # --- pagerank: numpy vs join-aggregate loop
     pr_kw = dict(max_iter=60, tol=1e-8)
-    pr_drv, t_drv = timed(lambda: pagerank(edges, nodes, **pr_kw).cache())
+    pr_drv, t_drv = timed(lambda: pagerank(cedges, cnodes, **pr_kw).cache())
     pr_drv.count()
     pr_dist, t_dist = timed(
-        lambda: pagerank(edges, nodes, driver_threshold=1, **pr_kw).cache()
+        lambda: pagerank(cedges, cnodes, driver_threshold=1, **pr_kw).cache()
     )
     pr_dist.count()
     d = compare(pr_drv, pr_dist, "pagerank", 1e-6)
