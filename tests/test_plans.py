@@ -170,6 +170,24 @@ class TestPlanShape:
         plan = plan_of(spark, "mann_whitney_u_by_part")
         assert plan.count("Exchange") == 1, plan
 
+    def test_span_detection_grams_hash_before_shuffle(self, spark):
+        # duplicate_span_detection: the k-gram TEXT never becomes a shuffle
+        # key — grams are md5-hashed map-side, so every exchange keys on
+        # doc_id / h only; the dup-gram test lands as a semi join
+        plan = plan_of(spark, "duplicate_span_detection")
+        assert "LeftSemi" in plan, plan
+        for part in plan.split("Exchange hashpartitioning")[1:]:
+            key = part.split("\n")[0]
+            assert "gram" not in key and "text" not in key, key
+
+    def test_semantic_dedup_broadcast_and_cluster_local_gemm(self, spark):
+        # semantic_dedup_prune: centroids broadcast into the E-step cross
+        # join; the intra-cluster pair pass is ONE grouped-map Arrow stage
+        # (numpy GEMM per cluster), not a relational self-join of members
+        plan = plan_of(spark, "semantic_dedup_prune")
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "FlatMapGroupsInPandas" in plan, plan
+
     def test_priority_names_all_resolve(self, spark):
         # all_queries() silently skips unknown _PRIORITY names — a renamed
         # query would silently lose its gate-rotation slot, so pin every
