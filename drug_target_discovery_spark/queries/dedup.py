@@ -603,3 +603,135 @@ def duplicate_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_token_fraction"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed Bloom-filter membership probe
+# --------------------------------------------------------------------------
+_BLOOM_M = 1024  # bits — deliberately undersized (~2.6 bits/key) so the
+#                  probe EXHIBITS false positives; production sizes m/n ~ 10
+_BLOOM_K = 4     # hash functions (Kirsch-Mitzenmacher double hashing)
+
+_BLOOM_H1_DUCK = MD5_INT_DUCK.format(col="text")
+_BLOOM_H2_DUCK = MD5_INT_DUCK.format(col="concat('b2|', text)")
+
+
+@register(
+    "bloom_filter_dedup_probe",
+    tags=("dedup", "incremental", "sketch"),
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             {_BLOOM_H1_DUCK} AS h1,
+             {_BLOOM_H2_DUCK} AS h2,
+             sha256(text) AS digest
+      FROM documents
+    ),
+    pos AS (
+      SELECT DISTINCT doc_id, (h1 + j * h2) % {_BLOOM_M} AS p
+      FROM hashed, unnest(range(0, {_BLOOM_K})) AS t(j)
+    ),
+    bits AS (
+      SELECT DISTINCT p FROM pos WHERE doc_id % 5 <> 0
+    ),
+    probe AS (
+      SELECT b.doc_id,
+             count(*) AS n_pos,
+             sum(CASE WHEN bits.p IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM pos b LEFT JOIN bits ON b.p = bits.p
+      GROUP BY b.doc_id
+    ),
+    member AS (
+      SELECT DISTINCT h.doc_id
+      FROM hashed h
+      WHERE h.doc_id % 5 <> 0
+         OR h.digest IN (SELECT digest FROM hashed r WHERE r.doc_id % 5 <> 0)
+    )
+    SELECT p.doc_id,
+           m.doc_id IS NOT NULL AS is_member,
+           p.n_hit = p.n_pos AS bloom_positive,
+           (p.n_hit = p.n_pos) AND m.doc_id IS NULL AS false_positive
+    FROM probe p LEFT JOIN member m ON p.doc_id = m.doc_id
+    """,
+)
+def bloom_filter_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom-filter membership: build an m-bit filter over the
+    REFERENCE split (doc_id % 5 != 0) as a table of set bit positions —
+    k = 4 md5-derived double-hashing positions per document, deduplicated —
+    then probe EVERY document: ``bloom_positive`` iff all k of its
+    positions are set. Ground truth ``is_member`` (in the reference split,
+    or sharing a digest with it) joins alongside: Bloom filters cannot
+    false-negative, so every member must probe positive (asserted in
+    tests), while m is deliberately undersized (~2.6 bits/key) so
+    non-members exhibit real, countable ``false_positive`` rows — the
+    exact behavior a dedup pipeline must tolerate downstream of a filter.
+
+    Scale design: the filter is an AGGREGATE of the corpus — the build is
+    a map-side position expansion (k integer rows/doc) collapsed by a
+    distinct whose output is bounded by m rows no matter how many
+    documents set bits, so the built filter always broadcasts; probes then
+    join map-side against it. The text never shuffles (md5 map-side). At
+    100 TB the same plan holds with m sized to the corpus (m/n ~ 10
+    bits/key -> ~1% FP) or sharded into per-range filters — probe cost
+    stays corpus-size-independent either way.
+    """
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    docs = load_table(spark, sf_dir, "documents")
+    h1 = F.expr(MD5_INT_SPARK.format(col="text"))
+    h2 = F.expr(MD5_INT_SPARK.format(col="concat('b2|', text)"))
+    hashed = scoped_cache(
+        docs.select(
+            "doc_id",
+            h1.alias("h1"),
+            h2.alias("h2"),
+            F.sha2(F.col("text"), 256).alias("digest"),
+        )
+    )
+    pos = (
+        hashed.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.col("h1") + F.lit(j) * F.col("h2"), F.lit(_BLOOM_M))
+                        for j in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    bits = pos.filter(F.col("doc_id") % 5 != 0).select("p").distinct()
+    probe = (
+        pos.join(F.broadcast(bits.withColumn("_hit", F.lit(1))), "p", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    member = (
+        hashed.select("doc_id", "digest")
+        .join(
+            hashed.filter(F.col("doc_id") % 5 != 0).select("digest").distinct(),
+            "digest",
+            "left_semi",
+        )
+        .select("doc_id")
+        .union(hashed.filter(F.col("doc_id") % 5 != 0).select("doc_id"))
+        .distinct()
+        .withColumn("_member", F.lit(True))
+    )
+    return (
+        probe.join(member, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_member"), F.lit(False)).alias("is_member"),
+            (F.col("n_hit") == F.col("n_pos")).alias("bloom_positive"),
+            (
+                (F.col("n_hit") == F.col("n_pos"))
+                & F.col("_member").isNull()
+            ).alias("false_positive"),
+        )
+    )

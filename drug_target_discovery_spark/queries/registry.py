@@ -57,6 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- new this round (never-checked queries outrank everything)
     "duplicate_span_detection",   # position-aware substring dedup (Lee et al.)
     "semantic_dedup_prune",       # SemDeDup cluster-then-prune
+    "bloom_filter_dedup_probe",   # bounded-size distributed Bloom filter
     "heavy_hitter_tokens",        # two-pass exact Misra-Gries
     "unigram_logprob_quality",    # CCNet-shape unigram LM scorer
     "dedup_against_reference",    # incremental batch-vs-corpus dedup

@@ -94,3 +94,18 @@ class TestSemanticDedupPrune:
         # label-seeded clustering: label-0 members share a cluster
         assert out[0]["cluster"] == out[1]["cluster"] == out[2]["cluster"]
         assert out[3]["cluster"] != out[0]["cluster"]
+
+
+class TestBloomFilterProbe:
+    def test_no_false_negatives_and_fp_flag_consistency(self, spark):
+        from drug_target_discovery_spark.queries.dedup import bloom_filter_dedup_probe
+
+        rows = bloom_filter_dedup_probe(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        for r in rows:
+            if r["is_member"]:
+                # the Bloom guarantee: a member can never probe negative
+                assert r["bloom_positive"] is True, r
+                assert r["false_positive"] is False, r
+            else:
+                assert r["false_positive"] == r["bloom_positive"], r
