@@ -1,7 +1,7 @@
 """Iterative graph algorithms beyond centralities (SURVEY §2.7 G6 [EXT]):
 connected components and PageRank as driver-looped DataFrame programs —
 the same machinery as eigenvector centrality (join-aggregate per iteration,
-cache + periodic localCheckpoint to cut lineage)."""
+per-iteration localCheckpoint to cut lineage; see _cc_distributed)."""
 
 from __future__ import annotations
 
@@ -111,10 +111,10 @@ def _cc_distributed(
                 ).alias("component"),
             )
         )
-        if (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        else:
-            new_labels = new_labels.cache()
+        # every-iteration lineage truncation — see centrality.py: the
+        # cached-plan tree doubles per iteration otherwise (x + neighbor
+        # branches), making plan-description generation exponential
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("a")
             .join(labels.alias("b"), "node")
@@ -220,10 +220,8 @@ def _pagerank_distributed(
                 (F.lit(base) + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias("pr"),
             )
         )
-        if (it + 1) % checkpoint_every == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-        else:
-            new_ranks = new_ranks.cache()
+        # every-iteration lineage truncation — see centrality.py
+        new_ranks = new_ranks.localCheckpoint(eager=True)
         delta = (
             new_ranks.alias("a")
             .join(ranks.alias("b"), "node")

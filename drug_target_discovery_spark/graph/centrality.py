@@ -70,7 +70,7 @@ def eigenvector_centrality(
       the iteration in numpy on the driver. A 10^6-node vector is ~8 MB;
       per-iteration Spark-job latency would dominate by orders of magnitude.
     - **huge graph**: iterative join-aggregate over cached DataFrames with
-      periodic localCheckpoint to cut lineage (SURVEY §4). One shuffle per
+      per-iteration localCheckpoint to cut lineage (SURVEY §4). One shuffle per
       iteration.
     """
     n_nodes = nodes.count()
@@ -144,10 +144,16 @@ def _eigenvector_distributed(
         norm = x_new.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("n")).collect()[0]["n"]
         norm = norm if norm and norm > 0 else 1.0
         x_new = x_new.select("node", (F.col("x") / F.lit(norm)).alias("x"))
-        if (it + 1) % checkpoint_every == 0:
-            x_new = x_new.localCheckpoint(eager=True)
-        else:
-            x_new = x_new.cache()
+        # Truncate lineage EVERY iteration. cache() is not enough: each
+        # generation's plan embeds the previous generation's cached plan
+        # TWICE (the x branch and the contrib branch), so the analyzed tree
+        # doubles per iteration and Spark's per-action plan-description
+        # (generateTreeString) goes exponential — measured dominating the
+        # 50K-node probe's driver CPU. localCheckpoint resets the plan to a
+        # LogicalRDD scan at the cost of one materialization we were paying
+        # via cache() anyway. (On a cluster with executor loss, swap for
+        # reliable checkpoint() with a checkpoint dir.)
+        x_new = x_new.localCheckpoint(eager=True)
         delta = (
             x_new.alias("a")
             .join(x.alias("b"), "node")
