@@ -50,6 +50,13 @@ PROBES = [
     "revenue_by_nation",
     "mann_whitney_u_by_part",
     "bm25_keyword_search",
+    # round-4 additions. Caveat: replicas repeat the TEXT verbatim (only
+    # keys shift), so span detection sees a 100%-duplicated corpus (every
+    # gram in >= factor docs) and the Bloom filter saturates — worst-case
+    # load shapes; what the probe checks is that wall time stays LINEAR.
+    "duplicate_span_detection",
+    "bloom_filter_dedup_probe",
+    "semantic_dedup_prune",
 ]
 
 
