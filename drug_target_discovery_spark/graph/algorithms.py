@@ -13,7 +13,6 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 50,
-    checkpoint_every: int = 5,
     driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Min-label propagation to fixpoint: component id = min node id
@@ -46,13 +45,13 @@ def connected_components(
             .union(edges.select(F.col("dst").alias("node")))
             .distinct()
         )
-        return _cc_distributed(edges, nodes, max_iter, checkpoint_every)
+        return _cc_distributed(edges, nodes, max_iter)
     if nodes.count() < driver_threshold:
         node_list = [r["node"] for r in nodes.select("node").collect()]
         return _union_find(
             edges.select("src", "dst").collect(), node_list, edges.sparkSession, node_type
         )
-    return _cc_distributed(edges, nodes, max_iter, checkpoint_every)
+    return _cc_distributed(edges, nodes, max_iter)
 
 
 def _union_find(edge_rows, node_list, spark, node_type="bigint") -> DataFrame:
@@ -87,7 +86,7 @@ def _union_find(edge_rows, node_list, spark, node_type="bigint") -> DataFrame:
 
 
 def _cc_distributed(
-    edges: DataFrame, nodes: DataFrame, max_iter: int, checkpoint_every: int
+    edges: DataFrame, nodes: DataFrame, max_iter: int
 ) -> DataFrame:
     sym = (
         edges.select("src", "dst")
@@ -139,7 +138,6 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float = 1.0e-6,
-    checkpoint_every: int = 5,
     driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """PageRank on the undirected (symmetrized) graph, networkx-compatible:
@@ -151,7 +149,7 @@ def pagerank(
     the join-aggregate loop."""
     if nodes.count() < driver_threshold:
         return _pagerank_driver(edges, nodes, damping, max_iter, tol)
-    return _pagerank_distributed(edges, nodes, damping, max_iter, tol, checkpoint_every)
+    return _pagerank_distributed(edges, nodes, damping, max_iter, tol)
 
 
 def _pagerank_driver(
@@ -189,7 +187,6 @@ def _pagerank_distributed(
     damping: float,
     max_iter: int,
     tol: float,
-    checkpoint_every: int,
 ) -> DataFrame:
     sym = (
         edges.select("src", "dst")

@@ -58,7 +58,6 @@ def eigenvector_centrality(
     nodes: DataFrame,
     max_iter: int = 1000,
     tol: float = 1.0e-6,
-    checkpoint_every: int = 10,
     driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """nx.eigenvector_centrality parity (pipeline2.py:749): power iteration
@@ -78,7 +77,7 @@ def eigenvector_centrality(
         return nodes.select("node", F.lit(0.0).alias("eigenvector_centrality"))
     if n_nodes < driver_threshold:
         return _eigenvector_driver(edges, nodes, n_nodes, max_iter, tol)
-    return _eigenvector_distributed(edges, nodes, max_iter, tol, checkpoint_every)
+    return _eigenvector_distributed(edges, nodes, max_iter, tol)
 
 
 def _eigenvector_driver(
@@ -122,7 +121,6 @@ def _eigenvector_distributed(
     nodes: DataFrame,
     max_iter: int,
     tol: float,
-    checkpoint_every: int,
 ) -> DataFrame:
     """Join-aggregate power iteration for graphs too large to collect."""
     sym = _symmetrize(edges).cache()
