@@ -157,20 +157,34 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     # exact verification: per-doc sorted shingle arrays, JVM array_intersect
+    return _score_candidate_pairs(sh, cand, id_col, threshold)
+
+
+def _score_candidate_pairs(
+    sh: DataFrame, cand: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact shingle-Jaccard scoring of a candidate (d1, d2) set: one sorted
+    shingle array per doc, one JVM ``array_intersect`` per pair. The single
+    home of the verification metric — shared by the prefix-filtered ngram
+    path and ``jaccard_verify_pairs`` so the two chains cannot diverge."""
     sets = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_list("shingle")).alias("_toks"),
-        F.count(F.lit(1)).alias("sz"),
+        F.count(F.lit(1)).alias("_sz"),
     )
-    s1 = sets.select(F.col(id_col).alias("d1"), F.col("_toks").alias("_t1"), F.col("sz").alias("s1"))
-    s2 = sets.select(F.col(id_col).alias("d2"), F.col("_toks").alias("_t2"), F.col("sz").alias("s2"))
+    s1 = sets.select(
+        F.col(id_col).alias("d1"), F.col("_toks").alias("_t1"), F.col("_sz").alias("_s1")
+    )
+    s2 = sets.select(
+        F.col(id_col).alias("d2"), F.col("_toks").alias("_t2"), F.col("_sz").alias("_s2")
+    )
     k = F.size(F.array_intersect("_t1", "_t2"))
     return (
         cand.join(s1, "d1")
         .join(s2, "d2")
-        .withColumn("k", k)
-        .withColumn("jaccard", F.col("k") / (F.col("s1") + F.col("s2") - F.col("k")))
+        .withColumn("_k", k)
+        .withColumn("jaccard", F.col("_k") / (F.col("_s1") + F.col("_s2") - F.col("_k")))
         .filter(F.col("jaccard") > threshold)
-        .select("d1", "d2", "jaccard", F.col("k").alias("n_common"))
+        .select("d1", "d2", "jaccard", F.col("_k").alias("n_common"))
     )
 
 
@@ -310,22 +324,4 @@ def jaccard_verify_pairs(
     )
     docs_cand = docs.join(F.broadcast(members), id_col, "left_semi")
     sh = token_shingles(docs_cand, text_col, id_col, n)
-    sets = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("shingle")).alias("_toks"),
-        F.count(F.lit(1)).alias("_sz"),
-    )
-    s1 = sets.select(
-        F.col(id_col).alias("d1"), F.col("_toks").alias("_t1"), F.col("_sz").alias("_s1")
-    )
-    s2 = sets.select(
-        F.col(id_col).alias("d2"), F.col("_toks").alias("_t2"), F.col("_sz").alias("_s2")
-    )
-    k = F.size(F.array_intersect("_t1", "_t2"))
-    return (
-        pairs.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn("_k", k)
-        .withColumn("jaccard", F.col("_k") / (F.col("_s1") + F.col("_s2") - F.col("_k")))
-        .filter(F.col("jaccard") > threshold)
-        .select("d1", "d2", "jaccard", F.col("_k").alias("n_common"))
-    )
+    return _score_candidate_pairs(sh, pairs, id_col, threshold)

@@ -181,25 +181,27 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed term set —
     the lexical-search scorer production corpora pair with ANN retrieval.
 
-    Scale design: the token stream is filtered to the query terms BEFORE
-    any aggregation (an ``isin`` over a literal set, codegen'd), so the
-    per-(doc, term) tf aggregation shuffles only matching tokens; document
-    lengths come from one map-side count shuffle bounded by doc count; the
-    df and corpus stats are term-count- and 1-row-sized broadcasts. Per-
-    term scores are quantized to integer micro-units before the per-doc
-    sum (order-independent, cross-engine exact — same discipline as
-    unigram_logprob_quality).
-
-    The doc-length aggregation is the only full-token-stream shuffle, and
-    it carries (doc_id, partial count) pairs — at 100 TB that is the
-    already-minimal footprint; everything else is proportional to query
-    matches."""
+    Scale design: NOTHING shuffles the full token stream. Document length
+    is a map-side projection — ``size(filter(split(text)))`` on the
+    original scan, no explode and no doc_id exchange; the per-(doc, term)
+    tf aggregation sees only tokens matching the query terms (an ``isin``
+    over a literal set, codegen'd, applied before the shuffle); the df and
+    corpus stats are term-count- and 1-row-sized broadcasts. Per-term
+    scores are quantized to integer micro-units before the per-doc sum
+    (order-independent, cross-engine exact — same discipline as
+    unigram_logprob_quality). Every exchange is therefore proportional to
+    query matches or doc count, never corpus tokens."""
     k1, b = _BM25_K1, _BM25_B
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl > 0 keeps empty/whitespace-only docs out of n_docs/avgdl, exactly
+    # as the oracle's explode-based dl CTE does
+    dl = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("dl"),
+    ).filter(F.col("dl") > 0)
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").cast("double").alias("avgdl"),

@@ -498,10 +498,17 @@ _SPAN_H_DUCK = MD5_INT_DUCK.format(col="gram")
             WHERE len(l) >= {_SPAN_K})
     ),
     dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    marks AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > {_SPAN_K} THEN 1 ELSE 0 END AS brk
+      FROM grams WHERE h IN (SELECT h FROM dup)
+    ),
     hits AS (
       SELECT doc_id, pos,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-      FROM grams WHERE h IN (SELECT h FROM dup)
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM marks
     ),
     spans AS (
       SELECT doc_id, max(pos) - min(pos) + {_SPAN_K} AS span_tokens
@@ -528,7 +535,9 @@ def duplicate_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     al. 2022, "Deduplicating Training Data Makes Language Models Better",
     re-expressed relationally): find token k-grams that occur in MORE THAN
     ONE document, merge each doc's duplicated positions into maximal spans
-    (gaps-and-islands), and report per-doc span count / covered tokens /
+    (gaps-and-islands; positions within the gram width of each other overlap
+    in token space and merge, so covered tokens is an exact union bounded by
+    the doc length), and report per-doc span count / covered tokens /
     longest span / duplicated-token fraction — the quantities a trainer uses
     to clip or drop repeated passages rather than whole documents.
 
@@ -571,9 +580,18 @@ def duplicate_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    hits = grams.join(dup, "h", "left_semi").withColumn(
-        "grp",
-        F.col("pos") - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # A hit at pos covers tokens pos..pos+k-1, so hits whose positions differ
+    # by <= k overlap or touch in token space and must merge into one span —
+    # otherwise dup_tokens double-counts shared coverage (fraction could
+    # exceed 1.0 on partially-duplicated docs).
+    hits = (
+        grams.join(dup, "h", "left_semi")
+        .withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+        )
+        .withColumn("grp", F.sum("brk").over(w))
     )
     spans = hits.groupBy("doc_id", "grp").agg(
         (F.max("pos") - F.min("pos") + k).alias("span_tokens")

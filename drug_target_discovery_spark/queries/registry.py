@@ -50,9 +50,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # round, (3) queries whose latest green row is round 2 (the r3 gate's 50
 # slots went to never-checked/changed/r1-stale entries). New and changed
 # queries outrank unchanged stale ones — rewritten plans need current
-# driver evidence more than unchanged ones need a refresh — so twenty
-# unchanged-since-r2 queries sit at slots 51+ (they keep their r2
-# green rows and go first next round).
+# driver evidence more than unchanged ones need a refresh — so the
+# unchanged-since-r2 remainder sits at slots 51+ (they keep their r2
+# green rows and go first next round). Groups (1)+(2)+(3) must total
+# exactly 50; a unit test pins that count so the gate never silently
+# drops the tail of group (3).
 _PRIORITY: tuple[str, ...] = (
     # -- new this round (never-checked queries outrank everything)
     "duplicate_span_detection",   # position-aware substring dedup (Lee et al.)
@@ -94,17 +96,14 @@ _PRIORITY: tuple[str, ...] = (
     "bh_fdr_adjust",
     "centroid_assignment",
     "cosine_topk_bruteforce",
-    "cube_order_stats",
     "curation_pipeline_summary",
     "customer_cohort_set_ops",
     "eigenvector_centrality_corr_graph",
     "embedding_cosine_near_dups",
     "embedding_label_stats",
     "gopher_quality_flags",
-    "grouping_sets_ship_stats",
     "json_props_extract",
     "lang_id_stopwords",
-    "large_quantity_orders",
     "media_metadata_stats",
     "median_impute",
     "median_quantity_by_part",
@@ -112,6 +111,9 @@ _PRIORITY: tuple[str, ...] = (
     "network_target_scores",
     # -- slots 51+: unchanged-since-r2 trivia demoted for this round's new
     # and rewritten queries (they keep their r2 green rows; first next round)
+    "cube_order_stats",
+    "grouping_sets_ship_stats",
+    "large_quantity_orders",
     "conditional_log2",
     "missing_census",
     "ntile_price_bands",

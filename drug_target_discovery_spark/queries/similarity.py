@@ -756,8 +756,12 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ii, jj = np.nonzero((S > slack) & (ids[:, None] < ids[None, :]))
         return pd.DataFrame({"v1": ids[ii], "v2": ids[jj]})
 
+    # A single NULL embedding would TypeError np.vstack mid-task (same
+    # hazard as _covariance_plan); a NULL-emb vector has undefined cosine,
+    # can never be pruned, and still gets its output row from `asn` below.
     cand = (
-        asn.select("clabel", "vec_id", "emb")
+        asn.filter(F.col("emb").isNotNull())
+        .select("clabel", "vec_id", "emb")
         .groupBy("clabel")
         .applyInPandas(cluster_pairs, "v1 BIGINT, v2 BIGINT")
     )

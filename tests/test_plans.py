@@ -200,3 +200,22 @@ class TestPlanShape:
         reg = all_queries()
         missing = [n for n in _PRIORITY if n not in reg]
         assert not missing, f"_PRIORITY names absent from registry: {missing}"
+        assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate _PRIORITY names"
+
+    def test_priority_gate_window_is_exactly_50(self):
+        # The driver's correctness gate visits the first 50 queries() entries
+        # per round. The rotation comment partitions _PRIORITY into a
+        # gate-window prefix and a demoted tail at the "slots 51+" marker —
+        # if the prefix drifts off 50, queries the comment promises evidence
+        # for silently fall outside the gate (r4 code-review finding).
+        import inspect
+
+        from drug_target_discovery_spark.queries import registry
+
+        src = inspect.getsource(registry)
+        prefix = src[src.index("_PRIORITY: tuple") : src.index("# -- slots 51+")]
+        n_prefix = prefix.count('",')
+        assert n_prefix == 50, (
+            f"_PRIORITY places {n_prefix} names before the 'slots 51+' "
+            "marker; the driver gate stops at 50"
+        )

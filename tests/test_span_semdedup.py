@@ -24,6 +24,13 @@ def span_dir(spark, tmp_path_factory):
         (4, f"{spanA} m1 m2 m3 {spanB}", "en", "src1", 0),
         (5, f"{spanA} n1 n2 n3 {spanB}", "en", "src2", 0),
         (6, "tiny doc", "en", "src2", 0),
+        # doc 7's dup 6-grams sit at pos 1 and pos 3 (pos-2 gram is NOT
+        # duplicated): their token coverage overlaps (t3..t6), so they must
+        # merge into ONE 8-token span — not two 6-token spans summing to 12
+        # on an 8-token doc (fraction 1.5).  doc 8 holds both grams,
+        # separated so its own islands stay distinct.
+        (7, "t1 t2 t3 t4 t5 t6 t7 t8", "en", "src3", 0),
+        (8, "t1 t2 t3 t4 t5 t6 Z t3 t4 t5 t6 t7 t8", "en", "src3", 0),
     ]
     df = spark.createDataFrame(
         rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars INT"
@@ -38,7 +45,7 @@ class TestDuplicateSpanDetection:
             r["doc_id"]: r
             for r in duplicate_span_detection(spark, span_dir).collect()
         }
-        assert len(out) == 6
+        assert len(out) == 8
         # docs 1 and 2 share one 8-token passage: 3 consecutive dup 6-gram
         # positions merge into ONE span covering 8 tokens
         for doc, n_tok in ((1, 12), (2, 11)):
@@ -62,6 +69,20 @@ class TestDuplicateSpanDetection:
         # shorter than gram width: zero-filled, token count still right
         assert out[6]["n_tokens"] == 2
         assert out[6]["n_dup_spans"] == 0
+        # doc 7: dup grams at pos 1 and pos 3 overlap in token coverage ->
+        # ONE merged 8-token span on an 8-token doc (fraction exactly 1.0,
+        # never 12/8 = 1.5 from double-counting the shared t3..t6)
+        r7 = out[7]
+        assert (r7["n_dup_spans"], r7["dup_tokens"], r7["longest_span_tokens"]) == (
+            1, 8, 8,
+        ), r7
+        assert r7["dup_token_fraction"] == pytest.approx(1.0, abs=1e-6)
+        # doc 8: same two grams but 7 positions apart (> gram width) ->
+        # genuinely disjoint coverage, two 6-token islands
+        r8 = out[8]
+        assert (r8["n_dup_spans"], r8["dup_tokens"], r8["longest_span_tokens"]) == (
+            2, 12, 6,
+        ), r8
 
 
 @pytest.fixture(scope="module")

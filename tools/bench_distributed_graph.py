@@ -90,6 +90,15 @@ def compare(a, b, col: str, tol: float) -> float:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    # build_graph's ring edge stays inside its residue class only when
+    # n_classes divides n, and the intra-class offset draw needs at least
+    # 2 nodes per class — reject sizes that would break the CC ground truth
+    # (e.g. n=12345 wraps node 12344 into class 9, merging components).
+    if n % N_CLASSES != 0 or n < 2 * N_CLASSES:
+        raise SystemExit(
+            f"n_nodes must be a multiple of {N_CLASSES} and >= {2 * N_CLASSES} "
+            f"(got {n}): the residue-class ground truth requires it"
+        )
     out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_GRAPH_DISTRIBUTED.json",
