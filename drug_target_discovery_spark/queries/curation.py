@@ -459,3 +459,87 @@ def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/validation/test split (group-aware holdout)
+# --------------------------------------------------------------------------
+_SPLIT_TRAIN = 80  # bucket < 80            -> train   (~80%)
+_SPLIT_VAL = 90    # 80 <= bucket < 90      -> validation (~10%), rest test
+
+_SPLIT_H_DUCK = MD5_INT_DUCK.format(col="n.digest")
+_SPLIT_H_SPARK = MD5_INT_SPARK.format(col="digest")
+
+
+@register(
+    "leakage_safe_splits",
+    tags=("curation", "dedup", "pipeline"),
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS digest
+      FROM documents
+    ),
+    groups AS (
+      SELECT digest, min(doc_id) AS canonical_id, count(*) AS group_size
+      FROM norm GROUP BY digest
+    ),
+    b AS (
+      SELECT n.doc_id, g.canonical_id, g.group_size,
+             ({_SPLIT_H_DUCK}) % 100 AS bkt
+      FROM norm n JOIN groups g USING (digest)
+    )
+    SELECT doc_id, canonical_id, CAST(group_size AS BIGINT) AS group_size,
+           CASE WHEN bkt < {_SPLIT_TRAIN} THEN 'train'
+                WHEN bkt < {_SPLIT_VAL} THEN 'validation'
+                ELSE 'test' END AS split,
+           doc_id = canonical_id AS is_canonical
+    FROM b
+    """,
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/validation/test assignment: documents are first
+    collapsed into normalized-duplicate groups (the C4-style
+    canonicalization of ``normalized_dedup_groups``), then the WHOLE group
+    is hashed into a split — so a near-identical pair can never straddle
+    train and test (the split-leakage failure mode that inflates eval
+    scores; cf. the test-set decontamination literature). The split hash
+    keys on the content digest, not doc_id, so assignment survives
+    re-ingestion and doc-id renumbering — the reproducibility property a
+    backfill needs.
+
+    Scale design: digest is computed map-side (the text never shuffles);
+    the group table is one digest-keyed aggregation carrying two small
+    columns; the join back to docs is digest-keyed (AQE broadcasts the
+    group side when duplication is high, sort-merge otherwise). The split
+    decision is pure codegen arithmetic on the 15-hex-digit md5 fold —
+    deterministic, engine-identical, no RNG state anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm_expr = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    norm = docs.select("doc_id", F.sha2(norm_expr, 256).alias("digest"))
+    groups = norm.groupBy("digest").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    bkt = F.expr(_SPLIT_H_SPARK) % 100
+    return (
+        norm.join(groups, "digest")
+        .select(
+            "doc_id",
+            "canonical_id",
+            "group_size",
+            F.when(bkt < _SPLIT_TRAIN, "train")
+            .when(bkt < _SPLIT_VAL, "validation")
+            .otherwise("test")
+            .alias("split"),
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )

@@ -1,0 +1,68 @@
+"""leakage_safe_splits: the property that matters is structural — no
+normalized-duplicate group ever straddles two splits. The oracle gate
+proves cross-engine value equality; these pin the leakage guarantee and
+the determinism/coverage contract on real testdata plus a crafted
+duplicate-heavy fixture."""
+
+import pytest
+
+from drug_target_discovery_spark.queries.curation import leakage_safe_splits
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def split_rows(spark):
+    return leakage_safe_splits(spark, SF_DIR).collect()
+
+
+class TestLeakageSafeSplits:
+    def test_covers_every_doc_once(self, spark, split_rows):
+        ids = [r["doc_id"] for r in split_rows]
+        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        assert len(ids) == len(set(ids)) == n_docs
+
+    def test_groups_never_straddle_splits(self, split_rows):
+        by_group = {}
+        for r in split_rows:
+            by_group.setdefault(r["canonical_id"], set()).add(r["split"])
+        straddlers = {g: s for g, s in by_group.items() if len(s) > 1}
+        assert not straddlers, straddlers
+
+    def test_canonical_flag_and_group_size(self, split_rows):
+        from collections import Counter
+
+        sizes = Counter(r["canonical_id"] for r in split_rows)
+        for r in split_rows:
+            assert r["group_size"] == sizes[r["canonical_id"]], r
+            assert r["is_canonical"] == (r["doc_id"] == r["canonical_id"]), r
+        # exactly one canonical per group
+        n_canon = sum(1 for r in split_rows if r["is_canonical"])
+        assert n_canon == len(sizes)
+
+    def test_split_values_and_rough_proportions(self, split_rows):
+        splits = {r["split"] for r in split_rows}
+        assert splits <= {"train", "validation", "test"}
+        frac_train = sum(r["split"] == "train" for r in split_rows) / len(split_rows)
+        # 80% target; generous tolerance at 500 docs (binomial noise)
+        assert 0.65 <= frac_train <= 0.95, frac_train
+
+    def test_duplicates_share_group_and_split(self, spark, tmp_path):
+        # case/punctuation variants of one text must collapse into one
+        # group and get one split; distinct texts may differ
+        rows = [
+            (1, "The quick brown fox!", "en", "s", 0),
+            (2, "the QUICK  brown fox", "en", "s", 0),
+            (3, "THE quick brown FOX.", "en", "s", 0),
+            (4, "a completely different document", "en", "s", 0),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars INT"
+        )
+        d = tmp_path / "docs"
+        df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+        out = {r["doc_id"]: r for r in leakage_safe_splits(spark, str(d)).collect()}
+        assert out[1]["canonical_id"] == out[2]["canonical_id"] == out[3]["canonical_id"] == 1
+        assert out[1]["split"] == out[2]["split"] == out[3]["split"]
+        assert out[1]["group_size"] == 3
+        assert out[4]["group_size"] == 1 and out[4]["canonical_id"] == 4
