@@ -509,12 +509,14 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ingestion and doc-id renumbering — the reproducibility property a
     backfill needs.
 
-    Scale design: digest is computed map-side (the text never shuffles);
-    the group table is one digest-keyed aggregation carrying two small
-    columns; the join back to docs is digest-keyed (AQE broadcasts the
-    group side when duplication is high, sort-merge otherwise). The split
-    decision is pure codegen arithmetic on the 15-hex-digit md5 fold —
-    deterministic, engine-identical, no RNG state anywhere.
+    Scale design: digest is computed map-side (the text never shuffles,
+    and the scan is read ONCE); the group rollup rides a single
+    digest-partitioned window (min/count over the whole partition), so the
+    entire query is one exchange — the groupBy-then-join form would cost
+    three digest exchanges at a scale where AQE can't broadcast the group
+    table. The split decision is pure codegen arithmetic on the
+    15-hex-digit md5 fold — deterministic, engine-identical, no RNG state
+    anywhere.
     """
     docs = load_table(spark, sf_dir, "documents")
     norm_expr = F.trim(
@@ -525,21 +527,14 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     norm = docs.select("doc_id", F.sha2(norm_expr, 256).alias("digest"))
-    groups = norm.groupBy("digest").agg(
-        F.min("doc_id").alias("canonical_id"),
-        F.count(F.lit(1)).alias("group_size"),
-    )
+    w = W.partitionBy("digest")
     bkt = F.expr(_SPLIT_H_SPARK) % 100
-    return (
-        norm.join(groups, "digest")
-        .select(
-            "doc_id",
-            "canonical_id",
-            "group_size",
-            F.when(bkt < _SPLIT_TRAIN, "train")
-            .when(bkt < _SPLIT_VAL, "validation")
-            .otherwise("test")
-            .alias("split"),
-            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
-        )
-    )
+    return norm.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        F.when(bkt < _SPLIT_TRAIN, "train")
+        .when(bkt < _SPLIT_VAL, "validation")
+        .otherwise("test")
+        .alias("split"),
+    ).withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))

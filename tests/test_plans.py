@@ -188,6 +188,15 @@ class TestPlanShape:
         assert "BroadcastNestedLoopJoin" in plan, plan
         assert "FlatMapGroupsInPandas" in plan, plan
 
+    def test_leakage_splits_single_exchange_single_scan(self, spark):
+        # the group rollup rides ONE digest-partitioned window: exactly one
+        # exchange and one documents scan — never the 3-exchange
+        # groupBy+join form that re-reads the scan
+        plan = plan_of(spark, "leakage_safe_splits")
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert plan.count("Scan parquet") == 1, plan
+        assert "Window" in plan, plan
+
     def test_priority_names_all_resolve(self, spark):
         # all_queries() silently skips unknown _PRIORITY names — a renamed
         # query would silently lose its gate-rotation slot, so pin every
