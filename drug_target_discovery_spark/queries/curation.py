@@ -538,3 +538,114 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     ).withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
+
+
+# --------------------------------------------------------------------------
+# Split-contamination audit (near-dup pairs straddling train/test)
+# --------------------------------------------------------------------------
+# leakage_safe_splits guarantees NORMALIZED-exact duplicate groups never
+# straddle splits; NEAR-duplicates (Jaccard > t but not byte/normalized
+# equal) still can. This audit surfaces them — the check an eval team runs
+# before trusting held-out numbers.
+from drug_target_discovery_spark.operators.dedup import MERSENNE61  # noqa: E402
+from drug_target_discovery_spark.queries.dedup import (  # noqa: E402
+    _BANDS_ROWS,
+    _JACCARD_T,
+    _SIG_SQL,
+)
+
+_AUDIT_NORM_DUCK = (
+    "sha256(trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))"
+)
+
+
+@register(
+    "split_contamination_audit",
+    tags=("curation", "dedup", "pipeline"),
+    oracle=f"""
+    WITH {_SIG_SQL},
+    banded AS (
+      SELECT doc_id, hash_idx // {_BANDS_ROWS} AS band,
+             sum(minhash) % {MERSENNE61} AS bsum, count(*) AS n
+      FROM sig GROUP BY doc_id, hash_idx // {_BANDS_ROWS}
+      HAVING count(*) = {_BANDS_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bsum = b.bsum AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS k
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT c.d1, c.d2, i.k * 1.0 / (s1.sz + s2.sz - i.k) AS j
+      FROM cand c
+      JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+      JOIN sizes s1 ON c.d1 = s1.doc_id
+      JOIN sizes s2 ON c.d2 = s2.doc_id
+      WHERE i.k * 1.0 / (s1.sz + s2.sz - i.k) > {_JACCARD_T}
+    ),
+    b AS (
+      SELECT doc_id, ({MD5_INT_DUCK.format(col="n.digest")}) % 100 AS bkt
+      FROM (SELECT doc_id, {_AUDIT_NORM_DUCK} AS digest FROM documents) n
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN bkt < {_SPLIT_TRAIN} THEN 'train'
+                  WHEN bkt < {_SPLIT_VAL} THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT v.d1, v.d2, {rnd_sql("v.j", 6)} AS jaccard,
+           p1.split AS split_d1, p2.split AS split_d2,
+           p1.split <> p2.split AS crosses_split
+    FROM verified v
+    JOIN sp p1 ON v.d1 = p1.doc_id
+    JOIN sp p2 ON v.d2 = p2.doc_id
+    """,
+)
+def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit the leakage guard's blind spot: find NEAR-duplicate pairs
+    (LSH candidates verified at shingle-Jaccard > 0.8) whose two
+    members landed in different splits of ``leakage_safe_splits``. The
+    split hash keys on the normalized digest, so normalized-exact dups are
+    split-safe by construction — but a near-dup pair with real edits can
+    straddle train and test, silently inflating eval scores. Every
+    verified pair is reported with both splits and a ``crosses_split``
+    flag (the contamination worklist: re-home or drop the test-side doc).
+
+    Scale design: rides the sweep-scoped LSH memos (signatures + banded
+    candidate pairs — built once, shared with the near-dup tier), exact
+    verification only on candidate members, and the split table reuses the
+    one-exchange digest window of ``leakage_safe_splits``. The verified
+    pair set is candidates << corpus by construction, so the two
+    pair-to-split joins broadcast the pair side under AQE.
+    """
+    from drug_target_discovery_spark.operators.dedup import jaccard_verify_pairs
+    from drug_target_discovery_spark.queries.dedup import candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    verified = jaccard_verify_pairs(
+        docs, candidate_pairs(spark, sf_dir), threshold=_JACCARD_T
+    )
+    sp = leakage_safe_splits(spark, sf_dir).select("doc_id", "split")
+    s1 = sp.select(F.col("doc_id").alias("d1"), F.col("split").alias("split_d1"))
+    s2 = sp.select(F.col("doc_id").alias("d2"), F.col("split").alias("split_d2"))
+    return (
+        verified.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            rnd("jaccard", 6).alias("jaccard"),
+            "split_d1",
+            "split_d2",
+            (F.col("split_d1") != F.col("split_d2")).alias("crosses_split"),
+        )
+    )

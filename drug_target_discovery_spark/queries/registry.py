@@ -58,6 +58,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _PRIORITY: tuple[str, ...] = (
     # -- new this round (never-checked queries outrank everything)
     "leakage_safe_splits",        # group-aware train/val/test holdout
+    "split_contamination_audit",  # near-dup pairs straddling splits
     "duplicate_span_detection",   # position-aware substring dedup (Lee et al.)
     "semantic_dedup_prune",       # SemDeDup cluster-then-prune
     "bloom_filter_dedup_probe",   # bounded-size distributed Bloom filter
@@ -104,13 +105,13 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_label_stats",
     "gopher_quality_flags",
     "json_props_extract",
-    "lang_id_stopwords",
     "median_impute",
     "median_quantity_by_part",
     "moving_avg_daily_revenue",
     "network_target_scores",
     # -- slots 51+: unchanged-since-r2 trivia demoted for this round's new
     # and rewritten queries (they keep their r2 green rows; first next round)
+    "lang_id_stopwords",
     "media_metadata_stats",
     "cube_order_stats",
     "grouping_sets_ship_stats",

@@ -47,6 +47,25 @@ class TestLeakageSafeSplits:
         # 80% target; generous tolerance at 500 docs (binomial noise)
         assert 0.65 <= frac_train <= 0.95, frac_train
 
+    def test_contamination_audit_consistent_with_splits(self, spark, split_rows):
+        from drug_target_discovery_spark.queries.curation import (
+            split_contamination_audit,
+        )
+
+        split_of = {r["doc_id"]: r["split"] for r in split_rows}
+        group_of = {r["doc_id"]: r["canonical_id"] for r in split_rows}
+        audit = split_contamination_audit(spark, SF_DIR).collect()
+        for r in audit:
+            # the audit's split columns must agree with leakage_safe_splits
+            assert r["split_d1"] == split_of[r["d1"]], r
+            assert r["split_d2"] == split_of[r["d2"]], r
+            assert r["crosses_split"] == (r["split_d1"] != r["split_d2"]), r
+            assert r["jaccard"] > 0.8, r
+            # normalized-exact dups share a group, hence a split, by
+            # construction — only genuine near-dups may cross
+            if group_of[r["d1"]] == group_of[r["d2"]]:
+                assert not r["crosses_split"], r
+
     def test_duplicates_share_group_and_split(self, spark, tmp_path):
         # case/punctuation variants of one text must collapse into one
         # group and get one split; distinct texts may differ
