@@ -7,7 +7,8 @@ Writes /tmp/sfprobe/{lineitem,orders,customer,documents,embeddings}.parquet
 (key-shifted copies so join relationships and group cardinalities scale
 together), then times each probe query cold at sf0.1 and sf~1.
 
-Usage: python tools/scale_probe.py [replication_factor]   (default 10)
+Usage: python tools/scale_probe.py [replication_factor] [query ...]
+(default factor 10, all PROBES; name queries to probe a subset)
 """
 
 from __future__ import annotations
@@ -57,6 +58,13 @@ PROBES = [
     "duplicate_span_detection",
     "bloom_filter_dedup_probe",
     "semantic_dedup_prune",
+    # holdout-hygiene tier. Same verbatim-clone caveat, and for the audit
+    # it is the LSH worst case: every replica family is a clique of exact
+    # dups, so the verified-pair set grows ~factor^2 per original doc —
+    # the probe checks the pair joins stay bucket-local (wall closer to
+    # the pair count than to any corpus-wide product).
+    "leakage_safe_splits",
+    "split_contamination_audit",
 ]
 
 
@@ -99,11 +107,15 @@ def time_probe(spark, name, sf_dir) -> float:
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    probes = sys.argv[2:] or PROBES
+    unknown = [n for n in probes if n not in all_queries()]
+    if unknown:
+        raise SystemExit(f"unknown probe queries: {unknown}")
     spark = get_spark("scale_probe")
     build(spark, factor)
     load_table(spark, BASE, "lineitem").count()  # warm session
     report = {}
-    for name in PROBES:
+    for name in probes:
         t_small = time_probe(spark, name, BASE)
         t_big = time_probe(spark, name, OUT)
         report[name] = {
