@@ -28,6 +28,35 @@ from pyspark.sql import functions as F
 MD5_INT_SPARK = "CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT)"
 MD5_INT_DUCK = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
 
+# C4-style normalization digest (lowercase, strip punctuation, collapse
+# whitespace, sha256) — THE single definition for every consumer
+# (normalized_dedup_groups, leakage_safe_splits, split_contamination_audit):
+# the split/audit pair is only leakage-safe if all sites bucket docs by the
+# byte-identical digest, so never inline a copy of these expressions.
+# NULL text coalesces to '' so both engines keep every document (DuckDB
+# drops NULL join/group keys differently than a Spark window partition).
+NORM_SHA_DUCK = (
+    "sha256(trim(regexp_replace(regexp_replace(lower(coalesce({col}, '')),"
+    " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))"
+)
+
+
+def norm_sha_col(col: str = "text"):
+    """Spark twin of NORM_SHA_DUCK, built from DataFrame-API functions so
+    the regex literals bypass SQL-string escaping entirely."""
+    return F.sha2(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col(col), F.lit(""))), r"[^a-z0-9\s]", ""
+                ),
+                r"\s+",
+                " ",
+            )
+        ),
+        256,
+    )
+
 MERSENNE61 = (1 << 61) - 1
 
 

@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
-from drug_target_discovery_spark.operators.dedup import MD5_INT_DUCK, MD5_INT_SPARK
+from drug_target_discovery_spark.operators.dedup import (
+    MD5_INT_DUCK,
+    MD5_INT_SPARK,
+    NORM_SHA_DUCK,
+    norm_sha_col,
+)
 from drug_target_discovery_spark.queries.registry import register
 from drug_target_discovery_spark.sources.tables import load_table
 
@@ -476,9 +481,7 @@ _SPLIT_H_SPARK = MD5_INT_SPARK.format(col="digest")
     tags=("curation", "dedup", "pipeline"),
     oracle=f"""
     WITH norm AS (
-      SELECT doc_id,
-             sha256(trim(regexp_replace(regexp_replace(lower(text),
-                      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS digest
+      SELECT doc_id, {NORM_SHA_DUCK.format(col="text")} AS digest
       FROM documents
     ),
     groups AS (
@@ -514,19 +517,17 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest-partitioned window (min/count over the whole partition), so the
     entire query is one exchange — the groupBy-then-join form would cost
     three digest exchanges at a scale where AQE can't broadcast the group
-    table. The split decision is pure codegen arithmetic on the
-    15-hex-digit md5 fold — deterministic, engine-identical, no RNG state
-    anywhere.
+    table. Skew bound: a window cannot partially aggregate, so the hottest
+    digest's whole group lands in one task — the right trade while
+    duplication multiplicity is bounded (dozens-to-thousands of copies);
+    a corpus with a degenerate hot group (millions of byte-identical
+    boilerplate pages) should pre-collapse through the partial-aggregating
+    ``normalized_dedup_groups`` and join, accepting the extra exchanges.
+    The split decision is pure codegen arithmetic on the 15-hex-digit md5
+    fold — deterministic, engine-identical, no RNG state anywhere.
     """
     docs = load_table(spark, sf_dir, "documents")
-    norm_expr = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
-            r"\s+",
-            " ",
-        )
-    )
-    norm = docs.select("doc_id", F.sha2(norm_expr, 256).alias("digest"))
+    norm = docs.select("doc_id", norm_sha_col("text").alias("digest"))
     w = W.partitionBy("digest")
     bkt = F.expr(_SPLIT_H_SPARK) % 100
     return norm.select(
@@ -554,10 +555,6 @@ from drug_target_discovery_spark.queries.dedup import (  # noqa: E402
     _SIG_SQL,
 )
 
-_AUDIT_NORM_DUCK = (
-    "sha256(trim(regexp_replace(regexp_replace(lower(text),"
-    " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))"
-)
 
 
 @register(
@@ -593,7 +590,8 @@ _AUDIT_NORM_DUCK = (
     ),
     b AS (
       SELECT doc_id, ({MD5_INT_DUCK.format(col="n.digest")}) % 100 AS bkt
-      FROM (SELECT doc_id, {_AUDIT_NORM_DUCK} AS digest FROM documents) n
+      FROM (SELECT doc_id, {NORM_SHA_DUCK.format(col="text")} AS digest
+            FROM documents) n
     ),
     sp AS (
       SELECT doc_id,

@@ -12,11 +12,13 @@ from drug_target_discovery_spark.operators.dedup import (
     MD5_INT_DUCK,
     MD5_INT_SPARK,
     MERSENNE61,
+    NORM_SHA_DUCK,
     _minhash_coeffs,
     jaccard_verify_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    norm_sha_col,
     sha_exact_dedup,
     simhash_fingerprints,
 )
@@ -305,11 +307,10 @@ def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "normalized_dedup_groups",
     tags=("dedup", "text"),
-    oracle="""
+    oracle=f"""
     WITH norm AS (
       SELECT doc_id,
-             sha256(trim(regexp_replace(regexp_replace(lower(text),
-                      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS digest,
+             {NORM_SHA_DUCK.format(col="text")} AS digest,
              sha256(text) AS raw_digest
       FROM documents
     )
@@ -327,19 +328,14 @@ def normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-side normalize + hash; only the two 32-byte digests shuffle, never
     the text. n_raw_variants counts how many distinct raw texts collapsed
     into each normalized group. (Corpus is ASCII; for full Unicode the
-    normalize step would add NFKC via a pandas_udf.)"""
+    normalize step would add NFKC via a pandas_udf.) The digest expression
+    is the shared ``norm_sha_col``/``NORM_SHA_DUCK`` pair — the same
+    definition the leakage-split tier buckets on."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
-            r"\s+",
-            " ",
-        )
-    )
     return (
         docs.select(
             "doc_id",
-            F.sha2(norm, 256).alias("digest"),
+            norm_sha_col("text").alias("digest"),
             F.sha2(F.col("text"), 256).alias("raw_digest"),
         )
         .groupBy("digest")

@@ -51,11 +51,13 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # slots went to never-checked/changed/r1-stale entries). New and changed
 # queries outrank unchanged stale ones — rewritten plans need current
 # driver evidence more than unchanged ones need a refresh — so the
-# unchanged-since-r2 remainder sits at slots 51+ (they keep their r2
-# green rows and go first next round). Groups (1)+(2)+(3) must total
-# exactly 50; a unit test pins that count so the gate never silently
-# drops the tail of group (3).
-_PRIORITY: tuple[str, ...] = (
+# unchanged-since-r2 remainder sits in _PRIORITY_REST (they keep their r2
+# green rows and go first next round). _PRIORITY_GATE must hold exactly
+# _GATE_WINDOW names; a unit test pins the length so the gate never
+# silently drops the tail of group (3).
+_GATE_WINDOW = 50
+
+_PRIORITY_GATE: tuple[str, ...] = (
     # -- new this round (never-checked queries outrank everything)
     "leakage_safe_splits",        # group-aware train/val/test holdout
     "split_contamination_audit",  # near-dup pairs straddling splits
@@ -92,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "welch_t_by_part",            # NULL-aware oracle denominator (also r2-stale)
     "connected_components_near_dups",  # nodes=None gate now edge-bounded
     "embedding_pca_variance_explained",  # empty/low-dim guards
+    "normalized_dedup_groups",    # digest now NULL-safe (shared norm_sha_col)
     # -- last verified in round 2 (unchanged; refresh before two rounds deep)
     "asof_view_before_purchase",
     "betweenness_centrality_corr_graph",
@@ -102,15 +105,18 @@ _PRIORITY: tuple[str, ...] = (
     "customer_cohort_set_ops",
     "eigenvector_centrality_corr_graph",
     "embedding_cosine_near_dups",
-    "embedding_label_stats",
     "gopher_quality_flags",
     "json_props_extract",
     "median_impute",
     "median_quantity_by_part",
     "moving_avg_daily_revenue",
     "network_target_scores",
-    # -- slots 51+: unchanged-since-r2 trivia demoted for this round's new
-    # and rewritten queries (they keep their r2 green rows; first next round)
+)
+
+# Slots 51+: unchanged-since-r2 trivia demoted for this round's new and
+# rewritten queries (they keep their r2 green rows; first next round).
+_PRIORITY_REST: tuple[str, ...] = (
+    "embedding_label_stats",
     "lang_id_stopwords",
     "media_metadata_stats",
     "cube_order_stats",
@@ -137,6 +143,8 @@ _PRIORITY: tuple[str, ...] = (
     "zscore_by_part",
     "na_threshold_filter",
 )
+
+_PRIORITY: tuple[str, ...] = _PRIORITY_GATE + _PRIORITY_REST
 
 
 def all_queries() -> dict[str, Query]:

@@ -66,6 +66,42 @@ class TestLeakageSafeSplits:
             if group_of[r["d1"]] == group_of[r["d2"]]:
                 assert not r["crosses_split"], r
 
+    def test_null_text_docs_kept_and_grouped(self, spark, tmp_path):
+        # NULL text coalesces to '' in the shared digest (norm_sha_col /
+        # NORM_SHA_DUCK), so NULL-text docs stay in the output, group with
+        # empty/whitespace-only docs, and both engines agree — the r4
+        # review found the pre-coalesce oracle dropped them via the NULL
+        # join key while Spark's window kept them
+        import duckdb
+
+        rows = [
+            (1, "real content here okay", "en", "s", 0),
+            (2, None, "en", "s", 0),
+            (3, "   ", "en", "s", 0),
+            (4, "!!!", "en", "s", 0),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars INT"
+        )
+        d = tmp_path / "nulls"
+        df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+        out = {r["doc_id"]: r for r in leakage_safe_splits(spark, str(d)).collect()}
+        assert set(out) == {1, 2, 3, 4}
+        # NULL, whitespace-only, and punctuation-only all normalize to ''
+        assert out[2]["canonical_id"] == out[3]["canonical_id"] == out[4]["canonical_id"] == 2
+        assert out[2]["group_size"] == 3
+        # cross-engine: DuckDB oracle returns the same 4 docs
+        from drug_target_discovery_spark.queries.registry import all_queries
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        oracle = con.execute(all_queries()["leakage_safe_splits"].oracle).df()
+        assert sorted(oracle["doc_id"]) == [1, 2, 3, 4]
+        o = oracle.set_index("doc_id")
+        assert set(o.loc[[2, 3, 4], "canonical_id"]) == {2}
+
     def test_duplicates_share_group_and_split(self, spark, tmp_path):
         # case/punctuation variants of one text must collapse into one
         # group and get one split; distinct texts may differ

@@ -213,18 +213,14 @@ class TestPlanShape:
 
     def test_priority_gate_window_is_exactly_50(self):
         # The driver's correctness gate visits the first 50 queries() entries
-        # per round. The rotation comment partitions _PRIORITY into a
-        # gate-window prefix and a demoted tail at the "slots 51+" marker —
-        # if the prefix drifts off 50, queries the comment promises evidence
-        # for silently fall outside the gate (r4 code-review finding).
-        import inspect
-
+        # per round. _PRIORITY_GATE is the tuple of names promised gate
+        # evidence this round — if its length drifts off the window, its
+        # tail silently loses driver coverage (r4 code-review finding).
         from drug_target_discovery_spark.queries import registry
 
-        src = inspect.getsource(registry)
-        prefix = src[src.index("_PRIORITY: tuple") : src.index("# -- slots 51+")]
-        n_prefix = prefix.count('",')
-        assert n_prefix == 50, (
-            f"_PRIORITY places {n_prefix} names before the 'slots 51+' "
-            "marker; the driver gate stops at 50"
+        assert len(registry._PRIORITY_GATE) == registry._GATE_WINDOW == 50, (
+            f"_PRIORITY_GATE holds {len(registry._PRIORITY_GATE)} names; "
+            "the driver gate stops at 50"
         )
+        overlap = set(registry._PRIORITY_GATE) & set(registry._PRIORITY_REST)
+        assert not overlap, f"names in both gate and rest tuples: {overlap}"
