@@ -548,9 +548,8 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # straddle splits; NEAR-duplicates (Jaccard > t but not byte/normalized
 # equal) still can. This audit surfaces them — the check an eval team runs
 # before trusting held-out numbers.
-from drug_target_discovery_spark.operators.dedup import MERSENNE61  # noqa: E402
 from drug_target_discovery_spark.queries.dedup import (  # noqa: E402
-    _BANDS_ROWS,
+    _BANDED_CAND_SQL,
     _JACCARD_T,
     _SIG_SQL,
 )
@@ -562,17 +561,7 @@ from drug_target_discovery_spark.queries.dedup import (  # noqa: E402
     tags=("curation", "dedup", "pipeline"),
     oracle=f"""
     WITH {_SIG_SQL},
-    banded AS (
-      SELECT doc_id, hash_idx // {_BANDS_ROWS} AS band,
-             sum(minhash) % {MERSENNE61} AS bsum, count(*) AS n
-      FROM sig GROUP BY doc_id, hash_idx // {_BANDS_ROWS}
-      HAVING count(*) = {_BANDS_ROWS}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.bsum = b.bsum AND a.doc_id < b.doc_id
-    ),
+    {_BANDED_CAND_SQL},
     sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS k

@@ -105,6 +105,24 @@ _SIG_SQL = f"""
     )
 """
 
+# shared oracle CTEs: banded signature buckets + the bucket-local candidate
+# join — one home for the banding arithmetic, referenced by every LSH
+# consumer (lsh_candidate_pairs, near_dup_groups, dedup_against_reference,
+# split_contamination_audit) so the oracles cannot drift from each other.
+_BANDED_CAND_SQL = f"""
+    banded AS (
+      SELECT doc_id, hash_idx // {_BANDS_ROWS} AS band,
+             sum(minhash) % {MERSENNE61} AS bsum, count(*) AS n
+      FROM sig GROUP BY doc_id, hash_idx // {_BANDS_ROWS}
+      HAVING count(*) = {_BANDS_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bsum = b.bsum AND a.doc_id < b.doc_id
+    )
+"""
+
 
 # --------------------------------------------------------------------------
 # Exact dedup (hash-groupBy)
@@ -187,15 +205,8 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash"),
     oracle=f"""
     WITH {_SIG_SQL},
-    banded AS (
-      SELECT doc_id, hash_idx // {_BANDS_ROWS} AS band,
-             sum(minhash) % {MERSENNE61} AS bsum, count(*) AS n
-      FROM sig GROUP BY doc_id, hash_idx // {_BANDS_ROWS}
-      HAVING count(*) = {_BANDS_ROWS}
-    )
-    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.bsum = b.bsum AND a.doc_id < b.doc_id
+    {_BANDED_CAND_SQL}
+    SELECT d1, d2 FROM cand
     """,
 )
 def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,17 +224,7 @@ def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "pipeline"),
     oracle=f"""
     WITH {_SIG_SQL},
-    banded AS (
-      SELECT doc_id, hash_idx // {_BANDS_ROWS} AS band,
-             sum(minhash) % {MERSENNE61} AS bsum, count(*) AS n
-      FROM sig GROUP BY doc_id, hash_idx // {_BANDS_ROWS}
-      HAVING count(*) = {_BANDS_ROWS}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.bsum = b.bsum AND a.doc_id < b.doc_id
-    ),
+    {_BANDED_CAND_SQL},
     sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
     verified AS (
       SELECT c.d1, c.d2
@@ -355,17 +356,7 @@ def normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "incremental", "pipeline"),
     oracle=f"""
     WITH {_SIG_SQL},
-    banded AS (
-      SELECT doc_id, hash_idx // {_BANDS_ROWS} AS band,
-             sum(minhash) % {MERSENNE61} AS bsum, count(*) AS n
-      FROM sig GROUP BY doc_id, hash_idx // {_BANDS_ROWS}
-      HAVING count(*) = {_BANDS_ROWS}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.bsum = b.bsum AND a.doc_id < b.doc_id
-    ),
+    {_BANDED_CAND_SQL},
     cross_cand AS (
       SELECT CASE WHEN d1 % 5 = 0 THEN d1 ELSE d2 END AS b_id,
              CASE WHEN d1 % 5 = 0 THEN d2 ELSE d1 END AS r_id,
