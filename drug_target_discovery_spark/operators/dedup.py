@@ -35,9 +35,14 @@ MD5_INT_DUCK = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
 # byte-identical digest, so never inline a copy of these expressions.
 # NULL text coalesces to '' so both engines keep every document (DuckDB
 # drops NULL join/group keys differently than a Spark window partition).
+# The whitespace class is spelled out as [ \t\n\r\f] rather than \s:
+# Java's \s includes vertical tab (\x0B) while RE2's excludes it, so a
+# \x0B in a document made the two engines normalize to different strings
+# (measured divergence); with the explicit class both treat \x0B as
+# punctuation and strip it.
 NORM_SHA_DUCK = (
     "sha256(trim(regexp_replace(regexp_replace(lower(coalesce({col}, '')),"
-    " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))"
+    " '[^a-z0-9 \\t\\n\\r\\f]', '', 'g'), '[ \\t\\n\\r\\f]+', ' ', 'g')))"
 )
 
 
@@ -48,9 +53,11 @@ def norm_sha_col(col: str = "text"):
         F.trim(
             F.regexp_replace(
                 F.regexp_replace(
-                    F.lower(F.coalesce(F.col(col), F.lit(""))), r"[^a-z0-9\s]", ""
+                    F.lower(F.coalesce(F.col(col), F.lit(""))),
+                    r"[^a-z0-9 \t\n\r\f]",
+                    "",
                 ),
-                r"\s+",
+                r"[ \t\n\r\f]+",
                 " ",
             )
         ),

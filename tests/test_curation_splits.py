@@ -102,6 +102,36 @@ class TestLeakageSafeSplits:
         o = oracle.set_index("doc_id")
         assert set(o.loc[[2, 3, 4], "canonical_id"]) == {2}
 
+    def test_norm_digest_cross_engine_on_tricky_whitespace(self, spark):
+        # norm_sha_col (Java regex) and NORM_SHA_DUCK (RE2) must produce
+        # byte-identical digests on every whitespace variant. \x0B is the
+        # documented trap: Java's \s includes it, RE2's doesn't — the
+        # explicit [ \t\n\r\f] class makes both strip it as punctuation.
+        import duckdb
+
+        from drug_target_discovery_spark.operators.dedup import (
+            NORM_SHA_DUCK,
+            norm_sha_col,
+        )
+
+        texts = [
+            "a\x0bb", "a\tb", "a\nb", "a\rb", "a\x0cb",
+            "A  b!!", None, "  ", "x\x0b \ty", "Mixed\tCASE\n and. punct?",
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+        duck = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {NORM_SHA_DUCK.format(col='text')} FROM t"
+            ).fetchall()
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+        sp = [r[0] for r in df.select(norm_sha_col("text")).collect()]
+        for t, d, s in zip(texts, duck, sp):
+            assert d == s, f"digest diverges on {t!r}"
+
     def test_duplicates_share_group_and_split(self, spark, tmp_path):
         # case/punctuation variants of one text must collapse into one
         # group and get one split; distinct texts may differ
