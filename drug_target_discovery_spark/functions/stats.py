@@ -301,9 +301,11 @@ def bh_fdr_scalable(
 
     Multi-pass discipline: four actions (approxQuantile, bucket counts,
     per-bucket tails, the consumer's final job). The reused frames — the
-    non-null projection and the ranked/windowed frame — are query-scoped
-    caches (MEMORY_AND_DISK, spill-not-OOM), so the sweep is 1 source scan
-    and 1 sort. The two tiny per-bucket tables (rank offsets, cross-bucket
+    RAW SOURCE frame (cached once so both the non-null and the null/NaN
+    branch read it without rescanning parquet; each pass re-applies the
+    cheap null filter over the cached rows) and the ranked/windowed frame —
+    are query-scoped caches (MEMORY_AND_DISK, spill-not-OOM), so the sweep
+    is 1 source scan and 1 sort. The two tiny per-bucket tables (rank offsets, cross-bucket
     suffix mins) are folded in as map LITERALS (``element_at`` on a
     ``create_map`` of the collected rows) — codegen'd lookups, no join
     operators at all.

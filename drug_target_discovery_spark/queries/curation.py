@@ -551,6 +551,7 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 from drug_target_discovery_spark.queries.dedup import (  # noqa: E402
     _BANDED_CAND_SQL,
     _JACCARD_T,
+    _N,
     _SIG_SQL,
 )
 
@@ -619,7 +620,7 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     verified = jaccard_verify_pairs(
-        docs, candidate_pairs(spark, sf_dir), threshold=_JACCARD_T
+        docs, candidate_pairs(spark, sf_dir), n=_N, threshold=_JACCARD_T
     )
     sp = leakage_safe_splits(spark, sf_dir).select("doc_id", "split")
     s1 = sp.select(F.col("doc_id").alias("d1"), F.col("split").alias("split_d1"))

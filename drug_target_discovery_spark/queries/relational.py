@@ -640,9 +640,15 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     i1 = item.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
     i2 = item.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    # No broadcast hints on the item-count tables: their cardinality is
+    # "distinct parts", which grows with the corpus (data-proportional, the
+    # class of set this repo refuses to pin executor-resident — see
+    # dedup_against_reference). AQE broadcasts them when they are in fact
+    # small; at scale they join shuffle-keyed on p1/p2. The 1-row n_ord
+    # aggregate stays broadcast: its size is a constant, not data-derived.
     return (
-        pair.join(F.broadcast(i1), "p1")
-        .join(F.broadcast(i2), "p2")
+        pair.join(i1, "p1")
+        .join(i2, "p2")
         .crossJoin(F.broadcast(n_ord))
         .select(
             "p1",

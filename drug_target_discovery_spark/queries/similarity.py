@@ -703,11 +703,17 @@ _SEMDEDUP_T = 0.40  # intra-cluster cosine above this -> prune (keep min id)
         FROM dist) WHERE rnk = 1
     ),
     prior AS (
+      -- Zero-norm convention (matches Spark): a zero-norm vector has
+      -- similarity 0 to everything, so it never prunes and is never
+      -- pruned. Without this guard DuckDB computes 0/0 = NaN and NaN
+      -- compares greater than the threshold, silently pruning such rows.
       SELECT b.vec_id, max(
                {_DOT_DUCK.format(a="a.emb", b="b.emb")}
                  / ({_NORM_DUCK.format(a="a.emb")} * {_NORM_DUCK.format(a="b.emb")})
              ) AS max_sim
       FROM asn a JOIN asn b ON a.clabel = b.clabel AND a.vec_id < b.vec_id
+        AND {_NORM_DUCK.format(a="a.emb")} > 0
+        AND {_NORM_DUCK.format(a="b.emb")} > 0
       GROUP BY b.vec_id
       HAVING max({_DOT_DUCK.format(a="a.emb", b="b.emb")}
                    / ({_NORM_DUCK.format(a="a.emb")} * {_NORM_DUCK.format(a="b.emb")}))
@@ -727,6 +733,10 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-one-representative-per-ε-ball rule made deterministic by the
     min-id convention. Returns every vector with its cluster, the max
     similarity to a prior member (NULL if none above τ), and the keep flag.
+    Zero-norm embeddings have similarity 0 to everything by convention on
+    BOTH engines: they are never pruned and never prune others — the GEMM
+    prefilter's norm clamp implements this on the Spark side, and the
+    oracle's prior CTE excludes zero-norm rows explicitly.
 
     Scale design — the point of SemDeDup: pairwise similarity runs only
     WITHIN clusters, so FLOPs drop from O(N²) to O(Σ cᵢ²) with cᵢ ≈ N/k

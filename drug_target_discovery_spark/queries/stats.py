@@ -760,3 +760,114 @@ def quantile_normalize_by_supplier(spark: SparkSession, sf_dir: str) -> DataFram
             rnd(F.col("bin_mean"), 6).alias("qn_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact full quantile normalization (normalizeQuantiles semantics)
+# --------------------------------------------------------------------------
+_QNX_SAMPLES = 8  # number of pseudo-samples (l_suppkey mod)
+_QNX_SLICE = 97  # keep l_partkey % _QNX_SLICE == 0 — bounded fixture slice
+
+
+@register(
+    "quantile_normalize_exact",
+    tags=("stats", "window"),
+    oracle=f"""
+    WITH x AS (
+      SELECT l_orderkey, l_linenumber,
+             l_suppkey % {_QNX_SAMPLES} AS sample_id,
+             l_extendedprice AS v
+      FROM lineitem WHERE l_partkey % {_QNX_SLICE} = 0
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY sample_id
+                                ORDER BY v, l_orderkey, l_linenumber) AS rk
+      FROM x
+    ),
+    m AS (
+      SELECT min(n) AS m FROM (
+        SELECT count(*) AS n FROM x GROUP BY sample_id)
+    ),
+    trimmed AS (SELECT r.* FROM r CROSS JOIN m WHERE r.rk <= m.m),
+    refdist AS (
+      SELECT rk,
+             sum(CAST(floor(v * 100.0 + 0.5) AS BIGINT)) AS qsum,
+             count(*) AS n_at_rank
+      FROM trimmed GROUP BY rk
+    ),
+    joined AS (
+      SELECT t.sample_id, t.l_orderkey, t.l_linenumber, t.rk, t.v,
+             f.qsum, f.n_at_rank
+      FROM trimmed t JOIN refdist f ON t.rk = f.rk
+    )
+    SELECT sample_id, l_orderkey, l_linenumber, rk,
+           {rnd_sql('''CAST(sum(qsum) OVER (PARTITION BY sample_id, v) AS DOUBLE)
+             / (count(*) OVER (PARTITION BY sample_id, v) * n_at_rank * 100.0)''', 6)}
+             AS qn_value
+    FROM joined
+    """,
+)
+def quantile_normalize_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT full quantile normalization — the reference-faithful per-rank
+    form (limma ``normalizeQuantiles`` / Bolstad 2003): equal-length
+    samples, each value replaced by the MEAN OF THE k-th ORDER STATISTICS
+    across samples at its rank, ties sharing the mean of their tied ranks'
+    reference values (limma ``ties=TRUE``). The binned relaxation next door
+    (``quantile_normalize_by_supplier``) is the large-scale form; this is
+    the exact twin on a bounded fixture slice, so the stats tier carries
+    both the production relaxation and the textbook-exact semantics.
+
+    Equal-length samples by construction: {_QNX_SAMPLES} pseudo-samples
+    (``l_suppkey % {_QNX_SAMPLES}``) over a 1/{_QNX_SLICE} part slice, each
+    trimmed to the minimum sample length m by a deterministic rank
+    (value, then orderkey/linenumber tiebreak) — the standard equal-length
+    precondition made explicit rather than assumed. Cross-engine exactness:
+    the per-rank reference value is a cent-quantized INTEGER sum, and the
+    tie average is computed as sum-of-integer-rank-sums over the tie group
+    divided ONCE — pure integer arithmetic until a single IEEE division,
+    identical both engines regardless of row order.
+
+    Scale shape: one window shuffle on the sample key (rank + trim), one
+    rank-keyed aggregate (m rows — data-proportional, so NOT force-
+    broadcast; AQE decides the join side), one tie-group window that reuses
+    the sample-key partitioning. No per-row Python; every expression is
+    whole-stage codegen. At 100 TB the sample count is the parallelism
+    bound — real microarray QN has thousands of samples, and each sample's
+    sort is partition-local after the one exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.filter(F.col("l_partkey") % _QNX_SLICE == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_suppkey") % _QNX_SAMPLES).alias("sample_id"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    w_rank = PWindow.partitionBy("sample_id").orderBy(
+        "v", "l_orderkey", "l_linenumber"
+    )
+    r = x.withColumn("rk", F.row_number().over(w_rank))
+    # minimum sample length: a 1-row aggregate — constant-size, broadcast
+    m = (
+        x.groupBy("sample_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("m"))
+    )
+    trimmed = r.crossJoin(F.broadcast(m)).filter(F.col("rk") <= F.col("m"))
+    refdist = trimmed.groupBy("rk").agg(
+        F.sum(F.floor(F.col("v") * 100.0 + F.lit(0.5)).cast("long")).alias("qsum"),
+        F.count(F.lit(1)).alias("n_at_rank"),
+    )
+    joined = trimmed.join(refdist, "rk")
+    w_tie = PWindow.partitionBy("sample_id", "v")
+    return joined.select(
+        "sample_id",
+        "l_orderkey",
+        "l_linenumber",
+        "rk",
+        rnd(
+            F.sum("qsum").over(w_tie).cast("double")
+            / (F.count(F.lit(1)).over(w_tie) * F.col("n_at_rank") * F.lit(100.0)),
+            6,
+        ).alias("qn_value"),
+    )

@@ -3,9 +3,11 @@ replication, run headline operators at both scales, and report the wall-time
 scaling factor. Linear-ish scaling (factor ~= data factor, not factor^2) is
 the evidence that the partition/shuffle strategy survives growth.
 
-Writes /tmp/sfprobe/{lineitem,orders,customer,documents,embeddings}.parquet
-(key-shifted copies so join relationships and group cardinalities scale
-together), then times each probe query cold at sf0.1 and sf~1.
+Writes /tmp/sfprobe/{lineitem,orders,customer,part,supplier,documents,
+embeddings}.parquet (key-shifted copies so join relationships and group
+cardinalities scale together — facts AND the dimensions they reference, so
+fact-to-dim join probes keep referential integrity at every factor), then
+times each probe query cold at sf0.1 and sf~1.
 
 Usage: python tools/scale_probe.py [replication_factor] [query ...]
 (default factor 10, all PROBES; name queries to probe a subset)
@@ -38,6 +40,13 @@ SHIFTS = {
     "lineitem": {"l_orderkey": 1_000_000, "l_partkey": 1_000_000, "l_suppkey": 1_000_000},
     "orders": {"o_orderkey": 1_000_000, "o_custkey": 1_000_000},
     "customer": {"c_custkey": 1_000_000},
+    # part/supplier replicate IN LOCKSTEP with lineitem's l_partkey /
+    # l_suppkey shifts — otherwise replica fact rows would reference
+    # nonexistent dimension keys and any fact-to-dim join probe would
+    # silently drop ~(1-1/factor) of rows and report a flat scale factor.
+    # (s_nationkey / p_* attributes stay valid unshifted.)
+    "part": {"p_partkey": 1_000_000},
+    "supplier": {"s_suppkey": 1_000_000},
     "documents": {"doc_id": 1_000_000},
     "embeddings": {"vec_id": 1_000_000},
 }
@@ -82,8 +91,9 @@ def build(spark, factor: int) -> None:
         for df in parts[1:]:
             out = out.unionByName(df)
         out.write.mode("overwrite").parquet(f"{OUT}/{table}.parquet")
-    # small dims unchanged: copy so load_table finds them
-    for small in ("nation", "region", "supplier", "part", "events"):
+    # small dims unchanged: copy so load_table finds them (nation/region are
+    # fixed 25/5-row TPC-H tables; events is probed unscaled)
+    for small in ("nation", "region", "events"):
         src_path = f"{BASE}/{small}.parquet"
         dst = f"{OUT}/{small}.parquet"
         if os.path.isfile(src_path):
