@@ -12,11 +12,10 @@ BMP/PPM images (``register_builtin_image_codecs``, oracle-checked by
 (``register_builtin_audio_codecs``, oracle-checked by
 ``media_audio_decode_stats``), and YUV4MPEG2 (Y4M) video
 (``register_builtin_video_codecs``, oracle-checked by
-``media_video_decode_stats``). The deterministic digest-based stand-in
-(``_fake_decode``) survives only as the documented fallback for
-UNREGISTERED types — no registered query path uses it.
-This is the standard seam: the cluster plumbing never changes when the
-codec does.
+``media_video_decode_stats``). A media type with NO registered codec is a
+typed per-payload error (``UnregisteredMediaTypeError``) — decode never
+substitutes fake data. This is the standard seam: the cluster plumbing
+never changes when the codec does.
 
 Scale notes: payloads stay in executor memory only batch-at-a-time (Arrow
 record batches); metadata-only queries never touch the binary column
@@ -26,7 +25,6 @@ map-only stage — no shuffle until the (small) feature table aggregates.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -76,26 +74,27 @@ def unregister_codecs(media_type: str) -> None:
     _ENCODERS.pop(media_type, None)
 
 
-def _fake_decode(payload: bytes, meta: dict) -> np.ndarray:
-    """Deterministic stand-in decoder: derives a fixed-shape float array
-    from the payload digest. Replace via register_decoder for real media."""
-    h = hashlib.sha256(payload).digest()
-    arr = np.frombuffer((h * 8)[:256], dtype=np.uint8).astype(np.float32)
-    return arr / 255.0
-
-
-def get_decoder(media_type: str) -> Decoder:
-    return _DECODERS.get(media_type, _fake_decode)
+class UnregisteredMediaTypeError(NotImplementedError):
+    """Typed decode error for a media type with no registered codec —
+    the same contract as the codecs' truncation/geometry ValueErrors:
+    fail loudly per payload class, never substitute fake data. (The old
+    digest-based ``_fake_decode`` stand-in is retired: all three builtin
+    media types ship real codecs, so a fallback could only ever mask a
+    missing registration for an unknown type.)"""
 
 
 def strict_decoder(media_type: str) -> Decoder:
     """The production accessor: raises until a real codec is registered."""
     if media_type not in _DECODERS:
-        raise NotImplementedError(
+        raise UnregisteredMediaTypeError(
             f"no decoder registered for {media_type!r}; "
             "call register_decoder() with a codec-backed implementation"
         )
     return _DECODERS[media_type]
+
+
+# the lenient accessor is gone with the stub: every lookup is strict
+get_decoder = strict_decoder
 
 
 # ---------------------------------------------------------------------------
@@ -151,7 +150,11 @@ def extract_features(media: DataFrame, pool: int = FEATURE_DIM) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, mtype, payload in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
-                arr = decoders.get(mtype, _fake_decode)(bytes(payload), {}).ravel()
+                if mtype not in decoders:
+                    raise UnregisteredMediaTypeError(
+                        f"no decoder registered for {mtype!r} (media_id={mid})"
+                    )
+                arr = decoders[mtype](bytes(payload), {}).ravel()
                 chunks = np.array_split(arr, pool)
                 # pool in float64: deterministic and SQL-mirrorable to 6dp.
                 # NOTE numpy's mean is NOT left-associative here — for

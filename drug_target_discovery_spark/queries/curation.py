@@ -637,3 +637,180 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("split_d1") != F.col("split_d2")).alias("crosses_split"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation pipeline (the nightly materialization, composed)
+# --------------------------------------------------------------------------
+# Tiers, in order: normalized-exact dedup -> near-dup prune -> Gopher
+# quality gate -> leakage-safe split. Each tier reuses the SAME shared
+# definitions as its standalone query (norm_sha_col digest, LSH
+# signature/candidate memos, jaccard verification, Gopher bounds, split
+# hash), so the composed run cannot drift from the per-tier evidence.
+from drug_target_discovery_spark.queries.quality import (  # noqa: E402
+    _ALL_STOPWORDS,
+    _STOP_SQL,
+)
+
+_QUAL_SQL = (
+    "n_words BETWEEN 30 AND 5000 "
+    "AND sum_len * 1.0 / n_words BETWEEN 3.0 AND 9.0 AND has_stop = 1"
+)
+
+
+@register(
+    "curation_end_to_end",
+    tags=("curation", "dedup", "quality", "pipeline"),
+    oracle=f"""
+    WITH {_SIG_SQL},
+    {_BANDED_CAND_SQL},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS k
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT c.d1, c.d2
+      FROM cand c
+      JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+      JOIN sizes s1 ON c.d1 = s1.doc_id
+      JOIN sizes s2 ON c.d2 = s2.doc_id
+      WHERE i.k * 1.0 / (s1.sz + s2.sz - i.k) > {_JACCARD_T}
+    ),
+    q AS (
+      SELECT doc_id, source, lang, digest,
+             len(wtoks) AS n_words,
+             list_sum(list_transform(wtoks, x -> len(x))) AS sum_len,
+             CASE WHEN len(list_intersect(wtoks, [{_STOP_SQL}])) > 0
+                  THEN 1 ELSE 0 END AS has_stop
+      FROM (SELECT doc_id, source, lang,
+                   {NORM_SHA_DUCK.format(col="text")} AS digest,
+                   string_split(text, ' ') AS wtoks
+            FROM documents)
+    ),
+    staged AS (
+      SELECT *,
+             min(doc_id) OVER (PARTITION BY digest) AS canonical_id,
+             ({MD5_INT_DUCK.format(col="digest")}) % 100 AS bkt
+      FROM q
+    ),
+    pruned AS (
+      SELECT DISTINCT v.d2 AS doc_id
+      FROM verified v
+      JOIN staged s ON v.d1 = s.doc_id AND s.doc_id = s.canonical_id
+    ),
+    decided AS (
+      SELECT s.doc_id, s.source, s.lang, s.canonical_id, s.bkt,
+             CASE WHEN s.doc_id <> s.canonical_id THEN 'exact_dup'
+                  WHEN p.doc_id IS NOT NULL THEN 'near_dup'
+                  WHEN NOT ({_QUAL_SQL}) THEN 'low_quality'
+                  ELSE 'kept' END AS status
+      FROM staged s LEFT JOIN pruned p ON s.doc_id = p.doc_id
+    )
+    SELECT doc_id, source, lang, canonical_id, status,
+           CASE WHEN status = 'kept' THEN
+             CASE WHEN bkt < {_SPLIT_TRAIN} THEN 'train'
+                  WHEN bkt < {_SPLIT_VAL} THEN 'validation'
+                  ELSE 'test' END
+           END AS split
+    FROM decided
+    """,
+)
+def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed nightly curation materialization: every document with
+    its final disposition after the full tier chain —
+    ``exact_dup`` (not the min-id canonical of its normalized-digest
+    group), ``near_dup`` (has a verified shingle-Jaccard > {_JACCARD_T}
+    neighbor with a smaller id that survived exact dedup — the same
+    single-hop min-id star convention as ``near_dup_groups``),
+    ``low_quality`` (fails the Gopher word-count / mean-word-length /
+    stopword gate of ``gopher_quality_flags``), or ``kept`` with its
+    leakage-safe split (the digest-keyed hash of ``leakage_safe_splits``,
+    so the assignment is identical to the standalone split query's).
+    Kept docs form an independent set of the verified-pair graph by
+    construction, so no near-dup pair can straddle train/test — the
+    invariant ``split_contamination_audit`` checks from the outside.
+
+    Proves the tiers COMPOSE without re-reading the corpus per tier: one
+    full map-side documents pass computes digest + quality features
+    together (tier 1 + 3 share the scan), the near-dup tier rides the
+    sweep-scoped LSH signature/candidate memos and scans only
+    candidate-member texts for verification, and the split is codegen
+    arithmetic on the already-computed digest — no extra exchange beyond
+    the digest window. A plan-shape test pins the documents-scan count.
+
+    Scale shape: the text column never shuffles (digest + quality features
+    reduce it map-side); the only full-width exchange is the digest window
+    (same skew caveat as ``leakage_safe_splits``); the prune join keys on
+    d1 with the tiny verified-pair table, broadcastable under AQE without
+    hints."""
+    from drug_target_discovery_spark.caching import scoped_cache
+    from drug_target_discovery_spark.operators.dedup import jaccard_verify_pairs
+    from drug_target_discovery_spark.queries.dedup import candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    wtoks = F.split("text", " ")
+    sum_len = F.aggregate(
+        F.transform(wtoks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    stop_arr = F.array([F.lit(s) for s in _ALL_STOPWORDS])
+    # The narrow per-doc feature frame (digest + quality counters, NO text)
+    # feeds both the main disposition frame and the exact-survivor set —
+    # query-scoped cache so the docs scan and the normalization regex run
+    # ONCE, not once per consumer. At 100 TB this is the materialized
+    # intermediate a nightly pipeline writes anyway (≈50 B/doc).
+    q = scoped_cache(
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            norm_sha_col("text").alias("digest"),
+            F.size(wtoks).alias("n_words"),
+            sum_len.alias("sum_len"),
+            F.when(F.arrays_overlap(wtoks, stop_arr), 1)
+            .otherwise(0)
+            .alias("has_stop"),
+        )
+    )
+    w = W.partitionBy("digest")
+    staged = q.select(
+        "*",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.expr(MD5_INT_SPARK.format(col="digest")) % 100).alias("bkt"),
+    )
+    verified = jaccard_verify_pairs(
+        docs, candidate_pairs(spark, sf_dir), n=_N, threshold=_JACCARD_T
+    ).select("d1", "d2")
+    # exact-dedup survivors = the group minima — a partial-aggregating
+    # groupBy over the cached feature frame (cheaper than re-running the
+    # digest window on this branch)
+    surv1 = q.groupBy("digest").agg(F.min("doc_id").alias("d1")).select("d1")
+    pruned = (
+        verified.join(surv1, "d1")
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    quality_ok = (
+        F.col("n_words").between(30, 5000)
+        & (F.col("sum_len") * 1.0 / F.col("n_words")).between(3.0, 9.0)
+        & (F.col("has_stop") == 1)
+    )
+    status = (
+        F.when(F.col("doc_id") != F.col("canonical_id"), "exact_dup")
+        .when(F.col("_pruned").isNotNull(), "near_dup")
+        .when(~quality_ok, "low_quality")
+        .otherwise("kept")
+    )
+    decided = staged.join(pruned, "doc_id", "left").withColumn("status", status)
+    split = F.when(
+        F.col("status") == "kept",
+        F.when(F.col("bkt") < _SPLIT_TRAIN, "train")
+        .when(F.col("bkt") < _SPLIT_VAL, "validation")
+        .otherwise("test"),
+    )
+    return decided.select(
+        "doc_id", "source", "lang", "canonical_id", "status", split.alias("split")
+    )

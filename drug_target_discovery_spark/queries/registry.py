@@ -45,77 +45,18 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-visit priority. The driver's correctness gate walks the queries()
 # dict in insertion order and stops at 50 entries per round, so coverage is a
-# rotation problem (VERDICT r3 #1). Round 4's 50: (1) never-checked queries
-# new this round, (2) queries whose oracle/implementation changed this
-# round, (3) queries whose latest green row is round 2 (the r3 gate's 50
-# slots went to never-checked/changed/r1-stale entries). New and changed
-# queries outrank unchanged stale ones — rewritten plans need current
-# driver evidence more than unchanged ones need a refresh — so the
-# unchanged-since-r2 remainder sits in _PRIORITY_REST (they keep their r2
-# green rows and go first next round). _PRIORITY_GATE must hold exactly
-# _GATE_WINDOW names; a unit test pins the length so the gate never
-# silently drops the tail of group (3).
+# rotation problem (VERDICT r3 #1). Round 5's 50: (1) the 26-query backlog
+# whose latest green row is round 2 (VERDICT r4 #1 — the oldest evidence in
+# the repo, promised first this round), (2) queries new or changed this
+# round (never-checked or rewritten plans need current evidence), (3)
+# round-3-stale refreshes filling the remaining slots. The r3 remainder
+# sits first in _PRIORITY_REST (they keep their r3 green rows; first next
+# round). _PRIORITY_GATE must hold exactly _GATE_WINDOW names; a unit test
+# pins the length so the gate never silently drops the tail of group (3).
 _GATE_WINDOW = 50
 
 _PRIORITY_GATE: tuple[str, ...] = (
-    # -- new this round (never-checked queries outrank everything)
-    "leakage_safe_splits",        # group-aware train/val/test holdout
-    "split_contamination_audit",  # near-dup pairs straddling splits
-    "duplicate_span_detection",   # position-aware substring dedup (Lee et al.)
-    "semantic_dedup_prune",       # SemDeDup cluster-then-prune
-    "bloom_filter_dedup_probe",   # bounded-size distributed Bloom filter
-    "heavy_hitter_tokens",        # two-pass exact Misra-Gries
-    "unigram_logprob_quality",    # CCNet-shape unigram LM scorer
-    "dedup_against_reference",    # incremental batch-vs-corpus dedup
-    "view_purchase_attribution",  # stream-capable time-interval join
-    "approx_quantile_sketch_bounded",  # GK sketch with rank-error oracle
-    "bm25_keyword_search",        # lexical retrieval scorer
-    "scd2_user_value_history",    # CDC validity intervals
-    "fuzzy_part_name_matches",    # blocked entity resolution
-    "conversion_funnel",          # ordered 3-stage funnel
-    "lineitem_measures_unpivot",  # native unpivot/melt
-    "weighted_systematic_sample", # integer-exact weighted sampling
-    "clustering_coefficient_corr_graph",  # triangles via ordered 2-join
-    "data_quality_checks",        # constraint-validation suite
-    "mann_whitney_u_by_part",     # rank-sum test, tie-corrected
-    "spearman_edges_top_parts",   # rank-correlation graph edges
-    "part_pair_affinity",         # market-basket support/confidence/lift
-    "quantile_normalize_by_supplier",  # binned QN, microarray staple
-    "media_video_decode_stats",   # real Y4M video codec
-    # -- implementation or oracle changed this round
-    "bh_fdr_scalable_adjust",     # single-sort desc-window rewrite
-    "embedding_covariance",       # BLAS-tile mapInPandas rewrite
-    "robust_zscore_by_part",      # stacked-window-medians rewrite
-    "price_percentiles_by_brand", # array-probability percentile rewrite
-    "media_feature_extraction",   # real payloads + value_sum oracle
-    "media_resize_shapes",        # real resample + checksum oracle
-    "media_frame_sample",         # real frame decode + checksum oracle
-    "approx_distinct_parts",      # gained bounded-error oracle (also r2-stale)
-    "welch_t_by_part",            # NULL-aware oracle denominator (also r2-stale)
-    "connected_components_near_dups",  # nodes=None gate now edge-bounded
-    "embedding_pca_variance_explained",  # empty/low-dim guards
-    "normalized_dedup_groups",    # digest now NULL-safe (shared norm_sha_col)
-    # -- last verified in round 2 (unchanged; refresh before two rounds deep)
-    "asof_view_before_purchase",
-    "betweenness_centrality_corr_graph",
-    "bh_fdr_adjust",
-    "centroid_assignment",
-    "cosine_topk_bruteforce",
-    "curation_pipeline_summary",
-    "customer_cohort_set_ops",
-    "eigenvector_centrality_corr_graph",
-    "embedding_cosine_near_dups",
-    "gopher_quality_flags",
-    "json_props_extract",
-    "median_impute",
-    "median_quantity_by_part",
-    "moving_avg_daily_revenue",
-    "network_target_scores",
-)
-
-# Slots 51+: unchanged-since-r2 trivia demoted for this round's new and
-# rewritten queries (they keep their r2 green rows; first next round).
-_PRIORITY_REST: tuple[str, ...] = (
+    # -- (1) the r2-evidence backlog: every green row here is 3 rounds old
     "embedding_label_stats",
     "lang_id_stopwords",
     "media_metadata_stats",
@@ -142,6 +83,58 @@ _PRIORITY_REST: tuple[str, ...] = (
     "winnowing_fingerprints",
     "zscore_by_part",
     "na_threshold_filter",
+    # -- (2) new or changed this round
+    "quantile_normalize_exact",   # NEW: exact per-rank QN (limma twin)
+    "curation_end_to_end",        # NEW: composed dedup->prune->quality->split
+    "part_pair_affinity",         # forced item-count broadcasts removed
+    "split_contamination_audit",  # shingle width now explicit (n=_N)
+    "semantic_dedup_prune",       # oracle gained zero-norm convention guard
+    # -- (3) round-3-stale refreshes (pipeline-critical and expensive rows
+    #    first; the r3 remainder heads _PRIORITY_REST for round 6)
+    "geo_pipeline_differential",
+    "geo_pipeline_targets",
+    "differential_expression",
+    "near_dup_groups",
+    "ngram_jaccard_near_dups",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "exact_dedup_sha256",
+    "benchmark_decontamination",
+    "ann_ivf_bucketed_topk",
+    "corr_edges_top_parts",
+    "degree_centrality_corr_graph",
+    "revenue_by_nation",
+    "pricing_summary",
+    "top_orders_by_revenue",
+    "order_priority_rollup",
+    "supplier_part_distincts",
+    "sliding_window_stats",
+    "tumbling_event_counts",
+)
+
+# Slots 51+: the unchanged-since-r3 remainder (they keep their r3 green
+# rows; first in round 6's gate), ahead of the r4-fresh majority.
+_PRIORITY_REST: tuple[str, ...] = (
+    "blocklist_redaction_stats",
+    "corpus_mixture_rebalance",
+    "customers_without_orders",
+    "doc_chunk_packing",
+    "doc_length_histogram",
+    "embedding_quantize_int8",
+    "event_interarrival_stats",
+    "event_type_pivot",
+    "events_in_purchase_hour",
+    "hash_stratified_sample",
+    "latest_event_per_user",
+    "media_audio_decode_stats",
+    "media_image_decode_dims",
+    "media_payload_digest",
+    "part_type_classifier",
+    "parts_shipped_to_top_nation",
+    "per_source_doc_cap",
+    "positional_zip_join",
+    "small_lot_revenue",
+    "source_lang_entropy",
 )
 
 _PRIORITY: tuple[str, ...] = _PRIORITY_GATE + _PRIORITY_REST

@@ -11,7 +11,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from drug_target_discovery_spark.operators.multimodal import (
-    _fake_decode,
     extract_features,
     get_decoder,
     register_decoder,
@@ -48,17 +47,11 @@ class TestMultimodal:
         assert d["payload"] == "binary"
         assert d["meta"].startswith("struct<media_type:string,format:string")
 
-    def test_feature_extraction_deterministic(self, spark, media, stub_codecs):
-        a = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
-        b = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
-        assert a == b
-        assert all(len(v) == 8 for v in a.values())
-        # feature equals a driver-side recomputation through the same stub
-        row = media.select("media_id", "payload").first()
-        arr = _fake_decode(bytes(row["payload"]), {})
-        expected = [float(c.mean()) for c in np.array_split(arr, 8)]
-        got = a[row["media_id"]]
-        assert got == pytest.approx(expected, rel=1e-6)
+    def test_feature_extraction_unregistered_type_raises(self, media, stub_codecs):
+        # the _fake_decode stand-in is retired: decoding a media type with
+        # no registered codec is a typed per-payload error, never fake data
+        with pytest.raises(Exception, match="no decoder registered"):
+            extract_features(media).collect()
 
     def test_resize_shapes(self, media, stub_codecs):
         out = resize_images(media, width=64, height=48)
@@ -75,11 +68,17 @@ class TestMultimodal:
         assert all(r["count"] == 4 for r in per)
 
     def test_decoder_seam(self, stub_codecs):
-        with pytest.raises(NotImplementedError):
+        from drug_target_discovery_spark.operators.multimodal import (
+            UnregisteredMediaTypeError,
+        )
+
+        with pytest.raises(UnregisteredMediaTypeError):
             strict_decoder("holograph")
         register_decoder("holograph", lambda b, m: np.ones(4, dtype=np.float32))
         assert strict_decoder("holograph")(b"x", {}).tolist() == [1, 1, 1, 1]
-        assert get_decoder("image") is _fake_decode  # stub fallback
+        # no lenient fallback remains: unknown lookups raise everywhere
+        with pytest.raises(UnregisteredMediaTypeError):
+            get_decoder("image")
         unregister_codecs("holograph")
 
     def test_metadata_query_prunes_payload(self, spark, media):

@@ -188,6 +188,39 @@ class TestPlanShape:
         assert "BroadcastNestedLoopJoin" in plan, plan
         assert "FlatMapGroupsInPandas" in plan, plan
 
+    def test_curation_end_to_end_scan_discipline(self, spark):
+        # The composed pipeline must not re-read the corpus per tier: the
+        # digest + quality features share ONE cached documents pass, the
+        # LSH tier rides the sweep memos (InMemoryRelation leaves), and
+        # only the verification step's two shingle-array sides touch the
+        # source again. Counted on LOGICAL leaves — the physical plan
+        # string re-prints cached build subtrees and over-counts.
+        from drug_target_discovery_spark.queries.registry import all_queries
+
+        df = all_queries()["curation_end_to_end"].fn(spark, SF)
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
+        live = names.count("LogicalRelation")
+        cached = names.count("InMemoryRelation")
+        assert live <= 2, names  # verify tier's d1/d2 shingle sides only
+        assert cached >= 1, names  # feature frame + LSH memos are cached
+
+    def test_affinity_item_counts_not_force_broadcast(self, spark):
+        # Item counts have cardinality = distinct parts — data-proportional,
+        # so the plan must stay adaptive (AQE broadcasts only when actually
+        # small); the only F.broadcast in the source is the 1-row total.
+        import inspect
+
+        from drug_target_discovery_spark.queries.registry import all_queries
+
+        q = all_queries()["part_pair_affinity"]
+        src = inspect.getsource(q.fn)
+        assert src.count("F.broadcast") == 1 and "F.broadcast(n_ord)" in src, (
+            "only the constant-size 1-row total may carry a broadcast hint"
+        )
+        plan = plan_of(spark, "part_pair_affinity")
+        assert "AdaptiveSparkPlan" in plan, plan
+
     def test_leakage_splits_single_exchange_single_scan(self, spark):
         # the group rollup rides ONE digest-partitioned window: exactly one
         # exchange and one documents scan — never the 3-exchange

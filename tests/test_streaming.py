@@ -271,3 +271,119 @@ class TestCheckpointRecovery:
             assert got.select("event_id").distinct().count() == n_total
         finally:
             shutil.rmtree(work, ignore_errors=True)
+
+
+class TestIntervalJoinLateData:
+    def test_left_outer_late_data_across_watermark(self, spark):
+        """The one streaming semantics previously argued from the manual:
+        left_outer interval join under out-of-order arrivals. Four pinned
+        micro-batches (maxFilesPerTrigger=1, mtime-ordered files):
+
+        b1: P1+V1 (inner match), P2 and P3 unmatched buffer
+        b2: V2 arrives LATE (event time < b1's max) but inside the
+            watermark -> must still match P2; an advancer PAIR (one
+            purchase + one matching view, distinct user) pushes BOTH
+            sides' event-time max — the global watermark is the MIN
+            across the two watermark operators, so advancing only the
+            view side would stall it forever (measured: it did)
+        b3: advancer pair only -> watermark (11:15) now exceeds every
+            original purchase's join-window end, P3's buffered state
+            expires and its NULL row emits (exactly once)
+        b4: V3 arrives for P3's window AFTER the state is gone (and
+            beyond the watermark) -> matches nothing, resurrects nothing
+
+        Expected exactly once each: (P1,V1), (P2,V2), (P3,NULL), plus the
+        three self-matched advancer pairs — matched rows never NULL-emit,
+        expired rows NULL-emit exactly once, and a post-expiry arrival
+        cannot re-match or duplicate. (Join state eviction is lazy WITHIN
+        a batch — a late row arriving in the same batch as the expiry can
+        still match — so the guarantee pinned here is the cross-batch one
+        Spark actually makes.)
+        """
+        import os
+        import shutil
+        import tempfile
+        from datetime import datetime
+
+        import pandas as pd
+
+        from drug_target_discovery_spark.streaming.events import interval_join
+
+        d = tempfile.mkdtemp(prefix="ij_late_")
+        try:
+            def ts(h, m):
+                return datetime(2024, 1, 1, h, m, 0)
+
+            batches = [
+                # (event_type, user_id, event_id, ts)
+                [  # b1
+                    ("purchase", 1, 101, ts(10, 0)),
+                    ("view", 1, 201, ts(9, 30)),
+                    ("purchase", 2, 102, ts(10, 0)),
+                    ("purchase", 3, 103, ts(10, 0)),
+                ],
+                [  # b2: late-but-valid view for P2 + advancer pair
+                    ("view", 2, 202, ts(9, 45)),
+                    ("purchase", 7, 901, ts(11, 45)),
+                    ("view", 7, 911, ts(11, 45)),
+                ],
+                [  # b3: advancer pair — P3's state expires, NULL row emits
+                    ("purchase", 8, 902, ts(12, 30)),
+                    ("view", 8, 912, ts(12, 30)),
+                ],
+                [  # b4: post-expiry view for P3 + advancer pair
+                    ("view", 3, 203, ts(9, 50)),
+                    ("purchase", 9, 903, ts(13, 30)),
+                    ("view", 9, 913, ts(13, 30)),
+                ],
+            ]
+            for i, rows in enumerate(batches):
+                pdf = pd.DataFrame(
+                    rows, columns=["event_type", "user_id", "event_id", "ts"]
+                )
+                pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+                path = os.path.join(d, f"b{i}.parquet")
+                pdf.to_parquet(path)
+                os.utime(path, (1700000000 + i * 10, 1700000000 + i * 10))
+
+            schema = spark.read.parquet(d).schema
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+                # pandas writes TIMESTAMP_NTZ; watermarks need TIMESTAMP
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+            )
+            p = src.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("event_id").alias("purchase_id"), "ts"
+            )
+            v = src.filter(F.col("event_type") == "view").select(
+                F.col("user_id").alias("r_user_id"),
+                F.col("ts").alias("r_ts"),
+                F.col("event_id").alias("view_id"),
+            )
+            joined = interval_join(
+                p, v, lookback="1 hour", watermark="30 minutes", how="left_outer"
+            ).select("purchase_id", "view_id")
+            q = (
+                joined.writeStream.format("memory")
+                .queryName("ij_late")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(180), "stream did not finish in 180s"
+            got = sorted(
+                (r["purchase_id"], r["view_id"])
+                for r in spark.sql("SELECT * FROM ij_late").collect()
+            )
+            assert got == [
+                (101, 201),
+                (102, 202),
+                (103, None),
+                (901, 911),
+                (902, 912),
+                (903, 913),
+            ], got
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
