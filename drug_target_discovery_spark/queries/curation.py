@@ -814,3 +814,98 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decided.select(
         "doc_id", "source", "lang", "canonical_id", "status", split.alias("split")
     )
+
+
+# --------------------------------------------------------------------------
+# Training-shard assignment (budgeted bin packing, globally numbered)
+# --------------------------------------------------------------------------
+_SHARD_CHARS = 20_000  # char budget per training shard
+
+
+@register(
+    "training_shard_assignment",
+    tags=("curation", "packing", "scalable"),
+    oracle=f"""
+    WITH ordered AS (
+      SELECT doc_id, source, n_chars,
+             sum(n_chars) OVER (PARTITION BY source
+                                ORDER BY ({_HASH_DUCK}) ASC, doc_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM documents
+    ),
+    local AS (
+      SELECT doc_id, source, n_chars, cum,
+             (cum - n_chars) // {_SHARD_CHARS} AS local_shard
+      FROM ordered
+    ),
+    per_source AS (
+      SELECT source, max(local_shard) + 1 AS n_shards FROM local GROUP BY source
+    ),
+    offsets AS (
+      SELECT source,
+             CAST(coalesce(sum(n_shards) OVER (ORDER BY source ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM per_source
+    )
+    SELECT l.doc_id, l.source, l.n_chars,
+           CAST(l.local_shard AS BIGINT) AS local_shard,
+           CAST(l.local_shard + o.off AS BIGINT) AS shard_id
+    FROM local l JOIN offsets o ON l.source = o.source
+    """,
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted training-shard assignment: lay each source's documents on a
+    line in a deterministic md5-shuffled order and cut it every
+    {_SHARD_CHARS} chars — a doc belongs to the shard its START falls in
+    (document-contiguous greedy packing: shards can overflow by at most
+    one document, never split one). Shard ids are GLOBALLY contiguous via
+    per-source offsets — the numbering a shard-writing job needs — without
+    any global sort: local ids come from one per-source prefix-sum window,
+    and the offset table is a per-source aggregate (rows = #sources)
+    prefix-summed in a second tiny window.
+
+    Pure integer arithmetic end to end (cumsum + floor-division), so both
+    engines assign literally the same shards — rerunning a backfill
+    produces byte-identical shard manifests, the reproducibility property
+    RNG-based shufflers can't give. Scale shape: ONE window exchange over
+    the corpus (partitioned by source — real parallelism), then a
+    #sources-row aggregate whose window runs single-partition by design
+    (bounded by the source count, not the corpus); the join back carries
+    no broadcast hint — AQE broadcasts the offset table when small. The
+    md5 order decorrelates shard composition from ingest order, so shards
+    are IID-ish slices — the property training-data loaders assume."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_cum = W.partitionBy("source").orderBy(
+        F.expr(_HASH_SPARK).asc(), F.col("doc_id").asc()
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    local = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w_cum).alias("cum"),
+    ).withColumn(
+        "local_shard",
+        F.floor((F.col("cum") - F.col("n_chars")) / _SHARD_CHARS),
+    )
+    per_source = local.groupBy("source").agg(
+        (F.max("local_shard") + 1).alias("n_shards")
+    )
+    w_off = W.orderBy(F.col("source").asc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offsets = per_source.select(
+        "source",
+        F.coalesce(F.sum("n_shards").over(w_off), F.lit(0)).alias("off"),
+    )
+    return (
+        local.join(offsets, "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("local_shard").cast("long").alias("local_shard"),
+            (F.col("local_shard") + F.col("off")).cast("long").alias("shard_id"),
+        )
+    )

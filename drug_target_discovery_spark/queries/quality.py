@@ -380,3 +380,82 @@ def blocklist_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.length(F.regexp_replace("text", pat, "[REDACTED]"))), 4
         ).alias("avg_redacted_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate / template-fragment detection (cross-document repetition)
+# --------------------------------------------------------------------------
+_BP_N = 6  # template fragment width (word 6-grams)
+
+
+@register(
+    "boilerplate_ngram_stats",
+    tags=("quality", "dedup"),
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             {MD5_INT_DUCK.format(col=f"array_to_string(w[i:i+{_BP_N - 1}], ' ')")} AS hg
+      FROM words, LATERAL unnest(generate_series(1, len(w) - {_BP_N - 1})) AS t(i)
+      WHERE len(w) >= {_BP_N}
+    ),
+    df AS (
+      SELECT source, hg, count(*) AS n_docs FROM grams GROUP BY source, hg
+    ),
+    shared AS (SELECT source, hg FROM df WHERE n_docs >= 2)
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(count(s.hg) AS BIGINT) AS n_shared,
+           {rnd_sql("count(s.hg) * 1.0 / count(*)", 6)} AS shared_frac,
+           CASE WHEN 4 * count(s.hg) >= count(*) THEN 1 ELSE 0 END AS is_templated
+    FROM grams g
+    LEFT JOIN shared s ON g.source = s.source AND g.hg = s.hg
+    GROUP BY g.doc_id
+    """,
+)
+def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate / template-fragment detection (the RefinedWeb / CCNet
+    curation step adapted to n-grams): a word {_BP_N}-gram appearing in 2+
+    DIFFERENT documents of the same source is a shared template fragment
+    (navigation chrome, license footers, form letters); each doc reports
+    its distinct-gram count, how many of them are shared, the shared
+    fraction, and an ``is_templated`` flag (>= 25% shared — the integer
+    comparison ``4*n_shared >= n_grams``, exact on both engines). This is
+    the CROSS-document complement of ``repeated_ngram_fraction`` (within-
+    doc) and ``benchmark_decontamination`` (cross-corpus).
+
+    Scale shape: per-doc distinct grams are built map-side
+    (array_distinct BEFORE explode) and only the 60-bit md5 hash ever
+    shuffles — never the gram string; the df rollup and the per-doc
+    aggregate are both partial-aggregating exchanges keyed on (source, h)
+    / doc_id. The shared-gram set is corpus-derived, so the join carries
+    NO broadcast hint — AQE decides (same policy as decontamination).
+    The hottest (source, gram) group is bounded by that source's doc
+    count, and the df table never exceeds the distinct-gram count."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    hg = F.expr(MD5_INT_SPARK.format(col="g"))
+    grams = (
+        docs.filter(F.size("w") >= _BP_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(word_grams(F.col("w"), _BP_N))).alias("g"),
+        )
+        .select("doc_id", "source", hg.alias("hg"))
+    )
+    df = grams.groupBy("source", "hg").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = df.filter(F.col("n_docs") >= 2).select(
+        "source", "hg", F.lit(1).alias("hit")
+    )
+    joined = grams.join(shared, ["source", "hg"], "left")
+    n_shared = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        n_shared.alias("n_shared"),
+        rnd(n_shared * 1.0 / F.count(F.lit(1)), 6).alias("shared_frac"),
+        F.when(4 * n_shared >= F.count(F.lit(1)), 1).otherwise(0).alias("is_templated"),
+    )
