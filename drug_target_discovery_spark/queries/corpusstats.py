@@ -11,6 +11,7 @@ the dedup/similarity/quality families the build brief adds beyond
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as PWindow
 from pyspark.sql import functions as F
 
 from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
@@ -140,12 +141,11 @@ _BM25_TERMS = ("join", "hash", "stream")  # fixed keyword query
 
 _BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in _BM25_TERMS)
 
-
-@register(
-    "bm25_keyword_search",
-    tags=("corpus", "retrieval", "scalable"),
-    oracle=f"""
-    WITH toks AS (
+# Single home for the BM25 scoring CTE chain (token stream -> per-(doc,
+# term) integer micro-unit scores) — referenced by bm25_keyword_search AND
+# hybrid_retrieval_rerank so the two oracles cannot drift.
+_BM25_SCORED_SQL = f"""
+    toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     ),
     t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
@@ -171,26 +171,18 @@ _BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in _BM25_TERMS)
       JOIN df ON tf.term = df.term
       JOIN dl ON tf.doc_id = dl.doc_id
       CROSS JOIN stats
+    ),
+    persum AS (
+      SELECT doc_id, count(*) AS n_matched_terms, sum(s_q) AS s_sum
+      FROM scored GROUP BY doc_id
     )
-    SELECT doc_id, count(*) AS n_matched_terms,
-           {rnd_sql("sum(s_q) / 1000000.0", 6)} AS bm25
-    FROM scored GROUP BY doc_id
-    """,
-)
-def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed term set —
-    the lexical-search scorer production corpora pair with ANN retrieval.
+"""
 
-    Scale design: NOTHING shuffles the full token stream. Document length
-    is a map-side projection — ``size(filter(split(text)))`` on the
-    original scan, no explode and no doc_id exchange; the per-(doc, term)
-    tf aggregation sees only tokens matching the query terms (an ``isin``
-    over a literal set, codegen'd, applied before the shuffle); the df and
-    corpus stats are term-count- and 1-row-sized broadcasts. Per-term
-    scores are quantized to integer micro-units before the per-doc sum
-    (order-independent, cross-engine exact — same discipline as
-    unigram_logprob_quality). Every exchange is therefore proportional to
-    query matches or doc count, never corpus tokens."""
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 scorer: (doc_id, n_matched_terms, s_sum) with s_sum the
+    per-doc sum of integer micro-unit term scores (un-rounded — consumers
+    round or normalize). Plan shape documented on bm25_keyword_search."""
     k1, b = _BM25_K1, _BM25_B
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -215,9 +207,7 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
-    denom = F.col("tf") + k1 * (
-        1.0 - b + b * F.col("dl") / F.col("avgdl")
-    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     s_q = F.floor(
         idf * (F.col("tf") * (k1 + 1.0)) / denom * 1000000.0 + F.lit(0.5)
     ).cast("long")
@@ -229,6 +219,166 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_matched_terms"),
-            rnd(F.sum("s_q") / F.lit(1000000.0), 6).alias("bm25"),
+            F.sum("s_q").alias("s_sum"),
         )
+    )
+
+
+@register(
+    "bm25_keyword_search",
+    tags=("corpus", "retrieval", "scalable"),
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL}
+    SELECT doc_id, n_matched_terms,
+           {rnd_sql("s_sum / 1000000.0", 6)} AS bm25
+    FROM persum
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed term set —
+    the lexical-search scorer production corpora pair with ANN retrieval.
+
+    Scale design: NOTHING shuffles the full token stream. Document length
+    is a map-side projection — ``size(filter(split(text)))`` on the
+    original scan, no explode and no doc_id exchange; the per-(doc, term)
+    tf aggregation sees only tokens matching the query terms (an ``isin``
+    over a literal set, codegen'd, applied before the shuffle); the df and
+    corpus stats are term-count- and 1-row-sized broadcasts. Per-term
+    scores are quantized to integer micro-units before the per-doc sum
+    (order-independent, cross-engine exact — same discipline as
+    unigram_logprob_quality). Every exchange is therefore proportional to
+    query matches or doc count, never corpus tokens. The scorer lives in
+    ``_bm25_scored`` (shared with ``hybrid_retrieval_rerank``)."""
+    scored = _bm25_scored(spark, sf_dir)
+    return scored.select(
+        "doc_id",
+        "n_matched_terms",
+        rnd(F.col("s_sum") / F.lit(1000000.0), 6).alias("bm25"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical candidates -> embedding cosine rerank
+# --------------------------------------------------------------------------
+_HYBRID_K = 50     # final top-k
+_HYBRID_QVEC = 0   # vec_id of the fixed query embedding
+
+
+@register(
+    "hybrid_retrieval_rerank",
+    tags=("corpus", "retrieval", "similarity", "pipeline"),
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL},
+    maxs AS (SELECT max(s_sum) AS max_s FROM persum),
+    qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings
+      WHERE vec_id = {_HYBRID_QVEC}
+    ),
+    cand AS (
+      SELECT p.doc_id, p.n_matched_terms, p.s_sum,
+             CAST(e.embedding AS DOUBLE[]) AS emb
+      FROM persum p JOIN embeddings e ON e.vec_id = p.doc_id
+      WHERE {{norm_e}} > 0
+    ),
+    scored2 AS (
+      SELECT c.doc_id, c.n_matched_terms, c.s_sum, m.max_s,
+             {{dot}} / ({{norm_c}} * {{norm_q}}) AS cosine
+      FROM cand c CROSS JOIN qv CROSS JOIN maxs m
+    ),
+    hybrid AS (
+      SELECT doc_id, n_matched_terms, s_sum, cosine,
+             CAST(floor((0.5 * s_sum * 1.0 / max_s + 0.5 * cosine)
+                        * 1000000.0 + 0.5) AS BIGINT) AS h_q
+      FROM scored2
+    ),
+    topk AS (
+      SELECT * FROM hybrid
+      ORDER BY h_q DESC, doc_id ASC LIMIT {_HYBRID_K}
+    )
+    SELECT doc_id, n_matched_terms,
+           {rnd_sql("s_sum / 1000000.0", 6)} AS bm25,
+           {rnd_sql("cosine", 6)} AS cosine,
+           {rnd_sql("h_q / 1000000.0", 6)} AS hybrid,
+           CAST(row_number() OVER (ORDER BY h_q DESC, doc_id ASC) AS INT) AS rank
+    FROM topk
+    """.format(
+        dot="list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(c.emb, qv.qemb), p -> "
+        "CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)",
+        norm_c="sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(c.emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(acc, v) -> acc + v))",
+        norm_q="sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(qv.qemb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(acc, v) -> acc + v))",
+        norm_e="sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(CAST(e.embedding AS DOUBLE[]), "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))",
+    ),
+)
+def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the RAG-serving composition: BM25 lexical
+    candidates reranked by embedding cosine to a fixed query vector
+    (vec_id {_HYBRID_QVEC}), final score = 0.5·(bm25/max_bm25) +
+    0.5·cosine, top-{_HYBRID_K} by the micro-unit-quantized hybrid score
+    (floor to integer units BEFORE ranking, so the order — and therefore
+    the selected set — is identical on both engines regardless of float
+    formatting). Zero-norm candidate embeddings are excluded on both
+    sides (cosine undefined); the query vector is assumed nonzero.
+
+    Scale shape: the lexical stage is the shared ``_bm25_scored`` plan
+    (nothing shuffles the full token stream); the candidate set is
+    matched-docs-sized — orders smaller than the corpus — so the
+    embeddings join keys on vec_id and AQE broadcasts the candidate side
+    (NO hint: the embedding table is data-proportional). The query vector
+    and the 1-row max normalizer broadcast. Top-k plans as
+    TakeOrderedAndProject; the rank window runs over exactly
+    {_HYBRID_K} rows. This is the serving-path twin of the batch ANN
+    tier (``ann_ivf_bucketed_topk``)."""
+    from drug_target_discovery_spark.queries.similarity import (
+        _DOT_SPARK,
+        _NORM_SPARK,
+    )
+
+    scored = _bm25_scored(spark, sf_dir)
+    maxs = scored.agg(F.max("s_sum").alias("max_s"))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qv = emb.filter(F.col("vec_id") == _HYBRID_QVEC).select(
+        F.col("emb").alias("qemb")
+    )
+    cand = (
+        scored.join(emb, scored.doc_id == emb.vec_id)
+        .filter(F.expr(_NORM_SPARK.format(a="emb")) > 0)
+        .select("doc_id", "n_matched_terms", "s_sum", "emb")
+    )
+    cosine = F.expr(_DOT_SPARK.format(a="emb", b="qemb")) / (
+        F.expr(_NORM_SPARK.format(a="emb")) * F.expr(_NORM_SPARK.format(a="qemb"))
+    )
+    h_q = F.floor(
+        (
+            0.5 * F.col("s_sum") * F.lit(1.0) / F.col("max_s")
+            + 0.5 * F.col("cosine")
+        )
+        * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    hybrid = (
+        cand.crossJoin(F.broadcast(qv))
+        .crossJoin(F.broadcast(maxs))
+        .withColumn("cosine", cosine)
+        .withColumn("h_q", h_q)
+    )
+    topk = hybrid.orderBy(F.col("h_q").desc(), F.col("doc_id").asc()).limit(
+        _HYBRID_K
+    )
+    w = PWindow.orderBy(F.col("h_q").desc(), F.col("doc_id").asc())
+    return topk.select(
+        "doc_id",
+        "n_matched_terms",
+        rnd(F.col("s_sum") / F.lit(1000000.0), 6).alias("bm25"),
+        rnd(F.col("cosine"), 6).alias("cosine"),
+        rnd(F.col("h_q") / F.lit(1000000.0), 6).alias("hybrid"),
+        F.row_number().over(w).cast("int").alias("rank"),
     )

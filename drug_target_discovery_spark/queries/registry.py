@@ -88,6 +88,7 @@ _PRIORITY_GATE: tuple[str, ...] = (
     "curation_end_to_end",        # NEW: composed dedup->prune->quality->split
     "boilerplate_ngram_stats",    # NEW: cross-doc template fragments
     "training_shard_assignment",  # NEW: budgeted bin packing, global ids
+    "hybrid_retrieval_rerank",    # NEW: BM25 -> cosine rerank composition
     "part_pair_affinity",         # forced item-count broadcasts removed
     "split_contamination_audit",  # shingle width now explicit (n=_N)
     "semantic_dedup_prune",       # oracle gained zero-norm convention guard
@@ -109,12 +110,12 @@ _PRIORITY_GATE: tuple[str, ...] = (
     "pricing_summary",
     "top_orders_by_revenue",
     "order_priority_rollup",
-    "supplier_part_distincts",
 )
 
 # Slots 51+: the unchanged-since-r3 remainder (they keep their r3 green
 # rows; first in round 6's gate), ahead of the r4-fresh majority.
 _PRIORITY_REST: tuple[str, ...] = (
+    "supplier_part_distincts",
     "sliding_window_stats",
     "tumbling_event_counts",
     "blocklist_redaction_stats",

@@ -221,6 +221,41 @@ class TestPlanShape:
         plan = plan_of(spark, "part_pair_affinity")
         assert "AdaptiveSparkPlan" in plan, plan
 
+    def test_boilerplate_grams_hash_before_shuffle(self, spark):
+        # template-fragment detection: gram strings are md5-hashed map-side,
+        # so every exchange keys on (source, hg) / doc_id — never the gram
+        # or text payload; the shared-gram join carries no broadcast hint
+        # (corpus-derived set, AQE decides)
+        import inspect
+
+        from drug_target_discovery_spark.queries.registry import all_queries
+
+        plan = plan_of(spark, "boilerplate_ngram_stats")
+        for part in plan.split("Exchange hashpartitioning")[1:]:
+            key = part.split("\n")[0]
+            assert "g#" not in key and "text" not in key, key
+        assert "F.broadcast" not in inspect.getsource(
+            all_queries()["boilerplate_ngram_stats"].fn
+        )
+
+    def test_shard_assignment_exchange_budget(self, spark):
+        # one corpus-wide window exchange (source) + the #sources-row offset
+        # aggregate; the single-partition window runs over sources, never
+        # the corpus. <=4 hash exchanges total (cum window, per-source agg
+        # partial/final, join residue under AQE).
+        plan = plan_of(spark, "training_shard_assignment")
+        assert plan.count("Exchange hashpartitioning") <= 4, plan
+        read = plan.split("ReadSchema:")[-1].splitlines()[0]
+        assert "text" not in read, read  # packing never reads the payload
+
+    def test_hybrid_retrieval_topk_is_take_ordered(self, spark):
+        # the final top-k must plan as TakeOrderedAndProject (never a global
+        # sort), and the token stream must not be a shuffle key
+        plan = plan_of(spark, "hybrid_retrieval_rerank")
+        assert "TakeOrderedAndProject" in plan, plan
+        for part in plan.split("Exchange hashpartitioning")[1:]:
+            assert "text" not in part.split("\n")[0], plan
+
     def test_leakage_splits_single_exchange_single_scan(self, spark):
         # the group rollup rides ONE digest-partitioned window: exactly one
         # exchange and one documents scan — never the 3-exchange
