@@ -230,10 +230,13 @@ class TestPlanShape:
 
         from drug_target_discovery_spark.queries.registry import all_queries
 
+        import re
+
         plan = plan_of(spark, "boilerplate_ngram_stats")
         for part in plan.split("Exchange hashpartitioning")[1:]:
             key = part.split("\n")[0]
-            assert "g#" not in key and "text" not in key, key
+            # \bg# matches the raw gram column but not the hashed hg# key
+            assert not re.search(r"\bg#\d", key) and "text" not in key, key
         assert "F.broadcast" not in inspect.getsource(
             all_queries()["boilerplate_ngram_stats"].fn
         )
