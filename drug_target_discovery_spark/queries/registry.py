@@ -89,6 +89,9 @@ _PRIORITY_GATE: tuple[str, ...] = (
     "boilerplate_ngram_stats",    # NEW: cross-doc template fragments
     "training_shard_assignment",  # NEW: budgeted bin packing, global ids
     "hybrid_retrieval_rerank",    # NEW: BM25 -> cosine rerank composition
+    "ks_test_price_drift",        # NEW: two-sample KS drift detector
+    "psi_price_stability",        # NEW: PSI drift score
+    "chi2_status_priority",       # NEW: chi-squared independence
     "part_pair_affinity",         # forced item-count broadcasts removed
     "split_contamination_audit",  # shingle width now explicit (n=_N)
     "semantic_dedup_prune",       # oracle gained zero-norm convention guard
@@ -101,20 +104,20 @@ _PRIORITY_GATE: tuple[str, ...] = (
     "ngram_jaccard_near_dups",
     "lsh_candidate_pairs",
     "minhash_signatures",
-    "exact_dedup_sha256",
     "benchmark_decontamination",
     "ann_ivf_bucketed_topk",
     "corr_edges_top_parts",
     "degree_centrality_corr_graph",
     "revenue_by_nation",
     "pricing_summary",
-    "top_orders_by_revenue",
-    "order_priority_rollup",
 )
 
 # Slots 51+: the unchanged-since-r3 remainder (they keep their r3 green
 # rows; first in round 6's gate), ahead of the r4-fresh majority.
 _PRIORITY_REST: tuple[str, ...] = (
+    "exact_dedup_sha256",
+    "top_orders_by_revenue",
+    "order_priority_rollup",
     "supplier_part_distincts",
     "sliding_window_stats",
     "tumbling_event_counts",
@@ -151,6 +154,7 @@ def all_queries() -> dict[str, Query]:
         corpusstats,
         curation,
         dedup,
+        drift,
         events,
         graphq,
         graphx,
