@@ -229,6 +229,30 @@ def betweenness_centrality_corr_graph(spark: SparkSession, sf_dir: str) -> DataF
 
 
 # --------------------------------------------------------------------------
+# K-core decomposition (graph-cohesion tier)
+# --------------------------------------------------------------------------
+@register(
+    "core_numbers_corr_graph",
+    tags=("graph", "iterative"),
+    oracle=GRAPH_ORACLES.get("core_numbers_corr_graph"),
+)
+def core_numbers_corr_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition of the correlation graph: per node the largest
+    k with the node inside a subgraph of min-degree k — the cohesion
+    measure community-trimming and spam-farm detection use next to the
+    centralities. Rides the shared correlation-graph memo; the small
+    bench graph takes the exact Batagelj-Zaversnik driver peeling, large
+    graphs the distributed h-index fixpoint (Lu et al. 2016) — one O(E)
+    join-aggregate per round, lineage checkpointed every iteration
+    (graph/algorithms.py core_numbers). Core numbers are INTEGERS, so the
+    networkx fixture oracle has no rounding-boundary hazard."""
+    from drug_target_discovery_spark.graph.algorithms import core_numbers
+
+    nodes, edges = _corr_graph(spark, sf_dir)
+    return core_numbers(edges.select("src", "dst"), nodes).orderBy("node")
+
+
+# --------------------------------------------------------------------------
 # G2+G3+G4 + T4 + T5: the reference's network target scoring, end to end
 # --------------------------------------------------------------------------
 @register(

@@ -92,6 +92,7 @@ _PRIORITY_GATE: tuple[str, ...] = (
     "ks_test_price_drift",        # NEW: two-sample KS drift detector
     "psi_price_stability",        # NEW: PSI drift score
     "chi2_status_priority",       # NEW: chi-squared independence
+    "core_numbers_corr_graph",    # NEW: k-core decomposition
     "part_pair_affinity",         # forced item-count broadcasts removed
     "split_contamination_audit",  # shingle width now explicit (n=_N)
     "semantic_dedup_prune",       # oracle gained zero-norm convention guard
@@ -103,7 +104,6 @@ _PRIORITY_GATE: tuple[str, ...] = (
     "near_dup_groups",
     "ngram_jaccard_near_dups",
     "lsh_candidate_pairs",
-    "minhash_signatures",
     "benchmark_decontamination",
     "ann_ivf_bucketed_topk",
     "corr_edges_top_parts",
@@ -115,6 +115,7 @@ _PRIORITY_GATE: tuple[str, ...] = (
 # Slots 51+: the unchanged-since-r3 remainder (they keep their r3 green
 # rows; first in round 6's gate), ahead of the r4-fresh majority.
 _PRIORITY_REST: tuple[str, ...] = (
+    "minhash_signatures",
     "exact_dedup_sha256",
     "top_orders_by_revenue",
     "order_priority_rollup",

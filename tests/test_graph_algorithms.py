@@ -114,3 +114,39 @@ class TestCCEmptyGraph:
         edges = spark.createDataFrame([], "src BIGINT, dst BIGINT")
         got = {r["node"]: r["component"] for r in connected_components(edges, nodes).collect()}
         assert got == {7: 7}
+
+
+class TestCoreNumbers:
+    def test_driver_path_matches_networkx(self, spark, graph_dfs):
+        from drug_target_discovery_spark.graph.algorithms import core_numbers
+
+        g, nodes, edges = graph_dfs
+        got = {r["node"]: r["core"] for r in core_numbers(edges, nodes).collect()}
+        assert got == nx.core_number(g)
+
+    def test_distributed_hindex_matches_networkx(self, spark, graph_dfs):
+        # h-index fixpoint (Lu et al. 2016) must converge to the exact
+        # core numbers, isolated nodes included (core 0)
+        from drug_target_discovery_spark.graph.algorithms import core_numbers
+
+        g, nodes, edges = graph_dfs
+        got = {
+            r["node"]: r["core"]
+            for r in core_numbers(edges, nodes, driver_threshold=0).collect()
+        }
+        assert got == nx.core_number(g)
+
+    def test_dense_clique_plus_tail(self, spark):
+        # a 6-clique (core 5) with a pendant path (core 1): the shape where
+        # naive degree-propagation over-estimates and h-index must decrease
+        from drug_target_discovery_spark.graph.algorithms import core_numbers
+
+        g = nx.complete_graph(6)
+        g.add_edges_from([(5, 10), (10, 11), (11, 12)])
+        edges = spark.createDataFrame(list(g.edges()), "src INT, dst INT")
+        for kw in ({}, {"driver_threshold": 0}):
+            got = {
+                r["node"]: r["core"]
+                for r in core_numbers(edges, None, **kw).collect()
+            }
+            assert got == nx.core_number(g), kw

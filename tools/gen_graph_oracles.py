@@ -84,6 +84,7 @@ def main() -> int:
     bc = nx.betweenness_centrality(g, normalized=True)
     dc = nx.degree_centrality(g)
     pr = textbook_pagerank(g, alpha=0.85, max_iter=30, tol=1e-6)
+    cores = nx.core_number(g)  # integers — no rounding-boundary hazard
 
     def minmax(d: dict) -> dict:
         lo, hi = min(d.values()), max(d.values())
@@ -129,6 +130,9 @@ def main() -> int:
         ),
         "pagerank_corr_graph": values_sql(
             ["node", "pagerank"], [(v, r6(pr[v])) for v in nodes]
+        ),
+        "core_numbers_corr_graph": values_sql(
+            ["node", "core"], [(v, int(cores[v])) for v in nodes]
         ),
         "network_target_scores": values_sql(
             [
