@@ -74,6 +74,16 @@ PROBES = [
     # the pair count than to any corpus-wide product).
     "leakage_safe_splits",
     "split_contamination_audit",
+    # round-5 additions. curation_end_to_end composes the dedup/quality/
+    # split tiers (same verbatim-clone worst case as the audit);
+    # boilerplate sees a 100%-templated corpus under replication (every
+    # 6-gram shared across replicas) — worst-case shared-gram join load.
+    "curation_end_to_end",
+    "boilerplate_ngram_stats",
+    "training_shard_assignment",
+    "hybrid_retrieval_rerank",
+    "ks_test_price_drift",
+    "quantile_normalize_exact",
 ]
 
 
