@@ -615,13 +615,9 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set is candidates << corpus by construction, so the two
     pair-to-split joins broadcast the pair side under AQE.
     """
-    from drug_target_discovery_spark.operators.dedup import jaccard_verify_pairs
-    from drug_target_discovery_spark.queries.dedup import candidate_pairs
+    from drug_target_discovery_spark.queries.dedup import verified_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
-    verified = jaccard_verify_pairs(
-        docs, candidate_pairs(spark, sf_dir), n=_N, threshold=_JACCARD_T
-    )
+    verified = verified_pairs(spark, sf_dir)
     sp = leakage_safe_splits(spark, sf_dir).select("doc_id", "split")
     s1 = sp.select(F.col("doc_id").alias("d1"), F.col("split").alias("split_d1"))
     s2 = sp.select(F.col("doc_id").alias("d2"), F.col("split").alias("split_d2"))
@@ -747,8 +743,7 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 with the tiny verified-pair table, broadcastable under AQE without
     hints."""
     from drug_target_discovery_spark.caching import scoped_cache
-    from drug_target_discovery_spark.operators.dedup import jaccard_verify_pairs
-    from drug_target_discovery_spark.queries.dedup import candidate_pairs
+    from drug_target_discovery_spark.queries.dedup import verified_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     wtoks = F.split("text", " ")
@@ -780,9 +775,7 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").over(w).alias("canonical_id"),
         (F.expr(MD5_INT_SPARK.format(col="digest")) % 100).alias("bkt"),
     )
-    verified = jaccard_verify_pairs(
-        docs, candidate_pairs(spark, sf_dir), n=_N, threshold=_JACCARD_T
-    ).select("d1", "d2")
+    verified = verified_pairs(spark, sf_dir).select("d1", "d2")
     # exact-dedup survivors = the group minima — a partial-aggregating
     # groupBy over the cached feature frame (cheaper than re-running the
     # digest window on this branch)

@@ -77,6 +77,31 @@ def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return _PAIR_CACHE[key]
 
+
+# Exact-verification memo: the SAME (candidates, n=_N, threshold=_JACCARD_T)
+# verification feeds near_dup_groups, split_contamination_audit and
+# curation_end_to_end — sweep-scoped like the signatures, so the shingle
+# arrays of the candidate members are built once per sweep, not once per
+# consumer. The table is (d1, d2, jaccard), candidates << corpus by
+# construction.
+_VERIFIED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+register_fixture_hook(_VERIFIED_CACHE.clear)
+
+
+def verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VERIFIED_CACHE:
+        from drug_target_discovery_spark.caching import fixture_cache
+
+        docs = load_table(spark, sf_dir, "documents")
+        _VERIFIED_CACHE[key] = fixture_cache(
+            jaccard_verify_pairs(
+                docs, candidate_pairs(spark, sf_dir), n=_N, threshold=_JACCARD_T
+            )
+        )
+    return _VERIFIED_CACHE[key]
+
 # shared oracle CTE: distinct 3-token shingles per doc
 _SHINGLES_SQL = f"""
     shingles AS (
@@ -252,12 +277,10 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph tier). Returns only docs that have a near-duplicate.
     Verification scores exactly the candidate pairs via per-doc shingle
     arrays + array_intersect (operators/dedup.py jaccard_verify_pairs) —
-    O(|pairs|) work, no shingle self-join among the members."""
-    docs = load_table(spark, sf_dir, "documents")
-    cand = candidate_pairs(spark, sf_dir)
-    verified = jaccard_verify_pairs(
-        docs, cand, n=_N, threshold=_JACCARD_T
-    ).select("d1", "d2")
+    O(|pairs|) work, no shingle self-join among the members; the verified
+    table is the sweep-scoped ``verified_pairs`` memo shared with the
+    audit and the composed pipeline."""
+    verified = verified_pairs(spark, sf_dir).select("d1", "d2")
     members = (
         verified.select(F.col("d1").alias("doc_id"), F.col("d1").alias("nbr"))
         .union(verified.select("d2", "d1"))
