@@ -853,9 +853,11 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     line in a deterministic md5-shuffled order and cut it every
     {_SHARD_CHARS} chars — a doc belongs to the shard its START falls in
     (document-contiguous greedy packing: shards can overflow by at most
-    one document, never split one). Shard ids are GLOBALLY contiguous via
-    per-source offsets — the numbering a shard-writing job needs — without
-    any global sort: local ids come from one per-source prefix-sum window,
+    one document, never split one; a single doc larger than the budget
+    occupies its start shard and leaves the ids it spans empty). Shard
+    ids are globally DISJOINT and ordered across sources via per-source
+    offsets — the numbering a shard-writing job needs — without any
+    global sort: local ids come from one per-source prefix-sum window,
     and the offset table is a per-source aggregate (rows = #sources)
     prefix-summed in a second tiny window.
 
