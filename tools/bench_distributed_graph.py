@@ -158,6 +158,23 @@ def main() -> None:
     }
     release_caches()
 
+    # --- k-core: BZ driver peeling vs distributed h-index fixpoint, on the
+    # full multi-component graph (core structure is per-component)
+    from drug_target_discovery_spark.graph.algorithms import core_numbers
+
+    core_drv, t_drv = timed(lambda: core_numbers(edges, nodes).cache())
+    core_drv.count()
+    core_dist, t_dist = timed(
+        lambda: core_numbers(edges, nodes, driver_threshold=1).cache()
+    )
+    core_dist.count()
+    d = compare(core_drv, core_dist, "core", 0)
+    report["checks"]["core_numbers"] = {
+        "driver_sec": t_drv, "distributed_sec": t_dist, "max_diff": d,
+        "note": "integer core numbers, exact equality",
+    }
+    release_caches()
+
     # --- betweenness: serial driver Brandes vs source-parallel mapInPandas.
     # Exact Brandes is O(V·E) — run the parity pair on a subgraph above the
     # 512-node driver threshold instead of the full 50K graph.
