@@ -249,7 +249,8 @@ def core_numbers(
     ``connected_components``: small graphs run the exact Batagelj-
     Zaversnik peeling on the collected edge list (O(E) with bucket
     queues); large graphs run the DISTRIBUTED H-INDEX FIXPOINT (Lu et al.
-    2016, PNAS 113(1): the iteration c_v <- H({c_u : u in N(v)}) from
+    2016, Nature Communications 7:10168: the iteration
+    c_v <- H({c_u : u in N(v)}) from
     c_v = deg(v) converges to the core number, where H is the h-index) —
     per iteration ONE join-aggregate whose shuffle is O(E), monotone
     non-increasing, O(graph-dependent, typically << diameter) rounds,
@@ -329,6 +330,12 @@ def _core_distributed(
 ) -> DataFrame:
     from pyspark.sql import Window as W
 
+    # distinct AFTER symmetrizing: an input carrying both orientations of
+    # an edge (or repeats) would otherwise contribute the same neighbor's
+    # value twice to the h-index multiset and inflate the fixpoint — the
+    # driver path's adjacency SETS dedupe implicitly, and the 50K parity
+    # benchmark caught exactly this off-by-one (max diff 1.0) before the
+    # distinct was added. One extra exchange, once, before the loop.
     sym = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -336,6 +343,7 @@ def _core_distributed(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
         )
+        .distinct()
         .cache()
     )
     deg = sym.groupBy(F.col("dst").alias("node")).agg(

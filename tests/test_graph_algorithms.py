@@ -136,6 +136,23 @@ class TestCoreNumbers:
         }
         assert got == nx.core_number(g)
 
+    def test_both_orientations_do_not_inflate(self, spark):
+        # regression (50K parity run): an edge list carrying BOTH (a,b) and
+        # (b,a) must not double-count the neighbor in the h-index multiset —
+        # the driver path's adjacency sets dedupe implicitly, the
+        # distributed path needs the post-symmetrize distinct
+        from drug_target_discovery_spark.graph.algorithms import core_numbers
+
+        g = nx.complete_graph(4)
+        both = [(a, b) for a, b in g.edges()] + [(b, a) for a, b in g.edges()]
+        edges = spark.createDataFrame(both, "src INT, dst INT")
+        for kw in ({}, {"driver_threshold": 0}):
+            got = {
+                r["node"]: r["core"]
+                for r in core_numbers(edges, None, **kw).collect()
+            }
+            assert got == nx.core_number(g), kw
+
     def test_dense_clique_plus_tail(self, spark):
         # a 6-clique (core 5) with a pendant path (core 1): the shape where
         # naive degree-propagation over-estimates and h-index must decrease
