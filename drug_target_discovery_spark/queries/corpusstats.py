@@ -15,6 +15,7 @@ from pyspark.sql import Window as PWindow
 from pyspark.sql import functions as F
 
 from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
+from drug_target_discovery_spark.operators.dedup import MD5_INT_DUCK, MD5_INT_SPARK
 from drug_target_discovery_spark.operators.heavyhitters import exact_heavy_hitters
 from drug_target_discovery_spark.queries.registry import register
 from drug_target_discovery_spark.sources.tables import load_table
@@ -381,4 +382,98 @@ def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("cosine"), 6).alias("cosine"),
         rnd(F.col("h_q") / F.lit(1000000.0), 6).alias("hybrid"),
         F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-Min Sketch frequency estimation (bounded-memory, deterministic)
+# --------------------------------------------------------------------------
+_CMS_D = 4    # hash rows (depth)
+_CMS_W = 256  # cells per row (width); memory = d*w counters regardless of N
+
+_CMS_HASH_DUCK = MD5_INT_DUCK.format(col="j || ':' || token")
+_CMS_HASH_SPARK = MD5_INT_SPARK.format(col="concat(j, ':', token)")
+
+
+@register(
+    "count_min_frequency_probe",
+    tags=("corpus", "sketch", "scalable"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    t2 AS (SELECT token FROM toks WHERE token <> ''),
+    hashed AS (
+      SELECT token, j, ({_CMS_HASH_DUCK}) % {_CMS_W} AS cell
+      FROM t2, unnest(range(0, {_CMS_D})) AS r(j)
+    ),
+    cells AS (
+      SELECT j, cell, count(*) AS c FROM hashed GROUP BY j, cell
+    ),
+    exact AS (SELECT token, count(*) AS exact_count FROM t2 GROUP BY token),
+    probes AS (
+      SELECT e.token, e.exact_count, min(cells.c) AS cms_estimate
+      FROM exact e,
+           unnest(range(0, {_CMS_D})) AS r(j)
+      JOIN cells ON cells.j = r.j
+       AND cells.cell = ({MD5_INT_DUCK.format(col="r.j || ':' || e.token")}) % {_CMS_W}
+      GROUP BY e.token, e.exact_count
+    )
+    SELECT token, CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+    FROM probes
+    """,
+)
+def count_min_frequency_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) frequency estimates
+    with the no-underestimate guarantee exhibited: the {_CMS_D}x{_CMS_W}
+    counter table is built FROM THE TOKEN STREAM (map-side (j, cell)
+    expansion, then one bounded d·w-cell aggregation — the sketch's memory
+    is CONSTANT regardless of corpus size), every distinct token is probed
+    (estimate = min over rows of its cell), and the exact count rides
+    alongside so ``overestimate >= 0`` is checkable per row. The sketch is
+    DETERMINISTIC given the md5-derived row hashes, so the DuckDB oracle
+    reproduces the estimates bit-exactly — the same harness discipline as
+    the Bloom probe (membership), Misra-Gries (heavy hitters), GK
+    (quantiles) and HLL (distinct): every sketch ships with an oracle that
+    checks its guarantee, not just its plumbing.
+
+    Scale shape: the token stream shuffles ONLY as d·w = {_CMS_D * _CMS_W}
+    map-side-combined cells; the probe join broadcasts the FIXED-size cell
+    table (constant, the one table in this repo that is always
+    broadcastable by construction); the exact side is the vocab-sized
+    aggregate (at 100 TB the probe set would be the MG candidate list
+    instead of the full vocabulary — the synthetic corpus's 31-token vocab
+    makes full probing exact here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    js = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j")
+    hashed = toks.select("token", js).select(
+        "token",
+        "j",
+        (F.expr(_CMS_HASH_SPARK) % _CMS_W).alias("cell"),
+    )
+    cells = hashed.groupBy("j", "cell").agg(F.count(F.lit(1)).alias("c"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    probe = exact.select("token", "exact_count", js).select(
+        "token",
+        "exact_count",
+        "j",
+        (F.expr(_CMS_HASH_SPARK) % _CMS_W).alias("cell"),
+    )
+    return (
+        probe.join(F.broadcast(cells), ["j", "cell"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "token",
+            F.col("exact_count").cast("long").alias("exact_count"),
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
     )
