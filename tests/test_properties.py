@@ -72,3 +72,114 @@ def test_bh_scalable_equals_reference(spark, ps, parts):
     for i in ref:
         a, b = ref[i], got[i]
         assert (a is None and b is None) or a == b, (i, a, b)
+
+
+@given(
+    n_left=st.integers(min_value=1, max_value=40),
+    n_right=st.integers(min_value=0, max_value=40),
+    n_keys=st.sampled_from([1, 3]),
+    tol=st.sampled_from([None, 5]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(**_SETTINGS)
+def test_asof_backward_matches_pandas_merge_asof(
+    spark, n_left, n_right, n_keys, tol, seed
+):
+    """Independent oracle for the union+carry-forward as-of join: pandas
+    merge_asof (direction='backward') on random keyed event streams,
+    including equal-timestamp ties (<= semantics) and the tolerance arm."""
+    import numpy as np
+    import pandas as pd
+
+    from drug_target_discovery_spark.operators.asof import asof_join_backward
+
+    rng = np.random.default_rng(seed)
+    lts = rng.integers(0, 30, size=n_left)
+    rts = rng.integers(0, 30, size=n_right)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, size=n_left),
+            "lid": np.arange(n_left),
+            "ts": pd.to_datetime(lts, unit="s"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, size=n_right),
+            "val": rng.integers(0, 100, size=n_right).astype("int64"),
+            "rts": pd.to_datetime(rts, unit="s"),
+        }
+    )
+    # merge_asof needs a deterministic winner at equal (k, ts): keep only
+    # the max-val right row per (k, rts) so ties cannot flip arbitrarily
+    right = (
+        right.sort_values(["k", "rts", "val"])
+        .groupby(["k", "rts"], as_index=False)
+        .last()[["k", "val", "rts"]]  # schema below maps BY POSITION
+    )
+    ldf = spark.createDataFrame(left, "k long, lid long, ts timestamp")
+    rdf = spark.createDataFrame(right, "k long, val long, rts timestamp")
+    got = {
+        r["lid"]: r["asof_val"]
+        for r in asof_join_backward(
+            ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["val"], tolerance_seconds=tol,
+        ).collect()
+    }
+    exp_df = pd.merge_asof(
+        left.sort_values(["ts", "lid"]),
+        right.sort_values("rts"),
+        left_on="ts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    )
+    exp = {
+        int(r.lid): (None if pd.isna(r.val) else int(r.val))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(12)]), min_size=0, max_size=12
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.6]),
+)
+@settings(**_SETTINGS)
+def test_jaccard_verify_matches_bruteforce(spark, docs, threshold):
+    """jaccard_verify_pairs vs a python set-algebra brute force over ALL
+    pairs — verification must score exactly the shingle-set Jaccard and
+    apply the strict > threshold, with <n-token docs dropping out."""
+    from drug_target_discovery_spark.operators.dedup import jaccard_verify_pairs
+
+    n = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    all_pairs = [
+        (i, j) for i in range(len(docs)) for j in range(i + 1, len(docs))
+    ]
+    pairs = spark.createDataFrame(all_pairs, "d1 long, d2 long")
+    got = {
+        (r["d1"], r["d2"]): round(r["jaccard"], 9)
+        for r in jaccard_verify_pairs(df, pairs, n=n, threshold=threshold).collect()
+    }
+    shingles = {
+        i: {" ".join(toks[k : k + n]) for k in range(len(toks) - n + 1)}
+        for i, toks in enumerate(docs)
+        if len(toks) >= n
+    }
+    exp = {}
+    for i, j in all_pairs:
+        if i in shingles and j in shingles:
+            inter = len(shingles[i] & shingles[j])
+            union = len(shingles[i] | shingles[j])
+            if union and inter / union > threshold:
+                exp[(i, j)] = round(inter / union, 9)
+    assert got == exp
