@@ -387,3 +387,104 @@ class TestIntervalJoinLateData:
             ], got
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestWindowedAggLateData:
+    def test_append_mode_late_merge_and_drop(self, spark):
+        """Watermarked tumbling-window aggregation under out-of-order
+        arrivals, append mode, pinned micro-batches:
+
+        b1: three events in the 10:00 window (max ts 10:30 -> wm 10:00)
+        b2: a LATE event at 10:15 — before b1's max — merges into the
+            still-live 10:00 window; an advancer at 12:00 raises the
+            watermark past the window end
+        b3: advancer only -> wm 11:30 >= window end 11:00, the 10:00
+            window EMITS (count 4) and its state is evicted
+        b4: a TOO-LATE event at 10:20 arrives AFTER eviction — this is
+            the drop Spark actually guarantees (rows merging into
+            still-live state are accepted even past the watermark; the
+            one-directional guarantee is that an emitted window never
+            re-emits) — plus an advancer
+        b5: advancer — flushes pending windows
+
+        The 10:00 window must emit EXACTLY ONCE with count 4; the
+        post-eviction row must neither re-open it nor emit a duplicate.
+        """
+        import os
+        import shutil
+        import tempfile
+        from datetime import datetime
+
+        import pandas as pd
+
+        d = tempfile.mkdtemp(prefix="wagg_late_")
+        try:
+            def ts(h, m):
+                return datetime(2024, 1, 1, h, m, 0)
+
+            batches = [
+                [
+                    ("click", 1, 1, ts(10, 0), 1.0),
+                    ("click", 2, 2, ts(10, 10), 1.0),
+                    ("click", 3, 3, ts(10, 30), 1.0),
+                ],
+                [
+                    ("click", 4, 4, ts(10, 15), 1.0),   # late, state live
+                    ("click", 9, 901, ts(12, 0), 1.0),  # advancer
+                ],
+                [
+                    ("click", 9, 902, ts(13, 0), 1.0),  # advancer: emits 10:00
+                ],
+                [
+                    ("click", 5, 5, ts(10, 20), 1.0),   # post-eviction: dropped
+                    ("click", 9, 903, ts(14, 0), 1.0),  # advancer
+                ],
+                [
+                    ("click", 9, 904, ts(15, 0), 1.0),  # advancer
+                ],
+            ]
+            for i, rows in enumerate(batches):
+                pdf = pd.DataFrame(
+                    rows,
+                    columns=["event_type", "user_id", "event_id", "ts", "value"],
+                )
+                pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+                path = os.path.join(d, f"b{i}.parquet")
+                pdf.to_parquet(path)
+                os.utime(path, (1700000000 + i * 10,) * 2)
+
+            schema = spark.read.parquet(d).schema
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+            )
+            agg = windowed_event_counts(src, window="1 hour", watermark="30 minutes")
+            q = (
+                agg.writeStream.format("memory")
+                .queryName("wagg_late")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(180), "stream did not finish in 180s"
+            h10 = int(datetime(2024, 1, 1, 10, 0).timestamp())
+            rows = [
+                (r["window_start"], r["n_events"])
+                for r in spark.sql("SELECT * FROM wagg_late").collect()
+            ]
+            h10_rows = [n for w, n in rows if w == h10]
+            # exactly one emission, count 4: the live-state late merge is
+            # included, the post-eviction row is dropped and cannot
+            # re-emit a (h10, 1) duplicate
+            assert h10_rows == [4], rows
+            # the post-eviction drop is observable in the state metrics
+            dropped = sum(
+                so.get("numRowsDroppedByWatermark", 0)
+                for pr in q.recentProgress
+                for so in pr["stateOperators"]
+            )
+            assert dropped >= 1, "expected the post-eviction row to be dropped"
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
