@@ -234,13 +234,16 @@ def psi_price_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
                (o - row_n * 1.0 * col_n / n) * (o - row_n * 1.0 * col_n / n)
                / (row_n * 1.0 * col_n / n) * 1000000.0 + 0.5) AS BIGINT)
                AS chi_q,
-             row_n, col_n
+             row_n, col_n, n
       FROM margins
     )
     SELECT count(*) AS n_cells,
            CAST(count(DISTINCT rf) - 1 AS BIGINT)
              * (count(DISTINCT sm) - 1) AS dof,
-           {rnd_sql("sum(chi_q) / 1000000.0", 4)} AS chi2
+           {rnd_sql("sum(chi_q) / 1000000.0", 4)} AS chi2,
+           {rnd_sql('''sqrt((sum(chi_q) / 1000000.0)
+             / (max(n) * least(count(DISTINCT rf) - 1,
+                               count(DISTINCT sm) - 1)))''', 6)} AS cramers_v
     FROM terms
     """,
 )
@@ -251,7 +254,8 @@ def chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority channel?). Each cell term is quantized to integer micro-units
     before the sum, so the statistic is order-independent and identical
     on both engines; degrees of freedom come with it for the consumer's
-    p-value lookup.
+    p-value lookup, and Cramér's V = sqrt((χ²/N)/min(r-1, c-1)) gives the
+    sample-size-free effect size practitioners actually threshold on.
 
     Scale shape: ONE aggregation collapses the fact table to the
     contingency cells (|flags| × |modes| rows — constant-sized); margins
@@ -280,10 +284,22 @@ def chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi_q = F.floor(
         (F.col("o") - e) * (F.col("o") - e) / e * 1000000.0 + F.lit(0.5)
     ).cast("long")
-    return m.select("rf", "sm", chi_q.alias("chi_q")).agg(
+    return m.select("rf", "sm", "n", chi_q.alias("chi_q")).agg(
         F.count(F.lit(1)).alias("n_cells"),
         (
             (F.countDistinct("rf") - 1) * (F.countDistinct("sm") - 1)
         ).cast("long").alias("dof"),
         rnd(F.sum("chi_q") / F.lit(1000000.0), 4).alias("chi2"),
+        rnd(
+            F.sqrt(
+                (F.sum("chi_q") / F.lit(1000000.0))
+                / (
+                    F.max("n")
+                    * F.least(
+                        F.countDistinct("rf") - 1, F.countDistinct("sm") - 1
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
     )

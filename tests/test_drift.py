@@ -94,6 +94,10 @@ class TestChi2:
         assert row["n_cells"] == int(mask.sum())
         assert row["dof"] == (obs.shape[0] - 1) * (obs.shape[1] - 1)
         assert row["chi2"] == pytest.approx(chi_ref, abs=1e-3)
+        v_ref = math.sqrt(
+            (chi_ref / obs.sum()) / min(obs.shape[0] - 1, obs.shape[1] - 1)
+        )
+        assert row["cramers_v"] == pytest.approx(v_ref, abs=1e-5)
 
 
 class TestExactQuantileNormalization:
