@@ -294,11 +294,10 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # SimHash fingerprints
 # --------------------------------------------------------------------------
-@register(
-    "simhash_fingerprints",
-    tags=("dedup", "simhash"),
-    oracle=f"""
-    WITH toks AS (
+# Single home for the fingerprint CTE chain, shared by simhash_fingerprints
+# and simhash_near_dups so the two oracles cannot drift.
+_SIMHASH_SQL = f"""
+    toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
     hashed AS (
@@ -310,19 +309,103 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
       FROM hashed, unnest(range(0, 32)) AS t(bit)
       GROUP BY doc_id, bit
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
-                AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
+"""
+
+
+@register(
+    "simhash_fingerprints",
+    tags=("dedup", "simhash"),
+    oracle=f"""
+    WITH {_SIMHASH_SQL}
+    SELECT doc_id, simhash FROM fp
     """,
 )
 def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (token-level): per-bit +1/-1 votes over
     md5 token hashes, majority bit -> fingerprint. Near-dups then reduce to
-    Hamming-distance joins on the fingerprint."""
+    Hamming-distance joins on the fingerprint (``simhash_near_dups``)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_fingerprints(docs, bits=32)
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dups: block-banded Hamming join (Manku et al., WWW 2007)
+# --------------------------------------------------------------------------
+_SH_BLOCKS = 4   # 8-bit blocks of the 32-bit fingerprint
+_SH_MAX_HAM = 3  # pigeonhole: <= 3 differing bits => >= 1 identical block
+
+
+@register(
+    "simhash_near_dups",
+    tags=("dedup", "simhash", "scalable"),
+    oracle=f"""
+    WITH {_SIMHASH_SQL},
+    blocks AS (
+      SELECT doc_id, simhash, b,
+             (simhash >> (8 * b)) & 255 AS blk
+      FROM fp, unnest(range(0, {_SH_BLOCKS})) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             a.simhash AS s1, b.simhash AS s2
+      FROM blocks a JOIN blocks b
+        ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2,
+           CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(s1, s2)) <= {_SH_MAX_HAM}
+    """,
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs at Hamming distance <= {_SH_MAX_HAM}
+    via block banding (Manku, Jain & Das Sarma, WWW 2007 — Google's web
+    dedup): split the 32-bit fingerprint into {_SH_BLOCKS} 8-bit blocks;
+    by pigeonhole, any pair within Hamming {_SH_MAX_HAM} shares at least
+    one identical block, so candidates come from a BLOCK-LOCAL equi-join
+    (never all-pairs) and the exact popcount(xor) verification runs only
+    on candidates — the same candidates-then-verify discipline as the
+    MinHash LSH tier, on the cheaper 8-bytes-per-doc sketch.
+
+    Scale shape: fingerprints are one aggregation over the token stream
+    (simhash_fingerprints); the banding explode is {_SH_BLOCKS} rows per
+    doc of three small integers; the join keys on (block_idx, block_value)
+    — bucket-local, skew bounded by the hottest block value, with the
+    same salting escape as the LSH band join if a degenerate fingerprint
+    dominates. Verification is two codegen'd bit ops per pair."""
+    fp = simhash_fingerprints(load_table(spark, sf_dir, "documents"), bits=32)
+    b = F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("b")
+    blocks = fp.select("doc_id", "simhash", b).select(
+        "doc_id",
+        "simhash",
+        "b",
+        F.expr("shiftright(simhash, 8 * b) & 255").alias("blk"),
+    )
+    a = blocks.select(
+        F.col("b").alias("ab"), F.col("blk").alias("ablk"),
+        F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"),
+    )
+    c = blocks.select(
+        F.col("b").alias("ab"), F.col("blk").alias("ablk"),
+        F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"),
+    )
+    cand = (
+        a.join(c, ["ab", "ablk"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "s1", "s2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return cand.filter(hamming <= _SH_MAX_HAM).select(
+        "d1", "d2", hamming.cast("int").alias("hamming")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -94,6 +94,7 @@ _PRIORITY_GATE: tuple[str, ...] = (
     "chi2_status_priority",       # NEW: chi-squared independence
     "core_numbers_corr_graph",    # NEW: k-core decomposition
     "count_min_frequency_probe",  # NEW: CMS sketch with exact-replica oracle
+    "simhash_near_dups",          # NEW: block-banded Hamming join
     "part_pair_affinity",         # forced item-count broadcasts removed
     "split_contamination_audit",  # shingle width now explicit (n=_N)
     "semantic_dedup_prune",       # oracle gained zero-norm convention guard
@@ -106,7 +107,6 @@ _PRIORITY_GATE: tuple[str, ...] = (
     "ngram_jaccard_near_dups",
     "lsh_candidate_pairs",
     "benchmark_decontamination",
-    "ann_ivf_bucketed_topk",
     "corr_edges_top_parts",
     "revenue_by_nation",
     "pricing_summary",
@@ -115,6 +115,7 @@ _PRIORITY_GATE: tuple[str, ...] = (
 # Slots 51+: the unchanged-since-r3 remainder (they keep their r3 green
 # rows; first in round 6's gate), ahead of the r4-fresh majority.
 _PRIORITY_REST: tuple[str, ...] = (
+    "ann_ivf_bucketed_topk",
     "degree_centrality_corr_graph",
     "minhash_signatures",
     "exact_dedup_sha256",
