@@ -259,6 +259,22 @@ class TestPlanShape:
         for part in plan.split("Exchange hashpartitioning")[1:]:
             assert "text" not in part.split("\n")[0], plan
 
+    def test_simhash_near_dups_block_local(self, spark):
+        # candidates must come from the (block_idx, block_value) equi-join —
+        # never a cross/nested-loop product of fingerprints
+        plan = plan_of(spark, "simhash_near_dups")
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+            "BroadcastHashJoin" in plan
+        ), plan
+
+    def test_count_min_cells_broadcast(self, spark):
+        # the fixed d*w cell table reaches the probe side via broadcast; the
+        # token stream shuffles only as map-side-combined partials
+        plan = plan_of(spark, "count_min_frequency_probe")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "partial_count" in plan, plan
+
     def test_leakage_splits_single_exchange_single_scan(self, spark):
         # the group rollup rides ONE digest-partitioned window: exactly one
         # exchange and one documents scan — never the 3-exchange
