@@ -112,3 +112,51 @@ class TestJsonlRoundtrip:
         back = read_jsonl(spark, path, schema="doc_id BIGINT, text STRING, lang STRING")
         got = sorted((r["doc_id"], r["text"], r["lang"]) for r in back.collect())
         assert got == [(1, "hello world", "en"), (2, 'quote " and\ttab', "de"), (3, None, "fr")]
+
+
+class TestIdempotentBackfill:
+    def test_dynamic_partition_overwrite_replaces_only_touched_day(self, spark, tmp_path):
+        """The idempotent-backfill contract: with partitionOverwriteMode=
+        dynamic, rewriting ONE date partition replaces exactly that
+        partition and leaves every other day's data untouched — the
+        property that makes a nightly job safe to re-run blindly.
+        (Static mode — the default — would truncate the whole table.)"""
+        from pyspark.sql import functions as F
+
+        from drug_target_discovery_spark.sources.tables import load_table
+
+        out = str(tmp_path / "events_by_day")
+        ev = load_table(spark, SF, "events").withColumn(
+            "day", F.to_date("ts")
+        )
+        ev.write.partitionBy("day").mode("overwrite").parquet(out)
+        before = spark.read.parquet(out)
+        n_total = before.count()
+        day = before.select("day").orderBy("day").first()["day"]
+        n_day = before.filter(F.col("day") == day).count()
+        assert 0 < n_day < n_total
+
+        # backfill that day with a marker value, dynamic overwrite
+        patch = (
+            ev.filter(F.col("day") == day)
+            .withColumn("value", F.lit(-1.0))
+        )
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            patch.write.partitionBy("day").mode("overwrite").parquet(out)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+        after = spark.read.parquet(out)
+        assert after.count() == n_total  # nothing else truncated
+        assert after.filter(F.col("day") == day).count() == n_day
+        assert (
+            after.filter((F.col("day") == day) & (F.col("value") != -1.0)).count()
+            == 0
+        )
+        # untouched days keep their original values
+        assert (
+            after.filter((F.col("day") != day) & (F.col("value") == -1.0)).count()
+            == 0
+        )
