@@ -95,6 +95,8 @@ _PRIORITY_GATE: tuple[str, ...] = (
     "core_numbers_corr_graph",    # NEW: k-core decomposition
     "count_min_frequency_probe",  # NEW: CMS sketch with exact-replica oracle
     "simhash_near_dups",          # NEW: block-banded Hamming join
+    "auc_by_cohort",              # NEW: tie-corrected rank AUC
+    "pr_curve_sampled",           # NEW: threshold-sweep PR points
     "part_pair_affinity",         # forced item-count broadcasts removed
     "split_contamination_audit",  # shingle width now explicit (n=_N)
     "semantic_dedup_prune",       # oracle gained zero-norm convention guard
@@ -106,8 +108,6 @@ _PRIORITY_GATE: tuple[str, ...] = (
     "near_dup_groups",
     "ngram_jaccard_near_dups",
     "lsh_candidate_pairs",
-    "benchmark_decontamination",
-    "corr_edges_top_parts",
     "revenue_by_nation",
     "pricing_summary",
 )
@@ -115,6 +115,8 @@ _PRIORITY_GATE: tuple[str, ...] = (
 # Slots 51+: the unchanged-since-r3 remainder (they keep their r3 green
 # rows; first in round 6's gate), ahead of the r4-fresh majority.
 _PRIORITY_REST: tuple[str, ...] = (
+    "benchmark_decontamination",
+    "corr_edges_top_parts",
     "ann_ivf_bucketed_topk",
     "degree_centrality_corr_graph",
     "minhash_signatures",
@@ -158,6 +160,7 @@ def all_queries() -> dict[str, Query]:
         curation,
         dedup,
         drift,
+        evalmetrics,
         events,
         graphq,
         graphx,
