@@ -146,3 +146,54 @@ class TestExactQuantileNormalization:
         for _, row in t.iterrows():
             key = (row["sample_id"], row["l_orderkey"], row["l_linenumber"])
             assert got[key] == pytest.approx(row["qn_ref"], abs=1.1e-6), key
+
+
+class TestAUC:
+    def test_matches_bruteforce_pair_counting(self, spark, lineitem_pdf):
+        """AUC by its definition — P(score+ > score-) + 0.5 P(=) over all
+        (pos, neg) pairs — independent of the rank formulation the query
+        and its oracle share."""
+        from drug_target_discovery_spark.queries.evalmetrics import _AUC_COHORTS
+
+        got = {
+            r["cohort"]: r
+            for r in all_queries()["auc_by_cohort"].fn(spark, SF).collect()
+        }
+        pdf = lineitem_pdf
+        for cohort, r in got.items():
+            sel = pdf[pdf["l_suppkey"] % _AUC_COHORTS == cohort]
+            pos = np.sort(
+                sel[sel["l_returnflag"] == "R"]["l_extendedprice"].to_numpy()
+            )
+            neg = np.sort(
+                sel[sel["l_returnflag"] != "R"]["l_extendedprice"].to_numpy()
+            )
+            assert (len(pos), len(neg)) == (r["n_pos"], r["n_neg"])
+            gt = np.searchsorted(neg, pos, side="left").sum()  # neg < pos
+            le = np.searchsorted(neg, pos, side="right").sum()  # neg <= pos
+            ties = le - gt
+            auc_ref = (gt + 0.5 * ties) / (len(pos) * len(neg))
+            assert r["auc"] == pytest.approx(auc_ref, abs=1.1e-6), cohort
+
+
+class TestPRCurve:
+    def test_matches_numpy_cumulative(self, spark, lineitem_pdf):
+        from drug_target_discovery_spark.queries.evalmetrics import _PR_POINTS
+
+        rows = all_queries()["pr_curve_sampled"].fn(spark, SF).collect()
+        assert rows
+        pdf = lineitem_pdf
+        score = pdf["l_extendedprice"].to_numpy()
+        label = (pdf["l_returnflag"] == "R").to_numpy().astype(np.int64)
+        uniq = np.unique(score)[::-1]  # thresholds descending
+        n_pos = int(label.sum())
+        for r in rows:
+            t = r["threshold"]
+            tp = int(label[score >= t].sum())
+            n_at = int((score >= t).sum())
+            assert r["tp"] == tp and r["fp"] == n_at - tp, t
+            assert r["precision_at"] == pytest.approx(tp / n_at, abs=1.1e-6)
+            assert r["recall_at"] == pytest.approx(tp / n_pos, abs=1.1e-6)
+        # decimation contract: ~_PR_POINTS rows, last threshold included
+        assert len(rows) <= _PR_POINTS + 2
+        assert min(r["threshold"] for r in rows) == uniq[-1]
