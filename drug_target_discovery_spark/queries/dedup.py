@@ -307,7 +307,7 @@ _SIMHASH_SQL = f"""
     votes AS (
       SELECT doc_id, bit,
              sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-      FROM hashed, unnest(range(0, 32)) AS t(bit)
+      FROM hashed, unnest(range(0, 60)) AS t(bit)
       GROUP BY doc_id, bit
     ),
     fp AS (
@@ -328,18 +328,25 @@ _SIMHASH_SQL = f"""
     """,
 )
 def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (token-level): per-bit +1/-1 votes over
+    """60-bit SimHash per document (token-level): per-bit +1/-1 votes over
     md5 token hashes, majority bit -> fingerprint. Near-dups then reduce to
-    Hamming-distance joins on the fingerprint (``simhash_near_dups``)."""
+    Hamming-distance joins on the fingerprint (``simhash_near_dups``).
+
+    60 bits (all the entropy the 15-hex-digit md5 prefix hash carries, and
+    sign-safe in int64) rather than 32: the banding join's bucket occupancy
+    is N / 2^(bits/blocks), so fingerprint width is what keeps the
+    candidate stage sub-quadratic as the corpus grows — see the saturation
+    analysis on ``simhash_near_dups``."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_fingerprints(docs, bits=32)
+    return simhash_fingerprints(docs, bits=60)
 
 
 # --------------------------------------------------------------------------
 # SimHash near-dups: block-banded Hamming join (Manku et al., WWW 2007)
 # --------------------------------------------------------------------------
-_SH_BLOCKS = 4   # 8-bit blocks of the 32-bit fingerprint
-_SH_MAX_HAM = 3  # pigeonhole: <= 3 differing bits => >= 1 identical block
+_SH_BLOCKS = 4     # 15-bit blocks of the 60-bit fingerprint
+_SH_BLOCK_W = 15   # block width in bits (2^15 = 32768 bucket values/band)
+_SH_MAX_HAM = 3    # pigeonhole: <= 3 differing bits => >= 1 identical block
 
 
 @register(
@@ -349,7 +356,7 @@ _SH_MAX_HAM = 3  # pigeonhole: <= 3 differing bits => >= 1 identical block
     WITH {_SIMHASH_SQL},
     blocks AS (
       SELECT doc_id, simhash, b,
-             (simhash >> (8 * b)) & 255 AS blk
+             (simhash >> ({_SH_BLOCK_W} * b)) & {(1 << _SH_BLOCK_W) - 1} AS blk
       FROM fp, unnest(range(0, {_SH_BLOCKS})) AS t(b)
     ),
     cand AS (
@@ -367,12 +374,22 @@ _SH_MAX_HAM = 3  # pigeonhole: <= 3 differing bits => >= 1 identical block
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs at Hamming distance <= {_SH_MAX_HAM}
     via block banding (Manku, Jain & Das Sarma, WWW 2007 — Google's web
-    dedup): split the 32-bit fingerprint into {_SH_BLOCKS} 8-bit blocks;
+    dedup): split the 60-bit fingerprint into {_SH_BLOCKS} 15-bit blocks;
     by pigeonhole, any pair within Hamming {_SH_MAX_HAM} shares at least
     one identical block, so candidates come from a BLOCK-LOCAL equi-join
     (never all-pairs) and the exact popcount(xor) verification runs only
     on candidates — the same candidates-then-verify discipline as the
     MinHash LSH tier, on the cheaper 8-bytes-per-doc sketch.
+
+    Fingerprint width is the scale lever, not a taste choice: coincidental
+    (non-near-dup) bucket collisions cost O(sum over buckets of n_b^2) and
+    each band has 2^block_width buckets, so expected occupancy is
+    N / 2^(bits/blocks). The first cut of this query banded a 32-bit
+    fingerprint into 8-bit blocks — 256 buckets/band saturate at corpus
+    scale, and the x10 key-shifted probe measured 6.97x wall (quadratic
+    candidate growth). At 15-bit blocks (32768 buckets/band) the same
+    probe is linear-ish; at 100 TB one would widen further (e.g. two
+    64-bit words, 16-bit blocks) but the plan shape is unchanged.
 
     Scale shape: fingerprints are one aggregation over the token stream
     (simhash_fingerprints); the banding explode is {_SH_BLOCKS} rows per
@@ -380,13 +397,15 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     — bucket-local, skew bounded by the hottest block value, with the
     same salting escape as the LSH band join if a degenerate fingerprint
     dominates. Verification is two codegen'd bit ops per pair."""
-    fp = simhash_fingerprints(load_table(spark, sf_dir, "documents"), bits=32)
+    fp = simhash_fingerprints(load_table(spark, sf_dir, "documents"), bits=60)
     b = F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("b")
     blocks = fp.select("doc_id", "simhash", b).select(
         "doc_id",
         "simhash",
         "b",
-        F.expr("shiftright(simhash, 8 * b) & 255").alias("blk"),
+        F.expr(
+            f"shiftright(simhash, {_SH_BLOCK_W} * b) & {(1 << _SH_BLOCK_W) - 1}"
+        ).alias("blk"),
     )
     a = blocks.select(
         F.col("b").alias("ab"), F.col("blk").alias("ablk"),
