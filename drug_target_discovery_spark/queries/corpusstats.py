@@ -477,3 +477,110 @@ def count_min_frequency_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram PMI collocations (tokenizer-training / corpus-analysis statistic)
+# --------------------------------------------------------------------------
+_PMI_MIN_COUNT = 5
+
+# Fully-parenthesized left-associated ratio so both engines execute the
+# identical IEEE operation sequence before the (quantized) ln. Inputs:
+# c_ab (pair count), n_tok (total tokens), m_bi (total bigrams), c_a/c_b
+# (unigram counts, DOUBLE).
+_PMI_Q = (
+    "CAST(floor(ln(((((CAST(c_ab AS DOUBLE) * n_tok) * n_tok) / m_bi)"
+    " / {ca}) / {cb}) * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "bigram_pmi_collocations",
+    tags=("corpus", "tokenizer", "scalable"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      FROM documents
+    ),
+    uni AS (
+      SELECT t AS tok, count(*)::DOUBLE AS c
+      FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t
+    ),
+    tot AS (SELECT sum(c) AS n_tok FROM uni),
+    bi AS (
+      SELECT ts[i] AS tok_a, ts[i+1] AS tok_b
+      FROM toks, unnest(range(1, len(ts))) AS r(i)
+    ),
+    bic AS (SELECT tok_a, tok_b, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+    mtot AS (SELECT sum(c_ab)::DOUBLE AS m_bi FROM bic)
+    SELECT tok_a, tok_b, c_ab,
+           {_PMI_Q.format(ca="ua.c", cb="ub.c")} AS pmi_micro
+    FROM bic
+    JOIN uni ua ON bic.tok_a = ua.tok
+    JOIN uni ub ON bic.tok_b = ub.tok
+    CROSS JOIN tot CROSS JOIN mtot
+    WHERE c_ab >= {_PMI_MIN_COUNT}
+    """,
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — the
+    collocation / merge-candidate statistic a BPE-style tokenizer trainer
+    ranks in its first iteration (most-attracted adjacent pairs), and the
+    classic corpus-linguistics collocation score:
+    PMI = ln(p(ab) / (p(a) p(b))) with p(ab) = c_ab/M, p(a) = c_a/N.
+
+    Scale design: bigrams come from a map-side transform over each doc's
+    token array (struct per adjacent pair; docs with < 2 tokens are
+    filtered before the explode — never a positional self-join on
+    (doc, pos)). Two aggregations collapse the streams to vocab-sized
+    (unigram) and pair-vocab-sized (bigram) count tables; the unigram
+    table rides the same broadcast justification as the CCNet unigram
+    model (vocabulary grows sublinearly in corpus size), totals are 1-row
+    broadcasts, and the pair table never re-touches the corpus. PMI values
+    are quantized to integer micro-nats inside an identically-parenthesized
+    ratio (_PMI_Q) so the driver hash is engine-stable. The c_ab >=
+    {_PMI_MIN_COUNT} support floor is the standard collocation guard
+    against PMI's low-count explosion (rare pairs otherwise dominate)."""
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    docs = load_table(spark, sf_dir, "documents")
+    ts = docs.select(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("ts")
+    )
+    uni = scoped_cache(
+        ts.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n_row = uni.agg(F.sum("c").alias("n_tok"))
+    bic = scoped_cache(
+        ts.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts)-1),"
+                    " i -> struct(element_at(ts, i) AS tok_a,"
+                    " element_at(ts, i+1) AS tok_b))"
+                )
+            ).alias("p")
+        )
+        .select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    m_row = bic.agg(F.sum("c_ab").cast("double").alias("m_bi"))
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    return (
+        bic.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            F.expr(_PMI_Q.format(ca="c_a", cb="c_b")).alias("pmi_micro"),
+        )
+    )

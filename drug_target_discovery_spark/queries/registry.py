@@ -106,15 +106,21 @@ _PRIORITY_GATE: tuple[str, ...] = (
     "geo_pipeline_targets",
     "differential_expression",
     "near_dup_groups",
-    "ngram_jaccard_near_dups",
     "lsh_candidate_pairs",
-    "revenue_by_nation",
-    "pricing_summary",
+    # -- (4) new in the second half of the round (never-checked > stale)
+    "zorder_file_layout",         # NEW: Morton-curve clustering assignment
+    "bigram_pmi_collocations",    # NEW: BPE-merge/collocation statistic
+    "winsorized_price_stats",     # NEW: p05/p95 outlier clipping
 )
 
 # Slots 51+: the unchanged-since-r3 remainder (they keep their r3 green
 # rows; first in round 6's gate), ahead of the r4-fresh majority.
 _PRIORITY_REST: tuple[str, ...] = (
+    # r3-green refreshes displaced from the round-5 gate by the three
+    # late-round new queries (never-checked beats stale); first next round
+    "ngram_jaccard_near_dups",
+    "revenue_by_nation",
+    "pricing_summary",
     "benchmark_decontamination",
     "corr_edges_top_parts",
     "ann_ivf_bucketed_topk",
@@ -164,6 +170,7 @@ def all_queries() -> dict[str, Query]:
         events,
         graphq,
         graphx,
+        layout,
         mllibq,
         multimodal,
         percentiles,

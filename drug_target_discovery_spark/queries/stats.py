@@ -871,3 +871,86 @@ def quantile_normalize_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("qn_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorized robust group statistics (outlier-clipped preprocessing)
+# --------------------------------------------------------------------------
+@register(
+    "winsorized_price_stats",
+    tags=("stats", "robust"),
+    oracle=f"""
+    WITH bounds AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    clipped AS (
+      SELECT l.l_returnflag,
+             CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END AS clip_lo,
+             CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END AS clip_hi,
+             CAST(floor(
+               CASE WHEN l_extendedprice < p05 THEN p05
+                    WHEN l_extendedprice > p95 THEN p95
+                    ELSE l_extendedprice END * 1000000.0 + 0.5
+             ) AS BIGINT) AS wq,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    )
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(clip_lo) AS BIGINT) AS n_clipped_lo,
+           CAST(sum(clip_hi) AS BIGINT) AS n_clipped_hi,
+           {rnd_sql("sum(cents) / (100.0 * count(*))", 4)} AS raw_mean,
+           {rnd_sql("sum(wq) / (1000000.0 * count(*))", 4)} AS winsorized_mean
+    FROM clipped GROUP BY l_returnflag
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization at [p05, p95] — the standard outlier-robust
+    preprocessing step (clip, don't drop) before scale-sensitive models —
+    reported as clip counts plus raw vs winsorized means so the effect of
+    the clipping is the visible deliverable.
+
+    Scale shape: one exact-percentile aggregation collapses each group to
+    a 2-quantile bounds row (group-count-sized table: AQE broadcasts it
+    back onto the fact join), then one map-side-combined aggregate over
+    the clipped stream — two shuffles total, both keyed on the same group
+    column, no window over the fact. At 100 TB the bounds pass swaps to
+    ``approx_percentile`` (mergeable t-digest/GK sketch, no per-group
+    sort) with the same downstream plan; exact here because the oracle
+    hash demands it. Clipped values are quantized to integer micro-units
+    (and raw prices to exact cents) before summing so both means are
+    order-independent and engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.array(F.lit(0.05), F.lit(0.95))).alias("_q")
+    ).select(
+        "l_returnflag", F.col("_q")[0].alias("p05"), F.col("_q")[1].alias("p95")
+    )
+    x = F.col("l_extendedprice")
+    clipped = li.join(bounds, "l_returnflag").select(
+        "l_returnflag",
+        F.when(x < F.col("p05"), 1).otherwise(0).alias("clip_lo"),
+        F.when(x > F.col("p95"), 1).otherwise(0).alias("clip_hi"),
+        F.floor(
+            F.when(x < F.col("p05"), F.col("p05"))
+            .when(x > F.col("p95"), F.col("p95"))
+            .otherwise(x)
+            * 1000000.0
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("wq"),
+        F.floor(x * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("clip_lo").cast("long").alias("n_clipped_lo"),
+        F.sum("clip_hi").cast("long").alias("n_clipped_hi"),
+        rnd(F.sum("cents") / (F.lit(100.0) * F.count(F.lit(1))), 4).alias("raw_mean"),
+        rnd(
+            F.sum("wq") / (F.lit(1000000.0) * F.count(F.lit(1))), 4
+        ).alias("winsorized_mean"),
+    )

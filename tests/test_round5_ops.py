@@ -102,3 +102,128 @@ class TestHybridRetrieval:
             e = emb[r["doc_id"]]
             ref = float(e @ q / (np.linalg.norm(e) * np.linalg.norm(q)))
             assert r["cosine"] == pytest.approx(ref, abs=1.1e-6)
+
+
+class TestZorderLayout:
+    def test_matches_numpy_recompute(self, spark):
+        out = {
+            r["file_id"]: r
+            for r in all_queries()["zorder_file_layout"].fn(spark, SF).collect()
+        }
+        pdf = (
+            load_table(spark, SF, "lineitem")
+            .select("l_partkey", "l_suppkey")
+            .toPandas()
+        )
+        p, s = pdf["l_partkey"].to_numpy(), pdf["l_suppkey"].to_numpy()
+
+        def bucket(x):
+            lo, hi = int(x.min()), int(x.max())
+            return (x.astype("int64") - lo) * 1023 // max(hi - lo, 1)
+
+        bx, by = bucket(p), bucket(s)
+        z = np.zeros(len(bx), dtype="int64")
+        for i in range(10):
+            z |= ((bx >> i) & 1) << (2 * i)
+            z |= ((by >> i) & 1) << (2 * i + 1)
+        fid = z >> 14
+        assert set(out) == set(np.unique(fid))
+        for f in np.unique(fid):
+            m = fid == f
+            r = out[int(f)]
+            assert r["n_rows"] == int(m.sum())
+            assert (r["part_lo"], r["part_hi"]) == (int(p[m].min()), int(p[m].max()))
+            assert (r["supp_lo"], r["supp_hi"]) == (int(s[m].min()), int(s[m].max()))
+
+    def test_interleave_bit_algebra(self):
+        # bx=0b1111111111 on even positions, by=0 -> z = 0b0101...01
+        from drug_target_discovery_spark.queries.layout import _interleave_duck
+
+        import duckdb
+
+        z = duckdb.sql(
+            f"SELECT {_interleave_duck('1023', '0')} AS z, "
+            f"{_interleave_duck('0', '1023')} AS z2, "
+            f"{_interleave_duck('1023', '1023')} AS z3"
+        ).fetchone()
+        assert z[0] == int("01" * 10, 2)
+        assert z[1] == int("10" * 10, 2)
+        assert z[2] == (1 << 20) - 1
+
+    def test_plan_single_rollup_exchange_broadcast_extent(self, spark):
+        # the 1-row extent reaches the fact via broadcast (BNLJ cross join);
+        # the only hash exchange is the 64-file rollup; the fact never
+        # shuffles and never joins by sort-merge
+        from tests.test_plans import plan_of
+
+        plan = plan_of(spark, "zorder_file_layout")
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+
+class TestBigramPmi:
+    def test_matches_python_recompute(self, spark):
+        import math
+        from collections import Counter
+
+        out = {
+            (r["tok_a"], r["tok_b"]): r
+            for r in all_queries()["bigram_pmi_collocations"].fn(spark, SF).collect()
+        }
+        texts = [
+            r["text"] for r in load_table(spark, SF, "documents").select("text").collect()
+        ]
+        uni, bi = Counter(), Counter()
+        for t in texts:
+            toks = [w for w in t.split(" ") if w]
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        n, m = float(sum(uni.values())), float(sum(bi.values()))
+        expect = {p: c for p, c in bi.items() if c >= 5}
+        assert set(out) == set(expect)
+        for (a, b), c in expect.items():
+            r = out[(a, b)]
+            assert r["c_ab"] == c
+            pmi = math.log(((((float(c) * n) * n) / m) / uni[a]) / uni[b])
+            assert r["pmi_micro"] == math.floor(pmi * 1e6 + 0.5)
+
+    def test_plan_broadcast_vocab_no_smj(self, spark):
+        from tests.test_plans import plan_of
+
+        plan = plan_of(spark, "bigram_pmi_collocations")
+        assert "SortMergeJoin" not in plan, plan
+        assert plan.count("BroadcastHashJoin") >= 2, plan  # ua and ub
+
+
+class TestWinsorized:
+    def test_matches_numpy_recompute(self, spark):
+        out = {
+            r["l_returnflag"]: r
+            for r in all_queries()["winsorized_price_stats"].fn(spark, SF).collect()
+        }
+        pdf = (
+            load_table(spark, SF, "lineitem")
+            .select("l_returnflag", "l_extendedprice")
+            .toPandas()
+        )
+        for flag, g in pdf.groupby("l_returnflag"):
+            x = g["l_extendedprice"].to_numpy()
+            p05, p95 = np.quantile(x, 0.05), np.quantile(x, 0.95)
+            r = out[flag]
+            assert r["n"] == len(x)
+            assert r["n_clipped_lo"] == int((x < p05).sum())
+            assert r["n_clipped_hi"] == int((x > p95).sum())
+            w = np.clip(x, p05, p95)
+            wq = np.floor(w * 1e6 + 0.5).sum()
+            assert r["winsorized_mean"] == pytest.approx(wq / 1e6 / len(x), abs=1e-4)
+            cents = np.floor(x * 100.0 + 0.5).sum()
+            assert r["raw_mean"] == pytest.approx(cents / 100.0 / len(x), abs=1e-4)
+
+    def test_plan_bounds_broadcast_fact_never_shuffles_for_join(self, spark):
+        from tests.test_plans import plan_of
+
+        plan = plan_of(spark, "winsorized_price_stats")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
