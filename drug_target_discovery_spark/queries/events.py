@@ -449,3 +449,67 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pts").isNotNull().alias("converted"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# --------------------------------------------------------------------------
+@register(
+    "event_transition_matrix",
+    tags=("events", "sequence", "scalable"),
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    trans AS (
+      SELECT from_type, to_type, count(*) AS n_transitions
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST(floor(
+             n_transitions
+             / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+             * 1000000.0 + 0.5
+           ) AS BIGINT) AS p_micro
+    FROM trans
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each user's time-ordered sequence, count (event_type -> next
+    event_type) transitions and the row-normalized transition probability
+    — the behavioral-model / funnel-discovery statistic (which step
+    follows which, and with what probability), and the sequential shape
+    (lead over a keyed order) the session/funnel tier doesn't yet pin.
+
+    Scale shape: ONE shuffle of the fact (the user_id window; ordering is
+    (ts, event_id) so ties are deterministic), collapsing immediately to
+    the k x k transition-count table — k = distinct event types, so
+    everything after the first aggregate is constant-sized, and the
+    row-normalizing second window runs over k^2 rows. Probabilities are
+    quantized to integer micro-units via an identically-parenthesized
+    ratio so the driver hash is engine-stable."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    nxt = F.lead("event_type").over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    trans = (
+        ev.select(F.col("event_type").alias("from_type"), nxt.alias("to_type"))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = F.sum("n_transitions").over(W.partitionBy("from_type")).cast("double")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.floor(F.col("n_transitions") / tot * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("p_micro"),
+    )

@@ -106,11 +106,11 @@ _PRIORITY_GATE: tuple[str, ...] = (
     "geo_pipeline_targets",
     "differential_expression",
     "near_dup_groups",
-    "lsh_candidate_pairs",
     # -- (4) new in the second half of the round (never-checked > stale)
     "zorder_file_layout",         # NEW: Morton-curve clustering assignment
     "bigram_pmi_collocations",    # NEW: BPE-merge/collocation statistic
     "winsorized_price_stats",     # NEW: p05/p95 outlier clipping
+    "event_transition_matrix",    # NEW: Markov lead-window sequence stats
 )
 
 # Slots 51+: the unchanged-since-r3 remainder (they keep their r3 green
@@ -121,6 +121,7 @@ _PRIORITY_REST: tuple[str, ...] = (
     "ngram_jaccard_near_dups",
     "revenue_by_nation",
     "pricing_summary",
+    "lsh_candidate_pairs",
     "benchmark_decontamination",
     "corr_edges_top_parts",
     "ann_ivf_bucketed_topk",

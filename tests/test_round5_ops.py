@@ -227,3 +227,45 @@ class TestWinsorized:
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
         assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+class TestEventTransitions:
+    def test_matches_python_recompute(self, spark):
+        from collections import Counter, defaultdict
+
+        out = {
+            (r["from_type"], r["to_type"]): r
+            for r in all_queries()["event_transition_matrix"].fn(spark, SF).collect()
+        }
+        rows = (
+            load_table(spark, SF, "events")
+            .select("user_id", "ts", "event_id", "event_type")
+            .collect()
+        )
+        by_user = defaultdict(list)
+        for r in rows:
+            by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+        trans = Counter()
+        for seq in by_user.values():
+            seq.sort()
+            for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+                trans[(a, b)] += 1
+        assert set(out) == set(trans)
+        totals = Counter()
+        for (a, _), c in trans.items():
+            totals[a] += c
+        import math
+
+        for (a, b), c in trans.items():
+            r = out[(a, b)]
+            assert r["n_transitions"] == c
+            assert r["p_micro"] == math.floor(c / float(totals[a]) * 1e6 + 0.5)
+
+    def test_plan_one_fact_shuffle(self, spark):
+        # the fact shuffles once (user window); the transition table and
+        # the normalizing window are k^2-sized
+        from tests.test_plans import plan_of
+
+        plan = plan_of(spark, "event_transition_matrix")
+        assert "SortMergeJoin" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") <= 3, plan

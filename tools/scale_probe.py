@@ -49,6 +49,11 @@ SHIFTS = {
     "supplier": {"s_suppkey": 1_000_000},
     "documents": {"doc_id": 1_000_000},
     "embeddings": {"vec_id": 1_000_000},
+    # more users over the same time range (production growth mode for the
+    # event tier: per-user sequence lengths stay fixed, user cardinality
+    # scales) — without this, event-tier probes ran on UNSCALED data and
+    # reported misleadingly flat factors (the ADVICE-r4 dim-join class).
+    "events": {"user_id": 1_000_000, "event_id": 100_000_000},
 }
 
 PROBES = [
@@ -102,8 +107,8 @@ def build(spark, factor: int) -> None:
             out = out.unionByName(df)
         out.write.mode("overwrite").parquet(f"{OUT}/{table}.parquet")
     # small dims unchanged: copy so load_table finds them (nation/region are
-    # fixed 25/5-row TPC-H tables; events is probed unscaled)
-    for small in ("nation", "region", "events"):
+    # fixed 25/5-row TPC-H tables)
+    for small in ("nation", "region"):
         src_path = f"{BASE}/{small}.parquet"
         dst = f"{OUT}/{small}.parquet"
         if os.path.isfile(src_path):
