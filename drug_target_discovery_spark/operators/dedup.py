@@ -310,7 +310,11 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """SimHash document fingerprint: per bit, sum +1/-1 over token-hash bits;
     fingerprint = sum of (bit_set << bit). Explode tokens x bits -> two
-    aggregations. ``bits=32`` keeps the fingerprint in int64 comfortably."""
+    aggregations. Width constraint: ``bits <= 60`` — that is all the entropy
+    the 15-hex-digit md5 prefix hash carries (and it keeps the fingerprint
+    sign-safe in int64). Prefer the full 60 (the callers' _SH_BITS): width
+    is what keeps banded near-dup joins sub-quadratic, since bucket
+    occupancy is N / 2^(bits/blocks) — see simhash_near_dups."""
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).filter(F.col("tok") != "")

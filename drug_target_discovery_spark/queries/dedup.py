@@ -296,6 +296,9 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Single home for the fingerprint CTE chain, shared by simhash_fingerprints
 # and simhash_near_dups so the two oracles cannot drift.
+# Width rule: <= 60 (the 15-hex-digit md5 prefix both engines hash with),
+# and the banding below must tile it exactly (_SH_BLOCKS * _SH_BLOCK_W).
+_SH_BITS = 60
 _SIMHASH_SQL = f"""
     toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -307,7 +310,7 @@ _SIMHASH_SQL = f"""
     votes AS (
       SELECT doc_id, bit,
              sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-      FROM hashed, unnest(range(0, 60)) AS t(bit)
+      FROM hashed, unnest(range(0, {_SH_BITS})) AS t(bit)
       GROUP BY doc_id, bit
     ),
     fp AS (
@@ -338,7 +341,7 @@ def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate stage sub-quadratic as the corpus grows — see the saturation
     analysis on ``simhash_near_dups``."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_fingerprints(docs, bits=60)
+    return simhash_fingerprints(docs, bits=_SH_BITS)
 
 
 # --------------------------------------------------------------------------
@@ -347,6 +350,7 @@ def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SH_BLOCKS = 4     # 15-bit blocks of the 60-bit fingerprint
 _SH_BLOCK_W = 15   # block width in bits (2^15 = 32768 bucket values/band)
 _SH_MAX_HAM = 3    # pigeonhole: <= 3 differing bits => >= 1 identical block
+assert _SH_BLOCKS * _SH_BLOCK_W == _SH_BITS  # banding must tile the fingerprint
 
 
 @register(
@@ -397,7 +401,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     — bucket-local, skew bounded by the hottest block value, with the
     same salting escape as the LSH band join if a degenerate fingerprint
     dominates. Verification is two codegen'd bit ops per pair."""
-    fp = simhash_fingerprints(load_table(spark, sf_dir, "documents"), bits=60)
+    fp = simhash_fingerprints(load_table(spark, sf_dir, "documents"), bits=_SH_BITS)
     b = F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("b")
     blocks = fp.select("doc_id", "simhash", b).select(
         "doc_id",

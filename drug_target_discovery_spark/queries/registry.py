@@ -116,7 +116,7 @@ _PRIORITY_GATE: tuple[str, ...] = (
 # Slots 51+: the unchanged-since-r3 remainder (they keep their r3 green
 # rows; first in round 6's gate), ahead of the r4-fresh majority.
 _PRIORITY_REST: tuple[str, ...] = (
-    # r3-green refreshes displaced from the round-5 gate by the three
+    # r3-green refreshes displaced from the round-5 gate by the four
     # late-round new queries (never-checked beats stale); first next round
     "ngram_jaccard_near_dups",
     "revenue_by_nation",

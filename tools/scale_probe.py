@@ -89,6 +89,19 @@ PROBES = [
     "hybrid_retrieval_rerank",
     "ks_test_price_drift",
     "quantile_normalize_exact",
+    # round-5 second/third batches + event tier (events now replicate).
+    # simhash_near_dups doubles as the regression guard for the 60-bit
+    # fingerprint width (the 32-bit/8-bit-block first cut measured 6.97x).
+    "auc_by_cohort",
+    "pr_curve_sampled",
+    "count_min_frequency_probe",
+    "psi_price_stability",
+    "simhash_near_dups",
+    "zorder_file_layout",
+    "bigram_pmi_collocations",
+    "winsorized_price_stats",
+    "event_transition_matrix",
+    "view_purchase_attribution",
 ]
 
 
