@@ -146,6 +146,9 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_shingle_df * n_docs)
             .select("shingle")
         )
+        # bounded broadcast: shingles with df > f*n_docs number at most
+        # total_shingles/(f*n_docs) ~= avg_doc_len/f — independent of
+        # corpus size, so the hint survives any scale-up.
         sh = sh.join(F.broadcast(common), "shingle", "left_anti")
     from drug_target_discovery_spark.caching import scoped_cache
 
@@ -362,6 +365,9 @@ def jaccard_verify_pairs(
         .union(pairs.select("d2"))
         .distinct()
     )
-    docs_cand = docs.join(F.broadcast(members), id_col, "left_semi")
+    # members grows with the corpus's near-dup incidence, so no forced
+    # broadcast: AQE broadcasts the semi-join side while it fits and falls
+    # back to a keyed shuffle beyond the threshold.
+    docs_cand = docs.join(members, id_col, "left_semi")
     sh = token_shingles(docs_cand, text_col, id_col, n)
     return _score_candidate_pairs(sh, pairs, id_col, threshold)

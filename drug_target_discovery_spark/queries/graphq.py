@@ -64,13 +64,15 @@ _CELL_SQL = f"""
 def _cell_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long (gene, sample, value) table: avg quantity per (part, nation).
     lineitem⋈orders is the only fact-fact (sort-merge) join; customer is
-    broadcast. One aggregation shuffle on the composite key."""
+    corpus-proportional, so its join strategy is left to AQE (broadcast at
+    bench scale, keyed shuffle beyond the threshold). One aggregation
+    shuffle on the composite key."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy(F.col("l_partkey").alias("g"), F.col("c_nationkey").alias("s"))
         .agg(F.avg("l_quantity").alias("v"))
     )

@@ -90,8 +90,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact ⋈ dims star join. customer/nation are broadcast (no fact shuffle
-    for the joins); the only shuffle is the final groupBy on nation.
+    """Fact ⋈ dims star join. nation (25 rows, bounded by the schema) carries
+    an explicit broadcast hint; customer is corpus-proportional, so its join
+    strategy is left to AQE — broadcast while it fits the threshold, shuffle
+    hash join on the customer key beyond that.
     Reference analog: probe→gene broadcast mapping join (pipeline2.py:511-516)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -102,7 +104,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -202,15 +204,17 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def parts_shipped_to_top_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join subgraph restriction analog (pipeline2.py:1061-1066): parts
-    that ever shipped to the nation with the most orders. Chained broadcast
-    semi-joins; top-1 computed as orderBy/limit."""
+    that ever shipped to the nation with the most orders. Chained semi-joins;
+    top-1 computed as orderBy/limit. Only the 1-row top_nation result carries
+    a broadcast hint — customer and the per-nation customer subset are
+    corpus-proportional, so their join strategies are left to AQE."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
 
     top_nation = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("c_nationkey"))
@@ -219,7 +223,7 @@ def parts_shipped_to_top_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust_in_nation = cust.join(F.broadcast(top_nation), "c_nationkey", "left_semi")
     orders_in_nation = orders.join(
-        F.broadcast(cust_in_nation.select("c_custkey")),
+        cust_in_nation.select("c_custkey"),
         orders.o_custkey == F.col("c_custkey"),
         "left_semi",
     )

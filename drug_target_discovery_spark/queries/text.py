@@ -248,9 +248,12 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document: two aggregations (tf, df) + a
-    broadcast join of the term-df dim + a per-doc window top-k. df and
-    n_docs are corpus-level dims — tiny relative to the corpus, always
-    broadcastable."""
+    broadcast join of the term-df table + a per-doc window top-k. The df
+    table is vocabulary-sized (Heaps-law sublinear in the corpus) — the
+    same broadcast-the-model shape as the unigram LM scorer; a deployment
+    whose vocabulary outgrows the broadcast threshold caps df to a top-V
+    vocabulary (the standard TF-IDF practice) or swaps this one hint for a
+    term-keyed shuffle join."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
         F.col("term") != ""

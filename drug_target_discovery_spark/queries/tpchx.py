@@ -147,10 +147,13 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break.
 
     Scale shape: the quantity aggregation (map-side partial sum) shrinks
-    lineitem to the handful of qualifying orders BEFORE any join; that tiny
-    set is broadcast into orders, and the still-tiny result is broadcast
-    into customer — the two big tables are never shuffled. The final sort
-    is TakeOrderedAndProject (top-k per partition + driver merge), never a
+    lineitem to the qualifying orders BEFORE any join. The qualifying set
+    is selective but corpus-proportional (orders above the threshold grow
+    linearly with the fact table), so neither join side carries a forced
+    broadcast hint — AQE broadcasts the filtered side while it fits and
+    degrades to a shuffle join on the order/customer key beyond that,
+    which is the correct 100 TB behavior. The final sort is
+    TakeOrderedAndProject (top-k per partition + driver merge), never a
     global sort."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
@@ -162,10 +165,8 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    joined = F.broadcast(big).join(
-        orders, F.col("o_orderkey") == F.col("l_orderkey")
-    )
-    out = F.broadcast(joined).join(cust, F.col("c_custkey") == F.col("o_custkey"))
+    joined = big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+    out = joined.join(cust, F.col("c_custkey") == F.col("o_custkey"))
     return (
         out.select(
             "c_custkey",

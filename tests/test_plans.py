@@ -221,6 +221,27 @@ class TestPlanShape:
         plan = plan_of(spark, "part_pair_affinity")
         assert "AdaptiveSparkPlan" in plan, plan
 
+    def test_no_forced_broadcast_of_corpus_proportional_tables(self, spark):
+        # The part_pair_affinity rule, repo-wide: customer (scales with SF),
+        # threshold-qualifying order sets, and near-dup candidate members
+        # must never carry a forced broadcast hint — AQE broadcasts them
+        # while small and degrades to a keyed shuffle at scale. Bounded
+        # sets (nation, 1-row aggregates, stop-shingles <= avg_len/f,
+        # MG/CMS candidates, fixed bins) keep their hints.
+        import inspect
+
+        from drug_target_discovery_spark.operators import dedup as dedup_ops
+        from drug_target_discovery_spark.queries.registry import all_queries
+
+        qs = all_queries()
+        for name in ("revenue_by_nation", "parts_shipped_to_top_nation",
+                     "large_quantity_orders"):
+            src = inspect.getsource(qs[name].fn)
+            assert "F.broadcast(cust" not in src, name
+            assert "F.broadcast(big" not in src and "F.broadcast(joined" not in src, name
+        src = inspect.getsource(dedup_ops.jaccard_verify_pairs)
+        assert "F.broadcast(members" not in src
+
     def test_boilerplate_grams_hash_before_shuffle(self, spark):
         # template-fragment detection: gram strings are md5-hashed map-side,
         # so every exchange keys on (source, hg) / doc_id — never the gram
