@@ -203,3 +203,114 @@ def pr_curve_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("tp") * F.lit(1.0) / F.col("n_at"), 6).alias("precision_at"),
         rnd(F.col("tp") * F.lit(1.0) / F.col("n_pos"), 6).alias("recall_at"),
     )
+
+
+# --------------------------------------------------------------------------
+# ANN recall@k: measure the IVF approximation against exact ground truth
+# --------------------------------------------------------------------------
+from drug_target_discovery_spark.queries.similarity import (  # noqa: E402
+    _BUCKET_DUCK,
+    _DOT_DUCK,
+    _NORM_DUCK,
+    _N_QUERIES,
+    _TOP_K,
+)
+
+
+@register(
+    "ann_recall_eval",
+    tags=("eval", "similarity"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, emb AS qemb FROM v WHERE vec_id < {_N_QUERIES}),
+    ex_scored AS (
+      SELECT q.qid, v.vec_id AS nbr_id,
+             {_DOT_DUCK.format(a="q.qemb", b="v.emb")}
+               / ({_NORM_DUCK.format(a="q.qemb")} * {_NORM_DUCK.format(a="v.emb")})
+             AS cosine
+      FROM q CROSS JOIN v WHERE q.qid <> v.vec_id
+    ),
+    exact AS (
+      SELECT qid, nbr_id FROM (
+        SELECT qid, nbr_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nbr_id ASC) AS rnk
+        FROM ex_scored
+      ) WHERE rnk <= {_TOP_K}
+    ),
+    b AS (SELECT vec_id, emb, {_BUCKET_DUCK} AS bucket FROM v),
+    qb AS (SELECT vec_id AS qid, emb AS qemb, bucket FROM b WHERE vec_id < {_N_QUERIES}),
+    iv_scored AS (
+      SELECT qb.qid, b.vec_id AS nbr_id,
+             {_DOT_DUCK.format(a="qb.qemb", b="b.emb")}
+               / ({_NORM_DUCK.format(a="qb.qemb")} * {_NORM_DUCK.format(a="b.emb")})
+             AS cosine
+      FROM qb JOIN b USING (bucket) WHERE qb.qid <> b.vec_id
+    ),
+    approx AS (
+      SELECT qid, nbr_id FROM (
+        SELECT qid, nbr_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nbr_id ASC) AS rnk
+        FROM iv_scored
+      ) WHERE rnk <= {_TOP_K}
+    ),
+    ex_counts AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid),
+    hits AS (
+      SELECT e.qid, count(*) AS n_hits
+      FROM exact e JOIN approx a ON e.qid = a.qid AND e.nbr_id = a.nbr_id
+      GROUP BY e.qid
+    )
+    SELECT c.qid, c.n_exact, coalesce(h.n_hits, 0) AS n_hits,
+           {rnd_sql(f"coalesce(h.n_hits, 0) * 1.0 / {_TOP_K}", 6)} AS recall_at_k
+    FROM ex_counts c LEFT JOIN hits h ON c.qid = h.qid
+    ORDER BY c.qid
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF-bucketed ANN path against the exact brute-force
+    top-k — the honest-measurement companion to `ann_ivf_bucketed_topk`
+    (an approximate index without a measured recall is an unquantified
+    approximation). Both ranked sets come from the similarity tier's
+    shared builders; recall = |ivf ∩ exact| / k per query vector.
+
+    Deterministic end to end: both engines rank identical IEEE doubles
+    with the same (cosine DESC, nbr_id ASC) tie-break, so the top-k sets
+    and therefore the hit counts match exactly. Scale shape: the exact
+    side is the O(Q·N) ground-truth pass an offline eval runs on a
+    sample of queries (Q bounded, the broadcast is the Q-row query set);
+    the hit join keys on (qid, nbr_id) — two k·Q-row tables."""
+    from drug_target_discovery_spark.queries.similarity import (
+        _emb_double,
+        exact_cosine_ranked,
+        ivf_cosine_ranked,
+    )
+
+    v = _emb_double(load_table(spark, sf_dir, "embeddings")).select("vec_id", "emb")
+    exact = exact_cosine_ranked(v).select("qid", "nbr_id")
+    approx = ivf_cosine_ranked(v).select("qid", F.col("nbr_id").alias("a_nbr"))
+    hits = exact.join(
+        approx,
+        (exact.qid == approx.qid) & (exact.nbr_id == approx.a_nbr),
+        "left_semi",
+    )
+    per_q = (
+        exact.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")),
+            "qid",
+            "left_outer",
+        )
+        .select(
+            "qid",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+    )
+    return per_q.select(
+        "qid",
+        "n_exact",
+        "n_hits",
+        rnd(F.col("n_hits") / F.lit(float(_TOP_K)), 6).alias("recall_at_k"),
+    ).orderBy("qid")

@@ -449,3 +449,80 @@ def spearman_edges_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked, "g", "s", "v", threshold=CORR_THRESHOLD, min_periods=MIN_PERIODS
     )
     return edges.select("g1", "g2", rnd("r", 6).alias("rho"), "n_samples")
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity (Newman 2002): do hubs link to hubs?
+# --------------------------------------------------------------------------
+@register(
+    "degree_assortativity_corr_graph",
+    tags=("graph", "stats"),
+    oracle=f"""
+    WITH {_CELL_SQL},
+    sym AS (
+      SELECT g1 AS a, g2 AS b FROM edges
+      UNION ALL
+      SELECT g2 AS a, g1 AS b FROM edges
+    ),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY a),
+    pairs AS (
+      SELECT da.d AS x, db.d AS y
+      FROM sym JOIN deg da ON sym.a = da.node JOIN deg db ON sym.b = db.node
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+                ELSE {rnd_sql('''(n * sxy - sx * sy)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))''', 6)}
+           END AS assortativity
+    FROM s
+    """,
+)
+def degree_assortativity_corr_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the correlation graph (Newman 2002,
+    nx.degree_pearson_correlation_coefficient semantics): the Pearson
+    correlation of endpoint degrees over BOTH orientations of every edge
+    — positive when hubs attach to hubs. A rider on the shared graph
+    memo: symmetrize the cached edge list, one bounded degree aggregate
+    (≤ TOP_K rows — broadcast is justified by the K constant, not data
+    size), and a single sufficient-statistics aggregate. All sums are
+    exact integers (degrees are counts), so both engines divide
+    identical numerators; degenerate variance (regular graphs) yields
+    NULL on both sides."""
+    _, edges = _corr_graph(spark, sf_dir)
+    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        sym.join(F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("x"))), "a")
+        .join(F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("y"))), "b")
+        .select("x", "y")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.when(
+            (vx <= 0) | (vy <= 0), F.lit(None).cast("double")
+        ).otherwise(
+            rnd(cov / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))), 6)
+        ).alias("assortativity"),
+    )

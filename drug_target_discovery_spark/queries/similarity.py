@@ -35,6 +35,52 @@ def _emb_double(df: DataFrame, out: str = "emb") -> DataFrame:
     return df.withColumn(out, F.col("embedding").cast("array<double>"))
 
 
+def _cosine_expr() -> F.Column:
+    return (
+        F.expr(_DOT_SPARK.format(a="qemb", b="emb"))
+        / (F.expr(_NORM_SPARK.format(a="qemb")) * F.expr(_NORM_SPARK.format(a="emb")))
+    ).alias("cosine")
+
+
+def exact_cosine_ranked(v: DataFrame) -> DataFrame:
+    """(qid, nbr_id, cosine, rnk) exact brute-force top-{_TOP_K} per query
+    vector — the ranked set behind ``cosine_topk_bruteforce`` and the
+    ground truth for ``ann_recall_eval``. Unrounded cosine."""
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", F.col("vec_id").alias("nbr_id"), _cosine_expr())
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _TOP_K
+    )
+
+
+def ivf_cosine_ranked(v: DataFrame) -> DataFrame:
+    """(qid, nbr_id, cosine, rnk) IVF-bucketed approximate top-{_TOP_K}:
+    the ranked set behind ``ann_ivf_bucketed_topk`` and the candidate
+    side of ``ann_recall_eval``. Unrounded cosine."""
+    b = v.withColumn("bucket", F.expr(_BUCKET_SPARK))
+    q = b.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(b, "bucket")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", F.col("vec_id").alias("nbr_id"), _cosine_expr())
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _TOP_K
+    )
+
+
 # --------------------------------------------------------------------------
 # Brute-force cosine top-k
 # --------------------------------------------------------------------------
@@ -68,30 +114,8 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     the small query set against all candidates, fold the dot product
     JVM-side, per-query window top-k with deterministic tie-break."""
     v = _emb_double(load_table(spark, sf_dir, "embeddings")).select("vec_id", "emb")
-    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
-    )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(v)
-        .filter(F.col("qid") != F.col("vec_id"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("nbr_id"),
-            (
-                F.expr(_DOT_SPARK.format(a="qemb", b="emb"))
-                / (
-                    F.expr(_NORM_SPARK.format(a="qemb"))
-                    * F.expr(_NORM_SPARK.format(a="emb"))
-                )
-            ).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_K)
-        .select("qid", "nbr_id", rnd("cosine", 6).alias("cosine"), "rnk")
+    return exact_cosine_ranked(v).select(
+        "qid", "nbr_id", rnd("cosine", 6).alias("cosine"), "rnk"
     )
 
 
@@ -142,31 +166,8 @@ def ann_ivf_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes a bucket equi-join. Same recall/cost trade as IVF-nprobe=1;
     swap the quantizer for k-means centroids without changing the plan."""
     v = _emb_double(load_table(spark, sf_dir, "embeddings")).select("vec_id", "emb")
-    b = v.withColumn("bucket", F.expr(_BUCKET_SPARK))
-    q = b.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"), "bucket"
-    )
-    scored = (
-        F.broadcast(q)
-        .join(b, "bucket")
-        .filter(F.col("qid") != F.col("vec_id"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("nbr_id"),
-            (
-                F.expr(_DOT_SPARK.format(a="qemb", b="emb"))
-                / (
-                    F.expr(_NORM_SPARK.format(a="qemb"))
-                    * F.expr(_NORM_SPARK.format(a="emb"))
-                )
-            ).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nbr_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_K)
-        .select("qid", "nbr_id", rnd("cosine", 6).alias("cosine"), "rnk")
+    return ivf_cosine_ranked(v).select(
+        "qid", "nbr_id", rnd("cosine", 6).alias("cosine"), "rnk"
     )
 
 

@@ -102,7 +102,9 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, st
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (set(sys.argv[1:2]) - {sf_dir} or None)
+    # every non-dir argument is a query name (argv[1] included — it is only
+    # consumed as sf_dir when it actually names a directory)
+    only = set(a for a in sys.argv[1:] if a != sf_dir and not os.path.isdir(a)) or None
     reg = all_queries()
 
     spark = get_spark("correctness-check")
