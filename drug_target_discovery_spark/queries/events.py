@@ -513,3 +513,74 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention matrix (the classic "retention triangle")
+# --------------------------------------------------------------------------
+@register(
+    "cohort_retention_matrix",
+    tags=("events", "agg", "join"),
+    oracle=f"""
+    WITH firstd AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_day, count(*) AS cohort_size FROM firstd GROUP BY cohort_day
+    ),
+    activity AS (
+      SELECT f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS age_days,
+             count(DISTINCT e.user_id) AS n_active
+      FROM events e JOIN firstd f ON e.user_id = f.user_id
+      GROUP BY 1, 2
+    )
+    SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(a.age_days AS BIGINT) AS age_days,
+           a.n_active, s.cohort_size,
+           {rnd_sql("a.n_active * 1.0 / s.cohort_size", 6)} AS retention
+    FROM activity a JOIN sizes s ON a.cohort_day = s.cohort_day
+    ORDER BY cohort_day, age_days
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by the day of their first
+    event; for every (cohort, days-since-first) cell, how many of that
+    cohort were active — the standard product-analytics retention matrix.
+
+    Scale shape: ONE user-key shuffle does all the heavy lifting — the
+    first-event aggregate and the events⋈firstd join share the user_id
+    hash partitioning (AQE reuses the exchange), and the
+    (cohort, age) aggregate collapses to a calendar-bounded cell table
+    (days × ages), as does the cohort-size table — both tiny regardless
+    of corpus size, joined without hints. Retention is an exact integer
+    ratio rounded identically in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firstd = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = firstd.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    activity = (
+        ev.join(firstd, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("age_days"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "age_days")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        activity.join(sizes, "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("age_days").cast("long").alias("age_days"),
+            "n_active",
+            "cohort_size",
+            rnd(F.col("n_active") * 1.0 / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_day", "age_days")
+    )

@@ -798,3 +798,74 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v2").isNull().alias("is_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed Lloyd k-means (the training loop the E-step query assumes)
+# --------------------------------------------------------------------------
+try:  # fixture VALUES oracle (independent numpy Lloyd on sf0.01) — generated
+    from drug_target_discovery_spark.queries._kmeans_oracle import KMEANS_ORACLE
+except ImportError:  # pragma: no cover - regenerate via tools/gen_kmeans_oracle.py
+    KMEANS_ORACLE = None
+
+_KM_K = 8
+_KM_ITERS = 5
+
+
+@register(
+    "kmeans_lloyd_clusters",
+    tags=("similarity", "iterative", "mapinpandas"),
+    oracle=KMEANS_ORACLE,
+)
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd k-means training ({_KM_K} clusters, {_KM_ITERS} rounds)
+    over the embeddings — the loop `centroid_assignment` (one E-step) and
+    `semantic_dedup_prune` (cluster-local GEMM) presume ran upstream.
+    Driver-coordinated iteration, MLlib-KMeans shape: per round, an
+    Arrow-batched kernel computes per-partition integer sufficient
+    statistics, only the K×(D+1) partial-sum table is collected, and the
+    K×D centroid model re-broadcasts.
+
+    Exact end to end (see operators/kmeans.py): micro-unit quantization
+    makes every M-step sum order-independent int64 arithmetic, so the
+    independent numpy fixture oracle matches to the last digit — an
+    iterative algorithm held to the same exact-value bar as the SQL
+    queries. Output: per-cluster member count (distributed aggregate
+    under the final model) and the centroid L2 norm in micro units."""
+    import math
+
+    from drug_target_discovery_spark.operators.kmeans import (
+        QUANT_SCALE,
+        final_assignment,
+        lloyd_iterations,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vq = emb.select("vec_id", "embedding")
+    vq = quantize_embeddings(vq)
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    vq = scoped_cache(vq)  # consumed once per iteration + final assignment
+    centroids = lloyd_iterations(vq, _KM_K, _KM_ITERS)
+    counts = (
+        final_assignment(vq, centroids)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    summary = []
+    for j, c in enumerate(centroids):
+        acc = 0.0
+        for x in c:  # left-to-right, mirrored by the oracle generator
+            acc += (x / QUANT_SCALE) ** 2
+        summary.append((j, int(math.floor(math.sqrt(acc) * 1e6 + 0.5))))
+    model = spark.createDataFrame(summary, "cluster INT, centroid_norm_micro BIGINT")
+    return (
+        model.join(counts, "cluster", "left_outer")
+        .select(
+            F.col("cluster").alias("cluster_id"),
+            F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias("n_members"),
+            "centroid_norm_micro",
+        )
+        .orderBy("cluster_id")
+    )

@@ -1,0 +1,50 @@
+"""Lloyd k-means: the fixture VALUES oracle pins sf0.01; these tests pin
+(a) the sf0.001 result against the generator's independent numpy
+implementation and (b) partition-invariance — the exactness contract says
+batching must not change a single digit."""
+
+import os
+import sys
+
+import numpy as np
+
+from drug_target_discovery_spark.queries.registry import all_queries
+from drug_target_discovery_spark.sources.tables import load_table
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+SF = "/root/testdata/sf0.001"
+
+
+def _numpy_expected(spark):
+    from gen_kmeans_oracle import K, ITERS, S, numpy_lloyd
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding").toPandas()
+    ids = emb.vec_id.to_numpy(dtype=np.int64)
+    V = np.stack(emb.embedding.map(lambda a: np.asarray(a, dtype=np.float64)))
+    V_int = np.floor(V * S + 0.5).astype(np.int64)
+    return numpy_lloyd(V_int, ids, K, ITERS)
+
+
+class TestKmeansLloyd:
+    def test_matches_independent_numpy(self, spark):
+        rows = all_queries()["kmeans_lloyd_clusters"].fn(spark, SF).collect()
+        got = [(r["cluster_id"], r["n_members"], r["centroid_norm_micro"]) for r in rows]
+        assert got == _numpy_expected(spark)
+
+    def test_partition_invariance(self, spark):
+        from drug_target_discovery_spark.operators.kmeans import (
+            final_assignment,
+            lloyd_iterations,
+            quantize_embeddings,
+        )
+
+        emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+        a = quantize_embeddings(emb.repartition(1))
+        b = quantize_embeddings(emb.repartition(13))
+        ca = lloyd_iterations(a, 4, 3)
+        cb = lloyd_iterations(b, 4, 3)
+        assert ca == cb  # exact float equality: int sums are order-free
+        la = {r["vid"]: r["cluster"] for r in final_assignment(a, ca).collect()}
+        lb = {r["vid"]: r["cluster"] for r in final_assignment(b, cb).collect()}
+        assert la == lb
