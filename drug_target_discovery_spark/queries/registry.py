@@ -100,26 +100,49 @@ _PRIORITY_GATE: tuple[str, ...] = (
     "part_pair_affinity",         # forced item-count broadcasts removed
     "split_contamination_audit",  # shingle width now explicit (n=_N)
     "semantic_dedup_prune",       # oracle gained zero-norm convention guard
-    # -- (3) round-3-stale refreshes (pipeline-critical and expensive rows
-    #    first; the r3 remainder heads _PRIORITY_REST for round 6)
-    "geo_pipeline_differential",
-    "geo_pipeline_targets",
-    "differential_expression",
+    # -- (3) changed this round, late: the LSH verification memo rewrite
     "near_dup_groups",
     # -- (4) new in the second half of the round (never-checked > stale)
     "zorder_file_layout",         # NEW: Morton-curve clustering assignment
     "bigram_pmi_collocations",    # NEW: BPE-merge/collocation statistic
     "winsorized_price_stats",     # NEW: p05/p95 outlier clipping
     "event_transition_matrix",    # NEW: Markov lead-window sequence stats
+    # -- (5) new in the final third of the round. The decorrelation /
+    #    retention / eval / skew additions outnumber the remaining slots;
+    #    these three carry the most novel plan contracts (exact iterative
+    #    k-means, global-rank-without-global-sort, double EXISTS
+    #    decorrelation) — the rest head _PRIORITY_REST with full local
+    #    oracle-gate + independent-recompute evidence until round 6.
+    "kmeans_lloyd_clusters",      # NEW: exact distributed Lloyd iterations
+    "revenue_pareto_deciles",     # NEW: bucket+offset global ranks
+    "late_sole_supplier_orders",  # NEW: Q21 one-aggregate decorrelation
 )
 
-# Slots 51+: the unchanged-since-r3 remainder (they keep their r3 green
-# rows; first in round 6's gate), ahead of the r4-fresh majority.
+# Slots 51+: first the round-5 additions/changes that did not fit the
+# 50-slot window (never-checked or changed-plan — all green in the local
+# oracle gate this round, queued for driver evidence in round 6), then the
+# unchanged-since-r3 remainder, ahead of the r4-fresh majority.
 _PRIORITY_REST: tuple[str, ...] = (
-    # r3-green refreshes displaced from the round-5 gate by the four
-    # late-round new queries (never-checked beats stale); first next round
-    "ngram_jaccard_near_dups",
+    # round-5 new, local-gate green, driver evidence pending
+    "min_cost_part_supplier",
+    "customer_order_distribution",
+    "wealthy_inactive_customers",
+    "ann_recall_eval",
+    "degree_assortativity_corr_graph",
+    "cohort_retention_matrix",
+    "salted_returnflag_stats",
+    "cdc_merge_apply",
+    # round-5 plan changes (forced-broadcast removal — values re-proven
+    # locally; AQE picks the same physical join at gate scale;
+    # large_quantity_orders also changed but already sits in the gate's
+    # backlog group)
     "revenue_by_nation",
+    "parts_shipped_to_top_nation",
+    # r3-green refreshes displaced from the round-5 gate (stale < new)
+    "geo_pipeline_differential",
+    "geo_pipeline_targets",
+    "differential_expression",
+    "ngram_jaccard_near_dups",
     "pricing_summary",
     "lsh_candidate_pairs",
     "benchmark_decontamination",
@@ -148,7 +171,6 @@ _PRIORITY_REST: tuple[str, ...] = (
     "media_image_decode_dims",
     "media_payload_digest",
     "part_type_classifier",
-    "parts_shipped_to_top_nation",
     "per_source_doc_cap",
     "positional_zip_join",
     "small_lot_revenue",

@@ -4,8 +4,10 @@ predicate pushdown, column pruning, broadcast-join selection and
 TakeOrderedAndProject for free.
 
 Scale notes (100 TB design stance):
-- Dim tables (region/nation/customer/supplier/part) are explicitly
-  ``broadcast()`` — fact-side shuffles are avoided entirely for star joins.
+- Schema-bounded dim tables (region: 5 rows, nation: 25) carry explicit
+  ``broadcast()`` hints; corpus-proportional tables (customer, supplier,
+  part, filtered fact subsets) are left to AQE, which broadcasts them
+  while they fit and degrades to a keyed shuffle at scale.
 - Aggregations are expressed as single groupBy passes (one shuffle), with
   map-side partial aggregation handled by Catalyst.
 - Top-k is always ``orderBy().limit()`` which Spark plans as
@@ -664,4 +666,157 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lift"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew tooling under the oracle gate: salted two-phase aggregation
+# --------------------------------------------------------------------------
+@register(
+    "salted_returnflag_stats",
+    tags=("relational", "agg", "skew"),
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           {rnd_sql("sum(l_quantity)", 1)} AS sum_qty,
+           {rnd_sql("max(l_extendedprice)", 2)} AS max_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def salted_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit salted two-phase aggregation (operators/skew.py) under
+    the driver's exact-value gate: lineitem grouped by l_returnflag — 3
+    output keys over millions of rows, the classic
+    low-cardinality-output aggregation where ONE reducer per key would
+    drown without the (key, salt) pre-phase.
+
+    The oracle is the plain GROUP BY: salting must be result-invariant.
+    That equality is exact by construction — count/max are
+    order-insensitive, and quantities are integer-valued so their double
+    sum is exact in any accumulation order (the same argument the
+    two-phase split itself relies on). Spark's own partial aggregation
+    covers this case when inputs are flat; the explicit form is for when
+    an upstream join pins partitioning and map-side combine can't engage."""
+    from drug_target_discovery_spark.operators.skew import two_phase_agg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    out = two_phase_agg(
+        li,
+        "l_returnflag",
+        {
+            "n_rows": ("l_returnflag", "count"),
+            "sum_qty": ("l_quantity", "sum"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        rnd("sum_qty", 1).alias("sum_qty"),
+        rnd("max_price", 2).alias("max_price"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# CDC MERGE apply (the lakehouse MERGE INTO shape as one keyed outer join)
+# --------------------------------------------------------------------------
+@register(
+    "cdc_merge_apply",
+    tags=("relational", "join", "cdc"),
+    oracle=f"""
+    WITH latest AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    ),
+    changes AS (
+      SELECT CASE WHEN o_orderkey % 10 = 9 THEN o_custkey + 1000000
+                  ELSE o_custkey END AS key,
+             CASE WHEN o_orderkey % 10 <= 5 THEN 'U'
+                  WHEN o_orderkey % 10 <= 8 THEN 'D'
+                  ELSE 'I' END AS op,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS new_cents
+      FROM latest WHERE rn = 1
+    ),
+    snap AS (
+      SELECT c_custkey AS key,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT coalesce(c.key, s.key) AS key,
+           CASE WHEN c.op IN ('U', 'I') THEN c.new_cents ELSE s.cents END AS cents,
+           CASE WHEN c.op IS NULL THEN 'carried'
+                WHEN s.key IS NULL THEN 'inserted'
+                ELSE 'updated' END AS status
+    FROM snap s FULL OUTER JOIN changes c ON s.key = c.key
+    -- every op='D' join row drops: matched deletes remove the snapshot
+    -- row, unmatched deletes are no-ops (NULL-op carried rows survive)
+    WHERE c.op IS NULL OR c.op <> 'D'
+    ORDER BY key
+    """,
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the Delta/Iceberg upsert shape) as a pure
+    DataFrame program: a change batch — synthesized deterministically
+    from each customer's latest 2001 order (update / delete / insert by
+    orderkey digit) — applied to the customer snapshot in ONE keyed
+    full-outer join: matched updates take the new value, matched deletes
+    drop, unmatched inserts append, unmatched snapshot rows carry over,
+    unmatched deletes are no-ops.
+
+    Scale shape: the change batch collapses to one row per key (window
+    top-1 — upstream CDC compaction), then a single full-outer shuffle
+    join on the merge key; no broadcast hints (both sides are
+    corpus-proportional). Balances are integer cents so the merged state
+    is hash-exact. At 100 TB the same plan runs partition-wise against a
+    bucketed/partitioned snapshot (merge-on-read compaction)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    digit = F.col("o_orderkey") % 10
+    changes = latest.select(
+        F.when(digit == 9, F.col("o_custkey") + 1_000_000)
+        .otherwise(F.col("o_custkey"))
+        .alias("key"),
+        F.when(digit <= 5, F.lit("U"))
+        .when(digit <= 8, F.lit("D"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("new_cents"),
+    )
+    snap = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("skey"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    merged = snap.join(changes, snap.skey == changes.key, "full_outer")
+    return (
+        merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce(F.col("key"), F.col("skey")).alias("key"),
+            F.when(F.col("op").isin("U", "I"), F.col("new_cents"))
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+            F.when(F.col("op").isNull(), F.lit("carried"))
+            .when(F.col("skey").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("status"),
+        )
+        .orderBy("key")
     )

@@ -188,3 +188,33 @@ class TestAssortativity:
         else:
             r = np.corrcoef(x, y)[0, 1]
             assert row["assortativity"] == pytest.approx(round(r, 6), abs=1e-6)
+
+
+class TestCdcMergeApply:
+    def test_matches_pandas_recompute(self, spark):
+        rows = all_queries()["cdc_merge_apply"].fn(spark, SF).collect()
+        got = {r["key"]: (r["cents"], r["status"]) for r in rows}
+        assert len(got) == len(rows)  # keys unique after merge
+
+        orders = _df(spark, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+        cust = _df(spark, "customer", ["c_custkey", "c_acctbal"])
+        o = orders[orders.o_orderdate >= pd.Timestamp("2001-01-01")].copy()
+        o = o.sort_values(["o_orderdate", "o_orderkey"], ascending=[False, False])
+        latest = o.groupby("o_custkey", as_index=False).first()
+        snap = {
+            int(r.c_custkey): int(np.floor(r.c_acctbal * 100 + 0.5))
+            for r in cust.itertuples()
+        }
+        expect = {k: (v, "carried") for k, v in snap.items()}
+        for r in latest.itertuples():
+            d = int(r.o_orderkey) % 10
+            cents = int(np.floor(r.o_totalprice * 100 + 0.5))
+            if d <= 5:  # update
+                key = int(r.o_custkey)
+                expect[key] = (cents, "updated" if key in snap else "inserted")
+            elif d <= 8:  # delete (no-op when absent)
+                expect.pop(int(r.o_custkey), None)
+            else:  # insert under a fresh key
+                key = int(r.o_custkey) + 1_000_000
+                expect[key] = (cents, "updated" if key in snap else "inserted")
+        assert got == expect

@@ -102,6 +102,22 @@ PROBES = [
     "winsorized_price_stats",
     "event_transition_matrix",
     "view_purchase_attribution",
+    # round-5 final-third batch: decorrelation tier (replicated dims keep
+    # referential integrity, so the Q2/Q13/Q21/Q22 joins scale honestly),
+    # global-rank Pareto (bucket count is price-range-bound, so only rows
+    # per bucket grow), retention (user cardinality scales, ages fixed),
+    # salted two-phase agg (output stays 3 keys while input grows), and
+    # Lloyd k-means (clone replicas densify clusters; per-iteration work
+    # is map-side, the collected table stays KxD at every factor).
+    "customer_order_distribution",
+    "min_cost_part_supplier",
+    "late_sole_supplier_orders",
+    "wealthy_inactive_customers",
+    "revenue_pareto_deciles",
+    "cohort_retention_matrix",
+    "salted_returnflag_stats",
+    "kmeans_lloyd_clusters",
+    "cdc_merge_apply",
 ]
 
 
