@@ -218,3 +218,45 @@ class TestCdcMergeApply:
                 key = int(r.o_custkey) + 1_000_000
                 expect[key] = (cents, "updated" if key in snap else "inserted")
         assert got == expect
+
+
+class TestDecorrelationPlans:
+    def test_q21_single_fact_exchange(self, spark):
+        # lineitem ⋈ orders co-partition + per-order aggregate must share
+        # one orderkey exchange each (no fact self-join, no extra shuffle
+        # of the fact); the supplier-name join stays adaptive
+        from tests.test_plans import plan_of
+
+        plan = plan_of(spark, "late_sole_supplier_orders")
+        assert "hashpartitioning(l_orderkey" in plan or "hashpartitioning(o_orderkey" in plan, plan
+        # decorrelated: the EXISTS pair never becomes a second scan pass
+        assert plan.count("Scan parquet") <= 3, plan  # lineitem, orders, supplier
+
+    def test_q2_window_partitions_by_partkey(self, spark):
+        # the correlated min subquery decorrelates to a window over the
+        # aggregated cost table, partitioned by the part key (parallel)
+        from tests.test_plans import plan_of
+
+        plan = plan_of(spark, "min_cost_part_supplier")
+        assert "hashpartitioning(l_partkey" in plan, plan
+
+    def test_cdc_merge_no_forced_broadcast(self, spark):
+        # both merge sides are corpus-proportional: the full-outer join
+        # must stay adaptive, with no broadcast hint in the source
+        import inspect
+
+        from tests.test_plans import plan_of
+
+        src = inspect.getsource(all_queries()["cdc_merge_apply"].fn)
+        assert "F.broadcast" not in src
+        plan = plan_of(spark, "cdc_merge_apply")
+        assert "FullOuter" in plan, plan
+
+    def test_q13_filter_in_join_condition(self, spark):
+        # order-less customers must survive: the priority filter prunes the
+        # orders scan (pushed down), never the join output
+        from tests.test_plans import plan_of
+
+        plan = plan_of(spark, "customer_order_distribution")
+        assert "LeftOuter" in plan or "RightOuter" in plan, plan
+        assert "PushedFilters: [IsNotNull(o_orderpriority), Not(EqualTo(o_orderpriority" in plan, plan
