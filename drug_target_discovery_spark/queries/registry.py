@@ -132,6 +132,10 @@ _PRIORITY_REST: tuple[str, ...] = (
     "cohort_retention_matrix",
     "salted_returnflag_stats",
     "cdc_merge_apply",
+    "important_part_value_share",
+    "returnflag_priority_mix",
+    "top_revenue_suppliers",
+    "disjunctive_branch_revenue",
     # round-5 plan changes (forced-broadcast removal — values re-proven
     # locally; AQE picks the same physical join at gate scale;
     # large_quantity_orders also changed but already sits in the gate's
@@ -205,6 +209,7 @@ def all_queries() -> dict[str, Query]:
         stats,
         text,
         tpchx,
+        tpchx2,
         windows,
     )
 

@@ -260,3 +260,41 @@ class TestDecorrelationPlans:
         plan = plan_of(spark, "customer_order_distribution")
         assert "LeftOuter" in plan or "RightOuter" in plan, plan
         assert "PushedFilters: [IsNotNull(o_orderpriority), Not(EqualTo(o_orderpriority" in plan, plan
+
+
+class TestTpchx2Plans:
+    def test_q19_disjunction_pushed_to_both_scans(self, spark):
+        # the OR-of-ANDs must reach BOTH parquet scans as per-side
+        # disjunctions (Catalyst CNF extraction) plus the hull bounds
+        from tests.test_plans import plan_of
+
+        plan = plan_of(spark, "disjunctive_branch_revenue")
+        assert "In(p_brand, [Brand#12,Brand#23,Brand#3])" in plan, plan
+        assert "LessThanOrEqual(l_quantity,35.0)" in plan, plan
+        # per-side disjunction pushed below the join on the part side —
+        # executedPlan().toString() truncates PushedFilters, so read the
+        # untruncated formatted explain
+        df = all_queries()["disjunctive_branch_revenue"].fn(
+            spark, "/root/testdata/sf0.001"
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        full = df._jdf.queryExecution().explainString(mode)
+        assert "Or(Or(And(EqualTo(p_brand,Brand#12)" in full, full
+
+    def test_q11_single_fact_aggregate(self, spark):
+        # per-part aggregate is the fact's only shuffle; the scalar total
+        # reads the part-bounded aggregate (scope-cached), not the fact
+        from tests.test_plans import plan_of
+
+        plan = plan_of(spark, "important_part_value_share")
+        assert "hashpartitioning(l_partkey" in plan, plan
+
+    def test_q15_no_forced_broadcast_in_source(self, spark):
+        # the only broadcast hint allowed is the decorrelated 1-row max —
+        # the supplier-name join must stay adaptive
+        import inspect
+
+        src = inspect.getsource(all_queries()["top_revenue_suppliers"].fn)
+        assert src.count("F.broadcast") == 1  # the 1-row max only
