@@ -136,6 +136,7 @@ _PRIORITY_REST: tuple[str, ...] = (
     "returnflag_priority_mix",
     "top_revenue_suppliers",
     "disjunctive_branch_revenue",
+    "dsir_importance_selection",
     # round-5 plan changes (forced-broadcast removal — values re-proven
     # locally; AQE picks the same physical join at gate scale;
     # large_quantity_orders also changed but already sits in the gate's
@@ -204,6 +205,7 @@ def all_queries() -> dict[str, Query]:
         pipelineq,
         quality,
         relational,
+        selection,
         setops,
         similarity,
         stats,
