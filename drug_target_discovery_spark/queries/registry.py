@@ -137,6 +137,7 @@ _PRIORITY_REST: tuple[str, ...] = (
     "top_revenue_suppliers",
     "disjunctive_branch_revenue",
     "dsir_importance_selection",
+    "adamic_adar_link_prediction",
     # round-5 plan changes (forced-broadcast removal — values re-proven
     # locally; AQE picks the same physical join at gate scale;
     # large_quantity_orders also changed but already sits in the gate's
