@@ -534,6 +534,33 @@ def degree_assortativity_corr_graph(spark: SparkSession, sf_dir: str) -> DataFra
 _AA_TOP_K = 100
 
 
+def adamic_adar_pairs(e: DataFrame) -> DataFrame:
+    """Core Adamic-Adar scorer over a canonical (a < b) edge list:
+    returns (u, w, n_common, s_q) for every NON-adjacent pair with at
+    least one common neighbor, where s_q is the micro-unit-quantized
+    sum of 1/ln(deg(z)) over common neighbors z. Library parity vs
+    networkx.adamic_adar_index is pinned in tests/test_graph.py (up to
+    the documented per-term quantization)."""
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    s1 = sym.select(F.col("a").alias("u"), F.col("b").alias("z"))
+    s2 = sym.select(F.col("a").alias("z"), F.col("b").alias("w"))
+    wedge = s1.join(s2, "z").filter(F.col("u") < F.col("w"))
+    cand = wedge.join(
+        e, (wedge["u"] == e["a"]) & (wedge["w"] == e["b"]), "left_anti"
+    )
+    return (
+        cand.join(deg, cand["z"] == deg["node"])
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(
+                F.floor(1000000.0 / F.log(F.col("d")) + F.lit(0.5)).cast("long")
+            ).alias("s_q"),
+        )
+    )
+
+
 @register(
     "adamic_adar_link_prediction",
     tags=("graph", "linkpred", "topk"),
@@ -584,24 +611,7 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject on an exact integer key."""
     _, edges = _corr_graph(spark, sf_dir)
     e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    s1 = sym.select(F.col("a").alias("u"), F.col("b").alias("z"))
-    s2 = sym.select(F.col("a").alias("z"), F.col("b").alias("w"))
-    wedge = s1.join(s2, "z").filter(F.col("u") < F.col("w"))
-    cand = wedge.join(
-        e, (wedge["u"] == e["a"]) & (wedge["w"] == e["b"]), "left_anti"
-    )
-    scored = (
-        cand.join(deg, cand["z"] == deg["node"])
-        .groupBy("u", "w")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.sum(
-                F.floor(1000000.0 / F.log(F.col("d")) + F.lit(0.5)).cast("long")
-            ).alias("s_q"),
-        )
-    )
+    scored = adamic_adar_pairs(e)
     return (
         scored.select(
             F.col("u").alias("g1"),
