@@ -130,3 +130,41 @@ class TestCorrGraphPipeline:
         assert set(got) == set(expected)
         for n, v in expected.items():
             assert got[n] == pytest.approx(v, abs=5e-4), n
+
+
+class TestAdamicAdar:
+    def test_parity_vs_networkx(self, spark, graph_dfs):
+        from drug_target_discovery_spark.queries.graphq import adamic_adar_pairs
+
+        g, nodes, edges = graph_dfs
+        got = {
+            (r["u"], r["w"]): (r["n_common"], r["s_q"] / 1e6)
+            for r in adamic_adar_pairs(
+                edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            ).collect()
+        }
+        # networkx scores every non-adjacent pair incl. zero-common ones;
+        # the operator only emits pairs with >= 1 common neighbor
+        expected = {
+            (min(u, v), max(u, v)): s
+            for u, v, s in nx.adamic_adar_index(g)
+            if s > 0
+        }
+        assert set(got) == set(expected)
+        for pair, s in expected.items():
+            n_common, score = got[pair]
+            # per-term micro-unit quantization: error <= n_common * 5e-7
+            assert abs(score - s) <= n_common * 5e-7 + 1e-12, pair
+
+    def test_adjacent_pairs_excluded(self, spark, graph_dfs):
+        from drug_target_discovery_spark.queries.graphq import adamic_adar_pairs
+
+        g, nodes, edges = graph_dfs
+        scored = {
+            (r["u"], r["w"])
+            for r in adamic_adar_pairs(
+                edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            ).collect()
+        }
+        existing = {(min(u, v), max(u, v)) for u, v in g.edges()}
+        assert not (scored & existing)

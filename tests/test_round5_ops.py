@@ -269,3 +269,48 @@ class TestEventTransitions:
         plan = plan_of(spark, "event_transition_matrix")
         assert "SortMergeJoin" not in plan, plan
         assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+class TestDsirBigrams:
+    def test_bigram_edge_cases(self, spark):
+        from pyspark.sql import functions as F
+
+        from drug_target_discovery_spark.queries.selection import _BIGRAMS_SPARK
+
+        rows = [
+            ("",),                 # empty text -> no bigrams
+            ("one",),              # single token -> no bigrams
+            ("a b",),              # one bigram
+            ("a  b",),             # double space: empty middle token dropped pairwise
+            ("x y z",),            # two bigrams
+        ]
+        df = spark.createDataFrame(rows, "text STRING").select(
+            F.split(F.col("text"), " ").alias("_a")
+        )
+        got = [r[0] for r in df.select(F.expr(_BIGRAMS_SPARK)).collect()]
+        assert got == [[], [], ["a b"], [], ["x y", "y z"]]
+
+    def test_bigram_duckdb_parity(self, spark):
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        from drug_target_discovery_spark.queries.selection import (
+            _BIGRAMS_DUCK,
+            _BIGRAMS_SPARK,
+        )
+
+        texts = ["", "one", "a b", "a  b", "x y z", "  ", "p q r s"]
+        df = spark.createDataFrame([(t,) for t in texts], "text STRING").select(
+            F.split(F.col("text"), " ").alias("_a")
+        )
+        got_spark = [r[0] for r in df.select(F.expr(_BIGRAMS_SPARK)).collect()]
+        con = duckdb.connect()
+        got_duck = [
+            con.execute(
+                f"SELECT {_BIGRAMS_DUCK} FROM (SELECT string_split(?, ' ') AS a)",
+                [t],
+            ).fetchone()[0]
+            for t in texts
+        ]
+        assert got_spark == got_duck
