@@ -314,3 +314,77 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         rnd(F.col("n_hits") / F.lit(float(_TOP_K)), 6).alias("recall_at_k"),
     ).orderBy("qid")
+
+
+# --------------------------------------------------------------------------
+# Calibration curve (reliability diagram) over fixed probability bins
+# --------------------------------------------------------------------------
+_CAL_BINS = 10
+
+
+@register(
+    "calibration_curve_bins",
+    tags=("eval", "stats", "scalable"),
+    oracle=f"""
+    WITH src AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
+             l_extendedprice AS score
+      FROM lineitem
+    ),
+    ext AS (SELECT min(score) AS lo, max(score) AS hi FROM src),
+    binned AS (
+      SELECT label,
+             CAST(least(floor((score - lo) / (hi - lo) * {_CAL_BINS}),
+                        {_CAL_BINS - 1}) AS INT) AS bin,
+             CAST(floor((score - lo) / (hi - lo) * 1000000.0 + 0.5) AS BIGINT)
+               AS p_q
+      FROM src CROSS JOIN ext
+    )
+    SELECT bin,
+           count(*) AS n,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           {rnd_sql("sum(p_q) / (1000000.0 * count(*))", 6)} AS mean_pred,
+           {rnd_sql("sum(label) * 1.0 / count(*)", 6)} AS frac_pos
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def calibration_curve_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram: min-max-normalize the score to a [0,1]
+    pseudo-probability, cut into {_CAL_BINS} fixed-width bins, and report
+    each bin's mean predicted value against its empirical positive rate —
+    the calibration check (is a "0.8" right 80% of the time?) every
+    scored-model refresh runs next to AUC/PR.
+
+    Scale shape: the score extent is ONE 1-row broadcast aggregate; bin
+    assignment and the normalized value are map-side arithmetic; the only
+    shuffle is the bounded {_CAL_BINS}-row aggregate. The normalized
+    pseudo-probability is quantized to integer micro-units BEFORE the
+    per-bin sum (order-independent, driver-hash exact); label sums are
+    integer counts. Fixed-width bins (not ntile) keep the plan free of
+    any global sort — the equal-count variant would ride the same
+    monotone-bucket + offset rank machinery as revenue_pareto_deciles."""
+    src = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+        F.col("l_extendedprice").alias("score"),
+    )
+    ext = src.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    norm = (F.col("score") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    binned = src.crossJoin(F.broadcast(ext)).select(
+        "label",
+        F.least(F.floor(norm * _CAL_BINS), F.lit(_CAL_BINS - 1))
+        .cast("int")
+        .alias("bin"),
+        F.floor(norm * 1000000.0 + F.lit(0.5)).cast("long").alias("p_q"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+            rnd(F.sum("p_q") / (1000000.0 * F.count(F.lit(1))), 6).alias(
+                "mean_pred"
+            ),
+            rnd(F.sum("label") * 1.0 / F.count(F.lit(1)), 6).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )

@@ -138,6 +138,8 @@ _PRIORITY_REST: tuple[str, ...] = (
     "disjunctive_branch_revenue",
     "dsir_importance_selection",
     "adamic_adar_link_prediction",
+    "calibration_curve_bins",
+    "hard_negative_mining",
     # round-5 plan changes (forced-broadcast removal — values re-proven
     # locally; AQE picks the same physical join at gate scale;
     # large_quantity_orders also changed but already sits in the gate's

@@ -869,3 +869,77 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# --------------------------------------------------------------------------
+_HN_TOP_K = 5
+
+
+@register(
+    "hard_negative_mining",
+    tags=("similarity", "selection", "topk"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, label AS qlabel, emb AS qemb
+      FROM v WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.qid, v.vec_id AS neg_id, v.label AS neg_label,
+             {_DOT_DUCK.format(a="q.qemb", b="v.emb")}
+               / ({_NORM_DUCK.format(a="q.qemb")} * {_NORM_DUCK.format(a="v.emb")})
+             AS cosine
+      FROM q JOIN v ON v.label <> q.qlabel
+    ),
+    ranked AS (
+      SELECT qid, neg_id, neg_label, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, neg_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT qid, neg_id, neg_label, {rnd_sql("cosine", 6)} AS cosine, rnk
+    FROM ranked WHERE rnk <= {_HN_TOP_K}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCLR
+    data-prep step): for each anchor vector, the top-{_HN_TOP_K} most
+    cosine-similar vectors carrying a DIFFERENT label — the negatives
+    that actually move a contrastive loss, as opposed to random ones.
+
+    Scale shape: identical to the brute-force retrieval path — the
+    bounded anchor set broadcasts, the label inequality filters map-side
+    (no shuffle added over cosine_topk_bruteforce), the dot product folds
+    JVM-side, and per-anchor top-k is one bounded window with a
+    deterministic neg_id tie-break. At production scale the candidate
+    side swaps to the IVF-bucketed ranked set unchanged — mining quality
+    then degrades exactly by the measured ann_recall_eval recall."""
+    v = _emb_double(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "emb"
+    )
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("emb").alias("qemb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            _cosine_expr(),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HN_TOP_K)
+        .select("qid", "neg_id", "neg_label", rnd("cosine", 6).alias("cosine"), "rnk")
+    )
