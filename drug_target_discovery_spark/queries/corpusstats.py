@@ -584,3 +584,141 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_PMI_Q.format(ca="c_a", cb="c_b")).alias("pmi_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion of the lexical and vector retrieval lists
+# --------------------------------------------------------------------------
+_RRF_K = 60     # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_C = 100    # per-list candidate cutoff before fusion
+_RRF_TOP = 20   # fused top-k
+
+
+@register(
+    "reciprocal_rank_fusion",
+    tags=("corpus", "retrieval", "similarity"),
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL},
+    cand AS (
+      SELECT p.doc_id, p.s_sum,
+             {{dot}} / ({{norm_c}} * {{norm_q}}) AS cosine
+      FROM persum p
+      JOIN embeddings e ON e.vec_id = p.doc_id
+      CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings
+                  WHERE vec_id = {_HYBRID_QVEC}) qv
+      WHERE {{norm_e}} > 0
+    ),
+    bm AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY s_sum DESC, doc_id ASC) AS r
+        FROM cand
+      ) WHERE r <= {_RRF_C}
+    ),
+    cs AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS r
+        FROM cand
+      ) WHERE r <= {_RRF_C}
+    ),
+    fused AS (
+      SELECT coalesce(bm.doc_id, cs.doc_id) AS doc_id,
+             CAST(bm.r AS INT) AS bm25_rank,
+             CAST(cs.r AS INT) AS cos_rank,
+             CAST(coalesce(CAST(floor(1000000000.0 / ({_RRF_K} + bm.r) + 0.5)
+                                AS BIGINT), 0)
+                + coalesce(CAST(floor(1000000000.0 / ({_RRF_K} + cs.r) + 0.5)
+                                AS BIGINT), 0) AS BIGINT) AS rrf_q
+      FROM bm FULL JOIN cs ON bm.doc_id = cs.doc_id
+    )
+    SELECT doc_id, bm25_rank, cos_rank,
+           {rnd_sql("rrf_q / 1000000000.0", 9)} AS rrf_score
+    FROM fused
+    ORDER BY rrf_q DESC, doc_id ASC
+    LIMIT {_RRF_TOP}
+    """.format(
+        dot="list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), qv.qemb), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)",
+        norm_c="sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(CAST(e.embedding AS DOUBLE[]), "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))",
+        norm_q="sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(qv.qemb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(acc, v) -> acc + v))",
+        norm_e="sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(CAST(e.embedding AS DOUBLE[]), "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))",
+    ),
+)
+def reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR 2009) of the BM25
+    lexical list and the cosine vector list over the shared candidate
+    set: score(d) = sum over lists of 1/({_RRF_K} + rank_d) for the
+    top-{_RRF_C} of each list, fused top-{_RRF_TOP} — the rank-only
+    alternative to hybrid_retrieval_rerank's score interpolation
+    (RRF needs no score normalization, which is why serving stacks
+    default to it).
+
+    Scale shape: both lists ride the shared _bm25_scored plan and the
+    candidate-side embedding join (nothing new shuffles); each list
+    truncates to {_RRF_C} via TakeOrderedAndProject BEFORE its rank
+    window, so the empty-partitionBy row_number runs over a
+    CONSTANT-bounded table, never the corpus. Per-list reciprocal terms
+    quantize to integer nano-units before the two-term sum (exact in
+    both engines; ranks are exact ints since BM25 scores are already
+    micro-quantized and cosine doubles are IEEE-identical). The fusion
+    join is {_RRF_C}-row full-outer — driver-trivial at any SF."""
+    from pyspark.sql import Window as W
+
+    from drug_target_discovery_spark.queries.similarity import (
+        _DOT_SPARK,
+        _NORM_SPARK,
+    )
+
+    scored = _bm25_scored(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qv = emb.filter(F.col("vec_id") == _HYBRID_QVEC).select(
+        F.col("emb").alias("qemb")
+    )
+    cosine = F.expr(_DOT_SPARK.format(a="emb", b="qemb")) / (
+        F.expr(_NORM_SPARK.format(a="emb")) * F.expr(_NORM_SPARK.format(a="qemb"))
+    )
+    cand = (
+        scored.join(emb, scored.doc_id == emb.vec_id)
+        .filter(F.expr(_NORM_SPARK.format(a="emb")) > 0)
+        .crossJoin(F.broadcast(qv))
+        .select("doc_id", "s_sum", cosine.alias("cosine"))
+    )
+    bm_top = cand.orderBy(F.desc("s_sum"), F.asc("doc_id")).limit(_RRF_C)
+    bm = bm_top.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("s_sum"), F.asc("doc_id")))
+    ).select(F.col("doc_id").alias("b_doc"), F.col("r").alias("b_r"))
+    cs_top = cand.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(_RRF_C)
+    cs = cs_top.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("cosine"), F.asc("doc_id")))
+    ).select(F.col("doc_id").alias("c_doc"), F.col("r").alias("c_r"))
+    term = lambda r: F.coalesce(  # noqa: E731
+        F.floor(1000000000.0 / (_RRF_K + r) + F.lit(0.5)).cast("long"), F.lit(0)
+    )
+    fused = bm.join(cs, bm.b_doc == cs.c_doc, "full_outer").select(
+        F.coalesce(F.col("b_doc"), F.col("c_doc")).alias("doc_id"),
+        F.col("b_r").cast("int").alias("bm25_rank"),
+        F.col("c_r").cast("int").alias("cos_rank"),
+        (term(F.col("b_r")) + term(F.col("c_r"))).alias("rrf_q"),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "bm25_rank",
+            "cos_rank",
+            rnd(F.col("rrf_q") / 1000000000.0, 9).alias("rrf_score"),
+            "rrf_q",
+        )
+        .orderBy(F.desc("rrf_q"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+        .drop("rrf_q")
+    )

@@ -140,6 +140,7 @@ _PRIORITY_REST: tuple[str, ...] = (
     "adamic_adar_link_prediction",
     "calibration_curve_bins",
     "hard_negative_mining",
+    "reciprocal_rank_fusion",
     # round-5 plan changes (forced-broadcast removal — values re-proven
     # locally; AQE picks the same physical join at gate scale;
     # large_quantity_orders also changed but already sits in the gate's
