@@ -141,6 +141,7 @@ _PRIORITY_REST: tuple[str, ...] = (
     "calibration_curve_bins",
     "hard_negative_mining",
     "reciprocal_rank_fusion",
+    "benford_first_digit_check",
     # round-5 plan changes (forced-broadcast removal — values re-proven
     # locally; AQE picks the same physical join at gate scale;
     # large_quantity_orders also changed but already sits in the gate's

@@ -820,3 +820,86 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit conformance check (data-quality family)
+# --------------------------------------------------------------------------
+@register(
+    "benford_first_digit_check",
+    tags=("relational", "quality", "stats"),
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice
+                 / power(10, floor(log10(o_totalprice)))) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+    full_d AS (
+      SELECT g.digit, coalesce(o.n_obs, 0) AS n_obs, t.n
+      FROM (SELECT unnest(generate_series(1, 9)) AS digit) g
+      LEFT JOIN obs o ON g.digit = o.digit
+      CROSS JOIN tot t
+    )
+    SELECT digit,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           {rnd_sql("n_obs * 1.0 / n", 6)} AS obs_freq,
+           {rnd_sql("log10(1.0 + 1.0 / digit)", 6)} AS benford_freq,
+           {rnd_sql(
+             "power(n_obs - n * log10(1.0 + 1.0 / digit), 2) "
+             "/ (n * log10(1.0 + 1.0 / digit))", 6)} AS chi2_term
+    FROM full_d ORDER BY digit
+    """,
+)
+def benford_first_digit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit conformance on order totals — the
+    forensic data-quality screen (fabricated or truncated monetary data
+    departs from the log10(1+1/d) digit distribution). Reports each
+    digit's observed frequency, the Benford expectation, and its
+    chi-squared contribution.
+
+    First digit extraction is pure IEEE arithmetic (x / 10^floor(log10 x),
+    identical doubles in both engines — no string formatting, whose
+    scientific-notation thresholds differ across engines). Scale shape:
+    map-side digit extract, one bounded 9-row aggregate, a 1-row total
+    broadcast, and a 9-row literal frame for never-observed digits. The
+    chi-squared terms derive from exact integer counts, so rounding at
+    6dp is stable."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.floor(
+                F.col("o_totalprice")
+                / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        digits.join(obs, "digit", "left_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            rnd(F.coalesce(F.col("n_obs"), F.lit(0)) * 1.0 / F.col("n"), 6).alias(
+                "obs_freq"
+            ),
+            rnd(benford, 6).alias("benford_freq"),
+            rnd(
+                F.pow(
+                    F.coalesce(F.col("n_obs"), F.lit(0)) - F.col("n") * benford,
+                    F.lit(2.0),
+                )
+                / (F.col("n") * benford),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
