@@ -197,6 +197,63 @@ def main() -> None:
     }
     release_caches(fixtures=True)
 
+    # --- Adamic-Adar wedge enumeration at full scale vs an independent
+    # numpy adjacency-list oracle: for every middle z, accumulate
+    # 1/ln(deg z) onto each neighbor pair (u<w), then drop existing
+    # edges. Work is sum deg(z)^2/2 wedge updates — the same bound the
+    # Spark join carries; the Spark side is the registered query's plan.
+    from collections import defaultdict
+
+    from drug_target_discovery_spark.queries.graphq import adamic_adar_pairs
+
+    can = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .cache()
+    )
+    can.count()
+    aa, t_aa = timed(lambda: adamic_adar_pairs(can).cache())
+    n_pairs = aa.count()
+
+    pdf = can.toPandas()
+    edge_set = set(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
+    nbrs: dict[int, list[int]] = defaultdict(list)
+    for a, b in edge_set:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    score: dict[tuple[int, int], float] = defaultdict(float)
+    common: dict[tuple[int, int], int] = defaultdict(int)
+    for z, nz in nbrs.items():
+        if len(nz) < 2:
+            continue
+        wz = 1.0 / np.log(len(nz))
+        arr = np.sort(np.asarray(nz, dtype=np.int64))
+        iu, iw = np.triu_indices(len(arr), 1)
+        for u, w_ in zip(arr[iu], arr[iw]):
+            key = (int(u), int(w_))
+            score[key] += wz
+            common[key] += 1
+    expected = {
+        k: (common[k], s) for k, s in score.items() if k not in edge_set
+    }
+    assert n_pairs == len(expected), (n_pairs, len(expected))
+    max_d = 0.0
+    for r in aa.toPandas().itertuples():
+        c, s = expected[(int(r.u), int(r.w))]
+        assert r.n_common == c, (r.u, r.w, r.n_common, c)
+        d_pair = abs(r.s_q / 1e6 - s)
+        assert d_pair <= c * 5e-7 + 1e-9, (r.u, r.w, d_pair)
+        max_d = max(max_d, d_pair)
+    report["checks"]["adamic_adar"] = {
+        "wall_sec": t_aa, "n_scored_pairs": n_pairs,
+        "max_diff": round(max_d, 9),
+        "ground_truth": "numpy adjacency-list wedge accumulation, exact pair set",
+    }
+    release_caches(fixtures=True)
+
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
