@@ -142,6 +142,7 @@ _PRIORITY_REST: tuple[str, ...] = (
     "hard_negative_mining",
     "reciprocal_rank_fusion",
     "benford_first_digit_check",
+    "cuped_experiment_readout",
     # round-5 plan changes (forced-broadcast removal — values re-proven
     # locally; AQE picks the same physical join at gate scale;
     # large_quantity_orders also changed but already sits in the gate's
@@ -201,6 +202,7 @@ def all_queries() -> dict[str, Query]:
         drift,
         evalmetrics,
         events,
+        experiments,
         graphq,
         graphx,
         layout,
