@@ -51,8 +51,17 @@ _N_ARMS = 2
       FROM per_user
     ),
     th AS (
+      -- products in DOUBLE space on BOTH engines: the integer products
+      -- overflow 64-bit at probe scale (n*sxx ~ 5e19 at x10), and DuckDB
+      -- would otherwise compute them exactly in HUGEINT while Spark
+      -- cannot. Each SUM is an exact BIGINT; its double conversion is
+      -- IEEE-nearest of the same value in both engines, so the double
+      -- products and the division are bit-identical.
       SELECT n, sx,
-             (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) AS theta
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta
       FROM g
     )
     SELECT arm,
@@ -104,13 +113,17 @@ def cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x_q") * F.col("x_q")).alias("sxx"),
         F.sum(F.col("x_q") * F.col("y_q")).alias("sxy"),
     )
+    # double-space products (see the oracle's th CTE comment): integer
+    # products overflow 64-bit at probe scale; double conversion of each
+    # exact BIGINT sum is IEEE-identical across engines.
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
     th = g.select(
         "n",
         "sx",
         (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            * 1.0
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            (nd * F.col("sxy").cast("double") - sxd * F.col("sy").cast("double"))
+            / (nd * F.col("sxx").cast("double") - sxd * sxd)
         ).alias("theta"),
     )
     xbar_global = F.first("sx") * 1.0 / (100.0 * F.first("n"))
