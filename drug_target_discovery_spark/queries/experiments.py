@@ -94,6 +94,8 @@ def cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact BIGINT, so theta and both means are IEEE-identical across
     engines. At 100 TB the only shuffle is the per-user partial-agg —
     the same single exchange the funnel/retention tier rides."""
+    from drug_target_discovery_spark.caching import scoped_cache
+
     ev = load_table(spark, sf_dir, "events")
     split = F.lit(_SPLIT_TS).cast("timestamp")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
@@ -106,6 +108,11 @@ def cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_p & (F.col("ts") >= split), cents)), F.lit(0)
         ).alias("y_q"),
     ).withColumn("arm", (F.col("user_id") % _N_ARMS).cast("int"))
+    # two consumers (theta fit + arm readout): scope-cache the user-level
+    # table so the event fact scans/aggregates once. It is per-user-sized
+    # (orders smaller than the fact), the standard cacheable reduction —
+    # unlike the exploded token streams the corpus tiers refuse to pin.
+    per_user = scoped_cache(per_user)
     g = per_user.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x_q").alias("sx"),

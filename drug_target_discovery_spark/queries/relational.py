@@ -878,7 +878,11 @@ def benford_first_digit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("digit")
         )
     )
-    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    # two consumers (total + per-digit rows): cache the 9-row count table
+    # so the orders column scans once
+    obs = scoped_cache(d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs")))
     tot = obs.agg(F.sum("n_obs").alias("n"))
     digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
     benford = F.log10(1.0 + 1.0 / F.col("digit"))

@@ -314,3 +314,51 @@ class TestDsirBigrams:
             for t in texts
         ]
         assert got_spark == got_duck
+
+
+class TestFinalBatchPlans:
+    def test_rrf_truncates_before_rank_windows(self, spark):
+        # each list must TakeOrdered to the constant cutoff BEFORE its
+        # row_number window — the window may never see the corpus
+        from tests.test_plans import plan_of
+
+        plan = plan_of(spark, "reciprocal_rank_fusion")
+        assert plan.count("TakeOrderedAndProject") >= 3, plan  # 2 lists + final
+
+    def test_benford_single_fact_scan(self, spark):
+        # the 9-row digit-count table is scope-cached, so both consumers
+        # (total + per-digit rows) read the cache, not a second scan.
+        # NOTE: InMemoryRelation nodes PRINT their cached child plan, so
+        # the FileScan string appears once per consumer — assert on the
+        # cache wiring, not the raw substring count.
+        from tests.test_plans import plan_of
+
+        plan = plan_of(spark, "benford_first_digit_check")
+        assert "InMemoryTableScan" in plan, plan
+
+    def test_cuped_single_user_exchange(self, spark):
+        # one user-key shuffle; the scope-cached per-user table feeds both
+        # the theta fit and the arm readout without a second fact scan
+        # (each InMemoryTableScan consumer re-prints the cached FileScan,
+        # so substring-counting scans would double-count)
+        from tests.test_plans import plan_of
+
+        plan = plan_of(spark, "cuped_experiment_readout")
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        assert "hashpartitioning(user_id" in plan, plan
+
+    def test_hard_negative_broadcast_anchors(self, spark):
+        # the bounded anchor set broadcasts; candidates never shuffle
+        # before the per-anchor window
+        from tests.test_plans import plan_of
+
+        plan = plan_of(spark, "hard_negative_mining")
+        assert "BroadcastNestedLoopJoin" in plan, plan
+
+    def test_calibration_bounded_shuffle(self, spark):
+        # extent is a 1-row broadcast; the only wide exchange feeds the
+        # 10-row bin aggregate
+        from tests.test_plans import plan_of
+
+        plan = plan_of(spark, "calibration_curve_bins")
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
