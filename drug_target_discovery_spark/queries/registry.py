@@ -143,6 +143,12 @@ _PRIORITY_REST: tuple[str, ...] = (
     "reciprocal_rank_fusion",
     "benford_first_digit_check",
     "cuped_experiment_readout",
+    "late_order_priority_counts",
+    "discount_band_revenue",
+    "volume_shipping_pair",
+    "market_share_by_year",
+    "product_profit_by_nation_year",
+    "returned_item_report",
     # round-5 plan changes (forced-broadcast removal — values re-proven
     # locally; AQE picks the same physical join at gate scale;
     # large_quantity_orders also changed but already sits in the gate's
@@ -219,6 +225,7 @@ def all_queries() -> dict[str, Query]:
         text,
         tpchx,
         tpchx2,
+        tpchx3,
         windows,
     )
 
