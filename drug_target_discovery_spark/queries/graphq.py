@@ -534,17 +534,34 @@ def degree_assortativity_corr_graph(spark: SparkSession, sf_dir: str) -> DataFra
 _AA_TOP_K = 100
 
 
-def adamic_adar_pairs(e: DataFrame) -> DataFrame:
+def adamic_adar_pairs(
+    e: DataFrame, max_middle_degree: int | None = None
+) -> DataFrame:
     """Core Adamic-Adar scorer over a canonical (a < b) edge list:
     returns (u, w, n_common, s_q) for every NON-adjacent pair with at
     least one common neighbor, where s_q is the micro-unit-quantized
     sum of 1/ln(deg(z)) over common neighbors z. Library parity vs
     networkx.adamic_adar_index is pinned in tests/test_graph.py (up to
-    the documented per-term quantization)."""
+    the documented per-term quantization).
+
+    ``max_middle_degree`` is the production skew valve: the wedge join
+    fans out deg(z)^2 rows per middle, so ONE hub node dominates the
+    whole job (a 5K-degree hub alone is 12.5M wedge rows). Capping
+    excludes hubs as MIDDLES only — exactly the terms Adamic-Adar
+    weights least (1/ln(deg) -> 0), the standard approximation for
+    link prediction at scale. None (default, used by the registered
+    query) is exact. The capped variant's wall-time effect is recorded
+    in SCALING.md's hub-skew table."""
     sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    s1 = sym.select(F.col("a").alias("u"), F.col("b").alias("z"))
-    s2 = sym.select(F.col("a").alias("z"), F.col("b").alias("w"))
+    mid = sym
+    if max_middle_degree is not None:
+        ok = deg.filter(F.col("d") <= max_middle_degree).select(
+            F.col("node").alias("b")
+        )
+        mid = sym.join(ok, "b", "left_semi")
+    s1 = mid.select(F.col("a").alias("u"), F.col("b").alias("z"))
+    s2 = mid.select(F.col("b").alias("z"), F.col("a").alias("w"))
     wedge = s1.join(s2, "z").filter(F.col("u") < F.col("w"))
     cand = wedge.join(
         e, (wedge["u"] == e["a"]) & (wedge["w"] == e["b"]), "left_anti"

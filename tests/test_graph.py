@@ -168,3 +168,32 @@ class TestAdamicAdar:
         }
         existing = {(min(u, v), max(u, v)) for u, v in g.edges()}
         assert not (scored & existing)
+
+    def test_middle_degree_cap_drops_hub_terms(self, spark, graph_dfs):
+        from drug_target_discovery_spark.queries.graphq import adamic_adar_pairs
+
+        g, nodes, edges = graph_dfs
+        can = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        cap = 6
+        got = {
+            (r["u"], r["w"]): (r["n_common"], r["s_q"])
+            for r in adamic_adar_pairs(can, max_middle_degree=cap).collect()
+        }
+        # recompute expected: only middles with deg <= cap contribute
+        import math
+
+        deg = {n: d for n, d in g.degree()}
+        exp = {}
+        for z in g.nodes():
+            if deg[z] > cap or deg[z] < 2:
+                continue
+            nbrs = sorted(g.neighbors(z))
+            for i, u in enumerate(nbrs):
+                for w in nbrs[i + 1:]:
+                    if not g.has_edge(u, w):
+                        c, s = exp.get((u, w), (0, 0))
+                        exp[(u, w)] = (
+                            c + 1,
+                            s + math.floor(1e6 / math.log(deg[z]) + 0.5),
+                        )
+        assert got == exp
