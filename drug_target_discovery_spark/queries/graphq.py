@@ -552,16 +552,21 @@ def adamic_adar_pairs(
     link prediction at scale. None (default, used by the registered
     query) is exact. The capped variant's wall-time effect is recorded
     in SCALING.md's hub-skew table."""
+    from drug_target_discovery_spark.caching import scoped_cache
+
     sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    mid = sym
+    s1 = sym.select(F.col("a").alias("u"), F.col("b").alias("z"))
+    s2 = sym.select(F.col("a").alias("z"), F.col("b").alias("w"))
     if max_middle_degree is not None:
+        # node-count-bounded degree table: cache it (it also feeds the
+        # final scoring join) and cap ONE side only — the equi-join on z
+        # propagates the middle filter to the other side for free.
+        deg = scoped_cache(deg)
         ok = deg.filter(F.col("d") <= max_middle_degree).select(
-            F.col("node").alias("b")
+            F.col("node").alias("z")
         )
-        mid = sym.join(ok, "b", "left_semi")
-    s1 = mid.select(F.col("a").alias("u"), F.col("b").alias("z"))
-    s2 = mid.select(F.col("b").alias("z"), F.col("a").alias("w"))
+        s1 = s1.join(ok, "z", "left_semi")
     wedge = s1.join(s2, "z").filter(F.col("u") < F.col("w"))
     cand = wedge.join(
         e, (wedge["u"] == e["a"]) & (wedge["w"] == e["b"]), "left_anti"
