@@ -869,3 +869,83 @@ def bloom_filter_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("false_positive"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-weighted canonical selection over near-dup neighborhoods
+# --------------------------------------------------------------------------
+@register(
+    "near_dup_best_representative",
+    tags=("dedup", "curation", "window"),
+    oracle=f"""
+    WITH {_SIG_SQL},
+    {_BANDED_CAND_SQL},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    verified AS (
+      SELECT c.d1, c.d2
+      FROM cand c
+      JOIN (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS k
+            FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) i ON c.d1 = i.d1 AND c.d2 = i.d2
+      JOIN sizes s1 ON c.d1 = s1.doc_id
+      JOIN sizes s2 ON c.d2 = s2.doc_id
+      WHERE i.k * 1.0 / (s1.sz + s2.sz - i.k) > {_JACCARD_T}
+    ),
+    members AS (
+      SELECT d1 AS doc_id, d1 AS nbr FROM verified
+      UNION SELECT d2, d1 FROM verified
+      UNION SELECT d1, d2 FROM verified
+      UNION SELECT d2, d2 FROM verified
+    ),
+    ranked AS (
+      SELECT m.doc_id, m.nbr, d.n_chars,
+             row_number() OVER (PARTITION BY m.doc_id
+                                ORDER BY d.n_chars DESC, m.nbr ASC) AS rk
+      FROM members m JOIN documents d ON m.nbr = d.doc_id
+    )
+    SELECT doc_id,
+           nbr AS representative_id,
+           CAST(n_chars AS BIGINT) AS rep_n_chars,
+           (doc_id = nbr) AS is_kept
+    FROM ranked WHERE rk = 1
+    """,
+)
+def near_dup_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted canonical selection: within each near-duplicate
+    star neighborhood, keep the HIGHEST-QUALITY member (longest n_chars,
+    doc_id tie-break) instead of near_dup_groups' min-id — what a
+    production prune actually does (drop the truncated/mojibake variant,
+    keep the clean one; cf. the dedup ordering discussions in Lee et al.
+    2022). Returns, per near-duplicated doc, its chosen representative
+    and whether the doc itself survives.
+
+    Rides the sweep-scoped ``verified_pairs`` memo (zero marginal LSH
+    work); the member table joins doc quality on the doc key (adaptive —
+    documents is corpus-proportional, never broadcast), and the argmax
+    is one row_number window whose partitions are bounded by the
+    verified neighborhood size, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    verified = verified_pairs(spark, sf_dir).select("d1", "d2")
+    members = (
+        verified.select(F.col("d1").alias("doc_id"), F.col("d1").alias("nbr"))
+        .union(verified.select("d2", "d1"))
+        .union(verified.select("d1", "d2"))
+        .union(verified.select("d2", "d2"))
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    ranked = members.join(
+        docs.select(F.col("doc_id").alias("nbr"), "n_chars"), "nbr"
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("n_chars"), F.asc("nbr"))
+        ),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "doc_id",
+        F.col("nbr").alias("representative_id"),
+        F.col("n_chars").cast("long").alias("rep_n_chars"),
+        (F.col("doc_id") == F.col("nbr")).alias("is_kept"),
+    )

@@ -907,3 +907,83 @@ def benford_first_digit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit (warehouse FK orphan check)
+# --------------------------------------------------------------------------
+@register(
+    "referential_integrity_audit",
+    tags=("relational", "quality", "join"),
+    oracle="""
+    SELECT * FROM (
+      SELECT 'lineitem.l_orderkey->orders' AS fk,
+             count(*) AS n_rows,
+             count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_orphans
+      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             count(*),
+             count(CASE WHEN p_partkey IS NULL THEN 1 END)
+      FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             count(*),
+             count(CASE WHEN s_suppkey IS NULL THEN 1 END)
+      FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             count(*),
+             count(CASE WHEN c_custkey IS NULL THEN 1 END)
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             count(*),
+             count(CASE WHEN n_nationkey IS NULL THEN 1 END)
+      FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    ) ORDER BY fk
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema — the
+    referential-integrity half of the Deequ-shape constraint suite
+    (data_quality_checks covers row-level checks on one table; this
+    covers the BETWEEN-table contracts an ingest must hold). Reports,
+    per FK edge, total child rows and orphans (child keys with no
+    parent).
+
+    Scale shape: every check is a LEFT join on the key projected to the
+    two key columns only, collapsed by a count aggregate — the classic
+    orphan scan. Dimension parents (nation) broadcast; fact-to-fact
+    checks stay adaptive (AQE picks the side). Each check is an
+    independent job branch; the 5-row result unions bounded
+    aggregates. At 100 TB the same audit runs per ingest batch with the
+    child side filtered to the batch."""
+
+    def check(child, ckey, parent, pkey, label):
+        joined = child.select(F.col(ckey)).join(
+            parent.select(F.col(pkey)), F.col(ckey) == F.col(pkey), "left"
+        )
+        return joined.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col(pkey).isNull(), 1)).alias("n_orphans"),
+        ).select("fk", "n_rows", "n_orphans")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    checks = [
+        check(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders"),
+        check(li, "l_partkey", part, "p_partkey", "lineitem.l_partkey->part"),
+        check(li, "l_suppkey", supp, "s_suppkey", "lineitem.l_suppkey->supplier"),
+        check(orders, "o_custkey", cust, "c_custkey", "orders.o_custkey->customer"),
+        check(cust, "c_nationkey", nation, "n_nationkey", "customer.c_nationkey->nation"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("fk")
