@@ -149,6 +149,8 @@ _PRIORITY_REST: tuple[str, ...] = (
     "market_share_by_year",
     "product_profit_by_nation_year",
     "returned_item_report",
+    "near_dup_best_representative",
+    "referential_integrity_audit",
     # round-5 plan changes (forced-broadcast removal — values re-proven
     # locally; AQE picks the same physical join at gate scale;
     # large_quantity_orders also changed but already sits in the gate's
