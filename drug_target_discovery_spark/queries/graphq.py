@@ -646,3 +646,30 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_AA_TOP_K)
         .drop("s_q")
     )
+
+
+# --------------------------------------------------------------------------
+# Closeness centrality (G-family [EXT], completes the centrality set)
+# --------------------------------------------------------------------------
+@register(
+    "closeness_centrality_corr_graph",
+    tags=("graph", "centrality"),
+    oracle=GRAPH_ORACLES.get("closeness_centrality_corr_graph"),
+)
+def closeness_centrality_corr_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality on the correlation graph (networkx
+    wf_improved semantics — per-component closeness scaled by the
+    reachable fraction). Completes the centrality family next to
+    degree / eigenvector / betweenness / PageRank / k-core; a rider on
+    the sweep-scoped graph memo. Source-parallel BFS with NO final
+    shuffle above the driver threshold (each source yields its own
+    score — see graph/centrality.py closeness_centrality); fixture
+    VALUES oracle generated against networkx by
+    tools/gen_graph_oracles.py."""
+    from drug_target_discovery_spark.graph.centrality import closeness_centrality
+
+    nodes, edges = _corr_graph(spark, sf_dir)
+    cc = closeness_centrality(edges.select("src", "dst"), nodes)
+    return cc.select(
+        "node", rnd("closeness_centrality", 6).alias("closeness_centrality")
+    )

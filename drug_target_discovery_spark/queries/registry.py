@@ -151,6 +151,7 @@ _PRIORITY_REST: tuple[str, ...] = (
     "returned_item_report",
     "near_dup_best_representative",
     "referential_integrity_audit",
+    "closeness_centrality_corr_graph",
     # round-5 plan changes (forced-broadcast removal — values re-proven
     # locally; AQE picks the same physical join at gate scale;
     # large_quantity_orders also changed but already sits in the gate's

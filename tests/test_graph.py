@@ -197,3 +197,30 @@ class TestAdamicAdar:
                             s + math.floor(1e6 / math.log(deg[z]) + 0.5),
                         )
         assert got == exp
+
+
+class TestCloseness:
+    def test_parity_vs_networkx(self, spark, graph_dfs):
+        from drug_target_discovery_spark.graph.centrality import (
+            closeness_centrality,
+        )
+
+        g, nodes, edges = graph_dfs
+        got = _collect(closeness_centrality(edges, nodes), "closeness_centrality")
+        expected = nx.closeness_centrality(g)
+        assert set(got) == set(expected)
+        for n_, v in expected.items():
+            assert got[n_] == pytest.approx(v, rel=1e-12), n_
+
+    def test_distributed_path_matches_driver(self, spark, graph_dfs):
+        from drug_target_discovery_spark.graph.centrality import (
+            closeness_centrality,
+        )
+
+        g, nodes, edges = graph_dfs
+        drv = _collect(closeness_centrality(edges, nodes), "closeness_centrality")
+        dist = _collect(
+            closeness_centrality(edges, nodes, driver_threshold=1),
+            "closeness_centrality",
+        )
+        assert drv == dist

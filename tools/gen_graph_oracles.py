@@ -85,6 +85,7 @@ def main() -> int:
     dc = nx.degree_centrality(g)
     pr = textbook_pagerank(g, alpha=0.85, max_iter=30, tol=1e-6)
     cores = nx.core_number(g)  # integers — no rounding-boundary hazard
+    cc = nx.closeness_centrality(g)  # wf_improved default
 
     def minmax(d: dict) -> dict:
         lo, hi = min(d.values()), max(d.values())
@@ -96,7 +97,7 @@ def main() -> int:
     # boundary check: every rounded-to-6dp value must be comfortably far
     # from a .5 ulp boundary, or float noise could flip the rounding
     worst = 1.0
-    for d in (ec, bc, pr, composite):
+    for d in (ec, bc, pr, composite, cc):
         for v in d.values():
             frac = abs(v) * 1e6 % 1.0
             worst = min(worst, abs(frac - 0.5))
@@ -133,6 +134,9 @@ def main() -> int:
         ),
         "core_numbers_corr_graph": values_sql(
             ["node", "core"], [(v, int(cores[v])) for v in nodes]
+        ),
+        "closeness_centrality_corr_graph": values_sql(
+            ["node", "closeness_centrality"], [(v, r6(cc[v])) for v in nodes]
         ),
         "network_target_scores": values_sql(
             [
