@@ -195,6 +195,28 @@ def main() -> None:
         "n_nodes": bn, "n_edges": sub_edges.count(),
         "driver_sec": t_drv, "distributed_sec": t_dist, "max_diff": d,
     }
+    release_caches()
+
+    # --- closeness: driver BFS loop vs source-parallel mapInPandas, on the
+    # same above-threshold subgraph (all-sources BFS is O(V·E) like Brandes)
+    from drug_target_discovery_spark.graph.centrality import closeness_centrality
+
+    cl_dist, t_dist = timed(
+        lambda: closeness_centrality(sub_edges, sub_nodes).cache()
+    )  # 2000 > 512 -> source-parallel path
+    cl_dist.count()
+    cl_drv, t_drv = timed(
+        lambda: closeness_centrality(
+            sub_edges, sub_nodes, driver_threshold=10_000
+        ).cache()
+    )
+    cl_drv.count()
+    d = compare(cl_drv, cl_dist, "closeness_centrality", 0)
+    report["checks"]["closeness_centrality"] = {
+        "n_nodes": bn,
+        "driver_sec": t_drv, "distributed_sec": t_dist, "max_diff": d,
+        "note": "bit-identical: same per-source float arithmetic",
+    }
     release_caches(fixtures=True)
 
     # --- Adamic-Adar wedge enumeration at full scale vs an independent
