@@ -904,3 +904,96 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("local_shard") + F.col("off")).cast("long").alias("shard_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal embargo split (time-series holdout with purge gap)
+# --------------------------------------------------------------------------
+# leakage_safe_splits guards against CONTENT leakage (near-identical docs
+# straddling splits); time-series models leak through TIME instead —
+# autocorrelated features computed near the train/test boundary see the
+# "future" through rolling windows. The standard hygiene (cf. the purged
+# walk-forward splits of the financial-ML literature, e.g. de Prado 2018
+# ch.7) is a chronological split with an EMBARGO gap excluded from both
+# sides. Cutoffs are fractions of the observed span in pure integer
+# arithmetic so both engines label literally the same rows.
+_EMB_TRAIN_NUM = 8   # train = first 8/10 of the observed time span
+_EMB_GAP_DEN = 20    # embargo gap = span/20 (5%) after the train cutoff
+
+
+@register(
+    "temporal_embargo_split",
+    tags=("curation", "events", "holdout"),
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, user_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events
+    ),
+    ext AS (SELECT min(s) AS mn, max(s) AS mx FROM e),
+    lab AS (
+      SELECT e.event_type, e.user_id, e.value,
+             CASE WHEN e.s <= ext.mn + ({_EMB_TRAIN_NUM} * (ext.mx - ext.mn)) // 10
+                    THEN 'train'
+                  WHEN e.s <= ext.mn + ({_EMB_TRAIN_NUM} * (ext.mx - ext.mn)) // 10
+                              + (ext.mx - ext.mn) // {_EMB_GAP_DEN}
+                    THEN 'embargo'
+                  ELSE 'test' END AS split
+      FROM e CROSS JOIN ext
+    )
+    SELECT split, event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           {rnd_sql("avg(value)", 6)} AS avg_value
+    FROM lab GROUP BY split, event_type ORDER BY split, event_type
+    """,
+)
+def temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chronological train/embargo/test assignment over the event stream:
+    train = the first {_EMB_TRAIN_NUM}/10 of the observed time span, then a
+    span/{_EMB_GAP_DEN} embargo gap excluded from both sides, test = the
+    remainder. The embargo prevents look-ahead leakage through
+    autocorrelated rolling features straddling the boundary — the
+    time-series twin of ``leakage_safe_splits``'s content-hash groups.
+
+    Determinism: cutoffs are integer arithmetic on floor-epoch seconds
+    derived from a 1-row min/max extent — no quantiles, no RNG — so the
+    assignment is reproducible across backfills and bit-identical across
+    engines. Degenerate single-instant spans collapse to all-train on
+    both sides.
+
+    Scale design: the extent is a 1-row map-side-combined aggregate
+    broadcast back (the calibration/z-order extent pattern); labeling is
+    pure codegen arithmetic, so the only exchange is the final
+    (split, event_type) aggregate — bounded at 3 x |event types| rows.
+    Two scans of the fact, no cached copy (the unigram-LM two-scan
+    contract); the single-distinct n_users rides Spark's standard
+    two-level partial distinct aggregate, no Expand."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", "user_id", "value", F.col("ts").cast("long").alias("s")
+    )
+    ext = e.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+    train_end = F.expr(f"mn + ({_EMB_TRAIN_NUM} * (mx - mn)) div 10")
+    emb_end = F.expr(
+        f"mn + ({_EMB_TRAIN_NUM} * (mx - mn)) div 10"
+        f" + (mx - mn) div {_EMB_GAP_DEN}"
+    )
+    lab = e.crossJoin(F.broadcast(ext)).select(
+        "event_type",
+        "user_id",
+        "value",
+        F.when(F.col("s") <= train_end, "train")
+        .when(F.col("s") <= emb_end, "embargo")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        lab.groupBy("split", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            rnd(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("split", "event_type")
+    )

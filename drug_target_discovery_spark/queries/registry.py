@@ -152,6 +152,8 @@ _PRIORITY_REST: tuple[str, ...] = (
     "near_dup_best_representative",
     "referential_integrity_audit",
     "closeness_centrality_corr_graph",
+    "temporal_embargo_split",
+    "order_lineitem_reconciliation",
     # round-5 plan changes (forced-broadcast removal — values re-proven
     # locally; AQE picks the same physical join at gate scale;
     # large_quantity_orders also changed but already sits in the gate's

@@ -987,3 +987,108 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out.orderBy("fk")
+
+
+# --------------------------------------------------------------------------
+# Cross-source value reconciliation (orders header vs lineitem detail)
+# --------------------------------------------------------------------------
+@register(
+    "order_lineitem_reconciliation",
+    tags=("relational", "quality", "join"),
+    oracle=f"""
+    WITH line AS (
+      SELECT l_orderkey AS okey,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                            * 100 + 0.5) AS BIGINT)) AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    o AS (
+      SELECT o_orderkey AS okey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_cents
+      FROM orders
+    ),
+    r AS (
+      SELECT o.o_cents, line.line_cents,
+             coalesce(o.o_cents, 0) - coalesce(line.line_cents, 0) AS diff
+      FROM o FULL OUTER JOIN line ON o.okey = line.okey
+    )
+    SELECT CASE WHEN line_cents IS NULL THEN 'order_without_lines'
+                WHEN o_cents IS NULL THEN 'lines_without_order'
+                WHEN diff = 0 THEN 'match'
+                WHEN diff > 0 THEN 'overstated'
+                ELSE 'understated' END AS status,
+           count(*) AS n_orders,
+           CAST(sum(abs(diff)) AS BIGINT) AS abs_diff_cents,
+           CAST(max(abs(diff)) AS BIGINT) AS max_abs_diff_cents,
+           {rnd_sql("sum(abs(diff)) / 100.0", 2)} AS abs_diff_dollars
+    FROM r GROUP BY status ORDER BY status
+    """,
+)
+def order_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-target value reconciliation — the nightly finance-style
+    check that a header total equals the sum of its detail lines, run here
+    between ``orders.o_totalprice`` and the lineitem-derived charge
+    sum(extendedprice * (1-discount) * (1+tax)). Classifies every order
+    key into match / overstated / understated / order_without_lines /
+    lines_without_order with the absolute discrepancy — the between-table
+    VALUE contract completing the constraint family next to
+    ``data_quality_checks`` (row-level) and ``referential_integrity_audit``
+    (key-level).
+
+    Exactness: every money term is quantized to integer cents map-side
+    (floor(x*100+0.5), IEEE-identical in both engines) so sums are
+    order-independent BIGINTs and the match/mismatch boundary cannot
+    drift on float summation order.
+
+    Scale design: the detail side collapses to (orderkey, cents) via one
+    partial-aggregating keyed shuffle; the header side shuffles on the
+    same key; the FULL OUTER join is co-partitioned sort-merge (neither
+    side is broadcastable — both are corpus-proportional, and the
+    written refusal of data-proportional broadcasts applies). The final
+    status rollup is a bounded 5-row aggregate. At 100 TB the same plan
+    reconciles per ingest batch by filtering both sides to the batch's
+    key range first (predicate pushdown keeps the scan batch-sized)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    line = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("line_cents")
+    )
+    o = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("o_cents"),
+    )
+    r = o.join(line, "okey", "full_outer").select(
+        "o_cents",
+        "line_cents",
+        (
+            F.coalesce(F.col("o_cents"), F.lit(0))
+            - F.coalesce(F.col("line_cents"), F.lit(0))
+        ).alias("diff"),
+    )
+    status = (
+        F.when(F.col("line_cents").isNull(), "order_without_lines")
+        .when(F.col("o_cents").isNull(), "lines_without_order")
+        .when(F.col("diff") == 0, "match")
+        .when(F.col("diff") > 0, "overstated")
+        .otherwise("understated")
+    )
+    return (
+        r.groupBy(status.alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.abs("diff")).alias("abs_diff_cents"),
+            F.max(F.abs("diff")).alias("max_abs_diff_cents"),
+            rnd(F.sum(F.abs("diff")) / 100.0, 2).alias("abs_diff_dollars"),
+        )
+        .orderBy("status")
+    )
