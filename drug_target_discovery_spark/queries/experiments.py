@@ -1,4 +1,5 @@
-"""Experimentation tier: variance-reduced A/B readout (CUPED).
+"""Experimentation tier: variance-reduced A/B readout (CUPED) and the
+delete-one-bucket jackknife SE for ratio metrics.
 
 Deng et al. 2013 ("Improving the Sensitivity of Online Controlled
 Experiments by Utilizing Pre-Experiment Data", WSDM): adjust each unit's
@@ -148,6 +149,159 @@ def cuped_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.sum("x_q") / (100.0 * F.count(F.lit(1))) - xbar_global),
                 6,
             ).alias("mean_adjusted"),
+        )
+        .orderBy("arm")
+    )
+
+
+# --------------------------------------------------------------------------
+# Delete-one-bucket jackknife SE for a ratio metric
+# --------------------------------------------------------------------------
+# Ratio metrics (revenue per purchase, CTR, items per session) violate the
+# i.i.d.-unit assumption behind the textbook SE formula, so experiment
+# platforms estimate their variance by resampling. The production form is
+# the delete-one-BUCKET jackknife (Deng et al. 2011 "streaming jackknife"):
+# units hash into B deterministic buckets, per-bucket numerator/denominator
+# sums are the ONLY state, and the B leave-one-out ratios
+# R_(b) = (S - s_b) / (T - t_b) give SE^2 = (B-1)/B * sum_b (R_(b) - Rbar)^2.
+_JK_BUCKETS = 100  # user_id % 100; nests the % 2 arm (bucket parity = arm)
+
+
+@register(
+    "jackknife_ratio_readout",
+    tags=("events", "experiment", "stats", "scalable"),
+    oracle=f"""
+    WITH pu AS (
+      SELECT CAST(user_id % {_N_ARMS} AS INT) AS arm,
+             CAST(user_id % {_JK_BUCKETS} AS INT) AS bkt,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT arm, bkt, CAST(sum(cents) AS BIGINT) AS s_q, count(*) AS t
+      FROM pu GROUP BY arm, bkt
+    ),
+    a AS (
+      SELECT arm, CAST(sum(s_q) AS BIGINT) AS big_s,
+             CAST(sum(t) AS BIGINT) AS big_t, count(*) AS nb
+      FROM b GROUP BY arm
+    ),
+    loo AS (
+      -- leave-one-out ratio in dollars, quantized to nano-units so the
+      -- per-arm mean comes from an exact BIGINT sum (order-independent)
+      SELECT b.arm,
+             CAST(floor(CAST(a.big_s - b.s_q AS DOUBLE)
+                        / (100.0 * CAST(a.big_t - b.t AS DOUBLE))
+                        * 1e9 + 0.5) AS BIGINT) AS r_q
+      FROM b JOIN a USING (arm)
+    ),
+    m AS (
+      SELECT arm, CAST(sum(r_q) AS BIGINT) AS sr FROM loo GROUP BY arm
+    ),
+    term AS (
+      -- squared deviation per bucket, quantized to pico-units: each term
+      -- is IEEE-identical across engines (exact BIGINT inputs), and the
+      -- BIGINT sum is order-independent
+      SELECT loo.arm,
+             CAST(floor(
+               (loo.r_q / 1e9 - m.sr / (1e9 * a.nb))
+               * (loo.r_q / 1e9 - m.sr / (1e9 * a.nb))
+               * 1e12 + 0.5) AS BIGINT) AS tq
+      FROM loo JOIN m USING (arm) JOIN a USING (arm)
+    )
+    SELECT a.arm,
+           a.nb AS n_buckets,
+           a.big_t AS n_purchases,
+           {rnd_sql("a.big_s / (100.0 * a.big_t)", 6)} AS ratio,
+           {rnd_sql("m.sr / (1e9 * a.nb)", 6)} AS loo_mean,
+           {rnd_sql(
+             "sqrt((a.nb - 1) * 1.0 / a.nb * (z.stq / 1e12))", 6)} AS se_jack
+    FROM a
+    JOIN m USING (arm)
+    JOIN (SELECT arm, CAST(sum(tq) AS BIGINT) AS stq FROM term GROUP BY arm) z
+      USING (arm)
+    ORDER BY a.arm
+    """,
+)
+def jackknife_ratio_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm ratio metric (purchase dollars per purchase) with its
+    delete-one-bucket jackknife standard error. Resampling without RNG:
+    the "resamples" are the {_JK_BUCKETS} deterministic hash buckets
+    (user_id % {_JK_BUCKETS}, which nests the % {_N_ARMS} arm), so the
+    readout is reproducible across backfills — the property bootstrap
+    sampling cannot give — and the whole estimator is a function of the
+    bounded (arm, bucket) sufficient-statistics table.
+
+    Exactness: numerators quantize to integer cents map-side; each
+    leave-one-out ratio quantizes to nano-dollar BIGINTs before the mean,
+    and each squared deviation to pico-unit BIGINTs before the sum, so
+    every cross-row float reduction is an exact integer sum
+    (order-independent — the micro-unit contract the drift/PMI tiers use)
+    and Spark matches DuckDB bit-for-bit.
+
+    Scale design: ONE fact shuffle, to the (arm, bucket) grain — the
+    bucket table IS the sketch, {_N_ARMS}x{_JK_BUCKETS} rows regardless
+    of corpus size, and every jackknife step after it (leave-one-out
+    join, mean, deviation sum) runs on that constant-size table. Empty
+    buckets simply don't appear (jackknife over occupied buckets);
+    degenerate arms with one bucket would divide by zero in SE — surfaced
+    as NULL, not masked."""
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % _N_ARMS).cast("int").alias("arm"),
+        (F.col("user_id") % _JK_BUCKETS).cast("int").alias("bkt"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    # two consumers (arm totals + leave-one-out rows): bucket table is
+    # constant-size, the canonical cacheable reduction
+    b = scoped_cache(
+        pu.groupBy("arm", "bkt").agg(
+            F.sum("cents").alias("s_q"), F.count(F.lit(1)).alias("t")
+        )
+    )
+    a = b.groupBy("arm").agg(
+        F.sum("s_q").alias("big_s"),
+        F.sum("t").alias("big_t"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    loo = scoped_cache(
+        b.join(a, "arm").select(
+            "arm",
+            F.floor(
+                (F.col("big_s") - F.col("s_q")).cast("double")
+                / (100.0 * (F.col("big_t") - F.col("t")).cast("double"))
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("r_q"),
+        )
+    )
+    m = loo.groupBy("arm").agg(F.sum("r_q").alias("sr"))
+    dev = F.col("r_q") / 1e9 - F.col("sr") / (1e9 * F.col("nb"))
+    term = (
+        loo.join(m, "arm")
+        .join(a, "arm")
+        .select("arm", F.floor(dev * dev * 1e12 + F.lit(0.5)).cast("long").alias("tq"))
+    )
+    z = term.groupBy("arm").agg(F.sum("tq").alias("stq"))
+    return (
+        a.join(m, "arm")
+        .join(z, "arm")
+        .select(
+            "arm",
+            F.col("nb").alias("n_buckets"),
+            F.col("big_t").alias("n_purchases"),
+            rnd(F.col("big_s") / (100.0 * F.col("big_t")), 6).alias("ratio"),
+            rnd(F.col("sr") / (1e9 * F.col("nb")), 6).alias("loo_mean"),
+            rnd(
+                F.sqrt(
+                    (F.col("nb") - 1) * 1.0 / F.col("nb") * (F.col("stq") / 1e12)
+                ),
+                6,
+            ).alias("se_jack"),
         )
         .orderBy("arm")
     )

@@ -154,6 +154,7 @@ _PRIORITY_REST: tuple[str, ...] = (
     "closeness_centrality_corr_graph",
     "temporal_embargo_split",
     "order_lineitem_reconciliation",
+    "jackknife_ratio_readout",
     # round-5 plan changes (forced-broadcast removal — values re-proven
     # locally; AQE picks the same physical join at gate scale;
     # large_quantity_orders also changed but already sits in the gate's

@@ -147,3 +147,60 @@ class TestBenfordIndependent:
             assert r["obs_freq"] == pytest.approx(obs / n, abs=1e-6)
             assert r["benford_freq"] == pytest.approx(bf, abs=1e-6)
             assert r["chi2_term"] == pytest.approx(exp_chi2, abs=2e-6)
+
+
+class TestJackknifeIndependent:
+    def test_matches_numpy_recomputation(self, spark):
+        """Recompute the delete-one-bucket jackknife in plain float numpy
+        (no quantization) and check the query's quantized output to the
+        tolerance the nano/pico grids admit."""
+        from drug_target_discovery_spark.queries.experiments import (
+            _JK_BUCKETS,
+            _N_ARMS,
+        )
+        from drug_target_discovery_spark.queries.registry import all_queries
+        from drug_target_discovery_spark.sources.tables import load_table
+
+        out = {
+            r["arm"]: r
+            for r in all_queries()["jackknife_ratio_readout"].fn(spark, SF).collect()
+        }
+        pdf = (
+            load_table(spark, SF, "events")
+            .filter("event_type = 'purchase'")
+            .select("user_id", "value")
+            .toPandas()
+        )
+        pdf["cents"] = np.floor(pdf["value"] * 100 + 0.5).astype("int64")
+        pdf["arm"] = (pdf["user_id"] % _N_ARMS).astype(int)
+        pdf["bkt"] = (pdf["user_id"] % _JK_BUCKETS).astype(int)
+        for arm, g in pdf.groupby("arm"):
+            bk = g.groupby("bkt")["cents"].agg(["sum", "size"])
+            S, T, B = bk["sum"].sum(), bk["size"].sum(), len(bk)
+            loo = (S - bk["sum"]) / (100.0 * (T - bk["size"]))
+            se = math.sqrt((B - 1) / B * ((loo - loo.mean()) ** 2).sum())
+            r = out[arm]
+            assert r["n_buckets"] == B
+            assert r["n_purchases"] == T
+            assert abs(r["ratio"] - S / (100.0 * T)) < 1e-6
+            assert abs(r["loo_mean"] - loo.mean()) < 1e-6
+            assert abs(r["se_jack"] - se) < 1e-5
+            # jackknife SE of a stable ratio is positive and much smaller
+            # than the ratio itself at this occupancy
+            assert 0 < r["se_jack"] < r["ratio"]
+
+    def test_plan_single_fact_shuffle(self, spark):
+        """The fact exchanges ONCE — to the (arm, bucket) grain; every
+        later step runs on the constant-size bucket table."""
+        from drug_target_discovery_spark.queries.registry import all_queries
+
+        q = all_queries()["jackknife_ratio_readout"]
+        plan = q.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        # partial aggregation precedes the bucket shuffle
+        assert "partial" in plan.lower(), plan
+        # the fact shuffles once, to the (arm, bkt) grain; downstream
+        # consumers read the scope-cached bucket/loo tables instead of
+        # rescanning (each InMemoryTableScan re-prints the cached FileScan,
+        # so substring-counting raw scans would double-count)
+        assert "hashpartitioning(arm" in plan, plan
+        assert plan.count("InMemoryTableScan") >= 3, plan
