@@ -155,6 +155,7 @@ _PRIORITY_REST: tuple[str, ...] = (
     "temporal_embargo_split",
     "order_lineitem_reconciliation",
     "jackknife_ratio_readout",
+    "snapshot_diff_changeset",
     # round-5 plan changes (forced-broadcast removal — values re-proven
     # locally; AQE picks the same physical join at gate scale;
     # large_quantity_orders also changed but already sits in the gate's

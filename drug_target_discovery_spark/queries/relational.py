@@ -1092,3 +1092,161 @@ def order_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("status")
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff: change-set generation between two table versions
+# --------------------------------------------------------------------------
+# cdc_merge_apply is the APPLY half of the CDC loop (a change batch folds
+# into a snapshot). This is the GENERATE half — the Datafold-style
+# "data-diff" that compares two refreshes of a table and emits what
+# changed. The second snapshot is synthesized deterministically from the
+# first (drop key%97 rows, bump key%89 balances, clone key%83 rows under
+# shifted keys) so both engines diff literally the same pair of tables.
+_DIFF_DROP = 97
+_DIFF_BUMP = 89
+_DIFF_CLONE = 83
+_DIFF_BUMP_CENTS = 12345
+_DIFF_KEY_SHIFT = 10_000_000
+
+
+@register(
+    "snapshot_diff_changeset",
+    tags=("relational", "quality", "cdc", "join"),
+    oracle=f"""
+    WITH oldt AS (
+      SELECT c_custkey AS key,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+             c_name AS name, c_nationkey AS nk
+      FROM customer
+    ),
+    newt AS (
+      SELECT key,
+             CASE WHEN key % {_DIFF_BUMP} = 0
+                  THEN cents + {_DIFF_BUMP_CENTS} ELSE cents END AS cents,
+             name, nk
+      FROM oldt WHERE key % {_DIFF_DROP} <> 0
+      UNION ALL
+      SELECT key + {_DIFF_KEY_SHIFT}, cents, name, nk
+      FROM oldt WHERE key % {_DIFF_CLONE} = 0
+    ),
+    ofp AS (
+      SELECT key, cents,
+             md5(concat_ws('|', CAST(key AS VARCHAR), CAST(cents AS VARCHAR),
+                           name, CAST(nk AS VARCHAR))) AS fp
+      FROM oldt
+    ),
+    nfp AS (
+      SELECT key, cents,
+             md5(concat_ws('|', CAST(key AS VARCHAR), CAST(cents AS VARCHAR),
+                           name, CAST(nk AS VARCHAR))) AS fp
+      FROM newt
+    ),
+    d AS (
+      SELECT o.fp AS o_fp, n.fp AS n_fp, o.cents AS o_cents, n.cents AS n_cents
+      FROM ofp o FULL OUTER JOIN nfp n ON o.key = n.key
+    )
+    SELECT CASE WHEN o_fp IS NULL THEN 'added'
+                WHEN n_fp IS NULL THEN 'removed'
+                WHEN o_fp = n_fp THEN 'unchanged'
+                ELSE 'changed' END AS change_type,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_fp IS NOT NULL AND n_fp IS NOT NULL
+                          AND o_fp <> n_fp
+                         THEN abs(n_cents - o_cents) ELSE 0 END)
+                AS BIGINT) AS cents_delta
+    FROM d GROUP BY change_type ORDER BY change_type
+    """,
+)
+def snapshot_diff_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-refresh table diff (added / removed / changed / unchanged
+    with the changed-value magnitude) — the change-set GENERATOR whose
+    output shape is exactly what ``cdc_merge_apply`` consumes, closing
+    the CDC loop (diff one refresh, apply to the next snapshot).
+
+    The data-diff trick that makes this viable wide: each side collapses
+    its row to one md5 fingerprint MAP-SIDE, so the full-outer comparison
+    join shuffles (key, 32-byte digest, cents) — never the wide row —
+    and a 500-column table diffs at the same shuffle cost as a 3-column
+    one. Equality on the digest decides changed-vs-unchanged in one
+    comparison; the carried cents column prices the change.
+
+    Scale design: both snapshot scans are map-only into the digest
+    projection; ONE co-partitioned full-outer sort-merge join on the key
+    (both sides corpus-proportional — no broadcast); the rollup is a
+    bounded 4-row aggregate. At 100 TB the same plan runs partition-wise
+    against bucketed snapshots, and the pre-rollup frame (key, op,
+    new value) IS the incremental change feed a downstream MERGE applies."""
+    cust = load_table(spark, sf_dir, "customer")
+    oldt = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    newt = (
+        oldt.filter(F.col("key") % _DIFF_DROP != 0)
+        .select(
+            "key",
+            F.when(
+                F.col("key") % _DIFF_BUMP == 0,
+                F.col("cents") + _DIFF_BUMP_CENTS,
+            )
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+            "name",
+            "nk",
+        )
+        .unionByName(
+            oldt.filter(F.col("key") % _DIFF_CLONE == 0).select(
+                (F.col("key") + _DIFF_KEY_SHIFT).alias("key"),
+                "cents",
+                "name",
+                "nk",
+            )
+        )
+    )
+
+    def fp(df):
+        return df.select(
+            "key",
+            "cents",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("key").cast("string"),
+                    F.col("cents").cast("string"),
+                    F.col("name"),
+                    F.col("nk").cast("string"),
+                )
+            ).alias("fp"),
+        )
+
+    o = fp(oldt).select(
+        "key", F.col("cents").alias("o_cents"), F.col("fp").alias("o_fp")
+    )
+    n = fp(newt).select(
+        "key", F.col("cents").alias("n_cents"), F.col("fp").alias("n_fp")
+    )
+    d = o.join(n, "key", "full_outer")
+    change = (
+        F.when(F.col("o_fp").isNull(), "added")
+        .when(F.col("n_fp").isNull(), "removed")
+        .when(F.col("o_fp") == F.col("n_fp"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        d.groupBy(change.alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("o_fp").isNotNull()
+                    & F.col("n_fp").isNotNull()
+                    & (F.col("o_fp") != F.col("n_fp")),
+                    F.abs(F.col("n_cents") - F.col("o_cents")),
+                ).otherwise(F.lit(0))
+            ).alias("cents_delta"),
+        )
+        .orderBy("change_type")
+    )

@@ -157,3 +157,66 @@ class TestReconciliation:
         # detail pre-aggregate is two-phase (map-side partial before the
         # keyed shuffle)
         assert "partial" in plan.lower(), plan
+
+
+class TestSnapshotDiff:
+    def test_matches_pandas_recompute(self, spark):
+        from drug_target_discovery_spark.queries.relational import (
+            _DIFF_BUMP,
+            _DIFF_BUMP_CENTS,
+            _DIFF_CLONE,
+            _DIFF_DROP,
+            _DIFF_KEY_SHIFT,
+        )
+
+        out = {
+            r["change_type"]: r
+            for r in all_queries()["snapshot_diff_changeset"].fn(spark, SF).collect()
+        }
+        cust = (
+            load_table(spark, SF, "customer")
+            .select("c_custkey", "c_acctbal")
+            .toPandas()
+        )
+        keys = cust["c_custkey"]
+        cents = np.floor(cust["c_acctbal"] * 100 + 0.5).astype("int64")
+        old = dict(zip(keys, cents))
+        new = {}
+        for k, c in old.items():
+            if k % _DIFF_DROP != 0:
+                new[k] = c + _DIFF_BUMP_CENTS if k % _DIFF_BUMP == 0 else c
+            if k % _DIFF_CLONE == 0:
+                new[k + _DIFF_KEY_SHIFT] = c
+        added = set(new) - set(old)
+        removed = set(old) - set(new)
+        common = set(old) & set(new)
+        changed = {k for k in common if old[k] != new[k]}
+        unchanged = common - changed
+        assert out["added"]["n_rows"] == len(added)
+        assert out["removed"]["n_rows"] == len(removed)
+        assert out["changed"]["n_rows"] == len(changed)
+        assert out["unchanged"]["n_rows"] == len(unchanged)
+        assert out["changed"]["cents_delta"] == sum(
+            abs(new[k] - old[k]) for k in changed
+        )
+        # the synthetic refresh only bumps balances, never names, so every
+        # changed row's delta is exactly the bump
+        assert out["changed"]["cents_delta"] == len(changed) * _DIFF_BUMP_CENTS
+        for ct in ("added", "removed", "unchanged"):
+            assert out[ct]["cents_delta"] == 0
+
+    def test_plan_digest_only_shuffle_full_outer(self, spark):
+        plan = _plan(spark, "snapshot_diff_changeset")
+        # one co-partitioned full-outer comparison join, never a broadcast
+        # (both snapshots are corpus-proportional)
+        assert "FullOuter" in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+        # the wide row never shuffles: the md5 fingerprint is computed
+        # map-side BELOW each keyed exchange (in tree text, children print
+        # after parents, so every md5 Project must appear after the join
+        # line), and the join matches on the bare key
+        assert plan.count("md5(") >= 2, plan
+        assert plan.index("SortMergeJoin") < plan.index("md5("), plan
+        # exactly the three keyed exchanges: two snapshot sides + the
+        # bounded 4-row rollup
+        assert plan.count("Exchange hashpartitioning") == 3, plan

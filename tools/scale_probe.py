@@ -118,6 +118,13 @@ PROBES = [
     "salted_returnflag_stats",
     "kmeans_lloyd_clusters",
     "cdc_merge_apply",
+    # round-5 closing batch: chronological holdout, header-vs-detail
+    # reconciliation, hash-bucket jackknife, snapshot data-diff — all
+    # bounded-output plans whose only wide exchange is keyed on the fact
+    "temporal_embargo_split",
+    "order_lineitem_reconciliation",
+    "jackknife_ratio_readout",
+    "snapshot_diff_changeset",
 ]
 
 
