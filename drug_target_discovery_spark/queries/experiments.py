@@ -305,3 +305,99 @@ def jackknife_ratio_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) guardrail
+# --------------------------------------------------------------------------
+# The first check every experiment platform runs before reading any metric:
+# if the unit counts deviate from the designed allocation more than chance
+# allows (chi-squared goodness-of-fit), the assignment or logging pipeline
+# is broken and every downstream readout is invalid (Fabijan et al. 2019,
+# "Diagnosing Sample Ratio Mismatch"). Completes the experimentation
+# family: SRM gate -> CUPED means -> jackknife SEs.
+_SRM_CRIT_95 = 3.841458820694124  # chi2 inverse CDF at 0.95, 1 dof (2 arms)
+
+
+@register(
+    "srm_guardrail",
+    tags=("events", "experiment", "stats", "quality"),
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    c AS (
+      SELECT CAST(user_id % {_N_ARMS} AS INT) AS arm, count(*) AS n_users
+      FROM u GROUP BY arm
+    ),
+    t AS (SELECT CAST(sum(n_users) AS BIGINT) AS n FROM c),
+    term AS (
+      SELECT c.arm, c.n_users,
+             (c.n_users - t.n / {_N_ARMS}.0)
+             * (c.n_users - t.n / {_N_ARMS}.0)
+             / (t.n / {_N_ARMS}.0) AS chi2_term,
+             t.n AS n
+      FROM c CROSS JOIN t
+    ),
+    tot AS (SELECT sum(chi2_term) AS chi2 FROM term)
+    SELECT term.arm,
+           term.n_users,
+           {rnd_sql("term.n / " + str(_N_ARMS) + ".0", 6)} AS expected_users,
+           {rnd_sql("term.chi2_term", 6)} AS chi2_term,
+           {rnd_sql("tot.chi2", 6)} AS chi2_total,
+           tot.chi2 > {_SRM_CRIT_95} AS srm_flag
+    FROM term CROSS JOIN tot
+    ORDER BY term.arm
+    """,
+)
+def srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared goodness-of-fit of observed per-arm unit counts against
+    the designed equal allocation, with the 95% SRM flag — the validity
+    gate run BEFORE ``cuped_experiment_readout``/``jackknife_ratio_readout``
+    are trusted. Units are distinct users (assignment is per-user, so
+    event-count imbalance is expected and irrelevant; USER-count imbalance
+    is the alarm).
+
+    Exactness: the only inputs are exact BIGINT counts; every division
+    and squared deviation is the same IEEE expression on both engines,
+    and the 2-term chi2 total is a commutative two-double add — no
+    quantization needed anywhere.
+
+    Scale design: one user-key exchange collapses the event stream to
+    distinct units (partial aggregation map-side), then everything runs
+    on the {_N_ARMS}-row arm table with 1-row cross-join broadcasts —
+    the same bounded-readout shape as the rest of the experimentation
+    tier. The critical value is a compile-time constant: no stats
+    library at runtime."""
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    # the bounded arm table has two consumers (total + readout): cache it
+    # so the event fact collapses once
+    c = scoped_cache(
+        u.groupBy((F.col("user_id") % _N_ARMS).cast("int").alias("arm")).agg(
+            F.count(F.lit(1)).alias("n_users")
+        )
+    )
+    t = c.agg(F.sum("n_users").alias("n"))
+    exp_u = F.col("n") / float(_N_ARMS)
+    term = c.crossJoin(F.broadcast(t)).select(
+        "arm",
+        "n_users",
+        "n",
+        ((F.col("n_users") - exp_u) * (F.col("n_users") - exp_u) / exp_u).alias(
+            "chi2_term"
+        ),
+    )
+    tot = term.agg(F.sum("chi2_term").alias("chi2"))
+    return (
+        term.crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            "n_users",
+            rnd(exp_u, 6).alias("expected_users"),
+            rnd(F.col("chi2_term"), 6).alias("chi2_term"),
+            rnd(F.col("chi2"), 6).alias("chi2_total"),
+            (F.col("chi2") > _SRM_CRIT_95).alias("srm_flag"),
+        )
+        .orderBy("arm")
+    )

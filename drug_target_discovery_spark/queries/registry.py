@@ -156,6 +156,7 @@ _PRIORITY_REST: tuple[str, ...] = (
     "order_lineitem_reconciliation",
     "jackknife_ratio_readout",
     "snapshot_diff_changeset",
+    "srm_guardrail",
     # round-5 plan changes (forced-broadcast removal — values re-proven
     # locally; AQE picks the same physical join at gate scale;
     # large_quantity_orders also changed but already sits in the gate's

@@ -204,3 +204,30 @@ class TestJackknifeIndependent:
         # so substring-counting raw scans would double-count)
         assert "hashpartitioning(arm" in plan, plan
         assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+class TestSrmIndependent:
+    def test_matches_scipy_chisquare(self, spark):
+        from drug_target_discovery_spark.queries.registry import all_queries
+        from drug_target_discovery_spark.sources.tables import load_table
+
+        rows = all_queries()["srm_guardrail"].fn(spark, SF).collect()
+        pdf = load_table(spark, SF, "events").select("user_id").toPandas()
+        users = pdf["user_id"].unique()
+        obs = np.bincount(users % 2, minlength=2).astype(float)
+        exp = np.full(2, obs.sum() / 2.0)
+        chi2 = float((((obs - exp) ** 2) / exp).sum())
+        try:
+            from scipy.stats import chisquare
+
+            chi2_sp = float(chisquare(obs).statistic)
+            assert abs(chi2 - chi2_sp) < 1e-9
+        except ImportError:
+            pass  # numpy derivation above is the oracle either way
+        assert len(rows) == 2
+        for r in rows:
+            assert r["n_users"] == obs[r["arm"]]
+            assert abs(r["chi2_total"] - chi2) < 1e-6
+            assert r["srm_flag"] == (chi2 > 3.841458820694124)
+        # chi2_terms sum to the total
+        assert abs(sum(r["chi2_term"] for r in rows) - chi2) < 2e-6
