@@ -1250,3 +1250,85 @@ def snapshot_diff_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew profile (when-to-salt diagnostics)
+# --------------------------------------------------------------------------
+@register(
+    "join_key_skew_profile",
+    tags=("relational", "quality", "skew", "agg"),
+    oracle=f"""
+    WITH c AS (
+      SELECT l_partkey AS key, count(*) AS n_rows_key
+      FROM lineitem GROUP BY l_partkey
+    ),
+    s AS (
+      SELECT count(*) AS n_keys,
+             CAST(sum(n_rows_key) AS BIGINT) AS n_rows,
+             CAST(max(n_rows_key) AS BIGINT) AS max_rows_key
+      FROM c
+    )
+    SELECT c.key, c.n_rows_key, s.n_keys, s.n_rows,
+           {rnd_sql("s.n_rows * 1.0 / s.n_keys", 6)} AS avg_rows_per_key,
+           {rnd_sql("c.n_rows_key * 1.0 * s.n_keys / s.n_rows", 6)} AS key_skew,
+           {rnd_sql("s.max_rows_key * 1.0 * s.n_keys / s.n_rows", 6)} AS max_skew
+    FROM c CROSS JOIN s
+    ORDER BY c.n_rows_key DESC, c.key ASC
+    LIMIT 5
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostics for the fact's join key (l_partkey): the top-5
+    heaviest keys with their skew ratio (rows-per-key over the mean) and
+    the global max-skew — the numbers that decide whether a keyed join or
+    aggregation needs the explicit salting fallbacks in
+    ``operators/skew.py`` (a max_skew near 1 means hash partitioning
+    balances; max_skew >> tasks-per-executor means the hottest key IS the
+    straggler). The production pre-flight a pipeline runs before choosing
+    a join strategy, completing the ops-diagnostics family
+    (data_quality_checks / referential_integrity_audit /
+    order_lineitem_reconciliation / snapshot_diff_changeset).
+
+    Exactness: all inputs are exact BIGINT counts; ratios are single
+    IEEE divisions written identically on both engines.
+
+    Scale design: ONE keyed exchange with map-side partial counts (the
+    key-count table is the profile's working set — |distinct keys| rows,
+    already orders smaller than the fact); the global summary is a 1-row
+    broadcast; the top-5 plans as TakeOrderedAndProject with a
+    deterministic key tie-break, never a full sort. At 100 TB the same
+    two aggregates run per candidate join key as a planning pass."""
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = scoped_cache(
+        li.groupBy(F.col("l_partkey").alias("key")).agg(
+            F.count(F.lit(1)).alias("n_rows_key")
+        )
+    )
+    s = c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows_key").alias("n_rows"),
+        F.max("n_rows_key").alias("max_rows_key"),
+    )
+    return (
+        c.crossJoin(F.broadcast(s))
+        .select(
+            "key",
+            "n_rows_key",
+            "n_keys",
+            "n_rows",
+            rnd(F.col("n_rows") * 1.0 / F.col("n_keys"), 6).alias(
+                "avg_rows_per_key"
+            ),
+            rnd(
+                F.col("n_rows_key") * 1.0 * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("key_skew"),
+            rnd(
+                F.col("max_rows_key") * 1.0 * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("max_skew"),
+        )
+        .orderBy(F.desc("n_rows_key"), F.asc("key"))
+        .limit(5)
+    )

@@ -220,3 +220,31 @@ class TestSnapshotDiff:
         # exactly the three keyed exchanges: two snapshot sides + the
         # bounded 4-row rollup
         assert plan.count("Exchange hashpartitioning") == 3, plan
+
+
+class TestSkewProfile:
+    def test_matches_pandas_recompute(self, spark):
+        rows = all_queries()["join_key_skew_profile"].fn(spark, SF).collect()
+        li = load_table(spark, SF, "lineitem").select("l_partkey").toPandas()
+        counts = li["l_partkey"].value_counts()
+        n_keys, n_rows, mx = len(counts), int(counts.sum()), int(counts.max())
+        # expected top-5: count desc, key asc tie-break
+        exp = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:5]
+        assert len(rows) == 5
+        for r, (k, n) in zip(rows, exp):
+            assert r["key"] == k and r["n_rows_key"] == n
+            assert r["n_keys"] == n_keys and r["n_rows"] == n_rows
+            assert abs(r["key_skew"] - n * n_keys / n_rows) < 1e-6
+            assert abs(r["max_skew"] - mx * n_keys / n_rows) < 1e-6
+        # the heaviest key's skew IS the max skew
+        assert rows[0]["key_skew"] == rows[0]["max_skew"]
+
+    def test_plan_take_ordered_single_fact_exchange(self, spark):
+        plan = _plan(spark, "join_key_skew_profile")
+        # top-5 is a true top-k, never a global sort of the key table
+        assert "TakeOrderedAndProject" in plan, plan
+        # the 1-row summary broadcasts; the fact shuffles once on the key
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+        assert "partial" in plan.lower(), plan
