@@ -673,3 +673,31 @@ def closeness_centrality_corr_graph(spark: SparkSession, sf_dir: str) -> DataFra
     return cc.select(
         "node", rnd("closeness_centrality", 6).alias("closeness_centrality")
     )
+
+
+# --------------------------------------------------------------------------
+# Harmonic centrality (G-family [EXT], the disconnected-safe closeness)
+# --------------------------------------------------------------------------
+@register(
+    "harmonic_centrality_corr_graph",
+    tags=("graph", "centrality"),
+    oracle=GRAPH_ORACLES.get("harmonic_centrality_corr_graph"),
+)
+def harmonic_centrality_corr_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality on the correlation graph (networkx raw-sum
+    convention: sum of 1/d over reachable peers). The centrality Boldi &
+    Vigna 2014 recommend over closeness on disconnected graphs — the
+    correlation graph IS multi-component, exactly the case where
+    closeness needs its wf_improved correction and harmonic needs none.
+    A rider on the sweep-scoped graph memo; same source-parallel
+    no-final-shuffle plan as closeness, with per-distance integer level
+    counts making every score order-deterministic (see
+    graph/centrality.py harmonic_centrality); fixture VALUES oracle
+    generated against networkx by tools/gen_graph_oracles.py."""
+    from drug_target_discovery_spark.graph.centrality import harmonic_centrality
+
+    nodes, edges = _corr_graph(spark, sf_dir)
+    hc = harmonic_centrality(edges.select("src", "dst"), nodes)
+    return hc.select(
+        "node", rnd("harmonic_centrality", 6).alias("harmonic_centrality")
+    )

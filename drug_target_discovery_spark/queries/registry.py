@@ -158,6 +158,7 @@ _PRIORITY_REST: tuple[str, ...] = (
     "snapshot_diff_changeset",
     "srm_guardrail",
     "join_key_skew_profile",
+    "harmonic_centrality_corr_graph",
     # round-5 plan changes (forced-broadcast removal — values re-proven
     # locally; AQE picks the same physical join at gate scale;
     # large_quantity_orders also changed but already sits in the gate's

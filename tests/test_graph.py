@@ -224,3 +224,34 @@ class TestCloseness:
             "closeness_centrality",
         )
         assert drv == dist
+
+
+class TestHarmonic:
+    def test_parity_vs_networkx(self, spark, graph_dfs):
+        from drug_target_discovery_spark.graph.centrality import (
+            harmonic_centrality,
+        )
+
+        g, nodes, edges = graph_dfs
+        got = _collect(harmonic_centrality(edges, nodes), "harmonic_centrality")
+        expected = nx.harmonic_centrality(g)
+        assert set(got) == set(expected)
+        for n_, v in expected.items():
+            assert got[n_] == pytest.approx(v, rel=1e-12), n_
+        # the fixture's isolated nodes score exactly 0 (no reachable peers)
+        assert got[100] == 0.0 and got[101] == 0.0
+
+    def test_distributed_path_matches_driver(self, spark, graph_dfs):
+        from drug_target_discovery_spark.graph.centrality import (
+            harmonic_centrality,
+        )
+
+        g, nodes, edges = graph_dfs
+        drv = _collect(harmonic_centrality(edges, nodes), "harmonic_centrality")
+        dist = _collect(
+            harmonic_centrality(edges, nodes, driver_threshold=1),
+            "harmonic_centrality",
+        )
+        # per-distance integer accumulation makes both paths run literally
+        # the same float ops: bit-identical, not approx
+        assert drv == dist

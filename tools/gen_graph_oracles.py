@@ -86,6 +86,7 @@ def main() -> int:
     pr = textbook_pagerank(g, alpha=0.85, max_iter=30, tol=1e-6)
     cores = nx.core_number(g)  # integers — no rounding-boundary hazard
     cc = nx.closeness_centrality(g)  # wf_improved default
+    hc = nx.harmonic_centrality(g)  # raw reciprocal-distance sums
 
     def minmax(d: dict) -> dict:
         lo, hi = min(d.values()), max(d.values())
@@ -97,7 +98,7 @@ def main() -> int:
     # boundary check: every rounded-to-6dp value must be comfortably far
     # from a .5 ulp boundary, or float noise could flip the rounding
     worst = 1.0
-    for d in (ec, bc, pr, composite, cc):
+    for d in (ec, bc, pr, composite, cc, hc):
         for v in d.values():
             frac = abs(v) * 1e6 % 1.0
             worst = min(worst, abs(frac - 0.5))
@@ -137,6 +138,9 @@ def main() -> int:
         ),
         "closeness_centrality_corr_graph": values_sql(
             ["node", "closeness_centrality"], [(v, r6(cc[v])) for v in nodes]
+        ),
+        "harmonic_centrality_corr_graph": values_sql(
+            ["node", "harmonic_centrality"], [(v, r6(hc[v])) for v in nodes]
         ),
         "network_target_scores": values_sql(
             [
