@@ -160,3 +160,33 @@ class TestIdempotentBackfill:
             after.filter((F.col("day") != day) & (F.col("value") == -1.0)).count()
             == 0
         )
+
+    def test_merge_schema_reads_evolved_parquet(self, spark, tmp_path):
+        """Schema evolution (the 100 TB ingest reality: a column added
+        mid-corpus): two parquet generations with different schemas read
+        as ONE table under mergeSchema — old rows surface NULL for the
+        new column, and plain reads without the option see only the
+        footer-sampled schema (the silent-drop failure mode this pins)."""
+        base = str(tmp_path / "evolved")
+        v1 = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id BIGINT, text STRING"
+        )
+        v2 = spark.createDataFrame(
+            [(3, "c", "en"), (4, "d", "fr")],
+            "doc_id BIGINT, text STRING, lang STRING",
+        )
+        v1.write.parquet(f"{base}/gen=1")
+        v2.write.parquet(f"{base}/gen=2")
+        merged = spark.read.option("mergeSchema", "true").parquet(base)
+        assert set(merged.columns) == {"doc_id", "text", "lang", "gen"}
+        rows = {r["doc_id"]: r for r in merged.collect()}
+        assert len(rows) == 4
+        assert rows[1]["lang"] is None and rows[3]["lang"] == "en"
+        # column pruning still reaches the scan on the merged schema
+        plan = (
+            merged.select("doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "text" not in plan.split("ReadSchema")[-1], plan

@@ -217,6 +217,29 @@ def main() -> None:
         "driver_sec": t_drv, "distributed_sec": t_dist, "max_diff": d,
         "note": "bit-identical: same per-source float arithmetic",
     }
+    release_caches()
+
+    # --- harmonic: same envelope as closeness (per-source BFS, no final
+    # shuffle); per-distance integer level counts make both paths run the
+    # same float ops, so the parity bar is exact zero
+    from drug_target_discovery_spark.graph.centrality import harmonic_centrality
+
+    hc_dist, t_dist = timed(
+        lambda: harmonic_centrality(sub_edges, sub_nodes).cache()
+    )  # 2000 > 512 -> source-parallel path
+    hc_dist.count()
+    hc_drv, t_drv = timed(
+        lambda: harmonic_centrality(
+            sub_edges, sub_nodes, driver_threshold=10_000
+        ).cache()
+    )
+    hc_drv.count()
+    d = compare(hc_drv, hc_dist, "harmonic_centrality", 0)
+    report["checks"]["harmonic_centrality"] = {
+        "n_nodes": bn,
+        "driver_sec": t_drv, "distributed_sec": t_dist, "max_diff": d,
+        "note": "bit-identical: per-distance integer level counts",
+    }
     release_caches(fixtures=True)
 
     # --- Adamic-Adar wedge enumeration at full scale vs an independent
