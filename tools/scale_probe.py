@@ -125,6 +125,8 @@ PROBES = [
     "order_lineitem_reconciliation",
     "jackknife_ratio_readout",
     "snapshot_diff_changeset",
+    "srm_guardrail",
+    "join_key_skew_profile",
 ]
 
 
