@@ -159,6 +159,7 @@ _PRIORITY_REST: tuple[str, ...] = (
     "srm_guardrail",
     "join_key_skew_profile",
     "harmonic_centrality_corr_graph",
+    "kmeans_silhouette_by_cluster",
     # round-5 plan changes (forced-broadcast removal — values re-proven
     # locally; AQE picks the same physical join at gate scale;
     # large_quantity_orders also changed but already sits in the gate's

@@ -811,6 +811,29 @@ except ImportError:  # pragma: no cover - regenerate via tools/gen_kmeans_oracle
 _KM_K = 8
 _KM_ITERS = 5
 
+# Sweep-scoped Lloyd memo: the trained model (quantized vectors + final
+# centroids) is shared by kmeans_lloyd_clusters and the silhouette
+# evaluation query, so the 5-round training loop runs once per sweep.
+_LLOYD_CACHE: dict[tuple[str, str], tuple[DataFrame, list]] = {}
+
+register_fixture_hook(_LLOYD_CACHE.clear)
+
+
+def _lloyd_cached(spark: SparkSession, sf_dir: str):
+    from drug_target_discovery_spark.caching import fixture_cache
+    from drug_target_discovery_spark.operators.kmeans import (
+        lloyd_iterations,
+        quantize_embeddings,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LLOYD_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        vq = fixture_cache(quantize_embeddings(emb.select("vec_id", "embedding")))
+        _LLOYD_CACHE[key] = (vq, lloyd_iterations(vq, _KM_K, _KM_ITERS))
+    return _LLOYD_CACHE[key]
+
+
 
 @register(
     "kmeans_lloyd_clusters",
@@ -837,17 +860,9 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from drug_target_discovery_spark.operators.kmeans import (
         QUANT_SCALE,
         final_assignment,
-        lloyd_iterations,
-        quantize_embeddings,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    vq = emb.select("vec_id", "embedding")
-    vq = quantize_embeddings(vq)
-    from drug_target_discovery_spark.caching import scoped_cache
-
-    vq = scoped_cache(vq)  # consumed once per iteration + final assignment
-    centroids = lloyd_iterations(vq, _KM_K, _KM_ITERS)
+    vq, centroids = _lloyd_cached(spark, sf_dir)
     counts = (
         final_assignment(vq, centroids)
         .groupBy("cluster")
@@ -942,4 +957,93 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _HN_TOP_K)
         .select("qid", "neg_id", "neg_label", rnd("cosine", 6).alias("cosine"), "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Simplified silhouette (k-means cluster-quality evaluation)
+# --------------------------------------------------------------------------
+try:  # fixture VALUES oracle (shares the numpy Lloyd generator) — generated
+    from drug_target_discovery_spark.queries._kmeans_oracle import (
+        KMEANS_SIL_ORACLE,
+    )
+except ImportError:  # pragma: no cover - regenerate via tools/gen_kmeans_oracle.py
+    KMEANS_SIL_ORACLE = None
+
+
+@register(
+    "kmeans_silhouette_by_cluster",
+    tags=("similarity", "eval", "mapinpandas"),
+    oracle=KMEANS_SIL_ORACLE,
+)
+def kmeans_silhouette_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster mean SIMPLIFIED silhouette under the trained Lloyd
+    model — the clustering-quality readout an embedding pipeline runs
+    after (re)training: s(x) = (b-a)/max(a,b) with a = distance to the
+    own centroid and b = distance to the nearest OTHER centroid (the
+    centroid-based simplification of Rousseeuw 1987, the form MLlib and
+    large-scale evaluators use because it needs K distances per point,
+    not N). Completes the model-evaluation family next to AUC / PR-curve
+    / calibration / ANN-recall.
+
+    Rides the sweep-scoped Lloyd memo (the 5-round training loop runs
+    once for it and ``kmeans_lloyd_clusters``). Exactness: distances are
+    computed from integer micro-unit vectors against the model's
+    centroids in the same per-centroid order as the independent numpy
+    oracle generator, each point's silhouette quantizes to micro-units,
+    and the per-cluster mean divides two exact integers — the iterative
+    model held to the exact-value bar end to end.
+
+    Scale design: map-only Arrow kernel (broadcast K x D model, one pass,
+    K distances per row), then ONE bounded aggregate to the K-row output
+    — corpus size touches only the map side, the same envelope as the
+    E-step."""
+    import numpy as np
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    vq, centroids = _lloyd_cached(spark, sf_dir)
+    C = [list(c) for c in centroids]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Carr = [np.asarray(c, dtype=np.float64) for c in C]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                pdf["v_int"].map(lambda a: np.asarray(a, dtype=np.float64))
+            )
+            # same reduction order as operators/kmeans._assign_ids and the
+            # numpy oracle: per-centroid squared distance, first-min argmin
+            D2 = np.stack([((V - c) ** 2).sum(axis=1) for c in Carr], axis=1)
+            lab = D2.argmin(axis=1)
+            idx = np.arange(len(V))
+            a = np.sqrt(D2[idx, lab])
+            D2[idx, lab] = np.inf
+            b = np.sqrt(D2.min(axis=1))
+            mx = np.maximum(a, b)
+            sil = np.where(mx > 0.0, (b - a) / mx, 0.0)
+            yield pd.DataFrame(
+                {
+                    "cluster": lab.astype(np.int32),
+                    "s_q": np.floor(sil * 1e6 + 0.5).astype(np.int64),
+                }
+            )
+
+    per_point = vq.mapInPandas(kernel, schema="cluster INT, s_q BIGINT")
+    agg = per_point.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"), F.sum("s_q").alias("sq")
+    )
+    clusters = spark.range(_KM_K).select(F.col("id").cast("int").alias("cluster"))
+    return (
+        clusters.join(agg, "cluster", "left_outer")
+        .select(
+            F.col("cluster").alias("cluster_id"),
+            F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias("n_members"),
+            rnd(F.col("sq") / (1e6 * F.col("n_members")), 6).alias(
+                "mean_silhouette"
+            ),
+        )
+        .orderBy("cluster_id")
     )

@@ -23,14 +23,14 @@ def _numpy_expected(spark):
     ids = emb.vec_id.to_numpy(dtype=np.int64)
     V = np.stack(emb.embedding.map(lambda a: np.asarray(a, dtype=np.float64)))
     V_int = np.floor(V * S + 0.5).astype(np.int64)
-    return numpy_lloyd(V_int, ids, K, ITERS)
+    return numpy_lloyd(V_int, ids, K, ITERS)  # (summary_rows, silhouette_rows)
 
 
 class TestKmeansLloyd:
     def test_matches_independent_numpy(self, spark):
         rows = all_queries()["kmeans_lloyd_clusters"].fn(spark, SF).collect()
         got = [(r["cluster_id"], r["n_members"], r["centroid_norm_micro"]) for r in rows]
-        assert got == _numpy_expected(spark)
+        assert got == _numpy_expected(spark)[0]
 
     def test_partition_invariance(self, spark):
         from drug_target_discovery_spark.operators.kmeans import (
@@ -48,3 +48,29 @@ class TestKmeansLloyd:
         la = {r["vid"]: r["cluster"] for r in final_assignment(a, ca).collect()}
         lb = {r["vid"]: r["cluster"] for r in final_assignment(b, cb).collect()}
         assert la == lb
+
+
+class TestKmeansSilhouette:
+    def test_matches_independent_numpy(self, spark):
+        """The silhouette query at sf0.001 against the generator's
+        independent numpy derivation on the same data — exact equality
+        (micro-quantized per-point scores, integer per-cluster sums)."""
+        rows = all_queries()["kmeans_silhouette_by_cluster"].fn(spark, SF).collect()
+        got = [
+            (r["cluster_id"], r["n_members"], r["mean_silhouette"]) for r in rows
+        ]
+        exp = [(j, n, m) for j, n, m, _raw in _numpy_expected(spark)[1]]
+        assert got == exp
+
+    def test_scores_are_valid_silhouettes(self, spark):
+        rows = all_queries()["kmeans_silhouette_by_cluster"].fn(spark, SF).collect()
+        assert len(rows) == 8
+        assert sum(r["n_members"] for r in rows) == load_table(
+            spark, SF, "embeddings"
+        ).count()
+        for r in rows:
+            if r["n_members"]:
+                # simplified silhouette is bounded in [-1, 1]; a converged
+                # Lloyd model on separated synthetic clusters should score
+                # positive on average
+                assert -1.0 <= r["mean_silhouette"] <= 1.0
