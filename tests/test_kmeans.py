@@ -74,3 +74,24 @@ class TestKmeansSilhouette:
                 # Lloyd model on separated synthetic clusters should score
                 # positive on average
                 assert -1.0 <= r["mean_silhouette"] <= 1.0
+
+
+class TestLloydMemo:
+    def test_sweep_scoped_sharing_and_release(self, spark):
+        """kmeans_lloyd_clusters and the silhouette rider share ONE
+        training run per sweep; releasing fixtures clears the memo so a
+        later sweep retrains cleanly."""
+        from drug_target_discovery_spark.caching import release_caches
+        from drug_target_discovery_spark.queries.similarity import (
+            _LLOYD_CACHE,
+            _lloyd_cached,
+        )
+
+        release_caches(fixtures=True)
+        assert not _LLOYD_CACHE
+        a = _lloyd_cached(spark, SF)
+        b = _lloyd_cached(spark, SF)
+        assert a is b  # second consumer reuses the trained model
+        assert len(_LLOYD_CACHE) == 1
+        release_caches(fixtures=True)
+        assert not _LLOYD_CACHE  # hook cleared: next sweep retrains
