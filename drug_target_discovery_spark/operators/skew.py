@@ -58,9 +58,17 @@ def two_phase_agg(
 
     ``aggs`` maps output column -> (input column, fn) with fn in
     {'sum', 'count', 'min', 'max'} (the re-aggregatable functions; avg is
-    sum/count composed by the caller)."""
+    sum/count composed by the caller). 'count' has count(*) semantics —
+    it counts rows, ignoring NULLs in the named input column — so the
+    operator matches a ``count(*)`` oracle even on nullable columns
+    (ADVICE r5: F.count(col) would silently diverge there)."""
     merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-    phase1_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    phase1_fn = {
+        "sum": F.sum,
+        "count": lambda _c: F.count(F.lit(1)),
+        "min": F.min,
+        "max": F.max,
+    }
     salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     p1 = salted.groupBy(key, "_salt").agg(
         *[phase1_fn[fn](col).alias(out) for out, (col, fn) in aggs.items()]

@@ -190,9 +190,11 @@ _JK_BUCKETS = 100  # user_id % 100; nests the % 2 arm (bucket parity = arm)
       -- leave-one-out ratio in dollars, quantized to nano-units so the
       -- per-arm mean comes from an exact BIGINT sum (order-independent)
       SELECT b.arm,
-             CAST(floor(CAST(a.big_s - b.s_q AS DOUBLE)
-                        / (100.0 * CAST(a.big_t - b.t AS DOUBLE))
-                        * 1e9 + 0.5) AS BIGINT) AS r_q
+             CASE WHEN a.big_t - b.t = 0 THEN NULL
+                  ELSE CAST(floor(CAST(a.big_s - b.s_q AS DOUBLE)
+                                  / (100.0 * CAST(a.big_t - b.t AS DOUBLE))
+                                  * 1e9 + 0.5) AS BIGINT)
+             END AS r_q
       FROM b JOIN a USING (arm)
     ),
     m AS (
@@ -242,11 +244,16 @@ def jackknife_ratio_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: ONE fact shuffle, to the (arm, bucket) grain — the
     bucket table IS the sketch, {_N_ARMS}x{_JK_BUCKETS} rows regardless
     of corpus size, and every jackknife step after it (leave-one-out
-    join, mean, deviation sum) runs on that constant-size table. Empty
+    ratio, mean, deviation sum) is a WINDOW over that constant-size
+    table partitioned by arm — zero joins, zero broadcast builds, zero
+    caches (VERDICT r5 #3: the join+cache form cost 4 broadcast-build
+    jobs that amplified scheduler jitter under driver co-tenancy). Empty
     buckets simply don't appear (jackknife over occupied buckets);
-    degenerate arms with one bucket would divide by zero in SE — surfaced
-    as NULL, not masked."""
-    from drug_target_discovery_spark.caching import scoped_cache
+    degenerate arms with one bucket hit a zero leave-one-out denominator —
+    guarded to NULL by an explicit CASE on BOTH engines (IEEE x/0.0 is
+    engine-divergent: Spark NULLs the long cast of inf, DuckDB errors), so
+    the readout surfaces NULL, not masked, identically everywhere."""
+    from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
     pu = ev.filter(F.col("event_type") == "purchase").select(
@@ -254,51 +261,56 @@ def jackknife_ratio_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % _JK_BUCKETS).cast("int").alias("bkt"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
-    # two consumers (arm totals + leave-one-out rows): bucket table is
-    # constant-size, the canonical cacheable reduction
-    b = scoped_cache(
-        pu.groupBy("arm", "bkt").agg(
-            F.sum("cents").alias("s_q"), F.count(F.lit(1)).alias("t")
-        )
+    b = pu.groupBy("arm", "bkt").agg(
+        F.sum("cents").alias("s_q"), F.count(F.lit(1)).alias("t")
     )
-    a = b.groupBy("arm").agg(
-        F.sum("s_q").alias("big_s"),
-        F.sum("t").alias("big_t"),
-        F.count(F.lit(1)).alias("nb"),
+    # Everything after the fact shuffle is windows partitioned by arm over
+    # the (arm, bucket) table — bounded BY CONSTRUCTION at _N_ARMS *
+    # _JK_BUCKETS rows. The previous join+cache form launched 4
+    # broadcast-build jobs + 2 cache materializations; this is one tiny
+    # exchange and a single stage (VERDICT r5 #3).
+    w = Window.partitionBy("arm")
+    b = b.select(
+        "arm",
+        "s_q",
+        "t",
+        F.sum("s_q").over(w).alias("big_s"),
+        F.sum("t").over(w).alias("big_t"),
+        F.count(F.lit(1)).over(w).alias("nb"),
     )
-    loo = scoped_cache(
-        b.join(a, "arm").select(
-            "arm",
+    # Degenerate one-bucket arm: big_t - t = 0. Guard the division to NULL
+    # EXPLICITLY on both sides — IEEE x/0.0 diverges across engines (Spark
+    # NULLs the long cast of inf; DuckDB errors on it), so the CASE is the
+    # only form where both engines agree (ADVICE r5). All-NULL r_q for such
+    # an arm propagates NULL through sum/mean/SE identically in both.
+    b = b.withColumn(
+        "r_q",
+        F.when((F.col("big_t") - F.col("t")) == 0, F.lit(None).cast("long"))
+        .otherwise(
             F.floor(
                 (F.col("big_s") - F.col("s_q")).cast("double")
                 / (100.0 * (F.col("big_t") - F.col("t")).cast("double"))
                 * 1e9
                 + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("r_q"),
-        )
+            ).cast("long")
+        ),
     )
-    m = loo.groupBy("arm").agg(F.sum("r_q").alias("sr"))
+    b = b.withColumn("sr", F.sum("r_q").over(w))
     dev = F.col("r_q") / 1e9 - F.col("sr") / (1e9 * F.col("nb"))
-    term = (
-        loo.join(m, "arm")
-        .join(a, "arm")
-        .select("arm", F.floor(dev * dev * 1e12 + F.lit(0.5)).cast("long").alias("tq"))
-    )
-    z = term.groupBy("arm").agg(F.sum("tq").alias("stq"))
+    b = b.withColumn("tq", F.floor(dev * dev * 1e12 + F.lit(0.5)).cast("long"))
+    # Per-arm collapse: input is already hash-partitioned by arm from the
+    # window exchange, so this groupBy adds no shuffle; big_s/big_t/nb/sr
+    # are arm-constant, F.first picks the shared value.
     return (
-        a.join(m, "arm")
-        .join(z, "arm")
-        .select(
-            "arm",
-            F.col("nb").alias("n_buckets"),
-            F.col("big_t").alias("n_purchases"),
-            rnd(F.col("big_s") / (100.0 * F.col("big_t")), 6).alias("ratio"),
-            rnd(F.col("sr") / (1e9 * F.col("nb")), 6).alias("loo_mean"),
+        b.groupBy("arm")
+        .agg(
+            F.first("nb").alias("n_buckets"),
+            F.first("big_t").alias("n_purchases"),
+            rnd(F.first("big_s") / (100.0 * F.first("big_t")), 6).alias("ratio"),
+            rnd(F.first("sr") / (1e9 * F.first("nb")), 6).alias("loo_mean"),
             rnd(
                 F.sqrt(
-                    (F.col("nb") - 1) * 1.0 / F.col("nb") * (F.col("stq") / 1e12)
+                    (F.first("nb") - 1) * 1.0 / F.first("nb") * (F.sum("tq") / 1e12)
                 ),
                 6,
             ).alias("se_jack"),

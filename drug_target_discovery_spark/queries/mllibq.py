@@ -20,10 +20,22 @@ def mllib_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> NGram(3) -> HashingTF -> MinHashLSH.approxSimilarityJoin on Jaccard
     distance < 0.3. Same operator as lsh_candidate_pairs, expressed through
     ml.feature — demonstrates the MLlib path; the hand-rolled DataFrame form
-    remains the oracle-checked one."""
+    remains the oracle-checked one.
+
+    BOUNDED DEMO (VERDICT r5 #2): a self approxSimilarityJoin's candidate
+    fan-out is data-dependent and unbounded, and this rows-only API demo
+    spiked to 58.6s in the r5 driver bench. It now runs on a deterministic
+    quarter sample (doc_id % 4 == 0) at numHashTables=4 — enough to
+    exercise the full MLlib pipeline; the oracle-checked LSH path
+    (lsh_candidate_pairs / near_dup_groups) is the production operator and
+    stays full-corpus."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+    )
     tok = RegexTokenizer(inputCol="text", outputCol="tokens", pattern=r"\s+")
     ng = NGram(n=3, inputCol="tokens", outputCol="ngrams")
     tf = HashingTF(inputCol="ngrams", outputCol="features", numFeatures=1 << 18)
@@ -33,7 +45,7 @@ def mllib_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from drug_target_discovery_spark.caching import scoped_cache
 
     staged = scoped_cache(staged.filter(F.expr("size(ngrams) > 0")))
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(staged)
     pairs = model.approxSimilarityJoin(staged, staged, 0.3, distCol="jaccard_dist")
     return (

@@ -45,97 +45,32 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-visit priority. The driver's correctness gate walks the queries()
 # dict in insertion order and stops at 50 entries per round, so coverage is a
-# rotation problem (VERDICT r3 #1). Round 5's 50: (1) the 26-query backlog
-# whose latest green row is round 2 (VERDICT r4 #1 — the oldest evidence in
-# the repo, promised first this round), (2) queries new or changed this
-# round (never-checked or rewritten plans need current evidence), (3)
-# round-3-stale refreshes filling the remaining slots. The r3 remainder
-# sits first in _PRIORITY_REST (they keep their r3 green rows; first next
-# round). _PRIORITY_GATE must hold exactly _GATE_WINDOW names; a unit test
-# pins the length so the gate never silently drops the tail of group (3).
+# rotation problem (VERDICT r3 #1). Round 6's 50 (VERDICT r5 #1 — the single
+# highest-leverage item): (1) the 36 round-5 queries that have NEVER had a
+# driver row (growth outran the 50-slot window last round; all local-gate
+# green, judge spot-check 6/6 exact), (2) queries new or plan-changed this
+# round filling the remaining 14 slots. After this gate runs, every
+# registered query has a green driver row for the first time.
+# _PRIORITY_GATE must hold exactly _GATE_WINDOW names; a unit test pins the
+# length, and tests/test_registry_rotation.py enforces the staleness budget
+# (no query's driver evidence older than _MAX_EVIDENCE_AGE rounds after the
+# next gate run — VERDICT r5 #5).
 _GATE_WINDOW = 50
 
 _PRIORITY_GATE: tuple[str, ...] = (
-    # -- (1) the r2-evidence backlog: every green row here is 3 rounds old
-    "embedding_label_stats",
-    "lang_id_stopwords",
-    "media_metadata_stats",
-    "cube_order_stats",
-    "grouping_sets_ship_stats",
-    "large_quantity_orders",
-    "conditional_log2",
-    "missing_census",
-    "ntile_price_bands",
-    "pagerank_corr_graph",
-    "part_name_analysis",
-    "promo_revenue_share",
-    "repeated_ngram_fraction",
-    "rolling_hash_fingerprint",
-    "sequence_packing",
-    "session_windows_builtin",
-    "session_windows_gap",
-    "simhash_fingerprints",
-    "supplier_composite_score",
-    "text_quality_scores",
-    "tfidf_top_terms",
-    "token_count_stats",
-    "top_variance_parts",
-    "winnowing_fingerprints",
-    "zscore_by_part",
-    "na_threshold_filter",
-    # -- (2) new or changed this round
-    "quantile_normalize_exact",   # NEW: exact per-rank QN (limma twin)
-    "curation_end_to_end",        # NEW: composed dedup->prune->quality->split
-    "boilerplate_ngram_stats",    # NEW: cross-doc template fragments
-    "training_shard_assignment",  # NEW: budgeted bin packing, global ids
-    "hybrid_retrieval_rerank",    # NEW: BM25 -> cosine rerank composition
-    "ks_test_price_drift",        # NEW: two-sample KS drift detector
-    "psi_price_stability",        # NEW: PSI drift score
-    "chi2_status_priority",       # NEW: chi-squared independence
-    "core_numbers_corr_graph",    # NEW: k-core decomposition
-    "count_min_frequency_probe",  # NEW: CMS sketch with exact-replica oracle
-    "simhash_near_dups",          # NEW: block-banded Hamming join
-    "auc_by_cohort",              # NEW: tie-corrected rank AUC
-    "pr_curve_sampled",           # NEW: threshold-sweep PR points
-    "part_pair_affinity",         # forced item-count broadcasts removed
-    "split_contamination_audit",  # shingle width now explicit (n=_N)
-    "semantic_dedup_prune",       # oracle gained zero-norm convention guard
-    # -- (3) changed this round, late: the LSH verification memo rewrite
-    "near_dup_groups",
-    # -- (4) new in the second half of the round (never-checked > stale)
-    "zorder_file_layout",         # NEW: Morton-curve clustering assignment
-    "bigram_pmi_collocations",    # NEW: BPE-merge/collocation statistic
-    "winsorized_price_stats",     # NEW: p05/p95 outlier clipping
-    "event_transition_matrix",    # NEW: Markov lead-window sequence stats
-    # -- (5) new in the final third of the round. The decorrelation /
-    #    retention / eval / skew additions outnumber the remaining slots;
-    #    these three carry the most novel plan contracts (exact iterative
-    #    k-means, global-rank-without-global-sort, double EXISTS
-    #    decorrelation) — the rest head _PRIORITY_REST with full local
-    #    oracle-gate + independent-recompute evidence until round 6.
-    "kmeans_lloyd_clusters",      # NEW: exact distributed Lloyd iterations
-    "revenue_pareto_deciles",     # NEW: bucket+offset global ranks
-    "late_sole_supplier_orders",  # NEW: Q21 one-aggregate decorrelation
-)
-
-# Slots 51+: first the round-5 additions/changes that did not fit the
-# 50-slot window (never-checked or changed-plan — all green in the local
-# oracle gate this round, queued for driver evidence in round 6), then the
-# unchanged-since-r3 remainder, ahead of the r4-fresh majority.
-_PRIORITY_REST: tuple[str, ...] = (
-    # round-5 new, local-gate green, driver evidence pending
+    # -- (1) never-driver-checked round-5 queries (36)
     "min_cost_part_supplier",
     "customer_order_distribution",
     "wealthy_inactive_customers",
     "ann_recall_eval",
     "degree_assortativity_corr_graph",
     "cohort_retention_matrix",
-    "salted_returnflag_stats",
+    "salted_returnflag_stats",      # + two_phase_agg count(*) fix (ADVICE r5)
     "cdc_merge_apply",
     "important_part_value_share",
     "returnflag_priority_mix",
     "top_revenue_suppliers",
-    "disjunctive_branch_revenue",
+    "disjunctive_branch_revenue",   # + integer-cents quantization (ADVICE r5)
     "dsir_importance_selection",
     "adamic_adar_link_prediction",
     "calibration_curve_bins",
@@ -154,19 +89,39 @@ _PRIORITY_REST: tuple[str, ...] = (
     "closeness_centrality_corr_graph",
     "temporal_embargo_split",
     "order_lineitem_reconciliation",
-    "jackknife_ratio_readout",
+    "jackknife_ratio_readout",      # + window rewrite, zero joins (r6)
     "snapshot_diff_changeset",
     "srm_guardrail",
     "join_key_skew_profile",
     "harmonic_centrality_corr_graph",
     "kmeans_silhouette_by_cluster",
-    # round-5 plan changes (forced-broadcast removal — values re-proven
-    # locally; AQE picks the same physical join at gate scale;
-    # large_quantity_orders also changed but already sits in the gate's
-    # backlog group)
+    # -- (2) new or plan-changed in round 6 (14 slots)
+    "ols_trend_by_brand",           # NEW: per-group OLS fit, sufficient stats
+    "mutual_information_flags",     # NEW: MI / conditional entropy
+    "gini_segment_mix",             # NEW: Gini impurity + entropy per segment
+    "weighted_reservoir_sample",    # NEW: deterministic A-ES weighted top-k
+    "rfm_customer_segments",        # NEW: RFM quantile segmentation
+    "pareto_frontier_parts",        # NEW: 2D skyline via ordered window scan
+    "calendar_gap_fill_revenue",    # NEW: date-spine zero-fill
+    "vocab_oov_coverage",           # NEW: top-K vocab OOV rate per doc
+    "zipf_slope_tokens",            # NEW: log-log OLS over token ranks
+    "shingle_containment_pairs",    # NEW: asymmetric containment near-dup
+    "ndcg_retrieval_eval",          # NEW: NDCG@k retrieval metric
+    "stratified_kfold_assignment",  # NEW: deterministic k-fold balance audit
+    "zone_map_stats",               # NEW: zone-map min/max + pruning audit
+    "rolling_revenue_anomaly",      # NEW: ROWS-window rolling z anomaly
+)
+
+# Slots 51+: refresh order for queries that already hold a green driver row
+# — oldest evidence first (r3 refreshes, then the round-5-gate cohort ages
+# out last).
+_PRIORITY_REST: tuple[str, ...] = (
+    # r5 plan changes that already had r3 rows (forced-broadcast removal —
+    # values re-proven locally; AQE picks the same physical join)
     "revenue_by_nation",
     "parts_shipped_to_top_nation",
-    # r3-green refreshes displaced from the round-5 gate (stale < new)
+    # r3-green refreshes (oldest driver evidence in the repo after this
+    # round's gate — first in line for round 7)
     "geo_pipeline_differential",
     "geo_pipeline_targets",
     "differential_expression",
@@ -229,6 +184,8 @@ def all_queries() -> dict[str, Query]:
         pipelineq,
         quality,
         relational,
+        round6a,
+        round6b,
         selection,
         setops,
         similarity,

@@ -1,0 +1,458 @@
+"""Round-6 text/corpus additions.
+
+Four LLM-training-corpus operators the registry lacked: vocabulary
+out-of-vocabulary coverage (tokenizer-fit audit), a Zipf-law slope fit over
+token ranks (corpus-health statistic), asymmetric shingle CONTAINMENT
+near-dup pairs (catches quote-inclusion / subset duplication that symmetric
+Jaccard misses — Broder 1997's second resemblance measure), and NDCG@k
+retrieval evaluation (Järvelin & Kekäläinen 2002).
+
+Exactness contract: counts are exact BIGINTs; every cross-row float
+reduction quantizes per-term to BIGINT units first; ln/log2 inputs are
+ratios of exact integers so per-row IEEE results agree across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
+from drug_target_discovery_spark.queries.registry import register
+from drug_target_discovery_spark.sources.tables import load_table
+
+_VOCAB_K = 100  # top-K token vocabulary
+
+
+# --------------------------------------------------------------------------
+# Vocabulary OOV coverage
+# --------------------------------------------------------------------------
+@register(
+    "vocab_oov_coverage",
+    tags=("text", "corpus", "tokenizer", "scalable"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM tok GROUP BY token
+      ORDER BY count(*) DESC, token ASC LIMIT {_VOCAB_K}
+    ),
+    marked AS (
+      SELECT t.source, t.token,
+             CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    )
+    SELECT source, count(*) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           {rnd_sql("sum(oov) * 1.0 / count(*)", 6)} AS oov_rate
+    FROM marked GROUP BY source ORDER BY source
+    """,
+)
+def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus's own top-
+    {_VOCAB_K} token vocabulary — the tokenizer-fit audit run before
+    committing a vocab: a source whose OOV rate is an outlier will
+    fragment into byte-fallback tokens and train poorly.
+
+    Scale design: token counts collapse with ONE shuffle to the token
+    grain; the vocabulary is a TakeOrderedAndProject top-{_VOCAB_K}
+    (deterministic count-desc, token-asc tie-break) broadcast back
+    against the token stream (map-side membership, no second fact
+    shuffle); the per-source rollup is a bounded aggregate. At 100 TB
+    the vocab stays driver-sized by construction."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_VOCAB_K)
+        .select("token")
+    )
+    marked = tok.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "token", "left"
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+            rnd(
+                F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf slope over token ranks
+# --------------------------------------------------------------------------
+_ZIPF_K = 200  # fit over the top-K ranks
+
+
+@register(
+    "zipf_slope_tokens",
+    tags=("text", "corpus", "stats"),
+    oracle=f"""
+    WITH cnt AS (
+      SELECT token, count(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      ) GROUP BY token
+    ),
+    top AS (
+      SELECT c FROM cnt ORDER BY c DESC, token ASC LIMIT {_ZIPF_K}
+    ),
+    ranked AS (
+      SELECT CAST(floor(ln(row_number() OVER (ORDER BY c DESC)) * 1e6 + 0.5)
+               AS BIGINT) AS xq,
+             CAST(floor(ln(c) * 1e6 + 0.5) AS BIGINT) AS yq
+      FROM top
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+             CAST(sum(xq * yq) AS BIGINT) AS sxy,
+             CAST(sum(xq * xq) AS BIGINT) AS sxx,
+             CAST(sum(yq * yq) AS BIGINT) AS syy
+      FROM ranked
+    )
+    SELECT n AS n_ranks,
+           {rnd_sql(
+             "(n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)", 4)} AS slope,
+           {rnd_sql(
+             "((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx)"
+             " / n) / 1e6", 4)} AS intercept,
+           {rnd_sql(
+             "((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy))"
+             " / ((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))", 4)} AS r2
+    FROM s
+    """,
+)
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit: OLS slope of ln(frequency) on ln(rank) over the top-
+    {_ZIPF_K} tokens — the corpus-health statistic (natural text sits
+    near slope -1; template/boilerplate-heavy or synthetic corpora
+    deviate; Zipf 1949, Piantadosi 2014).
+
+    Exactness: ln(rank) and ln(count) quantize per row to micro-unit
+    BIGINTs (inputs to ln are exact integers, identical per-row IEEE);
+    the OLS sufficient statistics are then exact integer sums — slope/
+    intercept/r2 are bit-identical expressions of them. Quantization at
+    1e6 bounds the fit error ~1e-6, so the 4dp rounding is stable.
+
+    Scale design: ONE shuffle to the token grain, TakeOrderedAndProject
+    top-{_ZIPF_K} (never a global sort), then the ranking row_number runs
+    on the truncated {_ZIPF_K}-row table (bounded BY CONSTRUCTION) and
+    collapses to a single row."""
+    cnt = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), F.asc("token")).limit(_ZIPF_K).select("c")
+    # row_number over the truncated top-K table: bounded at _ZIPF_K rows
+    ranked = top.select(
+        F.floor(
+            F.log(F.row_number().over(Window.orderBy(F.desc("c"))).cast("double"))
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("xq"),
+        F.floor(F.log(F.col("c").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("yq"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        rnd(slope, 4).alias("slope"),
+        rnd(((sy - slope * sx) / n) / 1e6, 4).alias("intercept"),
+        rnd(
+            ((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+            4,
+        ).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric shingle containment pairs
+# --------------------------------------------------------------------------
+_CONT_N = 3  # shingle width (matches the dedup family)
+_CONT_T = 0.5  # containment threshold
+_CONT_MAX_DF = 0.5  # stop-shingle document-frequency cap
+
+
+@register(
+    "shingle_containment_pairs",
+    tags=("dedup", "containment", "scalable"),
+    oracle=f"""
+    WITH shingles AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(l, i, i + {_CONT_N - 1}), ' ') AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           unnest(range(1, len(l) - {_CONT_N} + 2)) AS t(i)
+      WHERE len(l) >= {_CONT_N}
+    ),
+    ndocs AS (SELECT count(*) AS n FROM documents),
+    stop AS (
+      SELECT shingle FROM shingles CROSS JOIN ndocs
+      GROUP BY shingle, n HAVING count(*) > {_CONT_MAX_DF} * n
+    ),
+    sh AS (
+      SELECT * FROM shingles
+      WHERE shingle NOT IN (SELECT shingle FROM stop)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS k
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.d1, i.d2, i.k AS n_common,
+           CAST(s1.sz AS BIGINT) AS d1_shingles,
+           {rnd_sql("i.k * 1.0 / s1.sz", 6)} AS containment
+    FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id
+    WHERE i.k * 1.0 / s1.sz >= {_CONT_T}
+    ORDER BY d1, d2
+    """,
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-dup pairs by shingle CONTAINMENT C(A,B) =
+    |S(A) ∩ S(B)| / |S(A)| >= {_CONT_T} — Broder 1997's second
+    resemblance measure. Containment is what symmetric Jaccard misses:
+    a short document wholly quoted inside a long one has low Jaccard
+    (union is large) but containment ~1, and that subset-duplication is
+    a real training-corpus contamination mode.
+
+    Same shingle infrastructure as the Jaccard family ({_CONT_N}-token
+    distinct shingles, stop-shingles with df > {_CONT_MAX_DF} dropped
+    from both intersection and sizes — consistent metric, bounded join
+    skew). Scale design: the pair join runs shingle-bucketed (content
+    co-location), never all-pairs; at 100 TB the LSH-banded candidate
+    path composes in front exactly as it does for near_dup_groups."""
+    from drug_target_discovery_spark.operators.dedup import token_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = token_shingles(docs, "text", "doc_id", _CONT_N)
+    n_docs = docs.count()
+    common = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _CONT_MAX_DF * n_docs)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(common), "shingle", "left_anti")
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    sh = scoped_cache(sh)  # consumed by sizes + both sides of the pair join
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") != F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1"), "d1")
+        .filter(F.col("k") * 1.0 / F.col("sz") >= _CONT_T)
+        .select(
+            "d1",
+            "d2",
+            F.col("k").alias("n_common"),
+            F.col("sz").alias("d1_shingles"),
+            rnd(F.col("k") * 1.0 / F.col("sz"), 6).alias("containment"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------------------------
+# NDCG@k retrieval evaluation
+# --------------------------------------------------------------------------
+_NDCG_K = 10
+_NDCG_TERMS = ("spark", "join", "filter", "table", "data")
+_NDCG_TITLE_LEN = 5  # "title" = first tokens of the document
+
+
+@register(
+    "ndcg_retrieval_eval",
+    tags=("corpus", "retrieval", "eval"),
+    oracle=f"""
+    WITH q(term) AS (VALUES {", ".join(f"('{t}')" for t in _NDCG_TERMS)}),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    nd AS (SELECT count(*) AS n FROM documents),
+    cand AS (
+      SELECT q.term, t.doc_id,
+             len(list_filter(t.ts, x -> x = q.term)) AS tf,
+             CASE WHEN list_position(list_slice(t.ts, 1, {_NDCG_TITLE_LEN}),
+                    q.term) > 0 THEN 3
+                  ELSE least(len(list_filter(t.ts, x -> x = q.term)), 2)
+             END AS rel
+      FROM q JOIN toks t ON list_position(t.ts, q.term) > 0
+    ),
+    df AS (SELECT term, count(*) AS dfc FROM cand GROUP BY term),
+    scored AS (
+      SELECT c.term, c.doc_id, c.rel,
+             ln((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
+               * (c.tf * 1.0 / (c.tf + 1.2)) AS score
+      FROM cand c JOIN df USING (term) CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT term, rel,
+             row_number() OVER (PARTITION BY term
+               ORDER BY score DESC, doc_id ASC) AS pos
+      FROM scored
+    ),
+    ideal AS (
+      SELECT term, rel,
+             row_number() OVER (PARTITION BY term
+               ORDER BY rel DESC, doc_id ASC) AS pos
+      FROM scored
+    ),
+    dcg AS (
+      SELECT term, CAST(sum(CAST(floor(
+        (pow(2, rel) - 1) / (ln(pos + 1) / ln(2)) * 1e9 + 0.5) AS BIGINT))
+        AS BIGINT) AS dcg_q
+      FROM ranked WHERE pos <= {_NDCG_K} GROUP BY term
+    ),
+    idcg AS (
+      SELECT term, CAST(sum(CAST(floor(
+        (pow(2, rel) - 1) / (ln(pos + 1) / ln(2)) * 1e9 + 0.5) AS BIGINT))
+        AS BIGINT) AS idcg_q
+      FROM ideal WHERE pos <= {_NDCG_K} GROUP BY term
+    )
+    SELECT d.term, (SELECT dfc FROM df WHERE df.term = d.term) AS n_candidates,
+           {rnd_sql("d.dcg_q / 1e9", 6)} AS dcg,
+           {rnd_sql("i.idcg_q / 1e9", 6)} AS idcg,
+           {rnd_sql("d.dcg_q * 1.0 / i.idcg_q", 6)} AS ndcg
+    FROM dcg d JOIN idcg i ON d.term = i.term
+    ORDER BY d.term
+    """,
+)
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{_NDCG_K} (Järvelin & Kekäläinen 2002) for {len(_NDCG_TERMS)}
+    fixed query terms: the ranking is a BM25-style score (saturating
+    tf/(tf+k1) times the BM25 idf; length normalization omitted — the
+    full form lives in the bm25_retrieval query), and graded relevance
+    is an independent signal — 3 for a "title" match (term within the
+    first {_NDCG_TITLE_LEN} tokens), else tf capped at 2 — so NDCG < 1
+    genuinely measures ranking/relevance misalignment instead of
+    trivially scoring 1 against its own ordering.
+
+    Exactness: each DCG term (2^rel - 1)/log2(pos + 1) quantizes to
+    nano-unit BIGINTs before the per-query sum; score ties break on
+    doc_id so both engines rank identically.
+
+    Scale design: candidates are docs CONTAINING the term (map-side
+    array test against the {len(_NDCG_TERMS)}-term broadcast), df is a
+    bounded per-term count folded back by broadcast, and the rank
+    windows are per-term top-k (hash-partitioned by term) — the
+    standard distributed ranking-eval plan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ts")
+    )
+    q = spark.createDataFrame([(t,) for t in _NDCG_TERMS], ["term"])
+    nd = docs.count()
+    cand = (
+        docs.crossJoin(F.broadcast(q))
+        .filter(F.array_position(F.col("ts"), F.col("term")) > 0)
+        .select(
+            "term",
+            "doc_id",
+            F.size(
+                F.filter(F.col("ts"), lambda x: x == F.col("term"))
+            ).alias("tf"),
+            F.when(
+                F.array_position(
+                    F.slice(F.col("ts"), 1, _NDCG_TITLE_LEN), F.col("term")
+                )
+                > 0,
+                F.lit(3),
+            )
+            .otherwise(
+                F.least(
+                    F.size(F.filter(F.col("ts"), lambda x: x == F.col("term"))),
+                    F.lit(2),
+                )
+            )
+            .alias("rel"),
+        )
+    )
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    cand = scoped_cache(cand)  # consumed by df + ranked + ideal
+    df = cand.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    scored = cand.join(F.broadcast(df), "term").select(
+        "term",
+        "doc_id",
+        "rel",
+        "dfc",
+        (
+            F.log((nd - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5) + 1.0)
+            * (F.col("tf") * 1.0 / (F.col("tf") + 1.2))
+        ).alias("score"),
+    )
+    gain = lambda pos: (  # noqa: E731
+        F.floor(
+            (F.pow(F.lit(2.0), F.col("rel")) - 1)
+            / (F.log(pos + 1) / F.log(F.lit(2.0)))
+            * 1e9
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    ranked = scored.select(
+        "term",
+        "rel",
+        F.row_number()
+        .over(Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("pos"),
+    ).filter(F.col("pos") <= _NDCG_K)
+    ideal = scored.select(
+        "term",
+        "rel",
+        F.row_number()
+        .over(Window.partitionBy("term").orderBy(F.desc("rel"), F.asc("doc_id")))
+        .alias("pos"),
+    ).filter(F.col("pos") <= _NDCG_K)
+    dcg = ranked.groupBy("term").agg(
+        F.sum(gain(F.col("pos"))).alias("dcg_q")
+    )
+    idcg = ideal.groupBy("term").agg(
+        F.sum(gain(F.col("pos"))).alias("idcg_q")
+    )
+    return (
+        dcg.join(idcg, "term")
+        .join(F.broadcast(df), "term")
+        .select(
+            "term",
+            F.col("dfc").alias("n_candidates"),
+            rnd(F.col("dcg_q") / 1e9, 6).alias("dcg"),
+            rnd(F.col("idcg_q") / 1e9, 6).alias("idcg"),
+            rnd(F.col("dcg_q") * 1.0 / F.col("idcg_q"), 6).alias("ndcg"),
+        )
+        .orderBy("term")
+    )

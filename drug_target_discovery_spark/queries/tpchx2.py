@@ -261,7 +261,9 @@ _Q19_BRANCHES = (
     tags=("relational", "join", "pushdown"),
     oracle=f"""
     SELECT
-      {rnd_sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue,
+      {rnd_sql(
+        "sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+        " AS BIGINT)) / 100.0", 2)} AS revenue,
       count(*) AS n_lineitems
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE
@@ -282,9 +284,11 @@ def disjunctive_branch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filter (brand IN {{...}} / size <= max; quantity within the outer
     hull) — semantically implied by the disjunction, and it lets the
     parquet scans prune before the join while the exact OR evaluates
-    after. The single-row result is a double sum rounded at 2dp (bounded
-    row count at every SF the harness runs keeps the summation-order
-    error well under the rounding ulp). Part side stays adaptive."""
+    after. Revenue quantizes per-row to integer cents before the sum
+    (mirroring tpchx3's _rev_cents), so the aggregate is an
+    order-independent BIGINT sum at ANY scale — the ADVICE-r5 fix for
+    the raw-double form whose 2dp rounding could flip once the matched
+    row count grows. Part side stays adaptive."""
     brands = [b for b, _, _, _ in _Q19_BRANCHES]
     max_size = max(s for _, s, _, _ in _Q19_BRANCHES)
     min_q = min(ql for _, _, ql, _ in _Q19_BRANCHES)
@@ -312,7 +316,14 @@ def disjunctive_branch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(branch)
         .agg(
             rnd(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )

@@ -198,12 +198,16 @@ class TestJackknifeIndependent:
         plan = q.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         # partial aggregation precedes the bucket shuffle
         assert "partial" in plan.lower(), plan
-        # the fact shuffles once, to the (arm, bkt) grain; downstream
-        # consumers read the scope-cached bucket/loo tables instead of
-        # rescanning (each InMemoryTableScan re-prints the cached FileScan,
-        # so substring-counting raw scans would double-count)
+        # the fact shuffles once, to the (arm, bkt) grain; everything after
+        # is windows over the constant bucket table partitioned by arm — no
+        # joins, no broadcast builds, no caches (VERDICT r5 #3 rewrite)
         assert "hashpartitioning(arm" in plan, plan
-        assert plan.count("InMemoryTableScan") >= 3, plan
+        assert plan.count("Scan parquet") == 1, plan
+        assert "Join" not in plan, plan
+        assert "InMemoryTableScan" not in plan, plan
+        # the windows carry an explicit partitionBy (no unpartitioned
+        # window over anything, let alone the fact)
+        assert "Window" in plan and "windowspecdefinition()" not in plan, plan
 
 
 class TestSrmIndependent:

@@ -47,9 +47,12 @@ class TestMLlibParity:
         exact = {
             (r["d1"], r["d2"])
             for r in reg["ngram_jaccard_near_dups"].fn(spark, SF).collect()
+            # the MLlib demo is bounded to the deterministic quarter sample
+            # (doc_id % 4 == 0, VERDICT r5 #2) — compare on that slice
+            if r["d1"] % 4 == 0 and r["d2"] % 4 == 0
         }
-        # every exact high-Jaccard pair should be recalled by the LSH at
-        # threshold 0.3 distance (J > 0.7) with 8 tables
-        assert exact, "fixture should contain near-dups"
+        # exact high-Jaccard pairs in the sampled slice should be recalled
+        # by the LSH at threshold 0.3 distance (J > 0.7) with 4 tables
+        assert exact, "fixture should contain near-dups within the % 4 sample"
         missed = exact - mllib
         assert len(missed) <= max(1, len(exact) // 10), missed
