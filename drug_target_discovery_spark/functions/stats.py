@@ -249,6 +249,9 @@ def bh_fdr(df: DataFrame, p: str = "pvalue", out: str = "adjusted_pvalue") -> Da
     nulls = df.filter(F.col(p).isNull() | F.isnan(p)).withColumn(
         out, F.lit(None).cast("double")
     )
+    # unpartitioned window bounded: input = the per-gene p-value table
+    # (feature-dimension-sized, never the fact); the 2-pass
+    # bh_fdr_scalable_adjust is the unbounded-dimension path
     w_rank = W.orderBy(F.col(p).asc())
     # The textbook suffix-min frame (CURRENT ROW .. UNBOUNDED FOLLOWING) is
     # O(n^2) in Spark's WindowExec (per-row frame rescan). A running min over

@@ -374,6 +374,8 @@ def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = hybrid.orderBy(F.col("h_q").desc(), F.col("doc_id").asc()).limit(
         _HYBRID_K
     )
+    # unpartitioned window is bounded: input = top-_HYBRID_K truncation
+    # (constant-size, never the corpus)
     w = PWindow.orderBy(F.col("h_q").desc(), F.col("doc_id").asc())
     return topk.select(
         "doc_id",
@@ -693,11 +695,14 @@ def reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select("doc_id", "s_sum", cosine.alias("cosine"))
     )
+    # unpartitioned rank windows bounded: inputs = top-_RRF_C
+    # truncations (constant-size, truncate-before-rank)
     bm_top = cand.orderBy(F.desc("s_sum"), F.asc("doc_id")).limit(_RRF_C)
     bm = bm_top.withColumn(
         "r", F.row_number().over(W.orderBy(F.desc("s_sum"), F.asc("doc_id")))
     ).select(F.col("doc_id").alias("b_doc"), F.col("r").alias("b_r"))
     cs_top = cand.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(_RRF_C)
+    # bounded: top-_RRF_C truncation again
     cs = cs_top.withColumn(
         "r", F.row_number().over(W.orderBy(F.desc("cosine"), F.asc("doc_id")))
     ).select(F.col("doc_id").alias("c_doc"), F.col("r").alias("c_r"))

@@ -887,6 +887,8 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source = local.groupBy("source").agg(
         (F.max("local_shard") + 1).alias("n_shards")
     )
+    # unpartitioned window bounded: input = per-source table (|sources|
+    # rows, constant)
     w_off = W.orderBy(F.col("source").asc()).rowsBetween(
         W.unboundedPreceding, -1
     )

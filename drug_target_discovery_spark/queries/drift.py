@@ -269,6 +269,8 @@ def chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("o"))
     )
+    # windows (incl. the unpartitioned total) are bounded: input = the
+    # contingency table, |domain(rf)| x |domain(sm)| cells BY CONSTRUCTION
     w_rf = PWindow.partitionBy("rf")
     w_sm = PWindow.partitionBy("sm")
     w_all = PWindow.partitionBy()

@@ -179,6 +179,9 @@ def pr_curve_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     vc = src.groupBy("score").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("label").alias("pos")
     )
+    # unpartitioned window is bounded: input = per-score count table
+    # (distinct scores; quantize scores first for continuous models —
+    # see docstring scale note)
     w = PWindow.orderBy(F.col("score").desc())
     w_run = w.rowsBetween(PWindow.unboundedPreceding, PWindow.currentRow)
     cum = vc.select(

@@ -376,6 +376,8 @@ def positional_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # unpartitioned windows bounded: inputs = supplier/nation DIMENSIONS
+    # (the zip ordinal is a dimension-table construct, never the fact)
     s = sup.withColumn("rn", F.row_number().over(W.orderBy("s_suppkey"))).select("rn", "s_name")
     n = nat.withColumn("rn", F.row_number().over(W.orderBy("n_nationkey"))).select(
         "rn", "n_name"

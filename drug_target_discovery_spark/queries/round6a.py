@@ -190,6 +190,7 @@ def mutual_information_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nxy",
         F.sum("nxy").over(Window.partitionBy("xv")).alias("nx"),
         F.sum("nxy").over(Window.partitionBy("yv")).alias("ny"),
+        # bounded: the 6-cell joint table (see above)
         F.sum("nxy").over(Window.partitionBy()).alias("n"),
     )
     q = lambda c: F.floor(c * 1e12 + F.lit(0.5)).cast("long")  # noqa: E731

@@ -44,6 +44,8 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # unpartitioned windows bounded: input = daily table, fixed TPC-H
+    # calendar span (~2,400 rows at every SF)
     w7 = W.orderBy("day_s").rowsBetween(-6, 0)
     wc = W.orderBy("day_s").rowsBetween(W.unboundedPreceding, 0)
     return daily.select(
@@ -197,6 +199,9 @@ def ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile banding via ntile + per-band stats (rank-family window
     coverage; deterministic tie-break so both engines tile identically)."""
     part = load_table(spark, sf_dir, "part")
+    # unpartitioned ntile bounded: input = part DIMENSION (rank-family
+    # demo); at fact scale use the bucket+offset global-rank plan
+    # (revenue_pareto_deciles)
     w = W.orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
     banded = part.select("p_partkey", "p_retailprice", F.ntile(10).over(w).alias("band"))
     return banded.groupBy("band").agg(
