@@ -112,3 +112,25 @@ class TestGeoPipeline:
         }
         assert "1040_at" not in probes  # >80% missing
         assert "1025_at" in probes  # scattered NAs, imputed
+
+
+class TestEndToEndSummaryGolden:
+    def test_full_run_summary_matches_golden(self, spark):
+        """One full DrugTargetPipeline run on the synthetic fixture,
+        rendered as the reference-shaped summary report (mirrors
+        reference results/latest/summary.txt:1-29) and compared
+        byte-for-byte against the committed golden (VERDICT r5 #8) —
+        pins every count and every ranked score end-to-end, on top of
+        the stage-by-stage oracles."""
+        import os
+
+        from drug_target_discovery_spark.plans.summary import (
+            render_pipeline_summary,
+        )
+
+        golden = os.path.join(
+            os.path.dirname(__file__), "golden", "pipeline_summary.txt"
+        )
+        with open(golden) as fh:
+            expected = fh.read()
+        assert render_pipeline_summary(spark) == expected

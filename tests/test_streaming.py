@@ -488,3 +488,187 @@ class TestWindowedAggLateData:
             assert dropped >= 1, "expected the post-eviction row to be dropped"
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestSessionWindowRecovery:
+    def test_session_state_survives_checkpoint_restart(self, spark):
+        """Session-window merging state under a checkpointed RESTART
+        (VERDICT r5 #7): two availableNow runs over the same checkpoint.
+
+        run 1 (files b0, b1, one micro-batch each):
+          b0: user 1 at 10:00 and 10:10 (one open session); advancer
+              user 9 at 13:00 -> wm 12:30, session [10:00, 10:40) closes
+              and EMITS (n=2) during run 1
+          b1: user 3 at 13:45 — a session still LIVE at end of run 1
+              (wm 13:15 < its end 14:15)
+        -- restart: new query, SAME checkpoint --
+        run 2 (files b2, b3):
+          b2: user 3 again at 14:00 — within the 30-min gap of the
+              RECOVERED session state, must MERGE across the restart
+              (one session, n=2), plus user 2 at 15:00 (new session)
+          b3: advancer user 9 at 18:00 -> everything closes and emits
+
+        Exactly-once across both runs: user 1's session must not
+        re-emit in run 2; user 3's pre/post-restart events form ONE
+        merged session."""
+        import os
+        from datetime import datetime
+
+        import pandas as pd
+
+        work = tempfile.mkdtemp(prefix="sess_ckpt_")
+        src, sink, ckpt = [os.path.join(work, d) for d in ("src", "sink", "ck")]
+        os.makedirs(src)
+        try:
+            def ts(h, m):
+                return datetime(2024, 1, 1, h, m, 0)
+
+            def write_batch(i, rows):
+                pdf = pd.DataFrame(
+                    rows, columns=["user_id", "event_id", "ts", "value"]
+                )
+                pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+                path = os.path.join(src, f"b{i}.parquet")
+                pdf.to_parquet(path)
+                os.utime(path, (1700000000 + i * 10, 1700000000 + i * 10))
+
+            def run_once():
+                schema = spark.read.parquet(src).schema
+                stream = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                    .withColumn("ts", F.col("ts").cast("timestamp"))
+                )
+                out = sessionize_builtin(
+                    stream, gap="30 minutes", watermark="30 minutes"
+                )
+                q = (
+                    out.writeStream.format("parquet")
+                    .option("path", sink)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                assert q.awaitTermination(180), "run did not finish"
+
+            write_batch(0, [
+                (1, 11, ts(10, 0), 1.0),
+                (1, 12, ts(10, 10), 1.0),
+                (9, 91, ts(13, 0), 1.0),
+            ])
+            write_batch(1, [(3, 31, ts(13, 45), 1.0)])
+            run_once()
+            after1 = {
+                (r["user_id"], r["session_start"]): r["n_events"]
+                for r in spark.read.parquet(sink).collect()
+            }
+            u1_key = (1, int(ts(10, 0).timestamp()))
+            assert after1.get(u1_key) == 2, after1
+            # user 3's session is still open — must NOT have emitted yet
+            assert not any(u == 3 for u, _ in after1), after1
+
+            write_batch(2, [
+                (3, 32, ts(14, 0), 1.0),
+                (2, 21, ts(15, 0), 1.0),
+            ])
+            write_batch(3, [(9, 92, ts(18, 0), 1.0)])
+            run_once()
+            got = {
+                (r["user_id"], r["session_start"]): r["n_events"]
+                for r in spark.read.parquet(sink).collect()
+            }
+            rows = spark.read.parquet(sink).collect()
+            # exactly once: no (user, session_start) appears twice
+            assert len(rows) == len(got), rows
+            # user 1's run-1 session did not re-emit (still exactly n=2)
+            assert got[u1_key] == 2
+            # user 3 merged ACROSS the restart into one session of 2
+            assert got[(3, int(ts(13, 45).timestamp()))] == 2, got
+            assert not any(
+                u == 3 and s != int(ts(13, 45).timestamp()) for u, s in got
+            ), got
+            assert got[(2, int(ts(15, 0).timestamp()))] == 1
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
+class TestDedupWithinWatermarkRecovery:
+    def test_dedup_state_survives_checkpoint_restart(self, spark):
+        """dropDuplicatesWithinWatermark under a checkpointed RESTART
+        (VERDICT r5 #7): the dedup key-state must survive recovery, so a
+        duplicate that arrives in run 2 — within the watermark — of a key
+        first seen in run 1 is still dropped.
+
+        run 1: b0 has event_id 100 (10:00) and an in-batch duplicate
+               (10:01); b1 advances the watermark a little (11:00 ->
+               wm 10:30, key-100 state retained: 10:00 + delay not yet
+               passed... retained until wm > first-seen + delay)
+        -- restart, same checkpoint --
+        run 2: b2 replays event_id 100 at 10:20 (inside the watermark
+               of the recovered state) -> must be DROPPED; a fresh
+               event_id 300 passes; b3 advances further."""
+        import os
+        from datetime import datetime
+
+        import pandas as pd
+
+        work = tempfile.mkdtemp(prefix="dedup_ckpt_")
+        src, sink, ckpt = [os.path.join(work, d) for d in ("src", "sink", "ck")]
+        os.makedirs(src)
+        try:
+            def ts(h, m):
+                return datetime(2024, 1, 1, h, m, 0)
+
+            def write_batch(i, rows):
+                pdf = pd.DataFrame(
+                    rows, columns=["user_id", "event_id", "ts", "value"]
+                )
+                pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+                path = os.path.join(src, f"b{i}.parquet")
+                pdf.to_parquet(path)
+                os.utime(path, (1700000000 + i * 10, 1700000000 + i * 10))
+
+            def run_once():
+                schema = spark.read.parquet(src).schema
+                stream = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                    .withColumn("ts", F.col("ts").cast("timestamp"))
+                )
+                out = dedup_events(
+                    stream, keys=["event_id"], watermark="1 hour"
+                ).select("event_id", "user_id")
+                q = (
+                    out.writeStream.format("parquet")
+                    .option("path", sink)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                assert q.awaitTermination(180), "run did not finish"
+
+            write_batch(0, [
+                (1, 100, ts(10, 0), 1.0),
+                (1, 100, ts(10, 1), 1.0),   # in-batch duplicate
+                (2, 200, ts(10, 5), 1.0),
+            ])
+            write_batch(1, [(9, 901, ts(11, 0), 1.0)])
+            run_once()
+            got1 = [r["event_id"] for r in spark.read.parquet(sink).collect()]
+            assert sorted(got1) == [100, 200, 901], got1
+
+            write_batch(2, [
+                (1, 100, ts(10, 20), 1.0),  # cross-restart duplicate
+                (3, 300, ts(11, 10), 1.0),  # fresh key
+            ])
+            write_batch(3, [(9, 902, ts(12, 0), 1.0)])
+            run_once()
+            got2 = [r["event_id"] for r in spark.read.parquet(sink).collect()]
+            # key 100 emitted exactly once across both runs
+            assert sorted(got2) == [100, 200, 300, 901, 902], got2
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
