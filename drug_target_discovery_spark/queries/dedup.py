@@ -21,6 +21,7 @@ from drug_target_discovery_spark.operators.dedup import (
     norm_sha_col,
     sha_exact_dedup,
     simhash_fingerprints,
+    token_shingles,
 )
 from drug_target_discovery_spark.queries.registry import register
 from drug_target_discovery_spark.sources.tables import load_table
@@ -101,6 +102,53 @@ def verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return _VERIFIED_CACHE[key]
+
+
+# Exact-pairs memo: the stop-shingle-capped shingle SELF-JOIN (sizes +
+# per-pair intersection counts at n=_N, df cap 0.5) is the expensive half
+# of BOTH exact-pairs consumers — symmetric Jaccard (ngram_jaccard_near_
+# dups) and directional containment (shingle_containment_pairs). The two
+# differ only in the final normalization (k/(s1+s2-k) vs k/s1), so the
+# join runs once per sweep. Sweep-scoped like the LSH memos; the pair
+# table is pairs-sharing-a-rare-shingle, orders below the corpus.
+_EXACT_PAIR_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+register_fixture_hook(_EXACT_PAIR_CACHE.clear)
+
+
+def shingle_sizes_and_intersections(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(sizes(doc_id, sz), inter(d1 < d2, k)) under the family conventions:
+    distinct {_N}-token shingles, stop-shingles with df > 50% dropped from
+    both sides of the metric."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EXACT_PAIR_CACHE:
+        from drug_target_discovery_spark.caching import fixture_cache
+
+        docs = load_table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        sh = token_shingles(docs, "text", "doc_id", _N)
+        common = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > 0.5 * n_docs)
+            .select("shingle")
+        )
+        sh = fixture_cache(sh.join(F.broadcast(common), "shingle", "left_anti"))
+        sizes = fixture_cache(
+            sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        )
+        a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+        b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+        inter = fixture_cache(
+            a.join(b, "shingle")
+            .filter(F.col("d1") < F.col("d2"))
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
+        _EXACT_PAIR_CACHE[key] = (sizes, inter)
+    return _EXACT_PAIR_CACHE[key]
 
 # shared oracle CTE: distinct 3-token shingles per doc
 _SHINGLES_SQL = f"""
@@ -199,10 +247,19 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by 3-token-shingle Jaccard > 0.8: explode
     distinct shingles, self-join on shingle (bucketed by content, never
     all-pairs), intersection counts -> Jaccard. Stop-shingles (df > 50%)
-    dropped to bound skew."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=_N, threshold=_JACCARD_T, max_shingle_df=0.5)
-    return pairs.select("d1", "d2", rnd("jaccard", 6).alias("jaccard"), "n_common")
+    dropped to bound skew. Rides the sweep-scoped exact-pairs memo shared
+    with shingle_containment_pairs (the self-join runs once per sweep; the
+    two queries differ only in the final normalization). The generic
+    operator (ngram_jaccard_pairs, incl. the AllPairs prefix-filter 100 TB
+    path) lives in operators/dedup.py."""
+    sizes, inter = shingle_sizes_and_intersections(spark, sf_dir)
+    jac = F.col("k") / (F.col("s1") + F.col("s2") - F.col("k"))
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "d1", "sz": "s1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc_id": "d2", "sz": "s2"}), "d2")
+        .filter(jac > _JACCARD_T)
+        .select("d1", "d2", rnd(jac, 6).alias("jaccard"), F.col("k").alias("n_common"))
+    )
 
 
 # --------------------------------------------------------------------------

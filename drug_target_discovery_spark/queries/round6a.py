@@ -46,19 +46,26 @@ from drug_target_discovery_spark.sources.tables import load_table
              CAST(sum(x * x) AS BIGINT) AS sxx,
              CAST(sum(y * y) AS BIGINT) AS syy
       FROM f GROUP BY p_brand
+    ),
+    d AS (
+      SELECT p_brand, n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+             CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+      FROM s
     )
     SELECT p_brand, n,
            {rnd_sql(
-             "(n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)", 6)} AS slope,
+             "(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)", 6)} AS slope,
            {rnd_sql(
-             "(sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx)"
-             " / n", 6)} AS intercept,
+             "(syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd)"
+             " / nd", 6)} AS intercept,
            {rnd_sql(
-             "CASE WHEN n * syy - sy * sy = 0 THEN NULL ELSE"
-             " ((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy))"
-             " / ((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)) END", 6)}
+             "CASE WHEN nd * syyd - syd * syd = 0 THEN NULL ELSE"
+             " ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))"
+             " / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) END", 6)}
              AS r2
-    FROM s ORDER BY p_brand
+    FROM d ORDER BY p_brand
     """,
 )
 def ols_trend_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,10 +77,13 @@ def ols_trend_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: x (quantity) and y (price) are integer-valued by
     construction and quantized to BIGINT per row, so all six sums are
-    exact integers and slope/intercept/r² are identical IEEE expressions
-    of them on both engines. y is whole dollars (not cents) so Σy² stays
-    inside BIGINT up to ~sf1000 per brand (1.2e10 per row * 2.4e8 rows).
-    Degenerate zero-variance y surfaces r² = NULL on both engines.
+    exact integers; the determinants are then computed in DOUBLE from
+    those exact sums — identical IEEE expressions on both engines, and
+    overflow-safe at any group size (the all-BIGINT form overflowed at
+    n*syy in the x10 probe: 2.4e5 rows/brand * 1.4e9 mean-square already
+    exceeds 2^63 at x10 — ANSI mode turned that silent-at-best wrap into
+    a caught error). Degenerate zero-variance y surfaces r² = NULL on
+    both engines.
 
     Scale design: ONE fact shuffle to the brand grain (25 groups) with
     map-side partial aggregation; the part join is dimension-sided and
@@ -97,18 +107,32 @@ def ols_trend_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("y") * F.col("y")).alias("syy"),
         )
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    slope = (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
-    return s.select(
+    # determinants in DOUBLE over the exact integer sums (overflow-safe;
+    # written identically in the oracle so both engines round identically)
+    d = s.select(
+        "p_brand",
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sxy").cast("double").alias("sxyd"),
+        F.col("sxx").cast("double").alias("sxxd"),
+        F.col("syy").cast("double").alias("syyd"),
+    )
+    nd, sxd, syd = F.col("nd"), F.col("sxd"), F.col("syd")
+    sxyd, sxxd, syyd = F.col("sxyd"), F.col("sxxd"), F.col("syyd")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return d.select(
         "p_brand",
         "n",
         rnd(slope, 6).alias("slope"),
-        rnd((sy - slope * sx) / n, 6).alias("intercept"),
+        rnd((syd - slope * sxd) / nd, 6).alias("intercept"),
         rnd(
-            F.when(n * syy - sy * sy == 0, F.lit(None).cast("double")).otherwise(
-                ((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy))
-                / ((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+            F.when(
+                nd * syyd - syd * syd == 0, F.lit(None).cast("double")
+            ).otherwise(
+                ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+                / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
             ),
             6,
         ).alias("r2"),

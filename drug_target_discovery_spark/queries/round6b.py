@@ -117,21 +117,22 @@ _ZIPF_K = 200  # fit over the top-K ranks
     ),
     s AS (
       SELECT count(*) AS n,
-             CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
-             CAST(sum(xq * yq) AS BIGINT) AS sxy,
-             CAST(sum(xq * xq) AS BIGINT) AS sxx,
-             CAST(sum(yq * yq) AS BIGINT) AS syy
+             CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(xq) AS DOUBLE) AS sx, CAST(sum(yq) AS DOUBLE) AS sy,
+             CAST(sum(xq * yq) AS DOUBLE) AS sxy,
+             CAST(sum(xq * xq) AS DOUBLE) AS sxx,
+             CAST(sum(yq * yq) AS DOUBLE) AS syy
       FROM ranked
     )
     SELECT n AS n_ranks,
            {rnd_sql(
-             "(n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)", 4)} AS slope,
+             "(nd * sxy - sx * sy) / (nd * sxx - sx * sx)", 4)} AS slope,
            {rnd_sql(
-             "((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx)"
-             " / n) / 1e6", 4)} AS intercept,
+             "((sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx)"
+             " / nd) / 1e6", 4)} AS intercept,
            {rnd_sql(
-             "((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy))"
-             " / ((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))", 4)} AS r2
+             "((nd * sxy - sx * sy) * (nd * sxy - sx * sy))"
+             " / ((nd * sxx - sx * sx) * (nd * syy - sy * sy))", 4)} AS r2
     FROM s
     """,
 )
@@ -171,24 +172,28 @@ def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("yq"),
     )
+    # determinants in DOUBLE over the exact integer sums (overflow-safe —
+    # n * Σy² would cross 2^63 once token counts reach ln ≈ 28 territory;
+    # written identically in the oracle)
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("xq").alias("sx"),
-        F.sum("yq").alias("sy"),
-        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
-        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
-        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("xq").cast("double").alias("sx"),
+        F.sum("yq").cast("double").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("double").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("double").alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).cast("double").alias("syy"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    nd, sx, sy = F.col("nd"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    slope = (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
     return s.select(
         F.col("n").alias("n_ranks"),
         rnd(slope, 4).alias("slope"),
-        rnd(((sy - slope * sx) / n) / 1e6, 4).alias("intercept"),
+        rnd(((sy - slope * sx) / nd) / 1e6, 4).alias("intercept"),
         rnd(
-            ((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy))
-            / ((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+            ((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+            / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
             4,
         ).alias("r2"),
     )
@@ -247,35 +252,25 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same shingle infrastructure as the Jaccard family ({_CONT_N}-token
     distinct shingles, stop-shingles with df > {_CONT_MAX_DF} dropped
     from both intersection and sizes — consistent metric, bounded join
-    skew). Scale design: the pair join runs shingle-bucketed (content
-    co-location), never all-pairs; at 100 TB the LSH-banded candidate
-    path composes in front exactly as it does for near_dup_groups."""
-    from drug_target_discovery_spark.operators.dedup import token_shingles
-
-    docs = load_table(spark, sf_dir, "documents")
-    sh = token_shingles(docs, "text", "doc_id", _CONT_N)
-    n_docs = docs.count()
-    common = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > _CONT_MAX_DF * n_docs)
-        .select("shingle")
+    skew): the query rides the sweep-scoped exact-pairs memo shared with
+    ngram_jaccard_near_dups (one self-join per sweep; intersection counts
+    are direction-free, so the canonical d1 < d2 table unions with its
+    swap to give the directed pairs). Scale design: the pair join runs
+    shingle-bucketed (content co-location), never all-pairs; at 100 TB
+    the LSH-banded candidate path composes in front exactly as it does
+    for near_dup_groups."""
+    from drug_target_discovery_spark.queries.dedup import (
+        shingle_sizes_and_intersections,
     )
-    sh = sh.join(F.broadcast(common), "shingle", "left_anti")
-    from drug_target_discovery_spark.caching import scoped_cache
 
-    sh = scoped_cache(sh)  # consumed by sizes + both sides of the pair join
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("d1") != F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("k"))
+    sizes, inter = shingle_sizes_and_intersections(spark, sf_dir)
+    directed = inter.select("d1", "d2", "k").unionAll(
+        inter.select(
+            F.col("d2").alias("d1"), F.col("d1").alias("d2"), "k"
+        )
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "d1"), "d1")
+        directed.join(sizes.withColumnRenamed("doc_id", "d1"), "d1")
         .filter(F.col("k") * 1.0 / F.col("sz") >= _CONT_T)
         .select(
             "d1",
