@@ -339,8 +339,8 @@ _WRS_M = 2147483648  # 2^31; LCG modulus for the deterministic uniform
     oracle=f"""
     WITH u AS (
       SELECT o_orderkey, o_totalprice,
-             (((o_orderkey * 1103515245 + 12345) % {_WRS_M}) + 1.0)
-               / {_WRS_M + 1}.0 AS u
+             ((((o_orderkey % {_WRS_M}) * 1103515245 + 12345) % {_WRS_M})
+               + 1.0) / {_WRS_M + 1}.0 AS u
       FROM orders
     )
     SELECT o_orderkey,
@@ -360,7 +360,10 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible across backfills — the property any training-data
     sampling pipeline needs.
 
-    Exactness: the LCG is exact BIGINT arithmetic; ln(u)/w is the same
+    Exactness: the LCG is exact BIGINT arithmetic — the key is reduced
+    mod 2^31 BEFORE the multiply, bounding the product at ~2.4e18 < 2^63
+    at ANY key scale (the unreduced form would overflow BIGINT once
+    orderkeys pass ~8.4e9, i.e. around sf5000); ln(u)/w is the same
     per-row IEEE expression on both engines, so the global order (with
     the orderkey tie-break) is identical.
 
@@ -370,7 +373,7 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of the fact, O(k) driver memory at any corpus size."""
     od = load_table(spark, sf_dir, "orders")
     u = (
-        ((F.col("o_orderkey") * 1103515245 + 12345) % _WRS_M) + 1.0
+        (((F.col("o_orderkey") % _WRS_M) * 1103515245 + 12345) % _WRS_M) + 1.0
     ) / float(_WRS_M + 1)
     key = F.log(u) / F.col("o_totalprice")
     return (

@@ -103,7 +103,7 @@ class TestWeightedReservoir:
             "o_orderkey", "o_totalprice"
         ).toPandas()
         M = 2147483648
-        u = ((od["o_orderkey"] * 1103515245 + 12345) % M + 1.0) / (M + 1)
+        u = (((od["o_orderkey"] % M) * 1103515245 + 12345) % M + 1.0) / (M + 1)
         od["key"] = np.log(u) / od["o_totalprice"]
         top = od.sort_values(
             ["key", "o_orderkey"], ascending=[False, True]

@@ -127,6 +127,29 @@ PROBES = [
     "snapshot_diff_changeset",
     "srm_guardrail",
     "join_key_skew_profile",
+    # round-6 batch: grouped OLS / Zipf OLS (sufficient-statistic shuffles
+    # to a constant grain), count-table information metrics, A-ES weighted
+    # reservoir (TakeOrdered, no fact shuffle), RFM map-only scoring,
+    # skyline over a bounded aggregate, date-spine gap fill, rolling
+    # control chart (calendar-bounded series), k-fold balance audit,
+    # zone-map stats (both layouts, one scan), OOV coverage (vocab
+    # broadcast over the token stream), containment pairs (stop-shingle-
+    # capped bucketed join riding the exact-pairs memo; verbatim-clone
+    # replicas are its worst case like the Jaccard family), NDCG@10.
+    "ols_trend_by_brand",
+    "zipf_slope_tokens",
+    "mutual_information_flags",
+    "gini_segment_mix",
+    "weighted_reservoir_sample",
+    "rfm_customer_segments",
+    "pareto_frontier_parts",
+    "calendar_gap_fill_revenue",
+    "rolling_revenue_anomaly",
+    "stratified_kfold_assignment",
+    "zone_map_stats",
+    "vocab_oov_coverage",
+    "shingle_containment_pairs",
+    "ndcg_retrieval_eval",
 ]
 
 
