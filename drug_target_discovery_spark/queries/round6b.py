@@ -256,9 +256,25 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_jaccard_near_dups (one self-join per sweep; intersection counts
     are direction-free, so the canonical d1 < d2 table unions with its
     swap to give the directed pairs). Scale design: the pair join runs
-    shingle-bucketed (content co-location), never all-pairs; at 100 TB
-    the LSH-banded candidate path composes in front exactly as it does
-    for near_dup_groups."""
+    shingle-bucketed (content co-location), never all-pairs, and is
+    OUTPUT-BOUND — under the probe's verbatim-clone x10 worst case the
+    true directed-pair output grows 979x (every replica family is a
+    clique: 100x each original pair + 90 self-clone pairs per doc;
+    measured 512 -> 501,200 rows) and the wall grows only 82x — strongly
+    sub-linear in output (SCALING.md round-6 table) — while the
+    production growth mode (content-disjoint replicas, --perturb-docs)
+    stays near-linear. NOTE:
+    MinHash-Jaccard LSH banding canNOT serve as the candidate front-end
+    here — a short doc quoted inside a long one has containment ~1 but
+    Jaccard ~|A|/|B| -> 0, below any banding threshold. The 100 TB
+    candidate path for containment is PREFIX FILTERING (Chaudhuri 2006
+    SSJoin; Xiao 2008 PPJoin), the same machinery ngram_jaccard_pairs
+    already auto-enables above 100K docs (operators/dedup.py:181-193),
+    with the containment prefix length floor((1-t)*|A|)+1 applied to
+    the d1 probe side only (asymmetric: prefix(A) joins B's full
+    postings — any B with C(A,B) >= t must share a prefix shingle),
+    then exact verification; the stop-shingle df cap already bounds
+    posting-list length on the build side."""
     from drug_target_discovery_spark.queries.dedup import (
         shingle_sizes_and_intersections,
     )

@@ -153,7 +153,15 @@ PROBES = [
 ]
 
 
-def build(spark, factor: int) -> None:
+def build(spark, factor: int, perturb_docs: bool = False) -> None:
+    """perturb_docs=True switches the documents table from verbatim-clone
+    replication (every replica family an exact-dup clique — the WORST CASE
+    for pairwise dedup ops, where true pair output grows ~factor^2) to the
+    PRODUCTION growth mode: each replica's tokens carry a replica suffix,
+    so replica corpora are content-disjoint, near-dup density per original
+    corpus is preserved, and true pair output grows linearly (factor x).
+    Both modes matter: clone mode checks the join stays output-bound under
+    adversarial duplication; perturb mode checks the normal-growth wall."""
     os.makedirs(OUT, exist_ok=True)
     for table, shifts in SHIFTS.items():
         src = load_table(spark, BASE, table)
@@ -162,6 +170,17 @@ def build(spark, factor: int) -> None:
             df = src
             for col, step in shifts.items():
                 df = df.withColumn(col, F.col(col) + F.lit(i * step))
+            if perturb_docs and table == "documents" and i > 0:
+                df = df.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda x: F.concat(x, F.lit(f"_r{i}")),
+                        ),
+                        " ",
+                    ),
+                )
             parts.append(df)
         out = parts[0]
         for df in parts[1:]:
@@ -192,13 +211,15 @@ def time_probe(spark, name, sf_dir) -> float:
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    probes = sys.argv[2:] or PROBES
+    argv = [a for a in sys.argv[1:] if a != "--perturb-docs"]
+    perturb = "--perturb-docs" in sys.argv[1:]
+    factor = int(argv[0]) if argv else 10
+    probes = argv[1:] or PROBES
     unknown = [n for n in probes if n not in all_queries()]
     if unknown:
         raise SystemExit(f"unknown probe queries: {unknown}")
     spark = get_spark("scale_probe")
-    build(spark, factor)
+    build(spark, factor, perturb_docs=perturb)
     load_table(spark, BASE, "lineitem").count()  # warm session
     report = {}
     for name in probes:
@@ -210,7 +231,7 @@ def main() -> None:
             "scale_factor": round(t_big / t_small, 2) if t_small > 0 else None,
         }
         print(name, report[name], flush=True)
-    print(json.dumps({"data_factor": factor, "probes": report}))
+    print(json.dumps({"data_factor": factor, "perturb_docs": perturb, "probes": report}))
     spark.stop()
 
 
