@@ -371,3 +371,22 @@ class TestNdcg:
         # monotone in the score and the metric is vacuous
         rows = all_queries()["ndcg_retrieval_eval"].fn(spark, SF).collect()
         assert any(r["ndcg"] < 1.0 for r in rows)
+
+    def test_plan_broadcast_term_join_single_explode(self, spark):
+        # r6 rewrite pin: candidate generation must be a posexplode of the
+        # token stream feeding a broadcast HASH join on the term equi-key
+        # (never the original array-replicating term crossJoin), and the
+        # candidate table must be cache-shared by its three consumers
+        # (df / ranked / ideal) — the plan string repeats the cached
+        # subtree per InMemoryTableScan reference, so assert the scan
+        # nodes rather than counting Generate occurrences.
+        plan = (
+            all_queries()["ndcg_retrieval_eval"]
+            .fn(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "Generate posexplode" in plan, plan
+        assert "InMemoryTableScan" in plan, plan
