@@ -160,6 +160,23 @@ _PRIORITY_REST: tuple[str, ...] = (
     "source_lang_entropy",
 )
 
+# Round-7 gate plan (written at r6 close). The staleness test caps
+# registry growth at gate capacity: every never-checked query must hold a
+# slot in the upcoming gate, and round 6's 50 slots were fully spent on
+# the 36-query r5 evidence backlog + the 14 r6-new queries. Round 7's
+# gate should therefore be: (1) any r7-new or plan-changed queries FIRST
+# (designed-and-deferred candidates, each oracle-able and scale-bounded:
+# kaplan_meier_customer_gaps — KM survival over inter-order gaps with
+# right-censoring at the corpus max date, day-grain bounded cumulative;
+# cusum_changepoint_daily_revenue — standardized CUSUM over the
+# calendar-bounded daily series via exact decimal sufficient statistics;
+# basket_brand_lift — association support/confidence/lift over order
+# baskets, <=C(25,2) output; minhash_jaccard_estimate_error — sketch-
+# accuracy audit joining the exact-pairs memo to the signature table,
+# nano-quantized MAE; shingle_novelty_ratio — first-owner novelty per
+# doc via one shingle-partition window; weekday_seasonality_revenue —
+# isodow-grain profile), then (2) the r3-green refreshes heading
+# _PRIORITY_REST below (oldest evidence in the repo after the r6 gate).
 _PRIORITY: tuple[str, ...] = _PRIORITY_GATE + _PRIORITY_REST
 
 
