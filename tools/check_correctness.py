@@ -24,6 +24,28 @@ from drug_target_discovery_spark.queries.registry import all_queries
 from drug_target_discovery_spark.session import get_spark
 from drug_target_discovery_spark.sources.tables import TABLES, register_views
 
+# Oracles that are ground-truth CONSTANTS generated at sf0.01 — fixture
+# VALUES from independent reference implementations (networkx, numpy, the
+# GEO reference run; tools/gen_*_oracles.py). Comparing them at any other
+# scale factor mismatches BY DESIGN (FIXTURES.md §8): the fixture encodes
+# the sf0.01 answer, not a scale-generic formula. At a non-fixture sf_dir
+# the gate reports them SKIP(fixture-sf) instead of a false FAIL; they are
+# re-proven exact whenever the gate runs at sf0.01 (the driver's scale).
+FIXTURE_SF_BASENAME = "sf0.01"
+FIXTURE_ORACLES = {
+    "betweenness_centrality_corr_graph",
+    "closeness_centrality_corr_graph",
+    "core_numbers_corr_graph",
+    "differential_expression",
+    "eigenvector_centrality_corr_graph",
+    "embedding_pca_variance_explained",
+    "harmonic_centrality_corr_graph",
+    "kmeans_lloyd_clusters",
+    "kmeans_silhouette_by_cluster",
+    "network_target_scores",
+    "pagerank_corr_graph",
+}
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, rows by all values; normalize dtypes."""
@@ -113,9 +135,15 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     register_views(spark, sf_dir)
 
-    n_pass = n_fail = n_rows_only = 0
+    at_fixture_sf = os.path.basename(os.path.normpath(sf_dir)) == FIXTURE_SF_BASENAME
+    n_pass = n_fail = n_rows_only = n_skip = 0
     for name, q in sorted(reg.items()):
         if only and name not in only:
+            continue
+        if name in FIXTURE_ORACLES and not at_fixture_sf:
+            print(f"SKIP {name}: fixture-sf oracle (constants generated at "
+                  f"{FIXTURE_SF_BASENAME}; see FIXTURES.md §8)")
+            n_skip += 1
             continue
         release_caches()  # previous query's scoped caches; fixtures survive
         t0 = time.time()
@@ -142,8 +170,9 @@ def main() -> int:
         n_pass += ok
         n_fail += not ok
     leaked = release_caches(fixtures=True)
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
-          f"({leaked} sweep caches released)")
+    skip_note = f", {n_skip} fixture-sf skipped" if n_skip else ""
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only"
+          f"{skip_note} ({leaked} sweep caches released)")
     return 1 if n_fail else 0
 
 
