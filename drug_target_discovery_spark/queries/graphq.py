@@ -535,14 +535,28 @@ _AA_TOP_K = 100
 
 
 def adamic_adar_pairs(
-    e: DataFrame, max_middle_degree: int | None = None
+    e: DataFrame,
+    max_middle_degree: int | None = None,
+    driver_threshold: int = 20_000,
 ) -> DataFrame:
-    """Core Adamic-Adar scorer over a canonical (a < b) edge list:
-    returns (u, w, n_common, s_q) for every NON-adjacent pair with at
-    least one common neighbor, where s_q is the micro-unit-quantized
+    """Core Adamic-Adar scorer over a canonical (a < b) DISTINCT edge
+    list: returns (u, w, n_common, s_q) for every NON-adjacent pair with
+    at least one common neighbor, where s_q is the micro-unit-quantized
     sum of 1/ln(deg(z)) over common neighbors z. Library parity vs
     networkx.adamic_adar_index is pinned in tests/test_graph.py (up to
     the documented per-term quantization).
+
+    Strategy selection mirrors graph/centrality.py: at or below
+    ``driver_threshold`` EDGES the wedge enumeration runs driver-side
+    over adjacency sets (the corr graph is top-K-bounded BY CONSTRUCTION
+    — hundreds of edges — where the distributed plan's 6 exchanges are
+    pure stage overhead: measured 2.1s distributed vs 0.8s driver at
+    sf0.1; the query's remaining wall is the shared corr-graph memo
+    materialization, paid once per sweep by whichever family member runs
+    first), identical integer quantization, exact-parity-tested against
+    the distributed path. Above it, the distributed wedge join below.
+    Pass driver_threshold=0 to force the distributed strategy (the
+    hub-skew probe does).
 
     ``max_middle_degree`` is the production skew valve: the wedge join
     fans out deg(z)^2 rows per middle, so ONE hub node dominates the
@@ -553,6 +567,9 @@ def adamic_adar_pairs(
     query) is exact. The capped variant's wall-time effect is recorded
     in SCALING.md's hub-skew table."""
     from drug_target_discovery_spark.caching import scoped_cache
+
+    if driver_threshold and e.count() <= driver_threshold:
+        return _adamic_adar_driver(e, max_middle_degree)
 
     sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
@@ -581,6 +598,56 @@ def adamic_adar_pairs(
             ).alias("s_q"),
         )
     )
+
+
+def _adamic_adar_driver(
+    e: DataFrame, max_middle_degree: int | None
+) -> DataFrame:
+    """Driver fast path for small (cardinality-gated) graphs: adjacency
+    sets + wedge enumeration in Python, with the SAME per-term integer
+    quantization floor(1e6/ln(deg z) + 0.5) — IEEE-identical to the
+    distributed expression, so the two strategies are exactly equal
+    (pinned by tests/test_graph.py::test_driver_equals_distributed)."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    adj: dict = defaultdict(set)
+    for r in e.select("a", "b").collect():
+        adj[r["a"]].add(r["b"])
+        adj[r["b"]].add(r["a"])
+    q = {
+        node: math.floor(1000000.0 / math.log(len(nbrs)) + 0.5)
+        for node, nbrs in adj.items()
+        if len(nbrs) >= 2
+    }
+    acc: dict = defaultdict(lambda: [0, 0])  # (u, w) -> [n_common, s_q]
+    for z, nbrs in adj.items():
+        if len(nbrs) < 2:
+            continue
+        if max_middle_degree is not None and len(nbrs) > max_middle_degree:
+            continue
+        ns = sorted(nbrs)
+        wz = q[z]
+        for i, u in enumerate(ns):
+            au = adj[u]
+            for w in ns[i + 1 :]:
+                if w not in au:  # non-adjacent pairs only
+                    cell = acc[(u, w)]
+                    cell[0] += 1
+                    cell[1] += wz
+    node_type = e.schema["a"].dataType
+    schema = StructType(
+        [
+            StructField("u", node_type, False),
+            StructField("w", node_type, False),
+            StructField("n_common", LongType(), False),
+            StructField("s_q", LongType(), False),
+        ]
+    )
+    rows = [(u, w, c, s) for (u, w), (c, s) in acc.items()]
+    return e.sparkSession.createDataFrame(rows, schema)
 
 
 @register(

@@ -198,6 +198,27 @@ class TestAdamicAdar:
                         )
         assert got == exp
 
+    def test_driver_equals_distributed(self, spark, graph_dfs):
+        # the r6 driver fast path must be EXACTLY the distributed wedge
+        # join's answer — same integer quantization, same pair set —
+        # with and without the middle-degree cap
+        from drug_target_discovery_spark.queries.graphq import adamic_adar_pairs
+
+        g, nodes, edges = graph_dfs
+        can = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        for kw in ({}, {"max_middle_degree": 6}):
+            drv = {
+                (r["u"], r["w"]): (r["n_common"], r["s_q"])
+                for r in adamic_adar_pairs(can, **kw).collect()
+            }
+            dist = {
+                (r["u"], r["w"]): (r["n_common"], r["s_q"])
+                for r in adamic_adar_pairs(
+                    can, driver_threshold=0, **kw
+                ).collect()
+            }
+            assert drv == dist, kw
+
 
 class TestCloseness:
     def test_parity_vs_networkx(self, spark, graph_dfs):

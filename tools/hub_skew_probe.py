@@ -57,7 +57,9 @@ def main() -> None:
 
     def run(kw):
         t0 = time.perf_counter()
-        cnt = adamic_adar_pairs(e, **kw).count()
+        # driver_threshold=0: this probe measures the DISTRIBUTED wedge
+        # join's hub-skew behaviour; never let the gate take the fast path
+        cnt = adamic_adar_pairs(e, driver_threshold=0, **kw).count()
         return cnt, round(time.perf_counter() - t0, 2)
 
     pairs_exact, t_exact = run({})
