@@ -71,7 +71,13 @@ def main() -> None:
     # chars of output and JSON-parses a line out of it — the full-name line
     # is ~2.4k chars and gets its head truncated (BENCH_r01 parsed:null), so
     # the parseable line must be the final output and fit entirely.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # Provenance split (VERDICT r6 #4): the default BENCH_DETAIL.json is
+    # whatever ran last (the per-round driver run lands there); the
+    # builder's controlled idle sweeps set SPARK_GRAFT_BENCH_DETAIL=
+    # BENCH_DETAIL_idle.json so the two artifacts stop overwriting each
+    # other and BENCH_NOTES citations stay resolvable.
+    detail_name = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as f:
         json.dump({**payload, "abbrev": {_abbr(n): n for n in timings}}, f, indent=1)
 

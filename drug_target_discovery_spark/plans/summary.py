@@ -26,10 +26,7 @@ _TOP_N = 10
 def render_pipeline_summary(spark: SparkSession) -> str:
     """Run the full chain on the synthetic fixture (memoized sweep-scope)
     and render the reference-shaped text report."""
-    from drug_target_discovery_spark.queries.pipelineq import (
-        _diff_chain,
-        _full_chain,
-    )
+    from drug_target_discovery_spark.queries.pipelineq import _full_chain
 
     out = _full_chain(spark)
     gene_cond = out["gene_cond"]

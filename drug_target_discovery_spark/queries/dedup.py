@@ -111,7 +111,9 @@ def verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # differ only in the final normalization (k/(s1+s2-k) vs k/s1), so the
 # join runs once per sweep. Sweep-scoped like the LSH memos; the pair
 # table is pairs-sharing-a-rare-shingle, orders below the corpus.
-_EXACT_PAIR_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_EXACT_PAIR_CACHE: dict[
+    tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]
+] = {}
 
 register_fixture_hook(_EXACT_PAIR_CACHE.clear)
 
@@ -147,8 +149,21 @@ def shingle_sizes_and_intersections(
             .groupBy("d1", "d2")
             .agg(F.count(F.lit(1)).alias("k"))
         )
-        _EXACT_PAIR_CACHE[key] = (sizes, inter)
-    return _EXACT_PAIR_CACHE[key]
+        _EXACT_PAIR_CACHE[key] = (sh, sizes, inter)
+    cached = _EXACT_PAIR_CACHE[key]
+    return cached[1], cached[2]
+
+
+def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memo's stop-shingle-filtered distinct-shingle table
+    (doc_id, shingle) — the shared front half of the exact-pairs memo,
+    exposed for consumers that need the shingle stream itself (prefix-
+    filter candidate generation, first-owner novelty) rather than the
+    pairwise intersection. Same sweep-scoped cache entry: calling either
+    accessor builds all three tables once."""
+    shingle_sizes_and_intersections(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _EXACT_PAIR_CACHE[key][0]
 
 # shared oracle CTE: distinct 3-token shingles per doc
 _SHINGLES_SQL = f"""

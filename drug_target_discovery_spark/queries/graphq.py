@@ -532,6 +532,11 @@ def degree_assortativity_corr_graph(spark: SparkSession, sf_dir: str) -> DataFra
 # Adamic-Adar link prediction (G-family [EXT])
 # --------------------------------------------------------------------------
 _AA_TOP_K = 100
+# Driver fast-path admission also requires the wedge-PAIR bound
+# sum_z deg(z)^2 / 2 below this cap — ~1e7 dict entries is comfortably
+# inside driver memory and sub-second-to-few-seconds of pure-Python
+# enumeration; anything larger goes distributed regardless of edge count.
+_AA_DRIVER_WEDGE_CAP = 10_000_000
 
 
 def adamic_adar_pairs(
@@ -547,7 +552,10 @@ def adamic_adar_pairs(
     the documented per-term quantization).
 
     Strategy selection mirrors graph/centrality.py: at or below
-    ``driver_threshold`` EDGES the wedge enumeration runs driver-side
+    ``driver_threshold`` EDGES — AND below the skew-aware wedge-pair cap
+    ``_AA_DRIVER_WEDGE_CAP`` on sum deg(z)^2/2, so a hub-heavy graph
+    within the edge gate still goes distributed — the wedge enumeration
+    runs driver-side
     over adjacency sets (the corr graph is top-K-bounded BY CONSTRUCTION
     — hundreds of edges — where the distributed plan's 6 exchanges are
     pure stage overhead: measured 2.1s distributed vs 0.8s driver at
@@ -568,11 +576,25 @@ def adamic_adar_pairs(
     in SCALING.md's hub-skew table."""
     from drug_target_discovery_spark.caching import scoped_cache
 
-    if driver_threshold and e.count() <= driver_threshold:
-        return _adamic_adar_driver(e, max_middle_degree)
-
     sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    if driver_threshold:
+        # Skew-aware gate (ADVICE r6): edge count alone admits graphs
+        # whose wedge-pair work is quadratic in a hub's degree — one
+        # ~20K-degree hub inside a 20K-edge graph is ~2e8 Python dict
+        # entries, the exact cliff the distributed path's
+        # max_middle_degree valve exists to avoid. The driver cost is
+        # sum_z C(deg z, 2) <= sum deg^2 / 2, an O(E) statistic read off
+        # the degree table in the SAME single action as the edge count,
+        # so the gate costs one small aggregate either way.
+        stats = deg.agg(
+            F.sum("d").alias("sd"),
+            F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        ).first()
+        n_edges = (stats["sd"] or 0) // 2
+        wedge_pair_bound = (stats["sdd"] or 0) // 2
+        if n_edges <= driver_threshold and wedge_pair_bound <= _AA_DRIVER_WEDGE_CAP:
+            return _adamic_adar_driver(e, max_middle_degree)
     s1 = sym.select(F.col("a").alias("u"), F.col("b").alias("z"))
     s2 = sym.select(F.col("a").alias("z"), F.col("b").alias("w"))
     if max_middle_degree is not None:

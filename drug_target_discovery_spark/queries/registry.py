@@ -45,83 +45,38 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-visit priority. The driver's correctness gate walks the queries()
 # dict in insertion order and stops at 50 entries per round, so coverage is a
-# rotation problem (VERDICT r3 #1). Round 6's 50 (VERDICT r5 #1 — the single
-# highest-leverage item): (1) the 36 round-5 queries that have NEVER had a
-# driver row (growth outran the 50-slot window last round; all local-gate
-# green, judge spot-check 6/6 exact), (2) queries new or plan-changed this
-# round filling the remaining 14 slots. After this gate runs, every
-# registered query has a green driver row for the first time.
+# rotation problem (VERDICT r3 #1). Round 7's 50, exactly the plan written at
+# r6 close: (1) the 7 round-7-new queries, (2) the 3 plans changed this round
+# (ADVICE/VERDICT r6 fixes), (3) the full 40-query r3-evidence cohort, whose
+# driver evidence hits the age-4 staleness ceiling at this gate.
 # _PRIORITY_GATE must hold exactly _GATE_WINDOW names; a unit test pins the
 # length, and tests/test_registry_rotation.py enforces the staleness budget
 # (no query's driver evidence older than _MAX_EVIDENCE_AGE rounds after the
-# next gate run — VERDICT r5 #5).
+# next gate run — VERDICT r5 #5) plus the stalest-first ordering (gate slots
+# may not go to fresh-evidence queries unless declared plan-changed).
 _GATE_WINDOW = 50
 
 _PRIORITY_GATE: tuple[str, ...] = (
-    # -- (1) never-driver-checked round-5 queries (36)
-    "min_cost_part_supplier",
-    "customer_order_distribution",
-    "wealthy_inactive_customers",
-    "ann_recall_eval",
-    "degree_assortativity_corr_graph",
-    "cohort_retention_matrix",
-    "salted_returnflag_stats",      # + two_phase_agg count(*) fix (ADVICE r5)
-    "cdc_merge_apply",
-    "important_part_value_share",
-    "returnflag_priority_mix",
-    "top_revenue_suppliers",
-    "disjunctive_branch_revenue",   # + integer-cents quantization (ADVICE r5)
-    "dsir_importance_selection",
+    # -- (1) new in round 7 (7): the six operators designed-and-deferred at
+    # r6 close (see the r6 registry note preserved in git history) plus the
+    # skew-profile -> salted-plan decision demo (VERDICT r6 stretch #8)
+    "kaplan_meier_customer_gaps",
+    "cusum_changepoint_daily_revenue",
+    "basket_brand_lift",
+    "minhash_jaccard_estimate_error",
+    "shingle_novelty_ratio",
+    "weekday_seasonality_revenue",
+    "skew_adaptive_agg_stats",
+    # -- (2) plan-changed in round 7 (3): prefix-filter candidate
+    # generation (containment), the x-variance CASE guard (OLS), and the
+    # skew-aware driver-gate (Adamic-Adar) — all ADVICE/VERDICT r6 items
+    "shingle_containment_pairs",
+    "ols_trend_by_brand",
     "adamic_adar_link_prediction",
-    "calibration_curve_bins",
-    "hard_negative_mining",
-    "reciprocal_rank_fusion",
-    "benford_first_digit_check",
-    "cuped_experiment_readout",
-    "late_order_priority_counts",
-    "discount_band_revenue",
-    "volume_shipping_pair",
-    "market_share_by_year",
-    "product_profit_by_nation_year",
-    "returned_item_report",
-    "near_dup_best_representative",
-    "referential_integrity_audit",
-    "closeness_centrality_corr_graph",
-    "temporal_embargo_split",
-    "order_lineitem_reconciliation",
-    "jackknife_ratio_readout",      # + window rewrite, zero joins (r6)
-    "snapshot_diff_changeset",
-    "srm_guardrail",
-    "join_key_skew_profile",
-    "harmonic_centrality_corr_graph",
-    "kmeans_silhouette_by_cluster",
-    # -- (2) new or plan-changed in round 6 (14 slots)
-    "ols_trend_by_brand",           # NEW: per-group OLS fit, sufficient stats
-    "mutual_information_flags",     # NEW: MI / conditional entropy
-    "gini_segment_mix",             # NEW: Gini impurity + entropy per segment
-    "weighted_reservoir_sample",    # NEW: deterministic A-ES weighted top-k
-    "rfm_customer_segments",        # NEW: RFM quantile segmentation
-    "pareto_frontier_parts",        # NEW: 2D skyline via ordered window scan
-    "calendar_gap_fill_revenue",    # NEW: date-spine zero-fill
-    "vocab_oov_coverage",           # NEW: top-K vocab OOV rate per doc
-    "zipf_slope_tokens",            # NEW: log-log OLS over token ranks
-    "shingle_containment_pairs",    # NEW: asymmetric containment near-dup
-    "ndcg_retrieval_eval",          # NEW: NDCG@k retrieval metric
-    "stratified_kfold_assignment",  # NEW: deterministic k-fold balance audit
-    "zone_map_stats",               # NEW: zone-map min/max + pruning audit
-    "rolling_revenue_anomaly",      # NEW: ROWS-window rolling z anomaly
-)
-
-# Slots 51+: refresh order for queries that already hold a green driver row
-# — oldest evidence first (r3 refreshes, then the round-5-gate cohort ages
-# out last).
-_PRIORITY_REST: tuple[str, ...] = (
-    # r5 plan changes that already had r3 rows (forced-broadcast removal —
-    # values re-proven locally; AQE picks the same physical join)
+    # -- (3) the full r3-evidence cohort (40) — the oldest driver evidence
+    # in the repo (age 4 at the r7 gate, the staleness ceiling)
     "revenue_by_nation",
     "parts_shipped_to_top_nation",
-    # r3-green refreshes (oldest driver evidence in the repo after this
-    # round's gate — first in line for round 7)
     "geo_pipeline_differential",
     "geo_pipeline_targets",
     "differential_expression",
@@ -153,6 +108,8 @@ _PRIORITY_REST: tuple[str, ...] = (
     "media_audio_decode_stats",
     "media_image_decode_dims",
     "media_payload_digest",
+    "mllib_corr_matrix_top",
+    "mllib_minhash_neardups",
     "part_type_classifier",
     "per_source_doc_cap",
     "positional_zip_join",
@@ -160,23 +117,183 @@ _PRIORITY_REST: tuple[str, ...] = (
     "source_lang_entropy",
 )
 
-# Round-7 gate plan (written at r6 close). The staleness test caps
-# registry growth at gate capacity: every never-checked query must hold a
-# slot in the upcoming gate, and round 6's 50 slots were fully spent on
-# the 36-query r5 evidence backlog + the 14 r6-new queries. Round 7's
-# gate should therefore be: (1) any r7-new or plan-changed queries FIRST
-# (designed-and-deferred candidates, each oracle-able and scale-bounded:
-# kaplan_meier_customer_gaps — KM survival over inter-order gaps with
-# right-censoring at the corpus max date, day-grain bounded cumulative;
-# cusum_changepoint_daily_revenue — standardized CUSUM over the
-# calendar-bounded daily series via exact decimal sufficient statistics;
-# basket_brand_lift — association support/confidence/lift over order
-# baskets, <=C(25,2) output; minhash_jaccard_estimate_error — sketch-
-# accuracy audit joining the exact-pairs memo to the signature table,
-# nano-quantized MAE; shingle_novelty_ratio — first-owner novelty per
-# doc via one shingle-partition window; weekday_seasonality_revenue —
-# isodow-grain profile), then (2) the r3-green refreshes heading
-# _PRIORITY_REST below (oldest evidence in the repo after the r6 gate).
+# Gate members whose slot is justified by a NEW or CHANGED plan rather than
+# evidence staleness. tests/test_registry_rotation.py exempts these from the
+# stalest-first ordering check (their evidence, if any, is legitimately
+# fresh) — every other gate member must be at least as stale as everything
+# left outside the gate.
+_GATE_PLAN_CHANGED: tuple[str, ...] = (
+    "kaplan_meier_customer_gaps",
+    "cusum_changepoint_daily_revenue",
+    "basket_brand_lift",
+    "minhash_jaccard_estimate_error",
+    "shingle_novelty_ratio",
+    "weekday_seasonality_revenue",
+    "skew_adaptive_agg_stats",
+    "shingle_containment_pairs",
+    "ols_trend_by_brand",
+    "adamic_adar_link_prediction",
+)
+
+# Slots 51+: refresh order for queries that already hold a green driver row
+# — oldest evidence first. After the r7 gate runs, the r4 cohort (47 names
+# below) is the oldest evidence in the repo and heads the round-8 gate
+# (age hits the 4-round ceiling after r8); the r5 and r6 cohorts follow.
+_PRIORITY_REST: tuple[str, ...] = (
+    # r4-green refreshes (round-8 gate headliners)
+    "approx_distinct_parts",
+    "approx_quantile_sketch_bounded",
+    "asof_view_before_purchase",
+    "betweenness_centrality_corr_graph",
+    "bh_fdr_adjust",
+    "bh_fdr_scalable_adjust",
+    "bloom_filter_dedup_probe",
+    "bm25_keyword_search",
+    "centroid_assignment",
+    "clustering_coefficient_corr_graph",
+    "connected_components_near_dups",
+    "conversion_funnel",
+    "cosine_topk_bruteforce",
+    "curation_pipeline_summary",
+    "customer_cohort_set_ops",
+    "data_quality_checks",
+    "dedup_against_reference",
+    "duplicate_span_detection",
+    "eigenvector_centrality_corr_graph",
+    "embedding_cosine_near_dups",
+    "embedding_covariance",
+    "embedding_pca_variance_explained",
+    "fuzzy_part_name_matches",
+    "gopher_quality_flags",
+    "heavy_hitter_tokens",
+    "json_props_extract",
+    "leakage_safe_splits",
+    "lineitem_measures_unpivot",
+    "mann_whitney_u_by_part",
+    "media_feature_extraction",
+    "media_frame_sample",
+    "media_resize_shapes",
+    "media_video_decode_stats",
+    "median_impute",
+    "median_quantity_by_part",
+    "moving_avg_daily_revenue",
+    "network_target_scores",
+    "normalized_dedup_groups",
+    "price_percentiles_by_brand",
+    "quantile_normalize_by_supplier",
+    "robust_zscore_by_part",
+    "scd2_user_value_history",
+    "spearman_edges_top_parts",
+    "unigram_logprob_quality",
+    "view_purchase_attribution",
+    "weighted_systematic_sample",
+    "welch_t_by_part",
+    # r5-green refreshes
+    "auc_by_cohort",
+    "bigram_pmi_collocations",
+    "boilerplate_ngram_stats",
+    "chi2_status_priority",
+    "conditional_log2",
+    "core_numbers_corr_graph",
+    "count_min_frequency_probe",
+    "cube_order_stats",
+    "curation_end_to_end",
+    "embedding_label_stats",
+    "event_transition_matrix",
+    "grouping_sets_ship_stats",
+    "hybrid_retrieval_rerank",
+    "kmeans_lloyd_clusters",
+    "ks_test_price_drift",
+    "lang_id_stopwords",
+    "large_quantity_orders",
+    "late_sole_supplier_orders",
+    "media_metadata_stats",
+    "missing_census",
+    "na_threshold_filter",
+    "near_dup_groups",
+    "ntile_price_bands",
+    "pagerank_corr_graph",
+    "part_name_analysis",
+    "part_pair_affinity",
+    "pr_curve_sampled",
+    "promo_revenue_share",
+    "psi_price_stability",
+    "quantile_normalize_exact",
+    "repeated_ngram_fraction",
+    "revenue_pareto_deciles",
+    "rolling_hash_fingerprint",
+    "semantic_dedup_prune",
+    "sequence_packing",
+    "session_windows_builtin",
+    "session_windows_gap",
+    "simhash_fingerprints",
+    "simhash_near_dups",
+    "split_contamination_audit",
+    "supplier_composite_score",
+    "text_quality_scores",
+    "tfidf_top_terms",
+    "token_count_stats",
+    "top_variance_parts",
+    "training_shard_assignment",
+    "winnowing_fingerprints",
+    "winsorized_price_stats",
+    "zorder_file_layout",
+    "zscore_by_part",
+    # r6-green refreshes (excluding the three re-gated this round)
+    "ann_recall_eval",
+    "benford_first_digit_check",
+    "calendar_gap_fill_revenue",
+    "calibration_curve_bins",
+    "cdc_merge_apply",
+    "closeness_centrality_corr_graph",
+    "cohort_retention_matrix",
+    "cuped_experiment_readout",
+    "customer_order_distribution",
+    "degree_assortativity_corr_graph",
+    "discount_band_revenue",
+    "disjunctive_branch_revenue",
+    "dsir_importance_selection",
+    "gini_segment_mix",
+    "hard_negative_mining",
+    "harmonic_centrality_corr_graph",
+    "important_part_value_share",
+    "jackknife_ratio_readout",
+    "join_key_skew_profile",
+    "kmeans_silhouette_by_cluster",
+    "late_order_priority_counts",
+    "market_share_by_year",
+    "min_cost_part_supplier",
+    "mutual_information_flags",
+    "ndcg_retrieval_eval",
+    "near_dup_best_representative",
+    "order_lineitem_reconciliation",
+    "pareto_frontier_parts",
+    "product_profit_by_nation_year",
+    "reciprocal_rank_fusion",
+    "referential_integrity_audit",
+    "returned_item_report",
+    "returnflag_priority_mix",
+    "rfm_customer_segments",
+    "rolling_revenue_anomaly",
+    "salted_returnflag_stats",
+    "snapshot_diff_changeset",
+    "srm_guardrail",
+    "stratified_kfold_assignment",
+    "temporal_embargo_split",
+    "top_revenue_suppliers",
+    "vocab_oov_coverage",
+    "volume_shipping_pair",
+    "wealthy_inactive_customers",
+    "weighted_reservoir_sample",
+    "zipf_slope_tokens",
+    "zone_map_stats",
+)
+
+# Round-8 gate plan (written at r7 close): (1) any r8-new or plan-changed
+# queries first, then (2) the 47-query r4-evidence cohort heading
+# _PRIORITY_REST — it must be fully covered in round 8 (age 5 at the r9
+# gate otherwise), which caps r8 growth at 3 new queries unless the gate
+# window grows.
 _PRIORITY: tuple[str, ...] = _PRIORITY_GATE + _PRIORITY_REST
 
 
@@ -203,6 +320,8 @@ def all_queries() -> dict[str, Query]:
         relational,
         round6a,
         round6b,
+        round7,
+        round7b,
         selection,
         setops,
         similarity,

@@ -56,12 +56,16 @@ from drug_target_discovery_spark.sources.tables import load_table
     )
     SELECT p_brand, n,
            {rnd_sql(
-             "(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)", 6)} AS slope,
+             "CASE WHEN nd * sxxd - sxd * sxd = 0 THEN NULL ELSE"
+             " (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) END", 6)}
+             AS slope,
            {rnd_sql(
-             "(syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd)"
-             " / nd", 6)} AS intercept,
+             "CASE WHEN nd * sxxd - sxd * sxd = 0 THEN NULL ELSE"
+             " (syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd)"
+             " / nd END", 6)} AS intercept,
            {rnd_sql(
-             "CASE WHEN nd * syyd - syd * syd = 0 THEN NULL ELSE"
+             "CASE WHEN nd * sxxd - sxd * sxd = 0"
+             " OR nd * syyd - syd * syd = 0 THEN NULL ELSE"
              " ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))"
              " / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) END", 6)}
              AS r2
@@ -82,8 +86,10 @@ def ols_trend_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow-safe at any group size (the all-BIGINT form overflowed at
     n*syy in the x10 probe: 2.4e5 rows/brand * 1.4e9 mean-square already
     exceeds 2^63 at x10 — ANSI mode turned that silent-at-best wrap into
-    a caught error). Degenerate zero-variance y surfaces r² = NULL on
-    both engines.
+    a caught error). Degenerate zero variance in EITHER coordinate
+    surfaces NULL via explicit CASE on both engines (x-variance kills
+    slope/intercept/r², y-variance kills r² — never double/0, whose
+    result is engine-divergent).
 
     Scale design: ONE fact shuffle to the brand grain (25 groups) with
     map-side partial aggregation; the part join is dimension-sided and
@@ -121,18 +127,28 @@ def ols_trend_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd, sxd, syd = F.col("nd"), F.col("sxd"), F.col("syd")
     sxyd, sxxd, syyd = F.col("sxyd"), F.col("sxxd"), F.col("syyd")
-    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    # explicit CASE-to-NULL on BOTH degenerate variances (ADVICE r6: the
+    # x-variance determinant was unguarded — double/0 is engine-divergent)
+    vx = nd * sxxd - sxd * sxd
+    vy = nd * syyd - syd * syd
+    slope = (nd * sxyd - sxd * syd) / vx
     return d.select(
         "p_brand",
         "n",
-        rnd(slope, 6).alias("slope"),
-        rnd((syd - slope * sxd) / nd, 6).alias("intercept"),
+        rnd(
+            F.when(vx == 0, F.lit(None).cast("double")).otherwise(slope), 6
+        ).alias("slope"),
+        rnd(
+            F.when(vx == 0, F.lit(None).cast("double")).otherwise(
+                (syd - slope * sxd) / nd
+            ),
+            6,
+        ).alias("intercept"),
         rnd(
             F.when(
-                nd * syyd - syd * syd == 0, F.lit(None).cast("double")
+                (vx == 0) | (vy == 0), F.lit(None).cast("double")
             ).otherwise(
-                ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
-                / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+                ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) / (vx * vy)
             ),
             6,
         ).alias("r2"),

@@ -83,23 +83,37 @@ class TestStalenessBudget:
             f"round-{next_round} gate: {sorted(too_old, key=lambda t: -t[1])}"
         )
 
-    def test_gate_covers_all_stale_or_new_before_fresh(self):
-        # the gate must not spend slots on fresher evidence while a staler
-        # (or never-checked) query sits outside it
+    def test_gate_holds_the_stalest_evidence(self):
+        """Stalest-first ordering (ADVICE r6: the earlier form was vacuous).
+
+        Every gate member whose slot is justified by STALENESS — i.e. not
+        declared in ``_GATE_PLAN_CHANGED`` (new or plan-changed queries,
+        whose evidence is legitimately fresh or absent) — must be at least
+        as stale as every query left OUTSIDE the gate. A gate spending a
+        staleness slot on r6-fresh evidence while an r3-evidence query sits
+        outside fails here."""
         from drug_target_discovery_spark.queries import registry
 
         latest, max_round = _evidence()
+        assert max_round >= 1
         gate = set(registry._PRIORITY_GATE)
-        oldest_outside = min(
-            (latest.get(n, 0) for n in registry.all_queries() if n not in gate),
-            default=max_round,
-        )
-        for name in gate:
-            # a gate slot is justified if the query is never-checked, newly
-            # changed (can't detect -> allowed), or at most as fresh as the
-            # oldest query left outside +MAX margin; enforce only the hard
-            # floor: nothing outside may be never-checked (covered above)
-            assert name in registry.all_queries()
-        assert oldest_outside >= max_round - _MAX_EVIDENCE_AGE, (
-            "a query outside the gate is already past the staleness budget"
+        exempt = set(registry._GATE_PLAN_CHANGED)
+        assert exempt <= gate, "plan-changed declarations must hold gate slots"
+
+        outside = [
+            latest[n]
+            for n in registry.all_queries()
+            if n not in gate and n in latest
+        ]
+        staleness_slots = {
+            g: latest[g] for g in gate if g not in exempt and g in latest
+        }
+        if not outside or not staleness_slots:
+            return
+        freshest_in_gate = max(staleness_slots.values())
+        oldest_outside = min(outside)
+        assert freshest_in_gate <= oldest_outside, (
+            "gate staleness slots hold fresher evidence than a query left "
+            f"outside: in-gate {sorted((r, n) for n, r in staleness_slots.items() if r > oldest_outside)[:5]} "
+            f"vs oldest outside r{oldest_outside}"
         )

@@ -37,6 +37,7 @@ _KNOWN_FILES = {
     "queries/relational.py",  # zip ordinal (dimension tables)
     "queries/round6a.py",     # MI total / skyline levels / daily series
     "queries/round6b.py",     # Zipf rank (top-K truncation)
+    "queries/round7.py",      # KM day-grain gaps / CUSUM daily series
     "queries/tpchx.py",       # decile offsets (bucket table)
     "queries/windows.py",     # daily rolling (calendar) + ntile demo (dim)
 }

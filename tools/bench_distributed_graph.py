@@ -260,7 +260,10 @@ def main() -> None:
         .cache()
     )
     can.count()
-    aa, t_aa = timed(lambda: adamic_adar_pairs(can).cache())
+    # driver_threshold=0 forces the distributed wedge join — this bench
+    # claims to measure the distributed plan, so the small-graph driver
+    # fast path must not silently take over (ADVICE r6).
+    aa, t_aa = timed(lambda: adamic_adar_pairs(can, driver_threshold=0).cache())
     n_pairs = aa.count()
 
     pdf = can.toPandas()

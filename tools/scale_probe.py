@@ -150,6 +150,21 @@ PROBES = [
     "vocab_oov_coverage",
     "shingle_containment_pairs",
     "ndcg_retrieval_eval",
+    # round-7 batch: KM gaps (keyed lag then day-grain collapse; the
+    # cumulative windows run over the fixed calendar), CUSUM (same daily
+    # boundedness), basket lift (self-join on the deduplicated basket
+    # grain, output bounded by the 25-brand domain), MinHash error audit
+    # (rides the LSH candidate memo; clone replicas inflate candidates
+    # like the LSH family), novelty (two keyed shuffles over the shingle
+    # memo), weekday profile (7-row grain), adaptive salted agg (profile
+    # + two-phase, output stays 3 keys).
+    "kaplan_meier_customer_gaps",
+    "cusum_changepoint_daily_revenue",
+    "basket_brand_lift",
+    "minhash_jaccard_estimate_error",
+    "shingle_novelty_ratio",
+    "weekday_seasonality_revenue",
+    "skew_adaptive_agg_stats",
 ]
 
 
