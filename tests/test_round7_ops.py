@@ -252,37 +252,80 @@ class TestSkewAdaptiveAgg:
 
 
 class TestContainmentPrefixFilter:
-    def test_candidates_superset_and_equality_with_full_join(self, spark):
-        """The SSJoin guarantee, pinned: the prefix-filtered result equals
-        the full stop-capped self-join form exactly (candidate set must be
-        a superset of the answer; verification then makes them equal)."""
+    @staticmethod
+    def _rows(df):
+        return {
+            (r["d1"], r["d2"]): (r["n_common"], r["d1_shingles"])
+            for r in df.collect()
+        }
+
+    @pytest.mark.parametrize("t", [0.5, 0.9])
+    def test_prefix_equals_memo_strategy(self, spark, t):
+        """The SSJoin guarantee, pinned at both a weak (0.5) and a strong
+        (0.9) threshold: the prefix-filtered strategy returns EXACTLY the
+        memo count-join's result (candidate set ⊇ answer; exact
+        verification then makes the two strategies equal)."""
+        from drug_target_discovery_spark.queries.round6b import (
+            _containment_via_memo,
+            _containment_via_prefix,
+        )
+
+        memo = self._rows(_containment_via_memo(spark, SF, t))
+        prefix = self._rows(_containment_via_prefix(spark, SF, t))
+        assert prefix == memo
+        if t == 0.5:
+            assert memo, "fixture should contain containment pairs at t=0.5"
+
+    def test_prefix_candidates_superset_of_answer(self, spark):
         import pyspark.sql.functions as F
+        from pyspark.sql import Window as W
 
         from drug_target_discovery_spark.queries.dedup import (
             shingle_sizes_and_intersections,
+            shingle_table,
         )
-        from drug_target_discovery_spark.queries.round6b import _CONT_T
+        from drug_target_discovery_spark.queries.round6b import (
+            _CONT_T,
+            _containment_via_memo,
+        )
 
-        got = {
-            (r["d1"], r["d2"]): (r["n_common"], r["d1_shingles"])
-            for r in all_queries()["shingle_containment_pairs"]
-            .fn(spark, SF)
-            .collect()
-        }
-        sizes, inter = shingle_sizes_and_intersections(spark, SF)
-        directed = inter.select("d1", "d2", "k").unionAll(
-            inter.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"), "k")
-        )
-        full = {
-            (r["d1"], r["d2"]): (r["k"], r["sz"])
-            for r in directed.join(
-                sizes.withColumnRenamed("doc_id", "d1"), "d1"
+        sh = shingle_table(spark, SF)
+        sizes, _ = shingle_sizes_and_intersections(spark, SF)
+        df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        wdoc = W.partitionBy("doc_id").orderBy("df", "shingle")
+        prefix = (
+            sh.join(df_tbl, "shingle")
+            .withColumn("rn", F.row_number().over(wdoc))
+            .join(sizes, "doc_id")
+            .filter(
+                F.col("rn") <= F.floor((1.0 - _CONT_T) * F.col("sz")) + 1
             )
-            .filter(F.col("k") * 1.0 / F.col("sz") >= _CONT_T)
+            .select(F.col("doc_id").alias("d1"), "shingle")
+        )
+        cand = {
+            (r["d1"], r["d2"])
+            for r in prefix.join(
+                sh.select(F.col("doc_id").alias("d2"), "shingle"), "shingle"
+            )
+            .filter(F.col("d1") != F.col("d2"))
+            .select("d1", "d2")
+            .distinct()
             .collect()
         }
-        assert got == full
-        assert full, "fixture should contain containment pairs"
+        answer = set(self._rows(_containment_via_memo(spark, SF, _CONT_T)))
+        assert answer <= cand
+
+    def test_registered_query_uses_memo_strategy_below_crossover(self, spark):
+        from drug_target_discovery_spark.queries.round6b import (
+            _CONT_T,
+            _PREFIX_STRATEGY_T,
+        )
+
+        assert _CONT_T < _PREFIX_STRATEGY_T
+        # memo plan signature: rides the cached exact-pairs self-join —
+        # no row_number/prefix machinery in the executed plan
+        plan = _plan(all_queries()["shingle_containment_pairs"].fn(spark, SF))
+        assert "row_number" not in plan.lower()
 
 
 class TestAdamicAdarSkewGate:
