@@ -17,7 +17,6 @@ from drug_target_discovery_spark.operators.dedup import (
     jaccard_verify_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
-    ngram_jaccard_pairs,
     norm_sha_col,
     sha_exact_dedup,
     simhash_fingerprints,

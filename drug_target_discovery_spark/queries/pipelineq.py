@@ -12,7 +12,6 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from drug_target_discovery_spark.functions.rounding import rnd
 from drug_target_discovery_spark.plans.pipeline import (

@@ -4,7 +4,6 @@ leak persistent RDDs once the harness releases both tiers (VERDICT r1 #8).
 Asserted as a DELTA against the session's pre-existing persistent RDDs so
 the check is independent of other test modules' fixtures."""
 
-import pytest
 from pyspark.sql import functions as F
 
 from drug_target_discovery_spark.caching import release_caches, scoped_cache

@@ -2,7 +2,6 @@
 them end-to-end; these pin the math for refactors)."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from drug_target_discovery_spark.operators.dedup import (
     lsh_candidate_pairs,

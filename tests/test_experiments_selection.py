@@ -6,7 +6,7 @@ pin the registered queries to them."""
 
 import hashlib
 import math
-from collections import Counter, defaultdict
+from collections import Counter
 
 import numpy as np
 import pandas as pd

@@ -68,8 +68,6 @@ class TestFigureSinks:
         p = str(tmp_path / "v.png")
         plot_volcano(pipeline_out["differential"], p)
         # some pixels must be non-white (points + frame + threshold lines)
-        import zlib
-
         with open(p, "rb") as f:
             data = f.read()
         assert len(data) > 500  # an all-white canvas compresses far smaller

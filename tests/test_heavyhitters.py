@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import collections
 
-import pytest
-from pyspark.sql import functions as F
 
 from drug_target_discovery_spark.operators.heavyhitters import (
     exact_heavy_hitters,

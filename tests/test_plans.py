@@ -4,7 +4,6 @@ dims broadcast, top-k plans as TakeOrderedAndProject, and pandas_udf stages
 are Arrow-batched. These are the properties that decide 100 TB behavior —
 asserted so a regression fails CI, not a cluster."""
 
-import pytest
 
 from drug_target_discovery_spark.queries.registry import all_queries
 

@@ -7,9 +7,7 @@ from __future__ import annotations
 
 import collections
 
-import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
-from pyspark.sql import functions as F
 
 from drug_target_discovery_spark.functions.stats import bh_fdr, bh_fdr_scalable
 from drug_target_discovery_spark.operators.heavyhitters import exact_heavy_hitters

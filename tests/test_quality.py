@@ -2,7 +2,6 @@
 the winnowing guarantee, decontamination hit detection, and the plan
 shapes that decide 100 TB behavior."""
 
-import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 

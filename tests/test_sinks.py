@@ -2,12 +2,6 @@
 property — a join of two tables bucketed on the join key runs with NO
 shuffle exchange (the 100 TB co-location tool)."""
 
-import glob
-import os
-import shutil
-import tempfile
-
-import pytest
 from pyspark.sql import functions as F
 
 from drug_target_discovery_spark.sources.sinks import (

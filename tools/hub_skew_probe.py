@@ -21,7 +21,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
 
 from drug_target_discovery_spark.caching import release_caches
 from drug_target_discovery_spark.queries.graphq import adamic_adar_pairs
