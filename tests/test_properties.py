@@ -181,3 +181,79 @@ def test_jaccard_verify_matches_bruteforce(spark, docs, threshold):
             if union and inter / union > threshold:
                 exp[(i, j)] = round(inter / union, 9)
     assert got == exp
+
+
+@given(
+    corpora=st.lists(
+        st.sets(st.integers(min_value=0, max_value=25), min_size=1, max_size=15),
+        min_size=2,
+        max_size=14,
+    ),
+    t=st.sampled_from([0.5, 0.7, 0.9]),
+)
+@settings(max_examples=200, deadline=None)
+def test_containment_prefix_theorem(corpora, t):
+    """The SSJoin prefix theorem as implemented (round 7): for every doc A,
+    taking its first floor((1-t)|A|)+1 shingles in GLOBAL ascending-(df,
+    shingle) order — the exact ordering and prefix-length formula of
+    _containment_via_prefix — every B with C(A,B) >= t must share at
+    least one prefix shingle. Pure-python model, adversarial small sets
+    (heavy overlap, ties in df, singleton docs); 200 examples since no
+    Spark job runs. This is the property that makes the candidate set a
+    provable superset of the answer, so a formula regression (e.g.
+    floor vs ceil, >= vs >) fails here before it silently drops pairs."""
+    import math
+
+    df: dict[int, int] = {}
+    for s in corpora:
+        for sh in s:
+            df[sh] = df.get(sh, 0) + 1
+    for a_idx, A in enumerate(corpora):
+        order = sorted(A, key=lambda sh: (df[sh], sh))
+        plen = math.floor((1.0 - t) * len(A)) + 1
+        prefix = set(order[:plen])
+        for b_idx, B in enumerate(corpora):
+            if a_idx == b_idx:
+                continue
+            if len(A & B) / len(A) >= t:
+                assert prefix & B, (
+                    f"prefix theorem violated: A={sorted(A)} B={sorted(B)} "
+                    f"t={t} prefix={sorted(prefix)}"
+                )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "a", "a", "b", "c"]),  # skewed keys
+            st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    buckets=st.sampled_from([2, 16]),
+)
+@settings(**_SETTINGS)
+def test_two_phase_agg_equals_plain_groupby(spark, rows, buckets):
+    """Salted two-phase aggregation vs the plain groupBy under random
+    skew AND NULLs in the input column — 'count' must keep count(*)
+    semantics (the ADVICE-r5 class: F.count(col) silently diverges on
+    nullable inputs), and sum must ignore NULLs identically."""
+    import pyspark.sql.functions as F
+
+    from drug_target_discovery_spark.operators.skew import two_phase_agg
+
+    df = spark.createDataFrame(rows, "k string, v long").repartition(4)
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in two_phase_agg(
+            df, "k", {"n": ("v", "count"), "s": ("v", "sum")}, salt_buckets=buckets
+        ).collect()
+    }
+    exp = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == exp
