@@ -293,7 +293,22 @@ _PRIORITY_REST: tuple[str, ...] = (
 # queries first, then (2) the 47-query r4-evidence cohort heading
 # _PRIORITY_REST — it must be fully covered in round 8 (age 5 at the r9
 # gate otherwise), which caps r8 growth at 3 new queries unless the gate
-# window grows.
+# window grows. Designed-and-deferred candidates for those 3 slots, each
+# oracle-able and scale-bounded by construction:
+#   order_value_gini_by_nation — Gini coefficient of order values per
+#     nation via the sorted-rank identity G = (2*sum(i*x_i)/(n*sum x) -
+#     (n+1)/n): integer-cents values, ONE keyed sort-rank window per
+#     nation partition (scales with the nation key), exact BIGINT
+#     rank-weighted sums; oracle = same identity over row_number().
+#   event_burstiness_fano — per-user Fano factor (var/mean) of daily
+#     event counts over the calendar span: two keyed shuffles (user-day
+#     counts, then user-grain sufficient statistics), exact integer
+#     sums, CASE-NULL on zero mean; output bounded by user cardinality,
+#     aggregated to a bounded per-type summary for the driver row.
+#   hapax_ttr_by_source — type-token ratio + hapax-legomenon fraction
+#     per source (corpus-health audit): token grain collapse with
+#     map-side partials, then (source, token)-grain distincts; exact
+#     count ratios; output bounded by the source domain.
 _PRIORITY: tuple[str, ...] = _PRIORITY_GATE + _PRIORITY_REST
 
 

@@ -100,6 +100,16 @@ class TestStalenessBudget:
         exempt = set(registry._GATE_PLAN_CHANGED)
         assert exempt <= gate, "plan-changed declarations must hold gate slots"
 
+        # The ordering property binds while the gate is still a PLAN. Once
+        # the driver has executed it (the max-round artifact holds green
+        # rows for the gate members), every member legitimately carries
+        # max-round evidence and the next round's builder rotates the gate
+        # — enforced by the age test above, not by re-litigating the
+        # already-spent plan here.
+        executed = sum(1 for g in gate if latest.get(g) == max_round)
+        if executed >= 0.8 * len(gate):
+            return
+
         outside = [
             latest[n]
             for n in registry.all_queries()
