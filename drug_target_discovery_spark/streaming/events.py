@@ -219,3 +219,63 @@ def interval_join(
         & (F.col(right_ts) <= F.col(left_ts))
     )
     return l.join(r, cond, how)
+
+
+def enrich_events_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: the event stream (or its batch twin)
+    joined to a STATIC dimension snapshot — the standard lookup-enrichment
+    shape (user -> segment, product -> category). No watermark is needed:
+    the static side holds no streaming state, and Structured Streaming
+    re-evaluates the static relation per micro-batch, so a dimension
+    backed by a mutable table is read at its latest snapshot each batch
+    (slowly-changing enrichment for free; pin a version upstream if
+    point-in-time semantics are required — see scd2_user_value_history
+    for the as-of form).
+
+    Scale: the dimension broadcasts (default) so the unbounded stream
+    side never shuffles — the enrichment is map-side per micro-batch;
+    pass broadcast_dim=False for dimensions beyond broadcast size (keyed
+    shuffle on the stream side then applies per batch)."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, on, how)
+
+
+def idempotent_parquet_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Exactly-once parquet sink via foreachBatch + deterministic
+    batch-keyed overwrite: each micro-batch writes its FULL contents to
+    ``{out_dir}/batch_id=N`` with mode('overwrite'). Structured
+    Streaming's foreachBatch guarantee is at-least-once with a STABLE
+    batch_id across replays — a batch re-delivered after a failure
+    rewrites the same directory with the same rows instead of appending
+    duplicates, which upgrades the pipeline to effectively-exactly-once
+    on an object store / filesystem without a transactional table format.
+    (This is the pattern table formats internalize; the test pins the
+    replay-idempotence property by re-invoking the batch function.)
+
+    Returns (query, batch_fn) — the started availableNow query and the
+    batch function itself so callers/tests can simulate a replay."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        import os
+
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, write_batch

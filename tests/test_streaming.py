@@ -672,3 +672,79 @@ class TestDedupWithinWatermarkRecovery:
             assert sorted(got2) == [100, 200, 300, 901, 902], got2
         finally:
             shutil.rmtree(work, ignore_errors=True)
+
+
+class TestStreamStaticAndIdempotentSink:
+    def test_stream_static_enrichment_matches_batch(
+        self, spark, events_stream_dir
+    ):
+        """Stream-static join parity: enriching the availableNow stream
+        against a static dimension equals the same join run as batch."""
+        from drug_target_discovery_spark.streaming.events import (
+            enrich_events_with_dim,
+        )
+
+        dim = spark.createDataFrame(
+            [(i, f"seg{i % 3}") for i in range(200)], "user_id long, segment string"
+        )
+        batch = load_table(spark, SF, "events")
+        expected = _as_sorted_rows(
+            enrich_events_with_dim(batch, dim, "user_id")
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        src = _open_stream(spark, events_stream_dir)
+        out = (
+            enrich_events_with_dim(src, dim, "user_id")
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        got = _as_sorted_rows(_run_stream(spark, out, "stream_static_enrich"))
+        assert got == expected
+
+    def test_foreachbatch_sink_is_replay_idempotent(
+        self, spark, events_stream_dir
+    ):
+        """The exactly-once contract: after the availableNow run, the sink
+        holds exactly the input rows; re-invoking the batch function with a
+        repeated batch_id (a simulated post-failure re-delivery) leaves the
+        output byte-identical instead of appending duplicates."""
+        import glob as _glob
+        import os
+
+        from drug_target_discovery_spark.streaming.events import (
+            idempotent_parquet_sink,
+        )
+
+        out_dir = tempfile.mkdtemp(prefix="idem_sink_out_")
+        ckpt = tempfile.mkdtemp(prefix="idem_sink_ckpt_")
+        try:
+            src = _open_stream(spark, events_stream_dir).select(
+                "event_id", "user_id", "event_type"
+            )
+            q, batch_fn = idempotent_parquet_sink(src, out_dir, ckpt)
+            q.awaitTermination(120)
+            parts = sorted(_glob.glob(os.path.join(out_dir, "batch_id=*")))
+            assert parts, "sink wrote no batches"
+            read_all = lambda: sorted(
+                tuple(r)
+                for p in _glob.glob(os.path.join(out_dir, "batch_id=*"))
+                for r in spark.read.parquet(p).collect()
+            )
+            first = read_all()
+            expected = _as_sorted_rows(
+                load_table(spark, SF, "events").select(
+                    "event_id", "user_id", "event_type"
+                )
+            )
+            assert first == expected
+            # simulate a foreachBatch re-delivery: same data, same batch_id
+            # (materialize first — the write overwrites the directory the
+            # lazy plan would otherwise still be reading from)
+            b0 = spark.read.parquet(parts[0])
+            replay_df = spark.createDataFrame(b0.collect(), b0.schema)
+            batch_fn(replay_df, int(parts[0].rsplit("=", 1)[1]))
+            assert read_all() == first
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
