@@ -134,11 +134,14 @@ class TestBasketBrandLift:
                 abs=1e-4,
             )
 
-    def test_self_join_runs_on_basket_grain(self, spark):
+    def test_pairs_generate_map_side_from_order_sets(self, spark):
         plan = _plan(all_queries()["basket_brand_lift"].fn(spark, SF))
-        # the co-occurrence join must consume the deduplicated basket
-        # table, not raw lineitem: a distinct/agg precedes the self-join
-        assert "HashAggregate" in plan
+        # r7 rewrite: pair generation must be the map-side array explode
+        # over the order-grain collect_set — NOT a basket self-join (the
+        # first form, measured ~2x slower; SCALING.md round 7)
+        assert "collect_set" in plan
+        assert "Generate" in plan  # the explode of the pair structs
+        assert "SortMergeJoin" not in plan
 
 
 class TestWeekdaySeasonality:
