@@ -586,7 +586,12 @@ def adamic_adar_pairs(
         # max_middle_degree valve exists to avoid. The driver cost is
         # sum_z C(deg z, 2) <= sum deg^2 / 2, an O(E) statistic read off
         # the degree table in the SAME single action as the edge count,
-        # so the gate costs one small aggregate either way.
+        # so the gate costs one small aggregate either way. Cache the
+        # node-count-bounded degree table first: the gate action
+        # materializes it, and the distributed path's scoring join (and
+        # the optional middle-degree cap) then reuse it instead of
+        # re-aggregating sym.
+        deg = scoped_cache(deg)
         stats = deg.agg(
             F.sum("d").alias("sd"),
             F.sum(F.col("d") * F.col("d")).alias("sdd"),
@@ -599,9 +604,11 @@ def adamic_adar_pairs(
     s2 = sym.select(F.col("a").alias("z"), F.col("b").alias("w"))
     if max_middle_degree is not None:
         # node-count-bounded degree table: cache it (it also feeds the
-        # final scoring join) and cap ONE side only — the equi-join on z
-        # propagates the middle filter to the other side for free.
-        deg = scoped_cache(deg)
+        # final scoring join; already cached when the gate above ran) and
+        # cap ONE side only — the equi-join on z propagates the middle
+        # filter to the other side for free.
+        if not driver_threshold:
+            deg = scoped_cache(deg)
         ok = deg.filter(F.col("d") <= max_middle_degree).select(
             F.col("node").alias("z")
         )
