@@ -55,6 +55,13 @@ class TestKaplanMeier:
             assert r["n_censored"] == c
             assert r["survival"] == pytest.approx(s, abs=1e-5)
 
+    def test_per_customer_lag_runs_keyed(self, spark):
+        plan = _plan(all_queries()["kaplan_meier_customer_gaps"].fn(spark, SF))
+        # the inter-order lag must partition by customer (scales with the
+        # customer dimension); only the day-grain gap table may hit the
+        # documented single-partition cumulative windows
+        assert "hashpartitioning(ck" in plan
+
     def test_survival_is_a_proper_curve(self, spark):
         rows = all_queries()["kaplan_meier_customer_gaps"].fn(spark, SF).collect()
         surv = [r["survival"] for r in rows]
