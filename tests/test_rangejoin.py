@@ -1,0 +1,120 @@
+"""Bin-bucketed non-equi range join: exact equality with the nested-loop
+formulation, and the plan guarantee (hash join on the bin id, never
+BroadcastNestedLoopJoin)."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.operators.rangejoin import binned_range_join
+from drug_target_discovery_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestBinnedRangeJoin:
+    def _fixture(self, spark):
+        fact = load_table(spark, SF, "part").select(
+            "p_partkey", F.col("p_retailprice").alias("v")
+        )
+        ranges = spark.createDataFrame(
+            [
+                ("cheap", 0.0, 950.0),
+                ("mid", 900.0, 1500.0),  # overlaps 'cheap' on purpose
+                ("high", 1500.0, 2500.0),
+                ("empty", 9000.0, 9500.0),
+            ],
+            "band string, lo double, hi double",
+        )
+        return fact, ranges
+
+    @pytest.mark.parametrize("bin_width", [10.0, 250.0, 5000.0])
+    def test_equals_nested_loop_at_any_bin_width(self, spark, bin_width):
+        fact, ranges = self._fixture(spark)
+        got = sorted(
+            (r["p_partkey"], r["band"])
+            for r in binned_range_join(
+                fact, ranges, "v", "lo", "hi", bin_width
+            ).collect()
+        )
+        exp = sorted(
+            (r["p_partkey"], r["band"])
+            for r in fact.join(
+                ranges,
+                (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")),
+            ).collect()
+        )
+        assert got == exp
+        assert got, "fixture should produce matches"
+        # the overlap region must yield BOTH bands for the same part
+        both = {k for k, b in got if b == "cheap"} & {
+            k for k, b in got if b == "mid"
+        }
+        assert both
+
+    def test_plan_is_hash_join_not_nested_loop(self, spark):
+        fact, ranges = self._fixture(spark)
+        binned = _plan(binned_range_join(fact, ranges, "v", "lo", "hi", 250.0))
+        assert "BroadcastNestedLoopJoin" not in binned
+        assert "_bin" in binned
+        # the naive formulation IS the nested loop — the thing we avoid
+        naive = _plan(
+            fact.join(
+                ranges,
+                (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")),
+            )
+        )
+        assert "BroadcastNestedLoopJoin" in naive
+
+    def test_rejects_nonpositive_bin_width(self, spark):
+        fact, ranges = self._fixture(spark)
+        with pytest.raises(ValueError):
+            binned_range_join(fact, ranges, "v", "lo", "hi", 0.0)
+
+
+@given(
+    points=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=30
+    ),
+    ranges=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    bin_width=st.sampled_from([1.0, 3.0, 7.5, 100.0]),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_binned_range_join_matches_bruteforce(spark, points, ranges, bin_width):
+    """Random points x random (possibly degenerate / overlapping /
+    negative-domain) intervals at several bin widths — exact agreement
+    with the python brute force, including lo == hi point-intervals and
+    bins straddling zero (floor, not truncate-toward-zero)."""
+    f = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)], "id long, v double"
+    )
+    r = spark.createDataFrame(
+        [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(ranges)],
+        "rid long, lo double, hi double",
+    )
+    got = sorted(
+        (row["id"], row["rid"])
+        for row in binned_range_join(f, r, "v", "lo", "hi", bin_width).collect()
+    )
+    exp = sorted(
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (lo, w) in enumerate(ranges)
+        if lo <= p <= lo + w
+    )
+    assert got == exp
