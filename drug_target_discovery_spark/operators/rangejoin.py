@@ -41,23 +41,55 @@ def binned_range_join(
     lo_col: str,
     hi_col: str,
     bin_width: float,
+    max_bins_per_range: int = 100_000,
 ) -> DataFrame:
     """INNER join of ``fact`` rows to every ``ranges`` row whose
     ``[lo_col, hi_col]`` (inclusive both ends) contains ``fact_col``,
     without a nested-loop: equi hash join on the bin id + exact
     post-filter. Output columns = fact's then ranges' (names must be
     disjoint). NULL values / bounds never match (SQL BETWEEN
-    semantics)."""
+    semantics).
+
+    ``max_bins_per_range`` is the mis-parameterization fuse (ADVICE r7):
+    one wide range with a too-small ``bin_width`` would otherwise
+    silently generate (hi-lo)/bin_width sequence elements per range —
+    billions at the pathological end, where Spark's ``sequence`` hard-
+    fails near 2^31 and executors OOM long before. The guard raises in-
+    plan (first task that hits an oversized range, with the offending
+    span and the bin_width that would fix it) instead of letting a bad
+    parameter surface as an opaque job failure; raise it explicitly for
+    legitimately huge spans."""
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
+    if max_bins_per_range <= 0:
+        raise ValueError("max_bins_per_range must be positive")
 
     def _bin(c: Column) -> Column:
         return F.floor(c / F.lit(float(bin_width))).cast("long")
 
-    r = ranges.withColumn(
-        "_bin",
-        F.explode(F.sequence(_bin(F.col(lo_col)), _bin(F.col(hi_col)))),
+    n_bins = _bin(F.col(hi_col)) - _bin(F.col(lo_col)) + F.lit(1)
+    guarded_seq = F.when(
+        n_bins <= F.lit(int(max_bins_per_range)),
+        F.sequence(_bin(F.col(lo_col)), _bin(F.col(hi_col))),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("binned_range_join: range spans "),
+                n_bins.cast("string"),
+                F.lit(
+                    f" bins > max_bins_per_range={max_bins_per_range} "
+                    f"at bin_width={bin_width} (range ["
+                ),
+                F.col(lo_col).cast("string"),
+                F.lit(", "),
+                F.col(hi_col).cast("string"),
+                F.lit(
+                    "]); widen bin_width or raise max_bins_per_range"
+                ),
+            )
+        )
     )
+    r = ranges.withColumn("_bin", F.explode(guarded_seq))
     f = fact.withColumn("_bin", _bin(F.col(fact_col)))
     return (
         f.join(r, "_bin")

@@ -45,102 +45,38 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-visit priority. The driver's correctness gate walks the queries()
 # dict in insertion order and stops at 50 entries per round, so coverage is a
-# rotation problem (VERDICT r3 #1). Round 7's 50, exactly the plan written at
-# r6 close: (1) the 7 round-7-new queries, (2) the 3 plans changed this round
-# (ADVICE/VERDICT r6 fixes), (3) the full 40-query r3-evidence cohort, whose
-# driver evidence hits the age-4 staleness ceiling at this gate.
+# rotation problem (VERDICT r3 #1). Round 8's 50, exactly the plan written at
+# r7 close (and VERDICT r7 #1-#3): (1) the 3 round-8-new queries — the
+# binned-range-join driver query (the one r7 operator without a CORRECTNESS
+# row) plus two of the three designed-and-deferred r8 operators, and (2) the
+# full 47-query r4-evidence cohort, whose driver evidence hits the age-4
+# staleness ceiling at this gate.
 # _PRIORITY_GATE must hold exactly _GATE_WINDOW names; a unit test pins the
 # length, and tests/test_registry_rotation.py enforces the staleness budget
 # (no query's driver evidence older than _MAX_EVIDENCE_AGE rounds after the
 # next gate run — VERDICT r5 #5) plus the stalest-first ordering (gate slots
 # may not go to fresh-evidence queries unless declared plan-changed).
+#
+# NOTE on skew_adaptive_agg_stats (VERDICT r7 #5): its plan-choice input
+# moved from an exact full-scan profile to a seeded 1% sample this round
+# WITHOUT re-gating, because the change is provably result-invariant: the
+# profile only selects between the plain and salted plans, BOTH of which
+# were driver-hash-verified equal at r7 and stay pinned equal by
+# tests/test_skew.py + tests/test_round7_ops.py. The r4 cohort's hard age
+# ceiling owns all 47 staleness slots; spending one on a result-invariant
+# physical-plan input would push an r4 query past the budget.
 _GATE_WINDOW = 50
 
 _PRIORITY_GATE: tuple[str, ...] = (
-    # -- (1) new in round 7 (7): the six operators designed-and-deferred at
-    # r6 close (see the r6 registry note preserved in git history) plus the
-    # skew-profile -> salted-plan decision demo (VERDICT r6 stretch #8)
-    "kaplan_meier_customer_gaps",
-    "cusum_changepoint_daily_revenue",
-    "basket_brand_lift",
-    "minhash_jaccard_estimate_error",
-    "shingle_novelty_ratio",
-    "weekday_seasonality_revenue",
-    "skew_adaptive_agg_stats",
-    # -- (2) plan-changed in round 7 (3): prefix-filter candidate
-    # generation (containment), the x-variance CASE guard (OLS), and the
-    # skew-aware driver-gate (Adamic-Adar) — all ADVICE/VERDICT r6 items
-    "shingle_containment_pairs",
-    "ols_trend_by_brand",
-    "adamic_adar_link_prediction",
-    # -- (3) the full r3-evidence cohort (40) — the oldest driver evidence
-    # in the repo (age 4 at the r7 gate, the staleness ceiling)
-    "revenue_by_nation",
-    "parts_shipped_to_top_nation",
-    "geo_pipeline_differential",
-    "geo_pipeline_targets",
-    "differential_expression",
-    "ngram_jaccard_near_dups",
-    "pricing_summary",
-    "lsh_candidate_pairs",
-    "benchmark_decontamination",
-    "corr_edges_top_parts",
-    "ann_ivf_bucketed_topk",
-    "degree_centrality_corr_graph",
-    "minhash_signatures",
-    "exact_dedup_sha256",
-    "top_orders_by_revenue",
-    "order_priority_rollup",
-    "supplier_part_distincts",
-    "sliding_window_stats",
-    "tumbling_event_counts",
-    "blocklist_redaction_stats",
-    "corpus_mixture_rebalance",
-    "customers_without_orders",
-    "doc_chunk_packing",
-    "doc_length_histogram",
-    "embedding_quantize_int8",
-    "event_interarrival_stats",
-    "event_type_pivot",
-    "events_in_purchase_hour",
-    "hash_stratified_sample",
-    "latest_event_per_user",
-    "media_audio_decode_stats",
-    "media_image_decode_dims",
-    "media_payload_digest",
-    "mllib_corr_matrix_top",
-    "mllib_minhash_neardups",
-    "part_type_classifier",
-    "per_source_doc_cap",
-    "positional_zip_join",
-    "small_lot_revenue",
-    "source_lang_entropy",
-)
-
-# Gate members whose slot is justified by a NEW or CHANGED plan rather than
-# evidence staleness. tests/test_registry_rotation.py exempts these from the
-# stalest-first ordering check (their evidence, if any, is legitimately
-# fresh) — every other gate member must be at least as stale as everything
-# left outside the gate.
-_GATE_PLAN_CHANGED: tuple[str, ...] = (
-    "kaplan_meier_customer_gaps",
-    "cusum_changepoint_daily_revenue",
-    "basket_brand_lift",
-    "minhash_jaccard_estimate_error",
-    "shingle_novelty_ratio",
-    "weekday_seasonality_revenue",
-    "skew_adaptive_agg_stats",
-    "shingle_containment_pairs",
-    "ols_trend_by_brand",
-    "adamic_adar_link_prediction",
-)
-
-# Slots 51+: refresh order for queries that already hold a green driver row
-# — oldest evidence first. After the r7 gate runs, the r4 cohort (47 names
-# below) is the oldest evidence in the repo and heads the round-8 gate
-# (age hits the 4-round ceiling after r8); the r5 and r6 cohorts follow.
-_PRIORITY_REST: tuple[str, ...] = (
-    # r4-green refreshes (round-8 gate headliners)
+    # -- (1) new in round 8 (3): the binned-range-join driver query
+    # (VERDICT r7 #2) + two of the three r7-designed operators
+    # (VERDICT r7 #3); event_burstiness_fano stays designed-and-deferred
+    # (see the r9/r10 plan below)
+    "price_band_lookup_binned",
+    "order_value_gini_by_nation",
+    "hapax_ttr_by_source",
+    # -- (2) the full r4-evidence cohort (47) — the oldest driver evidence
+    # in the repo (age 4 at the r8 gate, the staleness ceiling)
     "approx_distinct_parts",
     "approx_quantile_sketch_bounded",
     "asof_view_before_purchase",
@@ -188,7 +124,43 @@ _PRIORITY_REST: tuple[str, ...] = (
     "view_purchase_attribution",
     "weighted_systematic_sample",
     "welch_t_by_part",
-    # r5-green refreshes
+)
+
+# Gate members whose slot is justified by a NEW or CHANGED plan rather than
+# evidence staleness. tests/test_registry_rotation.py exempts these from the
+# stalest-first ordering check (their evidence, if any, is legitimately
+# fresh) — every other gate member must be at least as stale as everything
+# left outside the gate.
+_GATE_PLAN_CHANGED: tuple[str, ...] = (
+    "price_band_lookup_binned",
+    "order_value_gini_by_nation",
+    "hapax_ttr_by_source",
+)
+
+# Slots 51+: refresh order for queries that already hold a green driver row
+# — oldest evidence first. After the r8 gate runs, the r5 cohort (50 names
+# below) is the oldest evidence in the repo and IS the round-9 gate
+# (age hits the 4-round ceiling after r9); the r6 and r7 cohorts follow.
+#
+# Round-9/10 gate plan (written at r8 close, per VERDICT r7 #8): the r9
+# gate is exactly the 50-query r5 cohort — ZERO free slots (197 registered
+# queries / 50-slot gate / age budget 4 leaves ~3 new slots per 4 rounds,
+# all spent this round). Round 9 therefore registers NO new queries: new
+# operator work lands as unit/property-tested operators without registry
+# entries (the rotation test's "never visited" check only binds REGISTERED
+# queries), and the r10 gate takes the 47-query r6 cohort + up to 3 of the
+# deferred registrations, starting with:
+#   event_burstiness_fano — per-user Fano factor (var/mean) of daily
+#     event counts over the calendar span: two keyed shuffles (user-day
+#     counts, then user-grain sufficient statistics), exact integer
+#     sums, CASE-NULL on zero mean; output bounded by user cardinality,
+#     aggregated to a bounded per-type summary for the driver row.
+# A structural alternative (split the gate window across two cheap halves
+# to widen effective coverage) was considered and rejected: the driver
+# walks ONE insertion-order prefix per round, so the only lever is which
+# 50 names head queries() — already what _PRIORITY_GATE controls.
+_PRIORITY_REST: tuple[str, ...] = (
+    # r5-green refreshes (round-9 gate, all 50)
     "auc_by_cohort",
     "bigram_pmi_collocations",
     "boilerplate_ngram_stats",
@@ -287,6 +259,58 @@ _PRIORITY_REST: tuple[str, ...] = (
     "weighted_reservoir_sample",
     "zipf_slope_tokens",
     "zone_map_stats",
+    # r7-green refreshes (the round-7 gate: 10 r7-new/plan-changed + the
+    # 40-query r3 cohort refreshed at r7)
+    "kaplan_meier_customer_gaps",
+    "cusum_changepoint_daily_revenue",
+    "basket_brand_lift",
+    "minhash_jaccard_estimate_error",
+    "shingle_novelty_ratio",
+    "weekday_seasonality_revenue",
+    "skew_adaptive_agg_stats",
+    "shingle_containment_pairs",
+    "ols_trend_by_brand",
+    "adamic_adar_link_prediction",
+    "revenue_by_nation",
+    "parts_shipped_to_top_nation",
+    "geo_pipeline_differential",
+    "geo_pipeline_targets",
+    "differential_expression",
+    "ngram_jaccard_near_dups",
+    "pricing_summary",
+    "lsh_candidate_pairs",
+    "benchmark_decontamination",
+    "corr_edges_top_parts",
+    "ann_ivf_bucketed_topk",
+    "degree_centrality_corr_graph",
+    "minhash_signatures",
+    "exact_dedup_sha256",
+    "top_orders_by_revenue",
+    "order_priority_rollup",
+    "supplier_part_distincts",
+    "sliding_window_stats",
+    "tumbling_event_counts",
+    "blocklist_redaction_stats",
+    "corpus_mixture_rebalance",
+    "customers_without_orders",
+    "doc_chunk_packing",
+    "doc_length_histogram",
+    "embedding_quantize_int8",
+    "event_interarrival_stats",
+    "event_type_pivot",
+    "events_in_purchase_hour",
+    "hash_stratified_sample",
+    "latest_event_per_user",
+    "media_audio_decode_stats",
+    "media_image_decode_dims",
+    "media_payload_digest",
+    "mllib_corr_matrix_top",
+    "mllib_minhash_neardups",
+    "part_type_classifier",
+    "per_source_doc_cap",
+    "positional_zip_join",
+    "small_lot_revenue",
+    "source_lang_entropy",
 )
 
 # Round-8 gate plan (written at r7 close): (1) any r8-new or plan-changed
@@ -337,6 +361,7 @@ def all_queries() -> dict[str, Query]:
         round6b,
         round7,
         round7b,
+        round8,
         selection,
         setops,
         similarity,

@@ -380,7 +380,12 @@ def _containment_via_prefix(
         .distinct()
     )
     # size prefilter: containment needs |B| >= t|A| — prune before the
-    # array join so impossible pairs never shuffle shingle arrays
+    # array join so impossible pairs never shuffle shingle arrays.
+    # Division form (not _sz2 >= t*_sz1): the verify filter below tests
+    # _k/_s1 >= t, and k <= sz2 with float division monotonic in the
+    # numerator guarantees the prefilter never prunes a pair the verify
+    # would accept — a multiply can round the other way at an exact
+    # boundary (ADVICE r7)
     cand = (
         cand.join(
             sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("_sz1")),
@@ -390,7 +395,7 @@ def _containment_via_prefix(
             sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("_sz2")),
             "d2",
         )
-        .filter(F.col("_sz2") >= t * F.col("_sz1"))
+        .filter(F.col("_sz2") * 1.0 / F.col("_sz1") >= t)
         .select("d1", "d2")
     )
     # exact verification: one sorted shingle array per doc, one

@@ -86,7 +86,7 @@ def minhash_jaccard_estimate_error(
     matches/k against the EXACT shingle Jaccard, bucketed by exact-
     Jaccard decile — the measurement that ties the banding parameters to
     a committed accuracy number (the estimator's per-pair standard error
-    is sqrt(J(1-J)/k) <= 0.5/sqrt(k); tests/test_round7.py asserts the
+    is sqrt(J(1-J)/k) <= 0.5/sqrt(k); tests/test_round7_ops.py asserts the
     measured MAE against that bound, the same way ANN ships recall@k).
 
     Exactness: the estimate matches/{_NUM_HASHES} is an exact binary
@@ -248,7 +248,7 @@ def skew_adaptive_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     spreading each hot key across 16 reducers — else as the plain
     groupBy. Results are identical either way (the oracle is the plain
     GROUP BY); on TPC-H's 3-value returnflag the profile always selects
-    the salted path, pinned by tests/test_round7.py's plan-shape test.
+    the salted path, pinned by tests/test_round7_ops.py's plan-shape test.
 
     Scale design: the profile is ONE aggregate to the key grain
     (domain-bounded output, map-side partials — in production it would

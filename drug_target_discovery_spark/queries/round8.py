@@ -1,0 +1,301 @@
+"""Round-8 additions: the designed-and-deferred operators from the
+round-7 registry plan (queries/registry.py r7 note) plus the driver-
+facing query for the keyless binned range join (VERDICT r7 #2 — the one
+round-7 operator surface without a CORRECTNESS row).
+
+- Price-band lookup via the bin-bucketed keyless range join: lineitem
+  extended price against an OVERLAPPING band table with no equi key —
+  the join Spark itself plans as BroadcastNestedLoopJoin; the operator
+  turns it into an equi hash join on a quantized bin id (a plan-shape
+  test pins the nested loop out of the executed plan).
+- Order-value Gini coefficient per nation — inequality-of-spend audit
+  via the sorted-rank identity, computed on the tie-collapsed
+  (nation, value) grain so the ranking window never carries the fact.
+- Hapax/type-token-ratio corpus health audit per document source.
+
+Exactness contract (repo-wide, see round7.py): money quantizes to
+integer cents map-side; rank-weighted sums that can exceed 2^63 at
+large SF run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); every
+surfaced float is a single IEEE expression over exact integers,
+half-up rounded through functions/rounding.rnd on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
+from drug_target_discovery_spark.operators.rangejoin import binned_range_join
+from drug_target_discovery_spark.queries.registry import register
+from drug_target_discovery_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Price-band lookup through the keyless binned range join
+# --------------------------------------------------------------------------
+# Overlapping price bands over lineitem's extended-price domain
+# (~[900, 105000] at every SF — TPC-H prices are SF-invariant). Bands
+# overlap ON PURPOSE: a fact row in an overlap region must land in BOTH
+# bands, the case a naive bucketing join gets wrong.
+_PRICE_BANDS: tuple[tuple[str, float, float], ...] = (
+    ("budget", 0.0, 15000.0),
+    ("value", 10000.0, 40000.0),
+    ("mid", 35000.0, 70000.0),
+    ("premium", 65000.0, 95000.0),
+    ("luxury", 90000.0, 200000.0),
+)
+# ~ the median band width / 6: each band explodes into 3..22 bins
+# (~60 exploded range rows total), each fact row maps to exactly one bin.
+_BAND_BIN_WIDTH = 5000.0
+
+_BANDS_VALUES = ", ".join(
+    f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS
+)
+
+
+@register(
+    "price_band_lookup_binned",
+    tags=("relational", "rangejoin", "scalable"),
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES})
+    SELECT b.band, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_qty,
+           {rnd_sql(
+             "sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))"
+             " / 100.0", 2)} AS revenue
+    FROM lineitem l
+    JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+)
+def price_band_lookup_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue/volume per price band where band membership is a pure
+    non-equi interval predicate (price BETWEEN lo AND hi, NO equi key,
+    bands overlap) — the lookup shape Spark executes as
+    BroadcastNestedLoopJoin, O(|fact| x |bands|). The plan here rides
+    operators/rangejoin.binned_range_join: bands explode into covering
+    5000-wide bins, each fact row maps to ONE bin, and the join is an
+    equi hash join on the bin id with the exact BETWEEN re-checked as a
+    post-filter (measured 2.9x over the nested loop at sf0.1, gap
+    growing with |ranges| — SCALING.md "Keyless binned range join").
+
+    tests/test_round8_ops.py pins BroadcastNestedLoopJoin OUT of this
+    query's executed plan; tests/test_rangejoin.py pins the operator's
+    exact equality with the nested-loop formulation (hypothesis, incl.
+    overlap/degenerate/negative-domain intervals).
+
+    Exactness: counts/quantities are exact BIGINTs; revenue quantizes
+    to integer cents map-side (sum of BIGINTs, addition-order-free).
+
+    Scale design: the fact never replicates (one bin per row); the
+    exploded ranges side is |bands| x width/bin_width rows (~60 here —
+    broadcast-sized by construction); one keyed aggregate to the band
+    grain (domain-bounded output, map-side partials)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("xq"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("xc"),
+    )
+    bands = spark.createDataFrame(
+        list(_PRICE_BANDS), "band string, lo double, hi double"
+    )
+    joined = binned_range_join(
+        li, bands, "l_extendedprice", "lo", "hi", _BAND_BIN_WIDTH
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("xq").alias("sum_qty"),
+            rnd(F.sum("xc") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+# --------------------------------------------------------------------------
+# Order-value Gini coefficient per nation
+# --------------------------------------------------------------------------
+@register(
+    "order_value_gini_by_nation",
+    tags=("stats", "inequality", "scalable"),
+    oracle=f"""
+    WITH ov AS (
+      SELECT n.n_name,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    rk AS (
+      SELECT n_name, cents,
+             row_number() OVER (PARTITION BY n_name ORDER BY cents) AS i
+      FROM ov
+    ),
+    s AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS t,
+             sum(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT)) AS s
+      FROM rk GROUP BY n_name
+    )
+    SELECT n_name, n_orders,
+           {rnd_sql("t / 100.0", 2)} AS total_value,
+           {rnd_sql(
+             "2.0 * CAST(s AS DOUBLE)"
+             " / (CAST(n_orders AS DOUBLE) * CAST(t AS DOUBLE))"
+             " - (CAST(n_orders AS DOUBLE) + 1.0)"
+             " / CAST(n_orders AS DOUBLE)", 6)} AS gini
+    FROM s ORDER BY n_name
+    """,
+)
+def order_value_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order values per customer nation — the
+    inequality-of-spend audit (G = 0 everyone spends alike, G -> 1 a few
+    whales carry the nation) — via the sorted-rank identity
+    G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n over ascending-sorted values.
+
+    The oracle ranks row-by-row; the Spark plan computes the SAME exact
+    rank-weighted sum on the tie-collapsed (nation, cents) grain: a
+    value v appearing cnt times after `below` smaller rows contributes
+    ranks below+1 .. below+cnt, so sum(i*x_i) gains
+    v * (cnt*below + cnt*(cnt+1)/2). Tie order never changes the sum
+    (equal values swap freely), so both formulations produce the
+    identical integer.
+
+    Exactness: values quantize to integer cents map-side; the
+    rank-weighted sum runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB)
+    — BIGINT overflows i*cents*n at large SF (i ~ n ~ 6e8/nation at
+    100 TB -> s ~ 1e25); n, t stay exact BIGINTs; the Gini is one IEEE
+    expression over the correctly-rounded wide-int -> double casts,
+    identical on both engines (the CUSUM precedent, round7.py).
+
+    Scale design: dims broadcast onto the fact; ONE fact shuffle to the
+    tie-collapsed (nation, cents) grain with map-side combine; the
+    per-nation ranking window runs over THAT grain — bounded by
+    |nation| x |distinct order values| (price domain), never the order
+    count — then one aggregate to the 25-row nation grain."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ov = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    # tie-collapse: one keyed shuffle, map-side combinable
+    g = ov.groupBy("n_name", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    # bounded: (nation, distinct cents) grain — |price domain| rows per
+    # nation, never the order count
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dec = "decimal(38,0)"
+    r = g.select(
+        "n_name",
+        "cents",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+    )
+    # ranks below+1..below+cnt for the tie group: exact integer sum;
+    # cnt*(cnt+1) fits BIGINT (cnt <= n/nation), the v*ranksum product
+    # runs in decimal
+    rank_sum = F.col("cnt").cast(dec) * F.col("below").cast(dec) + (
+        F.expr("CAST((cnt * (cnt + 1)) DIV 2 AS BIGINT)").cast(dec)
+    )
+    s = r.groupBy("n_name").agg(
+        F.sum("cnt").alias("n_orders"),
+        F.sum(F.col("cents").cast(dec) * F.col("cnt").cast(dec))
+        .cast("long")
+        .alias("t"),
+        F.sum(F.col("cents").cast(dec) * rank_sum).alias("s"),
+    )
+    nd = F.col("n_orders").cast("double")
+    td = F.col("t").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("s").cast("double") / (nd * td)
+        - (nd + F.lit(1.0)) / nd
+    )
+    return s.select(
+        "n_name",
+        "n_orders",
+        rnd(F.col("t") / 100.0, 2).alias("total_value"),
+        rnd(gini, 6).alias("gini"),
+    ).orderBy("n_name")
+
+
+# --------------------------------------------------------------------------
+# Hapax legomena / type-token ratio per document source
+# --------------------------------------------------------------------------
+@register(
+    "hapax_ttr_by_source",
+    tags=("text", "corpus", "quality", "scalable"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS token
+      FROM documents
+    ),
+    tt AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           {rnd_sql("count(*) * 1.0 / sum(cnt)", 6)} AS ttr,
+           {rnd_sql(
+             "sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1.0 / count(*)",
+             6)} AS hapax_frac
+    FROM tt GROUP BY source ORDER BY source
+    """,
+)
+def hapax_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health audit per document source: type-token ratio
+    (distinct tokens / total tokens — collapses toward 0 on repetitive
+    or template-generated text) and the hapax-legomenon fraction
+    (share of the source's vocabulary appearing EXACTLY once — healthy
+    natural text keeps it near Zipf's ~0.4-0.6; boilerplate and
+    dedup-worthy spam crush it). The pair is the standard first look at
+    whether a source is worth its mixture weight (complements
+    zipf_slope_tokens / boilerplate_ngram_stats, same whitespace-token
+    convention as the corpus family).
+
+    Exactness: all four counts are exact BIGINTs; ttr / hapax_frac are
+    single IEEE divisions of exact integers, identical on both engines.
+
+    Scale design: token grain collapses with ONE keyed shuffle to
+    (source, token) — map-side combinable partials, so the shuffle
+    carries vocabulary, not the token stream — then one aggregate to
+    the source-domain-bounded output (20 rows here). Never a window,
+    never a pairwise join."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    tt = docs.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    n_types = F.count(F.lit(1))
+    n_hapax = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+    return (
+        tt.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            n_types.alias("n_types"),
+            n_hapax.cast("long").alias("n_hapax"),
+            rnd(n_types * 1.0 / F.sum("cnt"), 6).alias("ttr"),
+            rnd(n_hapax * 1.0 / n_types, 6).alias("hapax_frac"),
+        )
+        .orderBy("source")
+    )

@@ -262,6 +262,19 @@ def idempotent_parquet_sink(
     (This is the pattern table formats internalize; the test pins the
     replay-idempotence property by re-invoking the batch function.)
 
+    Preconditions for the exactly-once claim (ADVICE r7):
+
+    - The plan upstream of the sink must be DETERMINISTIC across
+      replays — no rand()/uuid()/current_timestamp() or nondeterministic
+      UDFs before the sink. A replayed batch that recomputes DIFFERENT
+      rows silently overwrites the directory with the new rows; the
+      batch-id keying only dedupes identical re-deliveries.
+    - The per-batch overwrite (delete + rewrite) is NOT atomic to
+      concurrent readers: a reader scanning ``{out_dir}`` mid-overwrite
+      can observe a partially-deleted ``batch_id=N`` directory. Gate
+      readers on query progress (or use a transactional table format)
+      when the output is consumed while the stream runs.
+
     Returns (query, batch_fn) — the started availableNow query and the
     batch function itself so callers/tests can simulate a replay."""
 

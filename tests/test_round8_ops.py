@@ -1,0 +1,230 @@
+"""Independent recomputation + plan-shape pins for the round-8 operators
+(price-band lookup through the keyless binned range join, per-nation
+order-value Gini, hapax/TTR corpus health), plus the ADVICE-r7 guards:
+the range-join bins-per-range fuse and the containment prefilter's
+division-form consistency."""
+
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.operators.rangejoin import binned_range_join
+from drug_target_discovery_spark.queries.registry import all_queries
+from drug_target_discovery_spark.queries.round8 import (
+    _BAND_BIN_WIDTH,
+    _PRICE_BANDS,
+)
+from drug_target_discovery_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPriceBandLookup:
+    def test_plan_has_no_nested_loop(self, spark):
+        df = all_queries()["price_band_lookup_binned"].fn(spark, SF)
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "_bin" in plan  # the equi hash join key
+
+    def test_matches_python_recompute(self, spark):
+        rows = {
+            r["band"]: r
+            for r in all_queries()["price_band_lookup_binned"]
+            .fn(spark, SF)
+            .collect()
+        }
+        li = (
+            load_table(spark, SF, "lineitem")
+            .select("l_extendedprice", "l_quantity")
+            .collect()
+        )
+        expect = defaultdict(lambda: [0, 0, 0])  # n, qty, cents
+        for r in li:
+            for band, lo, hi in _PRICE_BANDS:
+                if lo <= r["l_extendedprice"] <= hi:
+                    e = expect[band]
+                    e[0] += 1
+                    e[1] += int(r["l_quantity"] + 0.5)
+                    e[2] += int(r["l_extendedprice"] * 100 + 0.5)
+        assert set(rows) == set(expect)
+        for band, (n, qty, cents) in expect.items():
+            got = rows[band]
+            assert got["n_items"] == n
+            assert got["sum_qty"] == qty
+            assert got["revenue"] == pytest.approx(cents / 100.0, abs=0.011)
+
+    def test_overlap_region_lands_in_both_bands(self, spark):
+        # a price inside two overlapping bands must be counted by both —
+        # sum(n_items) therefore exceeds the matched-row count
+        rows = (
+            all_queries()["price_band_lookup_binned"].fn(spark, SF).collect()
+        )
+        n_total = sum(r["n_items"] for r in rows)
+        li = load_table(spark, SF, "lineitem")
+        n_rows = li.filter(
+            (F.col("l_extendedprice") >= _PRICE_BANDS[0][1])
+            & (F.col("l_extendedprice") <= _PRICE_BANDS[-1][2])
+        ).count()
+        assert n_total > n_rows
+
+
+class TestRangeJoinBinsFuse:
+    """ADVICE r7: a wide range with a small bin_width must fail fast with
+    a clear message, not OOM inside sequence()."""
+
+    def test_oversized_range_raises_in_plan(self, spark):
+        fact = spark.createDataFrame([(1, 5.0)], "id long, v double")
+        ranges = spark.createDataFrame(
+            [("wide", 0.0, 1e9)], "band string, lo double, hi double"
+        )
+        df = binned_range_join(
+            fact, ranges, "v", "lo", "hi", 1.0, max_bins_per_range=1000
+        )
+        with pytest.raises(Exception, match="max_bins_per_range"):
+            df.collect()
+
+    def test_cap_exactly_at_boundary_passes(self, spark):
+        fact = spark.createDataFrame([(1, 5.0)], "id long, v double")
+        ranges = spark.createDataFrame(
+            [("ok", 0.0, 999.0)], "band string, lo double, hi double"
+        )
+        got = binned_range_join(
+            fact, ranges, "v", "lo", "hi", 1.0, max_bins_per_range=1000
+        ).collect()
+        assert [(r["id"], r["band"]) for r in got] == [(1, "ok")]
+
+    def test_rejects_nonpositive_cap(self, spark):
+        fact = spark.createDataFrame([(1, 5.0)], "id long, v double")
+        ranges = spark.createDataFrame(
+            [("x", 0.0, 1.0)], "band string, lo double, hi double"
+        )
+        with pytest.raises(ValueError):
+            binned_range_join(
+                fact, ranges, "v", "lo", "hi", 1.0, max_bins_per_range=0
+            )
+
+
+class TestGiniByNation:
+    def test_matches_python_recompute(self, spark):
+        rows = {
+            r["n_name"]: r
+            for r in all_queries()["order_value_gini_by_nation"]
+            .fn(spark, SF)
+            .collect()
+        }
+        o = load_table(spark, SF, "orders").select(
+            "o_custkey", "o_totalprice"
+        )
+        c = load_table(spark, SF, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        n = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+        joined = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .select("n_name", "o_totalprice")
+            .collect()
+        )
+        vals = defaultdict(list)
+        for r in joined:
+            vals[r["n_name"]].append(int(r["o_totalprice"] * 100 + 0.5))
+        assert set(rows) == set(vals)
+        for name, xs in vals.items():
+            xs.sort()
+            nn = len(xs)
+            t = sum(xs)
+            s = sum((i + 1) * x for i, x in enumerate(xs))
+            gini = 2.0 * s / (nn * t) - (nn + 1.0) / nn
+            got = rows[name]
+            assert got["n_orders"] == nn
+            assert got["total_value"] == pytest.approx(t / 100.0, abs=0.011)
+            assert got["gini"] == pytest.approx(gini, abs=1e-6)
+            assert 0.0 <= got["gini"] < 1.0
+
+    def test_tie_heavy_input_exact(self, spark):
+        # many duplicated values: the tie-collapsed rank-sum identity
+        # must equal the row-by-row row_number() identity exactly
+        import tempfile
+
+        data = [(i, 1 + (i % 10), 100.0 * (1 + i % 3)) for i in range(200)]
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                data, "o_orderkey long, o_custkey long, o_totalprice double"
+            ).write.parquet(f"{d}/orders.parquet")
+            spark.createDataFrame(
+                [(k, k % 2) for k in range(1, 11)],
+                "c_custkey long, c_nationkey long",
+            ).write.parquet(f"{d}/customer.parquet")
+            spark.createDataFrame(
+                [(0, "EVEN"), (1, "ODD")], "n_nationkey long, n_name string"
+            ).write.parquet(f"{d}/nation.parquet")
+            rows = {
+                r["n_name"]: r
+                for r in all_queries()["order_value_gini_by_nation"]
+                .fn(spark, d)
+                .collect()
+            }
+        for name in ("EVEN", "ODD"):
+            xs = sorted(
+                int(v * 100 + 0.5)
+                for _, ck, v in data
+                if ck % 2 == (0 if name == "EVEN" else 1)
+            )
+            nn, t = len(xs), sum(xs)
+            s = sum((i + 1) * x for i, x in enumerate(xs))
+            gini = 2.0 * s / (nn * t) - (nn + 1.0) / nn
+            assert rows[name]["gini"] == pytest.approx(gini, abs=1e-6)
+
+
+class TestHapaxTTR:
+    def test_matches_python_recompute(self, spark):
+        rows = {
+            r["source"]: r
+            for r in all_queries()["hapax_ttr_by_source"].fn(spark, SF).collect()
+        }
+        docs = load_table(spark, SF, "documents").select("source", "text").collect()
+        counts: dict[str, Counter] = defaultdict(Counter)
+        for r in docs:
+            counts[r["source"]].update(t for t in r["text"].split(" ") if t)
+        assert set(rows) == set(counts)
+        for src, c in counts.items():
+            n_tokens = sum(c.values())
+            n_types = len(c)
+            n_hapax = sum(1 for v in c.values() if v == 1)
+            got = rows[src]
+            assert got["n_tokens"] == n_tokens
+            assert got["n_types"] == n_types
+            assert got["n_hapax"] == n_hapax
+            assert got["ttr"] == pytest.approx(n_types / n_tokens, abs=1e-6)
+            assert got["hapax_frac"] == pytest.approx(
+                n_hapax / n_types, abs=1e-6
+            )
+
+    def test_no_window_in_plan(self, spark):
+        # the scale contract: aggregations only, never a window or join
+        plan = _plan(all_queries()["hapax_ttr_by_source"].fn(spark, SF))
+        assert "WindowExec" not in plan
+        assert "Join" not in plan
+
+
+class TestContainmentPrefilterConsistency:
+    """ADVICE r7: the prefix-strategy size prefilter now uses the same
+    float-division form as the verify filter, so a boundary pair can
+    never be pruned by the prefilter yet pass verification."""
+
+    def test_division_form_is_monotone_superset(self):
+        # for every (k, s1, s2) with k <= s2: verify-accept implies
+        # prefilter-accept under the division form — exhaustive over a
+        # grid that includes exact float boundary cases
+        for s1 in range(1, 40):
+            for s2 in range(1, 40):
+                for num, den in ((1, 2), (1, 3), (2, 3), (3, 10), (7, 10)):
+                    t = num / den
+                    for k in range(0, min(s1, s2) + 1):
+                        if k * 1.0 / s1 >= t:  # verify accepts
+                            assert s2 * 1.0 / s1 >= t, (k, s1, s2, t)
