@@ -223,6 +223,7 @@ def shingle_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Adaptive skew aggregation (profile -> plan choice)
 # --------------------------------------------------------------------------
 _HOT_FRACTION = 0.125  # salt when one key holds > 4/32 of the rows
+_PROFILE_FRACTION = 0.01  # seeded Bernoulli sample driving the plan choice
 
 
 @register(
@@ -241,21 +242,36 @@ _HOT_FRACTION = 0.125  # salt when one key holds > 4/32 of the rows
 def skew_adaptive_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag lineitem stats with the physical plan CHOSEN from a
     measured key profile — the join_key_skew_profile diagnostic wired
-    into a decision (VERDICT r6 stretch #8): a bounded count-by-key
-    profile runs first; if the hottest key holds more than
-    {_HOT_FRACTION:.0%} of the rows (4x a fair 32-partition share), the
-    aggregation runs as the salted two-phase plan (operators/skew.py) —
-    spreading each hot key across 16 reducers — else as the plain
-    groupBy. Results are identical either way (the oracle is the plain
-    GROUP BY); on TPC-H's 3-value returnflag the profile always selects
-    the salted path, pinned by tests/test_round7_ops.py's plan-shape test.
+    into a decision (VERDICT r6 stretch #8): a profile runs first; if
+    the hottest key holds more than {_HOT_FRACTION:.0%} of the rows (4x
+    a fair 32-partition share), the aggregation runs as the salted
+    two-phase plan (operators/skew.py) — spreading each hot key across
+    16 reducers — else as the plain groupBy. Results are identical
+    either way (the oracle is the plain GROUP BY); on TPC-H's 3-value
+    returnflag the profile always selects the salted path, pinned by
+    tests/test_round7_ops.py's plan-shape test.
 
-    Scale design: the profile is ONE aggregate to the key grain
-    (domain-bounded output, map-side partials — in production it would
-    ride cached table stats or a sample; here it is exact so the
-    decision is deterministic). The salted plan's phase 1 collapses to
+    Scale design: the registered profile is a seeded {_PROFILE_FRACTION:.0%}
+    Bernoulli SAMPLE (operators/skew.sampled_hot_share — VERDICT r7 #5:
+    the earlier exact count-by-key profile cost a full extra fact scan
+    at 100 TB), with the decision error bound in its docstring: a hot
+    key far enough from the {_HOT_FRACTION:.0%} threshold to matter
+    survives any reasonable sample, and near-threshold flips land on
+    result-equal, cost-comparable plans. The exact profile remains the
+    test path (tests/test_round7_ops.py pins both profiles to the same
+    choice on the fixture). The salted plan's phase 1 collapses to
     (key, salt) map-side, so the hot key never lands on one reducer."""
-    from drug_target_discovery_spark.operators.skew import two_phase_agg
+    return _skew_adaptive_agg(spark, sf_dir, exact_profile=False)
+
+
+def _skew_adaptive_agg(
+    spark: SparkSession, sf_dir: str, exact_profile: bool
+) -> DataFrame:
+    from drug_target_discovery_spark.operators.skew import (
+        exact_hot_share,
+        sampled_hot_share,
+        two_phase_agg,
+    )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -264,11 +280,12 @@ def skew_adaptive_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("xc"),
     )
-    profile = (
-        li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
-    )
-    total = sum(r["n"] for r in profile)
-    hot_share = max(r["n"] for r in profile) / total if total else 0.0
+    if exact_profile:
+        hot_share = exact_hot_share(li, "l_returnflag")
+    else:
+        hot_share = sampled_hot_share(
+            li, "l_returnflag", fraction=_PROFILE_FRACTION
+        )
     aggs = {
         "n_rows": ("xq", "count"),
         "sum_qty": ("xq", "sum"),

@@ -260,6 +260,36 @@ class TestSkewAdaptiveAgg:
             assert got[r["l_returnflag"]]["n_rows"] == r["n_rows"]
             assert got[r["l_returnflag"]]["sum_qty"] == r["sum_qty"]
 
+    def test_sampled_and_exact_profiles_choose_the_same_plan(self, spark):
+        """VERDICT r7 #5: the registered query decides from a seeded 1%
+        sample; the exact count-by-key profile is the test path. On the
+        fixture (hot share ~0.4 vs threshold 0.125) both must select the
+        salted plan and produce identical rows."""
+        from drug_target_discovery_spark.queries.round7b import (
+            _skew_adaptive_agg,
+        )
+
+        sampled = _skew_adaptive_agg(spark, SF, exact_profile=False)
+        exact = _skew_adaptive_agg(spark, SF, exact_profile=True)
+        assert ("_salt" in _plan(sampled)) == ("_salt" in _plan(exact)) == True  # noqa: E712
+        assert sorted(map(tuple, sampled.collect())) == sorted(
+            map(tuple, exact.collect())
+        )
+
+    def test_sampled_hot_share_bounds(self, spark):
+        from drug_target_discovery_spark.operators.skew import (
+            exact_hot_share,
+            sampled_hot_share,
+        )
+
+        li = load_table(spark, SF, "lineitem").select("l_returnflag")
+        exact = exact_hot_share(li, "l_returnflag")
+        est = sampled_hot_share(li, "l_returnflag", fraction=0.05)
+        # ~6k rows * 5% -> n ~ 300, SE ~ 2.8%; 5 sigma of slack
+        assert abs(est - exact) < 0.15
+        # empty input -> plain-plan default
+        assert sampled_hot_share(li.limit(0), "l_returnflag") == 0.0
+
 
 class TestContainmentPrefixFilter:
     @staticmethod
