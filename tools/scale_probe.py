@@ -165,6 +165,17 @@ PROBES = [
     "shingle_novelty_ratio",
     "weekday_seasonality_revenue",
     "skew_adaptive_agg_stats",
+    # round-8 batch: price-band lookup (keyless binned range join — fact
+    # maps to one bin, bands explode to ~60 broadcast-sized rows, output
+    # bounded by the 5-band domain), Gini by nation (one fact shuffle to
+    # the tie-collapsed (nation, cents) grain; the ranking window runs on
+    # that value-domain-bounded grain), hapax/TTR (one keyed shuffle to
+    # the (source, token) vocabulary grain with map-side partials;
+    # verbatim-clone replicas multiply token COUNTS but the vocabulary
+    # only grows with the source domain — the shuffle is the vocab).
+    "price_band_lookup_binned",
+    "order_value_gini_by_nation",
+    "hapax_ttr_by_source",
 ]
 
 
