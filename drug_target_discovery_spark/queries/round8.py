@@ -299,3 +299,108 @@ def hapax_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-user Fano burstiness (designed r8, registration deferred to the r10
+# gate — the r9 gate is fully owned by the r5-cohort staleness refresh;
+# see the registry's r9/r10 plan comment)
+# --------------------------------------------------------------------------
+_FANO_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, event_type, date_trunc('day', ts) AS day
+      FROM events
+    ),
+    span AS (
+      SELECT date_diff('day', min(day), max(day)) + 1 AS n FROM e
+    ),
+    ud AS (
+      SELECT user_id, event_type, day, CAST(count(*) AS BIGINT) AS c
+      FROM e GROUP BY 1, 2, 3
+    ),
+    u AS (
+      SELECT user_id, event_type,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS q
+      FROM ud GROUP BY 1, 2
+    ),
+    fan AS (
+      SELECT user_id, event_type,
+             CAST(floor((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                        * 1e9 + 0.5) AS BIGINT) AS fano_q
+      FROM u CROSS JOIN span
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+           {rnd_sql("sum(fano_q) * 1.0 / count(*) / 1e9", 6)} AS mean_fano,
+           {rnd_sql("min(fano_q) / 1e9", 6)} AS min_fano,
+           {rnd_sql("max(fano_q) / 1e9", 6)} AS max_fano,
+           CAST(sum(CASE WHEN fano_q > 1000000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_overdispersed
+    FROM fan GROUP BY event_type ORDER BY event_type
+"""
+
+
+def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) Fano factor (variance/mean) of DAILY event
+    counts over the corpus calendar span — the burstiness index: Fano = 1
+    is Poisson (memoryless traffic), > 1 is overdispersed/bursty (bot
+    storms, retry loops, campaign spikes), < 1 is under-dispersed
+    (rate-limited or scheduled traffic). The driver row summarizes the
+    per-user distribution per event type: user count, mean/min/max Fano,
+    and the overdispersed (Fano > 1) user count — bounded by the
+    event-type domain.
+
+    Zero-days count: a user's days WITHOUT events are real observations
+    of 0 (dropping them biases Fano down), folded in via sufficient
+    statistics over the global span n — mean = S/n, var_pop = Q/n -
+    (S/n)^2, so Fano = (n*Q - S^2)/(n*S) — without materializing zero
+    rows. S >= 1 by construction (the (user, type) pair exists only if
+    observed), so the denominator never vanishes.
+
+    Exactness: n, S, Q are exact BIGINTs; each per-user Fano is one IEEE
+    expression over their exact-int -> double casts, quantized to
+    nano-units before the per-type mean (addition-order-free).
+
+    Scale design: two keyed shuffles — the fact to the (user, type, day)
+    grain, then to the (user, type) grain, both map-side combinable; the
+    2-row span aggregate broadcasts; output is event-type-domain-bounded.
+    Registration deferred to the r10 gate (oracle ready: _FANO_ORACLE);
+    until then tests/test_round8_ops.py carries the python recompute."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("day", "ts").alias("day")
+    )
+    span = e.agg(
+        (F.datediff(F.max("day"), F.min("day")) + F.lit(1)).alias("n")
+    )
+    ud = e.groupBy("user_id", "event_type", "day").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    u = ud.groupBy("user_id", "event_type").agg(
+        F.sum("c").alias("s"), F.sum(F.col("c") * F.col("c")).alias("q")
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    fan = u.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        "event_type",
+        F.floor((nd * qd - sd * sd) / (nd * sd) * 1e9 + F.lit(0.5))
+        .cast("long")
+        .alias("fano_q"),
+    )
+    n_users = F.count(F.lit(1))
+    return (
+        fan.groupBy("event_type")
+        .agg(
+            n_users.alias("n_users"),
+            rnd(F.sum("fano_q") * 1.0 / n_users / 1e9, 6).alias("mean_fano"),
+            rnd(F.min("fano_q") / 1e9, 6).alias("min_fano"),
+            rnd(F.max("fano_q") / 1e9, 6).alias("max_fano"),
+            F.sum(F.when(F.col("fano_q") > 1_000_000_000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_overdispersed"),
+        )
+        .orderBy("event_type")
+    )

@@ -212,6 +212,99 @@ class TestHapaxTTR:
         assert "Join" not in plan
 
 
+class TestEventBurstinessFano:
+    """Designed-r8 operator, registration deferred to the r10 gate — the
+    oracle cross-check runs HERE (DuckDB on _FANO_ORACLE) so the evidence
+    standard matches a driver row in the meantime."""
+
+    def test_matches_duckdb_oracle_and_python_recompute(self, spark):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round8 import (
+            _FANO_ORACLE,
+            event_burstiness_fano,
+        )
+
+        got = {
+            r["event_type"]: r
+            for r in event_burstiness_fano(spark, SF).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')"
+        )
+        exp = con.execute(_FANO_ORACLE).fetchall()
+        assert len(got) == len(exp)
+        for event_type, n_users, mean_f, min_f, max_f, n_over in exp:
+            g = got[event_type]
+            assert g["n_users"] == n_users
+            assert g["mean_fano"] == pytest.approx(mean_f, abs=1e-9)
+            assert g["min_fano"] == pytest.approx(min_f, abs=1e-9)
+            assert g["max_fano"] == pytest.approx(max_f, abs=1e-9)
+            assert g["n_overdispersed"] == n_over
+
+        # independent python recompute of one type's mean Fano,
+        # zero-days included via the global span
+        ev = (
+            load_table(spark, SF, "events")
+            .select("user_id", "event_type", F.to_date("ts").alias("day"))
+            .collect()
+        )
+        days = [r["day"] for r in ev]
+        span = (max(days) - min(days)).days + 1
+        per = defaultdict(Counter)  # (user, type) -> day counts
+        for r in ev:
+            per[(r["user_id"], r["event_type"])][r["day"]] += 1
+        by_type = defaultdict(list)
+        for (_, et), dc in per.items():
+            s = sum(dc.values())
+            q = sum(v * v for v in dc.values())
+            fano = (span * q - s * s) / (span * s)
+            by_type[et].append(int(fano * 1e9 + 0.5) / 1e9)
+        for et, fs in by_type.items():
+            assert got[et]["n_users"] == len(fs)
+            assert got[et]["mean_fano"] == pytest.approx(
+                sum(fs) / len(fs), abs=1e-6
+            )
+
+    def test_overdispersion_detects_bursty_synthetic_user(self, spark):
+        # same total events, opposite burstiness -> Fano must separate them
+        import tempfile
+
+        from drug_target_discovery_spark.queries.round8 import (
+            event_burstiness_fano,
+        )
+
+        rows = []
+        eid = 0
+        # user 1: 30 events on one day (burst); user 2: 1/day for 30 days
+        for i in range(30):
+            rows.append((eid, "2024-01-01 10:00:00", 1, "click", 0.0, "{}"))
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-{i + 1:02d} 10:00:00", 2, "click", 0.0, "{}")
+            )
+            eid += 1
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts string, user_id long, event_type string,"
+                " value double, props string",
+            ).withColumn("ts", F.to_timestamp("ts")).write.parquet(
+                f"{d}/events.parquet"
+            )
+            got = event_burstiness_fano(spark, d).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["n_users"] == 2
+        # burst user: s=30, q=900, n=30 -> fano = (27000-900)/900 = 29
+        assert r["max_fano"] == pytest.approx(29.0, abs=1e-6)
+        # metronome user: s=30, q=30, n=30 -> fano = (900-900)/900 = 0
+        assert r["min_fano"] == pytest.approx(0.0, abs=1e-6)
+        assert r["n_overdispersed"] == 1
+
+
 class TestContainmentPrefilterConsistency:
     """ADVICE r7: the prefix-strategy size prefilter now uses the same
     float-division form as the verify filter, so a boundary pair can
