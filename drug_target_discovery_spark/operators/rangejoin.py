@@ -67,11 +67,15 @@ def binned_range_join(
     def _bin(c: Column) -> Column:
         return F.floor(c / F.lit(float(bin_width))).cast("long")
 
+    # Branch order matters for the NULL-bounds contract: a NULL lo/hi
+    # makes n_bins NULL, the when-condition NULL falls through to
+    # otherwise, and sequence(NULL, ...) yields NULL which explode drops
+    # — so NULL-bounded ranges never match (SQL BETWEEN semantics) and
+    # never trip the fuse. The inverted form (when(ok, seq)) would
+    # instead route NULL bounds into raise_error.
     n_bins = _bin(F.col(hi_col)) - _bin(F.col(lo_col)) + F.lit(1)
     guarded_seq = F.when(
-        n_bins <= F.lit(int(max_bins_per_range)),
-        F.sequence(_bin(F.col(lo_col)), _bin(F.col(hi_col))),
-    ).otherwise(
+        n_bins > F.lit(int(max_bins_per_range)),
         F.raise_error(
             F.concat(
                 F.lit("binned_range_join: range spans "),
@@ -87,8 +91,8 @@ def binned_range_join(
                     "]); widen bin_width or raise max_bins_per_range"
                 ),
             )
-        )
-    )
+        ).cast("array<long>"),
+    ).otherwise(F.sequence(_bin(F.col(lo_col)), _bin(F.col(hi_col))))
     r = ranges.withColumn("_bin", F.explode(guarded_seq))
     f = fact.withColumn("_bin", _bin(F.col(fact_col)))
     return (

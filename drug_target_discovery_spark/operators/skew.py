@@ -68,14 +68,7 @@ def sampled_hot_share(
 
     Returns 0.0 on an empty sample (callers then take the plain plan —
     the safe default for vanishingly small inputs)."""
-    counts = (
-        df.sample(fraction=fraction, seed=seed)
-        .groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    total = sum(r["n"] for r in counts)
-    return max(r["n"] for r in counts) / total if total else 0.0
+    return _hot_share(df.sample(fraction=fraction, seed=seed), key)
 
 
 def exact_hot_share(df: DataFrame, key: str) -> float:
@@ -83,6 +76,10 @@ def exact_hot_share(df: DataFrame, key: str) -> float:
     with map-side partials and a key-domain-bounded collect. The test
     path for the adaptive plan gate (deterministic by construction);
     production uses sampled_hot_share / cached table stats."""
+    return _hot_share(df, key)
+
+
+def _hot_share(df: DataFrame, key: str) -> float:
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n")).collect()
     total = sum(r["n"] for r in counts)
     return max(r["n"] for r in counts) / total if total else 0.0

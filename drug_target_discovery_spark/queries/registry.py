@@ -313,26 +313,10 @@ _PRIORITY_REST: tuple[str, ...] = (
     "source_lang_entropy",
 )
 
-# Round-8 gate plan (written at r7 close): (1) any r8-new or plan-changed
-# queries first, then (2) the 47-query r4-evidence cohort heading
-# _PRIORITY_REST — it must be fully covered in round 8 (age 5 at the r9
-# gate otherwise), which caps r8 growth at 3 new queries unless the gate
-# window grows. Designed-and-deferred candidates for those 3 slots, each
-# oracle-able and scale-bounded by construction:
-#   order_value_gini_by_nation — Gini coefficient of order values per
-#     nation via the sorted-rank identity G = (2*sum(i*x_i)/(n*sum x) -
-#     (n+1)/n): integer-cents values, ONE keyed sort-rank window per
-#     nation partition (scales with the nation key), exact BIGINT
-#     rank-weighted sums; oracle = same identity over row_number().
-#   event_burstiness_fano — per-user Fano factor (var/mean) of daily
-#     event counts over the calendar span: two keyed shuffles (user-day
-#     counts, then user-grain sufficient statistics), exact integer
-#     sums, CASE-NULL on zero mean; output bounded by user cardinality,
-#     aggregated to a bounded per-type summary for the driver row.
-#   hapax_ttr_by_source — type-token ratio + hapax-legomenon fraction
-#     per source (corpus-health audit): token grain collapse with
-#     map-side partials, then (source, token)-grain distincts; exact
-#     count ratios; output bounded by the source domain.
+# (The r7-close "round-8 gate plan" comment that used to live here was
+# executed this round — 2 of its 3 designed candidates registered above,
+# event_burstiness_fano implemented in round8.py with its oracle ready —
+# and is superseded by the r9/r10 plan comment above _PRIORITY_REST.)
 _PRIORITY: tuple[str, ...] = _PRIORITY_GATE + _PRIORITY_REST
 
 

@@ -185,7 +185,10 @@ def order_value_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    ov = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+    # customer scales with SF — leave its join strategy to AQE (forced
+    # broadcast would die at the 8 GB limit long before 100 TB); nation
+    # is the fixed 25-row dim, always broadcast
+    ov = o.join(c, o.o_custkey == c.c_custkey).join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     )
     # tie-collapse: one keyed shuffle, map-side combinable
@@ -361,7 +364,9 @@ def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: n, S, Q are exact BIGINTs; each per-user Fano is one IEEE
     expression over their exact-int -> double casts, quantized to
-    nano-units before the per-type mean (addition-order-free).
+    nano-units before the per-type mean (addition-order-free); the
+    nano-unit sum runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) —
+    BIGINT would wrap at ~1e8 users per type.
 
     Scale design: two keyed shuffles — the fact to the (user, type, day)
     grain, then to the (user, type) grain, both map-side combinable; the
@@ -391,11 +396,15 @@ def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fano_q"),
     )
     n_users = F.count(F.lit(1))
+    # sum of nano-unit fano_q can pass 2^63 at ~1e8 users/type — run it
+    # in DECIMAL(38,0) like the Gini rank sums (DuckDB's sum(BIGINT)
+    # already promotes to HUGEINT)
+    fano_sum = F.sum(F.col("fano_q").cast("decimal(38,0)"))
     return (
         fan.groupBy("event_type")
         .agg(
             n_users.alias("n_users"),
-            rnd(F.sum("fano_q") * 1.0 / n_users / 1e9, 6).alias("mean_fano"),
+            rnd(fano_sum * 1.0 / n_users / 1e9, 6).alias("mean_fano"),
             rnd(F.min("fano_q") / 1e9, 6).alias("min_fano"),
             rnd(F.max("fano_q") / 1e9, 6).alias("max_fano"),
             F.sum(F.when(F.col("fano_q") > 1_000_000_000, 1).otherwise(0))

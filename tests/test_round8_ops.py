@@ -98,6 +98,31 @@ class TestRangeJoinBinsFuse:
         ).collect()
         assert [(r["id"], r["band"]) for r in got] == [(1, "ok")]
 
+    def test_null_bounds_drop_and_do_not_trip_fuse(self, spark):
+        # the documented contract: NULL lo/hi never match — and must not
+        # fall into the fuse's raise_error branch (when-cond NULL routes
+        # to otherwise -> sequence(NULL,..) -> NULL -> explode drops).
+        # Pinned with constraint propagation DISABLED so the guarantee
+        # is the operator's own, not a Catalyst isnotnull inference.
+        fact = spark.createDataFrame([(1, 5.0)], "id long, v double")
+        ranges = spark.createDataFrame(
+            [("open", 0.0, None), ("anon", None, 10.0), ("ok", 4.0, 6.0)],
+            "band string, lo double, hi double",
+        )
+        key = "spark.sql.constraintPropagation.enabled"
+        old = spark.conf.get(key, None)
+        try:
+            spark.conf.set(key, "false")
+            got = binned_range_join(
+                fact, ranges, "v", "lo", "hi", 1.0, max_bins_per_range=100
+            ).collect()
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+        assert [(r["id"], r["band"]) for r in got] == [(1, "ok")]
+
     def test_rejects_nonpositive_cap(self, spark):
         fact = spark.createDataFrame([(1, 5.0)], "id long, v double")
         ranges = spark.createDataFrame(

@@ -32,8 +32,8 @@ PROBE_DIR = "/tmp/sfprobe"
 DEFAULT_QUERIES = ["basket_brand_lift", "ngram_jaccard_near_dups"]
 
 
-def _stage_totals(ui_port: int, app_id: str) -> dict[str, int]:
-    url = f"http://localhost:{ui_port}/api/v1/applications/{app_id}/stages"
+def _stage_totals(ui_base: str, app_id: str) -> dict[str, int]:
+    url = f"{ui_base}/api/v1/applications/{app_id}/stages"
     with urllib.request.urlopen(url, timeout=10) as fh:
         stages = json.load(fh)
     tot = {
@@ -64,12 +64,17 @@ def main() -> None:
     spark = get_spark(
         "spill-probe", extra_conf={"spark.ui.enabled": "true"}
     )
-    ui_port = int(spark.conf.get("spark.ui.port", "4040"))
+    # uiWebUrl carries the port Spark ACTUALLY bound (it auto-increments
+    # past 4040 when taken — spark.ui.port stays unset in that case, so
+    # reading the conf would query a different app's REST API)
+    ui_base = spark.sparkContext.uiWebUrl
+    if not ui_base:
+        raise SystemExit("Spark UI did not start; spill metrics unavailable")
     app_id = spark.sparkContext.applicationId
     reg = all_queries()
 
     out = {"heap": heap, "sf_dir": PROBE_DIR, "probes": {}}
-    prev = _stage_totals(ui_port, app_id)
+    prev = _stage_totals(ui_base, app_id)
     for name in names:
         t0 = time.perf_counter()
         status = "ok"
@@ -81,7 +86,7 @@ def main() -> None:
             status = f"FAILED: {type(e).__name__}"
         wall = round(time.perf_counter() - t0, 2)
         release_caches(fixtures=True)
-        cur = _stage_totals(ui_port, app_id)
+        cur = _stage_totals(ui_base, app_id)
         delta = {k: cur[k] - prev[k] for k in cur}
         prev = cur
         row = {
