@@ -172,11 +172,16 @@ def order_value_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression over the correctly-rounded wide-int -> double casts,
     identical on both engines (the CUSUM precedent, round7.py).
 
-    Scale design: dims broadcast onto the fact; ONE fact shuffle to the
-    tie-collapsed (nation, cents) grain with map-side combine; the
-    per-nation ranking window runs over THAT grain — bounded by
-    |nation| x |distinct order values| (price domain), never the order
-    count — then one aggregate to the 25-row nation grain."""
+    Scale design: nation broadcasts; AQE owns the customer join (the
+    customer dim scales with SF — forcing a broadcast would die at the
+    8 GB limit); ONE fact shuffle to the tie-collapsed (nation, cents)
+    grain with map-side combine; the per-nation ranking window runs
+    over THAT grain — bounded by |nation| x |distinct order values|
+    (price domain), never the order count — then one aggregate to the
+    25-row nation grain. If a value domain ever outgrows a single
+    partition, the bh_fdr_scalable_adjust pattern (range-partitioned
+    per-partition prefix sums + broadcast offsets) applies verbatim to
+    the cumulative `below` column."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
