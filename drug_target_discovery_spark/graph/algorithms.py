@@ -392,3 +392,72 @@ def _core_distributed(
 
     track(labels)
     return labels
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan, Albert &
+    Kumara 2007), made DETERMINISTIC and therefore oracle-able: labels
+    initialize to the node id; each iteration EVERY node simultaneously
+    adopts the most frequent label among its neighbors, ties broken by
+    the MINIMUM label; isolated nodes keep their label. Exactly
+    ``n_iter`` rounds — a fixed iteration count (not run-to-convergence)
+    because synchronous LPA can 2-cycle on bipartite-ish structure (the
+    classic star/ring oscillation; asynchronous update orders fix it at
+    the cost of determinism, which this engine will not trade away).
+    Returns (node, community).
+
+    Scale design: per iteration ONE join of the symmetric edge list to
+    the label table (keyed on the edge source) and one two-level
+    aggregate — (dst, label) counts with map-side partials, then the
+    argmax-with-min-tie-break as a single max(struct(cnt, -label))
+    aggregate, no window — with per-iteration localCheckpoint lineage
+    truncation like _cc_distributed. Labels stay node ids (BIGINT), so
+    the tie-break negation is exact.
+
+    The reference engine has no community detection; LPA complements
+    connected_components (communities respect component boundaries but
+    split dense subregions) on the same edge tables. Registration plan:
+    r10 gate over the near-dup pair graph with an unrolled fixed-K
+    DuckDB oracle (see queries/registry.py)."""
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .cache()
+    )
+    if nodes is None:
+        nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("community")).cache()
+    labels.count()
+    for _ in range(n_iter):
+        votes = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("n"), F.col("community").alias("lbl"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax count, ties -> min label: one aggregate, no window
+        winner = votes.groupBy("n").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg"))).alias(
+                "m"
+            )
+        )
+        new_labels = (
+            labels.join(winner, labels["node"] == F.col("n"), "left")
+            .select(
+                "node",
+                F.coalesce((-F.col("m.neg")), F.col("community")).alias(
+                    "community"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels.unpersist()
+        labels = new_labels
+    sym.unpersist()
+    from drug_target_discovery_spark.caching import track
+
+    track(labels)
+    return labels

@@ -150,11 +150,16 @@ _GATE_PLAN_CHANGED: tuple[str, ...] = (
 # entries (the rotation test's "never visited" check only binds REGISTERED
 # queries), and the r10 gate takes the 47-query r6 cohort + up to 3 of the
 # deferred registrations, starting with:
-#   event_burstiness_fano — per-user Fano factor (var/mean) of daily
-#     event counts over the calendar span: two keyed shuffles (user-day
-#     counts, then user-grain sufficient statistics), exact integer
-#     sums, CASE-NULL on zero mean; output bounded by user cardinality,
-#     aggregated to a bounded per-type summary for the driver row.
+#   event_burstiness_fano — IMPLEMENTED round 8 (queries/round8.py,
+#     oracle ready in _FANO_ORACLE, DuckDB cross-check already running
+#     in tests/test_round8_ops.py): registration is moving the
+#     @register decorator onto it and adding the gate slot.
+#   label_propagation_communities — IMPLEMENTED round 8
+#     (graph/algorithms.py label_propagation, python-recompute parity
+#     pinned at k=1/3/5): deterministic synchronous LPA (min-label
+#     tie-break, fixed n_iter) over the near-dup candidate-pair graph,
+#     (doc_id, community) output; oracle = unrolled fixed-K iteration
+#     CTEs over the same pair SQL connected_components_near_dups uses.
 # A structural alternative (split the gate window across two cheap halves
 # to widen effective coverage) was considered and rejected: the driver
 # walks ONE insertion-order prefix per round, so the only lever is which

@@ -167,3 +167,70 @@ class TestCoreNumbers:
                 for r in core_numbers(edges, None, **kw).collect()
             }
             assert got == nx.core_number(g), kw
+
+
+class TestLabelPropagation:
+    @staticmethod
+    def _python_lpa(edge_list, n_iter):
+        """Independent recompute of the synchronous min-tie rule."""
+        from collections import Counter, defaultdict
+
+        adj = defaultdict(set)
+        for a, b in edge_list:
+            adj[a].add(b)
+            adj[b].add(a)
+        nodes = sorted(adj)
+        lbl = {v: v for v in nodes}
+        for _ in range(n_iter):
+            nxt = {}
+            for v in nodes:
+                c = Counter(lbl[u] for u in adj[v])
+                best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[v] = best[0]
+            lbl = nxt
+        return lbl
+
+    def _run(self, spark, edge_list, n_iter=5):
+        from drug_target_discovery_spark.graph.algorithms import (
+            label_propagation,
+        )
+
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        return {
+            r["node"]: r["community"]
+            for r in label_propagation(edges, n_iter=n_iter).collect()
+        }
+
+    def test_two_cliques_with_bridge(self, spark):
+        cl1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        cl2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        got = self._run(spark, cl1 + cl2 + [(3, 10)])
+        # each clique collapses to one community; the bridge does not merge
+        assert len({got[v] for v in range(4)}) == 1
+        assert len({got[v] for v in range(10, 14)}) == 1
+        assert got[0] != got[10]
+
+    def test_matches_python_recompute(self, spark):
+        import random
+
+        rng = random.Random(42)
+        nodes = list(range(30))
+        edge_list = sorted(
+            {
+                tuple(sorted(rng.sample(nodes, 2)))
+                for _ in range(60)
+            }
+        )
+        for k in (1, 3, 5):
+            got = self._run(spark, edge_list, n_iter=k)
+            exp = self._python_lpa(edge_list, k)
+            assert got == exp, f"divergence at n_iter={k}"
+
+    def test_deterministic_across_runs(self, spark):
+        edge_list = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3)]
+        assert self._run(spark, edge_list) == self._run(spark, edge_list)
+
+    def test_communities_respect_components(self, spark):
+        # two disjoint triangles can never share a community label
+        got = self._run(spark, [(0, 1), (1, 2), (2, 0), (5, 6), (6, 7), (7, 5)])
+        assert {got[0], got[1], got[2]}.isdisjoint({got[5], got[6], got[7]})
