@@ -156,10 +156,11 @@ _GATE_PLAN_CHANGED: tuple[str, ...] = (
 #     @register decorator onto it and adding the gate slot.
 #   label_propagation_communities — IMPLEMENTED round 8
 #     (graph/algorithms.py label_propagation, python-recompute parity
-#     pinned at k=1/3/5): deterministic synchronous LPA (min-label
-#     tie-break, fixed n_iter) over the near-dup candidate-pair graph,
-#     (doc_id, community) output; oracle = unrolled fixed-K iteration
-#     CTEs over the same pair SQL connected_components_near_dups uses.
+#     pinned at k=1/3/5; queries/round8.py carries the full driver query
+#     AND its oracle _LPA_ORACLE — unrolled fixed-K iteration CTEs over
+#     the same pair SQL connected_components_near_dups uses — already
+#     cross-checked exact vs DuckDB at sf0.001 and sf0.01 in
+#     tests/test_round8_ops.py): registration is a decorator move.
 # A structural alternative (split the gate window across two cheap halves
 # to widen effective coverage) was considered and rejected: the driver
 # walks ONE insertion-order prefix per round, so the only lever is which

@@ -418,3 +418,99 @@ def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Label propagation communities over the near-dup candidate graph
+# (designed r8, registration deferred to the r10 gate like fano)
+# --------------------------------------------------------------------------
+_LPA_ITERS = 4
+
+
+def _lpa_oracle(n_iter: int) -> str:
+    """Unrolled fixed-K LPA as DuckDB SQL over the SAME LSH candidate
+    pair CTE connected_components_near_dups oracles against: per
+    iteration, the (node, label) vote counts and a row_number argmax
+    (cnt DESC, label ASC — the min-label tie-break), LEFT-joined back so
+    isolated nodes (none exist in a pair graph, belt-and-braces) keep
+    their label. K iterations = K CTE stages; deterministic, so the
+    driver hash gate applies."""
+    from drug_target_discovery_spark.operators.dedup import MERSENNE61
+    from drug_target_discovery_spark.queries.dedup import (
+        _BANDS_ROWS,
+        _SIG_SQL,
+    )
+
+    sql = f"""
+    WITH {_SIG_SQL},
+    banded AS (
+      SELECT doc_id, hash_idx // {_BANDS_ROWS} AS band,
+             sum(minhash) % {MERSENNE61} AS bsum, count(*) AS n
+      FROM sig GROUP BY doc_id, hash_idx // {_BANDS_ROWS}
+      HAVING count(*) = {_BANDS_ROWS}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bsum = b.bsum AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym)"""
+    for k in range(1, n_iter + 1):
+        sql += f""",
+    w{k} AS (
+      SELECT n, lbl FROM (
+        SELECT s.dst AS n, x.lbl, count(*) AS cnt,
+               row_number() OVER (PARTITION BY s.dst
+                 ORDER BY count(*) DESC, x.lbl ASC) AS rn
+        FROM sym s JOIN l{k - 1} x ON x.node = s.src
+        GROUP BY s.dst, x.lbl
+      ) WHERE rn = 1
+    ),
+    l{k} AS (
+      SELECT l.node, coalesce(w.lbl, l.lbl) AS lbl
+      FROM l{k - 1} l LEFT JOIN w{k} w ON w.n = l.node
+    )"""
+    sql += f"""
+    SELECT node AS doc_id, lbl AS community
+    FROM l{n_iter} ORDER BY doc_id
+    """
+    return sql
+
+
+_LPA_ORACLE = _lpa_oracle(_LPA_ITERS)
+
+
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community labels over the LSH near-dup candidate graph via
+    deterministic synchronous label propagation ({_LPA_ITERS} rounds,
+    min-label tie-break — graph/algorithms.label_propagation): where
+    connected_components_near_dups gives the transitive closure, LPA
+    splits a component's internal dense regions — chained near-dup
+    families (A~B~C with A!~C) separate into their tight cores, the
+    signal a dedup reviewer uses to pick cluster representatives.
+
+    Rides the sweep-scoped candidate-pair memo (the LSH band join runs
+    once per sweep); the LPA loop is {_LPA_ITERS} keyed join+aggregate
+    rounds over the pair graph — SCALING.md measured 2.7x wall at 10x
+    edges on hub-skewed synthetic graphs.
+
+    Registration deferred to the r10 gate (oracle ready: _LPA_ORACLE,
+    unrolled fixed-K CTEs over the same pair SQL the CC oracle uses);
+    until then tests/test_round8_ops.py runs the DuckDB cross-check."""
+    from drug_target_discovery_spark.graph.algorithms import (
+        label_propagation,
+    )
+    from drug_target_discovery_spark.queries.dedup import candidate_pairs
+
+    pairs = candidate_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    lpa = label_propagation(edges, n_iter=_LPA_ITERS)
+    return lpa.select(F.col("node").alias("doc_id"), "community").orderBy(
+        "doc_id"
+    )

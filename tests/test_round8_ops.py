@@ -330,6 +330,48 @@ class TestEventBurstinessFano:
         assert r["n_overdispersed"] == 1
 
 
+class TestLabelPropagationCommunities:
+    """r10-deferred driver query: DuckDB oracle cross-check runs here
+    (like fano) so the evidence standard matches a driver row."""
+
+    @pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+    def test_matches_duckdb_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round8 import (
+            _LPA_ORACLE,
+            label_propagation_communities,
+        )
+
+        got = [
+            (r["doc_id"], r["community"])
+            for r in label_propagation_communities(spark, sf).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        exp = con.execute(_LPA_ORACLE).fetchall()
+        assert got == [(a, b) for a, b in exp]
+        assert got, "fixture should contain candidate pairs"
+        # LPA refines (or equals) the connected components partition
+        from drug_target_discovery_spark.queries.registry import all_queries
+
+        cc = {
+            r["doc_id"]: r["component"]
+            for r in all_queries()["connected_components_near_dups"]
+            .fn(spark, sf)
+            .collect()
+        }
+        comm_to_comp = {}
+        for doc, comm in got:
+            comp = cc[doc]
+            assert comm_to_comp.setdefault(comm, comp) == comp, (
+                "a community crossed a component boundary"
+            )
+
+
 class TestContainmentPrefilterConsistency:
     """ADVICE r7: the prefix-strategy size prefilter now uses the same
     float-division form as the verify filter, so a boundary pair can
