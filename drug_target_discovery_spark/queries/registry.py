@@ -45,128 +45,50 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-visit priority. The driver's correctness gate walks the queries()
 # dict in insertion order and stops at 50 entries per round, so coverage is a
-# rotation problem (VERDICT r3 #1). Round 8's 50, exactly the plan written at
-# r7 close (and VERDICT r7 #1-#3): (1) the 3 round-8-new queries — the
-# binned-range-join driver query (the one r7 operator without a CORRECTNESS
-# row) plus two of the three designed-and-deferred r8 operators, and (2) the
-# full 47-query r4-evidence cohort, whose driver evidence hits the age-4
-# staleness ceiling at this gate.
+# rotation problem (VERDICT r3 #1). Round 9's 50 is exactly the plan written
+# at r8 close (and VERDICT r8 #1): the full 50-query r5-evidence cohort,
+# whose driver evidence hits the age-4 staleness ceiling at this gate.
+# ZERO new registrations this round — the rotation arithmetic (197
+# registered / 50 slots / age budget 4) leaves no free slot, so round-9
+# operator work lands as unit/property-tested, oracle-ready, UNREGISTERED
+# queries (the fano/LPA lane proved at r8).
 # _PRIORITY_GATE must hold exactly _GATE_WINDOW names; a unit test pins the
 # length, and tests/test_registry_rotation.py enforces the staleness budget
 # (no query's driver evidence older than _MAX_EVIDENCE_AGE rounds after the
 # next gate run — VERDICT r5 #5) plus the stalest-first ordering (gate slots
 # may not go to fresh-evidence queries unless declared plan-changed).
 #
-# NOTE on skew_adaptive_agg_stats (VERDICT r7 #5): its plan-choice input
-# moved from an exact full-scan profile to a seeded 1% sample this round
-# WITHOUT re-gating, because the change is provably result-invariant: the
-# profile only selects between the plain and salted plans, BOTH of which
-# were driver-hash-verified equal at r7 and stay pinned equal by
-# tests/test_skew.py + tests/test_round7_ops.py. The r4 cohort's hard age
-# ceiling owns all 47 staleness slots; spending one on a result-invariant
-# physical-plan input would push an r4 query past the budget.
+# ---- REGISTRY CAPACITY POLICY (VERDICT r8 #2) -----------------------------
+# Hard capacity: _GATE_WINDOW (50) x _MAX_EVIDENCE_AGE (4) = 200 registered
+# queries. Beyond that the staleness invariant is arithmetically
+# unsatisfiable. Standing policy, enforced by
+# tests/test_registry_rotation.py::test_registry_within_gate_capacity:
+#   1. REGISTRATION FREEZE at 199: after the two committed r10 registrations
+#      (event_burstiness_fano, label_propagation_communities) the registry
+#      holds 199 of 200 capacity. The 200th slot is reserved headroom for
+#      plan-changed re-gates (a re-gated query consumes a gate slot out of
+#      staleness order, which transiently tightens the budget) and is NOT
+#      available for new registrations.
+#   2. ONE-IN-ONE-OUT: any registration beyond 199 must delist a named query
+#      in the same commit, with the rationale recorded here. Current delist
+#      shortlist (near-duplicate demo pairs whose second member adds no
+#      distinct operator evidence): simhash_fingerprints/simhash_near_dups
+#      (the near-dups query exercises the fingerprint path end-to-end),
+#      minhash_signatures/minhash_jaccard_estimate_error (ditto).
+#   3. TESTS-ONLY LANE is the permanent default for new operator work:
+#      implement + property-test + prepare the DuckDB oracle SQL as a module
+#      constant + cross-check it in tests (pattern:
+#      tests/test_round8_ops.py) WITHOUT an @register decorator.
+#      Registration, if ever justified, is then a decorator move governed by
+#      rules 1-2. Rows-only/unregistered surfaces lose nothing but the
+#      driver-hash row; the oracle cross-check in pytest carries the same
+#      comparison at the same scale factor.
+# ---------------------------------------------------------------------------
 _GATE_WINDOW = 50
 
 _PRIORITY_GATE: tuple[str, ...] = (
-    # -- (1) new in round 8 (3): the binned-range-join driver query
-    # (VERDICT r7 #2) + two of the three r7-designed operators
-    # (VERDICT r7 #3); event_burstiness_fano stays designed-and-deferred
-    # (see the r9/r10 plan below)
-    "price_band_lookup_binned",
-    "order_value_gini_by_nation",
-    "hapax_ttr_by_source",
-    # -- (2) the full r4-evidence cohort (47) — the oldest driver evidence
-    # in the repo (age 4 at the r8 gate, the staleness ceiling)
-    "approx_distinct_parts",
-    "approx_quantile_sketch_bounded",
-    "asof_view_before_purchase",
-    "betweenness_centrality_corr_graph",
-    "bh_fdr_adjust",
-    "bh_fdr_scalable_adjust",
-    "bloom_filter_dedup_probe",
-    "bm25_keyword_search",
-    "centroid_assignment",
-    "clustering_coefficient_corr_graph",
-    "connected_components_near_dups",
-    "conversion_funnel",
-    "cosine_topk_bruteforce",
-    "curation_pipeline_summary",
-    "customer_cohort_set_ops",
-    "data_quality_checks",
-    "dedup_against_reference",
-    "duplicate_span_detection",
-    "eigenvector_centrality_corr_graph",
-    "embedding_cosine_near_dups",
-    "embedding_covariance",
-    "embedding_pca_variance_explained",
-    "fuzzy_part_name_matches",
-    "gopher_quality_flags",
-    "heavy_hitter_tokens",
-    "json_props_extract",
-    "leakage_safe_splits",
-    "lineitem_measures_unpivot",
-    "mann_whitney_u_by_part",
-    "media_feature_extraction",
-    "media_frame_sample",
-    "media_resize_shapes",
-    "media_video_decode_stats",
-    "median_impute",
-    "median_quantity_by_part",
-    "moving_avg_daily_revenue",
-    "network_target_scores",
-    "normalized_dedup_groups",
-    "price_percentiles_by_brand",
-    "quantile_normalize_by_supplier",
-    "robust_zscore_by_part",
-    "scd2_user_value_history",
-    "spearman_edges_top_parts",
-    "unigram_logprob_quality",
-    "view_purchase_attribution",
-    "weighted_systematic_sample",
-    "welch_t_by_part",
-)
-
-# Gate members whose slot is justified by a NEW or CHANGED plan rather than
-# evidence staleness. tests/test_registry_rotation.py exempts these from the
-# stalest-first ordering check (their evidence, if any, is legitimately
-# fresh) — every other gate member must be at least as stale as everything
-# left outside the gate.
-_GATE_PLAN_CHANGED: tuple[str, ...] = (
-    "price_band_lookup_binned",
-    "order_value_gini_by_nation",
-    "hapax_ttr_by_source",
-)
-
-# Slots 51+: refresh order for queries that already hold a green driver row
-# — oldest evidence first. After the r8 gate runs, the r5 cohort (50 names
-# below) is the oldest evidence in the repo and IS the round-9 gate
-# (age hits the 4-round ceiling after r9); the r6 and r7 cohorts follow.
-#
-# Round-9/10 gate plan (written at r8 close, per VERDICT r7 #8): the r9
-# gate is exactly the 50-query r5 cohort — ZERO free slots (197 registered
-# queries / 50-slot gate / age budget 4 leaves ~3 new slots per 4 rounds,
-# all spent this round). Round 9 therefore registers NO new queries: new
-# operator work lands as unit/property-tested operators without registry
-# entries (the rotation test's "never visited" check only binds REGISTERED
-# queries), and the r10 gate takes the 47-query r6 cohort + up to 3 of the
-# deferred registrations, starting with:
-#   event_burstiness_fano — IMPLEMENTED round 8 (queries/round8.py,
-#     oracle ready in _FANO_ORACLE, DuckDB cross-check already running
-#     in tests/test_round8_ops.py): registration is moving the
-#     @register decorator onto it and adding the gate slot.
-#   label_propagation_communities — IMPLEMENTED round 8
-#     (graph/algorithms.py label_propagation, python-recompute parity
-#     pinned at k=1/3/5; queries/round8.py carries the full driver query
-#     AND its oracle _LPA_ORACLE — unrolled fixed-K iteration CTEs over
-#     the same pair SQL connected_components_near_dups uses — already
-#     cross-checked exact vs DuckDB at sf0.001 and sf0.01 in
-#     tests/test_round8_ops.py): registration is a decorator move.
-# A structural alternative (split the gate window across two cheap halves
-# to widen effective coverage) was considered and rejected: the driver
-# walks ONE insertion-order prefix per round, so the only lever is which
-# 50 names head queries() — already what _PRIORITY_GATE controls.
-_PRIORITY_REST: tuple[str, ...] = (
-    # r5-green refreshes (round-9 gate, all 50)
+    # The full r5-evidence cohort (50) — the oldest driver evidence in the
+    # repo (age 4 at the r9 gate, the staleness ceiling).
     "auc_by_cohort",
     "bigram_pmi_collocations",
     "boilerplate_ngram_stats",
@@ -217,7 +139,43 @@ _PRIORITY_REST: tuple[str, ...] = (
     "winsorized_price_stats",
     "zorder_file_layout",
     "zscore_by_part",
-    # r6-green refreshes (excluding the three re-gated this round)
+)
+
+# Gate members whose slot is justified by a NEW or CHANGED plan rather than
+# evidence staleness. tests/test_registry_rotation.py exempts these from the
+# stalest-first ordering check (their evidence, if any, is legitimately
+# fresh) — every other gate member must be at least as stale as everything
+# left outside the gate. Round 9 registers nothing and changes no registered
+# plan, so the exemption set is empty.
+_GATE_PLAN_CHANGED: tuple[str, ...] = ()
+
+# Slots 51+: refresh order for queries that already hold a green driver row
+# — oldest evidence first. After the r9 gate runs, the r6 cohort (47 names
+# below) is the oldest evidence in the repo and heads the round-10 gate
+# (age hits the 4-round ceiling after r10); the r7 and r8 cohorts follow.
+#
+# Round-10 gate plan (written at r9 close, per VERDICT r8 #7): the r10 gate
+# is the 47-query r6 cohort + 2 registrations + 1 plan-change headroom slot:
+#   event_burstiness_fano — IMPLEMENTED round 8 (queries/round8.py,
+#     oracle ready in _FANO_ORACLE, DuckDB cross-check already running
+#     in tests/test_round8_ops.py, x10/x30 scale probe row in SCALING.md):
+#     registration is moving the @register decorator onto it and adding
+#     the gate slot (declare it in _GATE_PLAN_CHANGED).
+#   label_propagation_communities — IMPLEMENTED round 8
+#     (graph/algorithms.py label_propagation, python-recompute parity
+#     pinned at k=1/3/5; queries/round8.py carries the full driver query
+#     AND its oracle _LPA_ORACLE — unrolled fixed-K iteration CTEs over
+#     the same pair SQL connected_components_near_dups uses — already
+#     cross-checked exact vs DuckDB at sf0.001 and sf0.01 in
+#     tests/test_round8_ops.py): registration is a decorator move
+#     (declare it in _GATE_PLAN_CHANGED).
+#   slot 50 — the stalest r7-cohort query (kaplan_meier_customer_gaps,
+#     first name in the r7 block below), pulled one round early; if a
+#     plan-changed re-gate materializes in r10 it takes this slot instead.
+# After r10 the registry stands at 199/200 and the CAPACITY POLICY above
+# (freeze + one-in-one-out + tests-only lane) governs all further growth.
+_PRIORITY_REST: tuple[str, ...] = (
+    # r6-green refreshes (round-10 gate head)
     "ann_recall_eval",
     "benford_first_digit_check",
     "calendar_gap_fill_revenue",
@@ -317,12 +275,63 @@ _PRIORITY_REST: tuple[str, ...] = (
     "positional_zip_join",
     "small_lot_revenue",
     "source_lang_entropy",
+    # r8-green refreshes (the round-8 gate: 3 r8-new + the 47-query r4
+    # cohort refreshed at r8)
+    "price_band_lookup_binned",
+    "order_value_gini_by_nation",
+    "hapax_ttr_by_source",
+    "approx_distinct_parts",
+    "approx_quantile_sketch_bounded",
+    "asof_view_before_purchase",
+    "betweenness_centrality_corr_graph",
+    "bh_fdr_adjust",
+    "bh_fdr_scalable_adjust",
+    "bloom_filter_dedup_probe",
+    "bm25_keyword_search",
+    "centroid_assignment",
+    "clustering_coefficient_corr_graph",
+    "connected_components_near_dups",
+    "conversion_funnel",
+    "cosine_topk_bruteforce",
+    "curation_pipeline_summary",
+    "customer_cohort_set_ops",
+    "data_quality_checks",
+    "dedup_against_reference",
+    "duplicate_span_detection",
+    "eigenvector_centrality_corr_graph",
+    "embedding_cosine_near_dups",
+    "embedding_covariance",
+    "embedding_pca_variance_explained",
+    "fuzzy_part_name_matches",
+    "gopher_quality_flags",
+    "heavy_hitter_tokens",
+    "json_props_extract",
+    "leakage_safe_splits",
+    "lineitem_measures_unpivot",
+    "mann_whitney_u_by_part",
+    "media_feature_extraction",
+    "media_frame_sample",
+    "media_resize_shapes",
+    "media_video_decode_stats",
+    "median_impute",
+    "median_quantity_by_part",
+    "moving_avg_daily_revenue",
+    "network_target_scores",
+    "normalized_dedup_groups",
+    "price_percentiles_by_brand",
+    "quantile_normalize_by_supplier",
+    "robust_zscore_by_part",
+    "scd2_user_value_history",
+    "spearman_edges_top_parts",
+    "unigram_logprob_quality",
+    "view_purchase_attribution",
+    "weighted_systematic_sample",
+    "welch_t_by_part",
 )
 
-# (The r7-close "round-8 gate plan" comment that used to live here was
-# executed this round — 2 of its 3 designed candidates registered above,
-# event_burstiness_fano implemented in round8.py with its oracle ready —
-# and is superseded by the r9/r10 plan comment above _PRIORITY_REST.)
+# (The r8-close "round-9 gate plan" comment was executed this round — the
+# r5 cohort moved into _PRIORITY_GATE, nothing registered — and is
+# superseded by the round-10 plan comment above _PRIORITY_REST.)
 _PRIORITY: tuple[str, ...] = _PRIORITY_GATE + _PRIORITY_REST
 
 

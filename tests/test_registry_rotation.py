@@ -49,6 +49,25 @@ def _evidence() -> tuple[dict[str, int], int]:
 
 
 class TestStalenessBudget:
+    def test_registry_within_gate_capacity(self):
+        """Capacity policy (VERDICT r8 #2, registry.py policy block).
+
+        Hard capacity is _GATE_WINDOW x _MAX_EVIDENCE_AGE = 200 registered
+        queries — beyond that the staleness budget is arithmetically
+        unsatisfiable. Policy freezes registration at 199, reserving the
+        200th slot as plan-change headroom; growth beyond 199 requires a
+        one-in-one-out delist recorded in the registry policy comment."""
+        from drug_target_discovery_spark.queries import registry
+
+        n = len(registry.all_queries())
+        capacity = registry._GATE_WINDOW * _MAX_EVIDENCE_AGE
+        assert n <= capacity - 1, (
+            f"{n} registered queries exceed the {capacity - 1}-query "
+            "registration freeze (capacity 200 minus the reserved "
+            "plan-change headroom slot) — delist one-in-one-out per the "
+            "registry.py capacity policy"
+        )
+
     def test_gate_is_the_queries_prefix(self):
         from drug_target_discovery_spark.queries import registry
 
