@@ -34,6 +34,61 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _guarded_bin_sequence(
+    lo_col: str, hi_col: str, bin_width: float, max_bins_per_range: int
+) -> Column:
+    """The ranges-side bin fan-out expression: array of covered bin ids,
+    raise_error past the fuse, NULL (dropped by explode) for inverted
+    (lo > hi) or NULL-bounded ranges — neither can match under BETWEEN.
+
+    Module-level so tests can pin the fan-out shape directly (the join
+    output can't distinguish a dropped inverted range from one that
+    exploded into a descending mega-sequence and was post-filtered)."""
+
+    def _bin(c: Column) -> Column:
+        return F.floor(c / F.lit(float(bin_width))).cast("long")
+
+    # Branch order matters for the NULL-bounds contract: a NULL lo/hi
+    # makes n_bins NULL, both when-conditions evaluate NULL and fall
+    # through to otherwise, and sequence(NULL, ...) yields NULL which
+    # explode drops — so NULL-bounded ranges never match (SQL BETWEEN
+    # semantics) and never trip the fuse. The inverted form (when(ok,
+    # seq)) would instead route NULL bounds into raise_error.
+    #
+    # The n_bins < 1 branch (ADVICE r8): an INVERTED range (lo > hi) has
+    # non-positive n_bins, so the oversize fuse never fires — but
+    # sequence(start, stop) defaults to step -1 when start > stop, so a
+    # reversed mega-span would still explode into millions of descending
+    # bins that the BETWEEN post-filter then discards one by one. Under
+    # BETWEEN semantics lo > hi can never match anything, so route it to
+    # a NULL sequence (dropped by explode): correct, and the fuse's OOM
+    # protection now covers the bad-data shape it targets.
+    n_bins = _bin(F.col(hi_col)) - _bin(F.col(lo_col)) + F.lit(1)
+    return (
+        F.when(
+            n_bins > F.lit(int(max_bins_per_range)),
+            F.raise_error(
+                F.concat(
+                    F.lit("binned_range_join: range spans "),
+                    n_bins.cast("string"),
+                    F.lit(
+                        f" bins > max_bins_per_range={max_bins_per_range} "
+                        f"at bin_width={bin_width} (range ["
+                    ),
+                    F.col(lo_col).cast("string"),
+                    F.lit(", "),
+                    F.col(hi_col).cast("string"),
+                    F.lit(
+                        "]); widen bin_width or raise max_bins_per_range"
+                    ),
+                )
+            ).cast("array<long>"),
+        )
+        .when(n_bins < F.lit(1), F.lit(None).cast("array<long>"))
+        .otherwise(F.sequence(_bin(F.col(lo_col)), _bin(F.col(hi_col))))
+    )
+
+
 def binned_range_join(
     fact: DataFrame,
     ranges: DataFrame,
@@ -67,32 +122,9 @@ def binned_range_join(
     def _bin(c: Column) -> Column:
         return F.floor(c / F.lit(float(bin_width))).cast("long")
 
-    # Branch order matters for the NULL-bounds contract: a NULL lo/hi
-    # makes n_bins NULL, the when-condition NULL falls through to
-    # otherwise, and sequence(NULL, ...) yields NULL which explode drops
-    # — so NULL-bounded ranges never match (SQL BETWEEN semantics) and
-    # never trip the fuse. The inverted form (when(ok, seq)) would
-    # instead route NULL bounds into raise_error.
-    n_bins = _bin(F.col(hi_col)) - _bin(F.col(lo_col)) + F.lit(1)
-    guarded_seq = F.when(
-        n_bins > F.lit(int(max_bins_per_range)),
-        F.raise_error(
-            F.concat(
-                F.lit("binned_range_join: range spans "),
-                n_bins.cast("string"),
-                F.lit(
-                    f" bins > max_bins_per_range={max_bins_per_range} "
-                    f"at bin_width={bin_width} (range ["
-                ),
-                F.col(lo_col).cast("string"),
-                F.lit(", "),
-                F.col(hi_col).cast("string"),
-                F.lit(
-                    "]); widen bin_width or raise max_bins_per_range"
-                ),
-            )
-        ).cast("array<long>"),
-    ).otherwise(F.sequence(_bin(F.col(lo_col)), _bin(F.col(hi_col))))
+    guarded_seq = _guarded_bin_sequence(
+        lo_col, hi_col, bin_width, max_bins_per_range
+    )
     r = ranges.withColumn("_bin", F.explode(guarded_seq))
     f = fact.withColumn("_bin", _bin(F.col(fact_col)))
     return (

@@ -6,7 +6,10 @@ import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
-from drug_target_discovery_spark.operators.rangejoin import binned_range_join
+from drug_target_discovery_spark.operators.rangejoin import (
+    _guarded_bin_sequence,
+    binned_range_join,
+)
 from drug_target_discovery_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -74,6 +77,57 @@ class TestBinnedRangeJoin:
         fact, ranges = self._fixture(spark)
         with pytest.raises(ValueError):
             binned_range_join(fact, ranges, "v", "lo", "hi", 0.0)
+
+    def test_inverted_wide_range_neither_explodes_nor_raises(self, spark):
+        """ADVICE r8: an INVERTED range (lo > hi) spanning 50,001 bins
+        used to bypass the max_bins_per_range fuse (n_bins <= 0 never
+        trips `> cap`) while sequence(start, stop) still exploded the
+        full descending span at step -1. Now it must fan out to ZERO
+        bins (NULL sequence, dropped by explode): join completes under
+        a 1,000-bin cap, returns no matches from the inverted range,
+        and the valid ranges are unaffected."""
+        fact, ranges = self._fixture(spark)
+        inverted = spark.createDataFrame(
+            # 50,001 bins wide at bin_width=1.0 — but reversed
+            [("backwards", 50_000.0, 0.0)],
+            "band string, lo double, hi double",
+        )
+        # fan-out shape, pinned directly: NULL sequence for the inverted
+        # range, never a 50,001-element descending array
+        seq = inverted.select(
+            F.size(_guarded_bin_sequence("lo", "hi", 1.0, 1_000)).alias("n")
+        ).collect()[0]["n"]
+        assert seq in (-1, None)  # size(NULL) = -1 under legacy conf
+        # end-to-end: cap far below the inverted span (but above the
+        # widest valid band's 1,001 bins), no raise, no rows from
+        # 'backwards', valid bands intact
+        got = binned_range_join(
+            fact,
+            ranges.unionByName(inverted),
+            "v",
+            "lo",
+            "hi",
+            1.0,
+            max_bins_per_range=2_000,
+        )
+        bands = {r["band"] for r in got.collect()}
+        assert "backwards" not in bands
+        # sf0.001 part prices land only in the cheap/mid bands
+        assert {"cheap", "mid"} <= bands
+
+    def test_null_bounds_never_match_and_never_trip_fuse(self, spark):
+        """Regression pin for the NULL-bounds contract around the new
+        n_bins < 1 branch: NULL lo/hi falls through BOTH when branches
+        to sequence(NULL, ...) -> NULL -> dropped."""
+        fact, _ = self._fixture(spark)
+        ranges = spark.createDataFrame(
+            [("nullhi", 0.0, None), ("nulllo", None, 2500.0)],
+            "band string, lo double, hi double",
+        )
+        got = binned_range_join(
+            fact, ranges, "v", "lo", "hi", 1.0, max_bins_per_range=10
+        ).collect()
+        assert got == []
 
 
 @given(
