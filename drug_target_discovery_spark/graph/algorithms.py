@@ -418,6 +418,14 @@ def label_propagation(
     truncation like _cc_distributed. Labels stay node ids (BIGINT), so
     the tie-break negation is exact.
 
+    Edge semantics are SET semantics (ADVICE r8): the symmetric edge
+    list is de-duplicated, so multi-edges and both-orientation inputs
+    ((a,b) and (b,a)) contribute ONE vote per neighbor — matching the
+    python-recompute parity tests (adjacency sets) and the DuckDB
+    oracle (DISTINCT d1<d2 pairs). The distinct is one extra shuffle,
+    paid once outside the iteration loop on the already-shuffling edge
+    list.
+
     The reference engine has no community detection; LPA complements
     connected_components (communities respect component boundaries but
     split dense subregions) on the same edge tables. Registration plan:
@@ -426,6 +434,7 @@ def label_propagation(
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
         .cache()
     )
     if nodes is None:

@@ -234,3 +234,19 @@ class TestLabelPropagation:
         # two disjoint triangles can never share a community label
         got = self._run(spark, [(0, 1), (1, 2), (2, 0), (5, 6), (6, 7), (7, 5)])
         assert {got[0], got[1], got[2]}.isdisjoint({got[5], got[6], got[7]})
+
+    def test_multi_edges_and_both_orientations_vote_once(self, spark):
+        """ADVICE r8: the symmetric edge list is de-duplicated, so a
+        duplicated edge or a both-orientation pair contributes ONE vote
+        per neighbor — same result as the canonical single-orientation
+        input, matching the adjacency-SET python recompute."""
+        canonical = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+        noisy = (
+            canonical
+            + [(1, 0), (2, 1)]  # reversed orientations
+            + [(2, 3), (2, 3), (3, 4)]  # multi-edges
+        )
+        for k in (1, 3, 5):
+            got = self._run(spark, noisy, n_iter=k)
+            exp = self._python_lpa(canonical, k)
+            assert got == exp, f"multi-edge divergence at n_iter={k}"
