@@ -32,7 +32,13 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").count()
 
     timings: dict[str, float] = {}
+    loadavg1: dict[str, float] = {}
     for name, q in sorted(reg.items()):
+        # /proc/loadavg 1-min average sampled at query start (VERDICT r8
+        # #4): two rounds of bench deltas were attributed to co-tenant
+        # host load by narrative; this makes the attribution checkable
+        # per row from the committed detail artifact.
+        loadavg1[name] = _load1()
         t0 = time.perf_counter()
         try:
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -79,7 +85,15 @@ def main() -> None:
     detail_name = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as f:
-        json.dump({**payload, "abbrev": {_abbr(n): n for n in timings}}, f, indent=1)
+        json.dump(
+            {
+                **payload,
+                "loadavg1": loadavg1,
+                "abbrev": {_abbr(n): n for n in timings},
+            },
+            f,
+            indent=1,
+        )
 
     spark.stop()  # nothing may print after the JSON line
     compact = {**payload, "queries": {_abbr(n): round(t, 2) for n, t in timings.items()}}
@@ -90,6 +104,15 @@ def main() -> None:
         )
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
+
+
+def _load1() -> float:
+    """1-minute load average; -1.0 where /proc is unavailable."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except Exception:
+        return -1.0
 
 
 def _abbr(name: str) -> str:

@@ -65,6 +65,15 @@ CANARY_V1: tuple[str, ...] = (
 )
 
 
+def _load1() -> float:
+    """1-minute load average; -1.0 where /proc is unavailable."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except Exception:
+        return -1.0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
@@ -96,8 +105,10 @@ def main() -> None:
     load_table(spark, args.sf_dir, "lineitem").count()  # session warm-up
 
     runs: dict[str, list[float]] = {n: [] for n in CANARY_V1}
+    loads: dict[str, list[float]] = {n: [] for n in CANARY_V1}
     for rep in range(args.reps):
         for name in CANARY_V1:
+            loads[name].append(_load1())
             t0 = time.perf_counter()
             reg[name].fn(spark, args.sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -120,7 +131,12 @@ def main() -> None:
         "sf_dir": args.sf_dir,
         "reps": args.reps,
         "total_median_sec": round(sum(medians.values()), 3),
-        "queries": {n: {"median": medians[n], "runs": runs[n]} for n in CANARY_V1},
+        # loadavg1[i] = /proc/loadavg 1-min average when runs[i] started
+        # (VERDICT r8 #4: load attribution must be checkable per row)
+        "queries": {
+            n: {"median": medians[n], "runs": runs[n], "loadavg1": loads[n]}
+            for n in CANARY_V1
+        },
     }
     with open(args.out, "w") as fh:
         json.dump(payload, fh, indent=1)
