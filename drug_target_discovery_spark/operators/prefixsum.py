@@ -1,0 +1,129 @@
+"""Range-partitioned distributed prefix sum (SURVEY §4 scale mandate).
+
+A cumulative sum over an ordered domain is the textbook case where the
+declarative form — ``sum(v) OVER (ORDER BY k)`` — silently degrades at
+scale: without a partition key Spark moves EVERYTHING to one partition
+(the WindowExec single-partition warning), and even with a grouping key
+the window is bounded by that key's grain. When the per-key ordered
+domain itself outgrows a partition, the standard fix is the two-pass
+range-partitioned prefix sum every large-scale engine uses (and the
+shape ``bh_fdr_scalable`` already implements for suffix-mins,
+functions/stats.py:275):
+
+  pass 0  bucket rows by VALUE against approxQuantile boundaries
+          embedded as comparison literals (deterministic expression of
+          the value — repartitionByRange's per-execution sampled
+          boundaries could disagree between the passes);
+  pass 1  per-(key, bucket) totals -> per-key running offsets, a table
+          bounded by |keys| x buckets, computed driver-side and
+          broadcast back;
+  pass 2  per-(key, bucket) local window + the broadcast offset.
+
+Exactness is boundary-independent: boundaries only balance the buckets,
+the offset arithmetic is the same integer sum either way.
+
+This is the committed escape hatch named in
+``order_value_gini_by_nation`` (queries/round8.py) for the day a value
+domain outgrows a single partition; the Gini twin in round9.py pins it
+exactly equal to the window form (the done-both-ways discipline BH
+got).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def range_partitioned_prefix_sum(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out: str = "prefix_sum",
+    buckets: int = 200,
+    exclusive: bool = True,
+) -> DataFrame:
+    """Per-``partition_cols`` cumulative sum of ``value_col`` in
+    ``order_col`` order, computed without any per-key single-partition
+    window: each key's ordered domain is split across ``buckets`` range
+    buckets, summed locally, and stitched with broadcast offsets.
+
+    ``exclusive=True`` (default) sums strictly-preceding rows (the
+    ``rowsBetween(unboundedPreceding, -1)`` shape — 0 for the first
+    row); ``exclusive=False`` includes the current row.
+
+    Precondition: (partition_cols, order_col) identifies rows uniquely
+    (true for tie-collapsed grains like Gini's (nation, cents)).
+    Ordered ties would make the EXCLUSIVE form depend on intra-tie
+    order, which a distributed sort does not define; the inclusive form
+    over full tie groups is well-defined but not what this computes.
+
+    Driver/broadcast budget: the offsets table is |keys| x buckets rows
+    — both caller-chosen bounds (Gini: 25 nations x 200 = 5,000). The
+    value sums run in DECIMAL(38,0) so offset stitching cannot overflow
+    long counts at 100 TB grains.
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be positive")
+    dec = "decimal(38,0)"
+    # pass 0: value-deterministic range bucketing (loose 1% quantile
+    # error only skews balance, never correctness). buckets=1 is the
+    # degenerate single-range case (no boundaries — approxQuantile NPEs
+    # on an empty probability list).
+    qs = (
+        df.stat.approxQuantile(
+            order_col, [i / buckets for i in range(1, buckets)], 0.01
+        )
+        if buckets > 1
+        else []
+    )
+    bucket: Column = F.lit(0)
+    for b in sorted(set(qs)):
+        bucket = bucket + F.when(F.col(order_col) >= F.lit(float(b)), 1).otherwise(0)
+    bucketed = df.withColumn("_pid", bucket)
+
+    # pass 1: per-(key, bucket) totals -> per-key exclusive running
+    # offsets over bucket id, computed on the bounded |keys| x buckets
+    # table and broadcast back
+    totals = (
+        bucketed.groupBy(*partition_cols, "_pid")
+        .agg(F.sum(F.col(value_col).cast(dec)).alias("_tot"))
+        .collect()
+    )
+    by_key: dict[tuple, list] = {}
+    for r in totals:
+        by_key.setdefault(tuple(r[c] for c in partition_cols), []).append(r)
+    offset_rows = []
+    for key, rows in by_key.items():
+        acc = 0
+        for r in sorted(rows, key=lambda r: r["_pid"]):
+            offset_rows.append((*key, r["_pid"], str(acc)))
+            acc += int(r["_tot"])
+    key_schema = ", ".join(
+        f"{c} {t}"
+        for c, t in zip(
+            partition_cols,
+            [dict(df.dtypes)[c] for c in partition_cols],
+        )
+    )
+    offsets = df.sparkSession.createDataFrame(
+        offset_rows, f"{key_schema}, _pid int, _off_s string"
+    ).select(*partition_cols, "_pid", F.col("_off_s").cast(dec).alias("_off"))
+
+    # pass 2: local window inside each (key, bucket) + broadcast offset
+    upper = -1 if exclusive else 0
+    w = (
+        W.partitionBy(*partition_cols, "_pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, upper)
+    )
+    local = F.coalesce(
+        F.sum(F.col(value_col).cast(dec)).over(w), F.lit(0).cast(dec)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), [*partition_cols, "_pid"])
+        .withColumn(out, (local + F.col("_off")).cast(dec))
+        .drop("_pid", "_off")
+    )

@@ -182,6 +182,26 @@ def order_value_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, the bh_fdr_scalable_adjust pattern (range-partitioned
     per-partition prefix sums + broadcast offsets) applies verbatim to
     the cumulative `below` column."""
+    g = _gini_grain(spark, sf_dir)
+    # bounded: (nation, distinct cents) grain — |price domain| rows per
+    # nation, never the order count
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "n_name",
+        "cents",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+    )
+    return _gini_finish(r)
+
+
+def _gini_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tie-collapsed (nation, cents, cnt) grain both Gini forms
+    share: one keyed fact shuffle with map-side combine."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
@@ -196,22 +216,13 @@ def order_value_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ov = o.join(c, o.o_custkey == c.c_custkey).join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     )
-    # tie-collapse: one keyed shuffle, map-side combinable
-    g = ov.groupBy("n_name", "cents").agg(F.count(F.lit(1)).alias("cnt"))
-    # bounded: (nation, distinct cents) grain — |price domain| rows per
-    # nation, never the order count
-    w = (
-        Window.partitionBy("n_name")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    return ov.groupBy("n_name", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _gini_finish(r: DataFrame) -> DataFrame:
+    """Rank-weighted Gini from the grain + exclusive `below` counts
+    (either the window form or the range-partitioned prefix-sum form)."""
     dec = "decimal(38,0)"
-    r = g.select(
-        "n_name",
-        "cents",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
-    )
     # ranks below+1..below+cnt for the tie group: exact integer sum;
     # cnt*(cnt+1) fits BIGINT (cnt <= n/nation), the v*ranksum product
     # runs in decimal
@@ -237,6 +248,29 @@ def order_value_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("t") / 100.0, 2).alias("total_value"),
         rnd(gini, 6).alias("gini"),
     ).orderBy("n_name")
+
+
+def order_value_gini_by_nation_scalable(
+    spark: SparkSession, sf_dir: str, buckets: int = 32
+) -> DataFrame:
+    """The committed escape hatch of ``order_value_gini_by_nation``
+    (named in its docstring since r8): the exclusive `below` column via
+    ``range_partitioned_prefix_sum`` instead of the per-nation window —
+    for the regime where a nation's distinct-value domain outgrows a
+    single partition. UNREGISTERED twin (the r9 registration freeze;
+    registry.py capacity policy): pinned exactly equal to the window
+    form in tests/test_round9_ops.py, including a deliberately-defeated
+    tie grain where every value is unique — the done-both-ways
+    discipline ``bh_fdr``/``bh_fdr_scalable`` established."""
+    from drug_target_discovery_spark.operators.prefixsum import (
+        range_partitioned_prefix_sum,
+    )
+
+    g = _gini_grain(spark, sf_dir)
+    r = range_partitioned_prefix_sum(
+        g, ["n_name"], "cents", "cnt", out="below", buckets=buckets
+    )
+    return _gini_finish(r)
 
 
 # --------------------------------------------------------------------------

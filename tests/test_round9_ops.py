@@ -1,0 +1,145 @@
+"""Round-9 operator tests: the range-partitioned prefix sum and the Gini
+escape-hatch twin it powers (VERDICT r8 #6 — the done-both-ways
+discipline bh_fdr/bh_fdr_scalable established)."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from drug_target_discovery_spark.operators.prefixsum import (
+    range_partitioned_prefix_sum,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestRangePartitionedPrefixSum:
+    def _window_form(self, df, exclusive=True):
+        upper = -1 if exclusive else 0
+        w = (
+            W.partitionBy("k")
+            .orderBy("v")
+            .rowsBetween(W.unboundedPreceding, upper)
+        )
+        return {
+            (r["k"], r["v"]): int(r["ps"])
+            for r in df.select(
+                "k",
+                "v",
+                F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("ps"),
+            ).collect()
+        }
+
+    @pytest.mark.parametrize("buckets", [1, 3, 16])
+    @pytest.mark.parametrize("exclusive", [True, False])
+    def test_equals_window_form(self, spark, buckets, exclusive):
+        rows = [
+            (k, float(v), (k + v) % 7 + 1)
+            for k in range(3)
+            for v in range(40)
+        ]
+        df = spark.createDataFrame(rows, "k int, v double, cnt long")
+        got = {
+            (r["k"], r["v"]): int(r["prefix_sum"])
+            for r in range_partitioned_prefix_sum(
+                df, ["k"], "v", "cnt", buckets=buckets, exclusive=exclusive
+            ).collect()
+        }
+        assert got == self._window_form(df, exclusive)
+
+    def test_preserves_rows_and_columns(self, spark):
+        df = spark.createDataFrame(
+            [(0, 1.0, 2, "x"), (0, 2.0, 3, "y")], "k int, v double, cnt long, extra string"
+        )
+        out = range_partitioned_prefix_sum(df, ["k"], "v", "cnt", buckets=4)
+        assert out.count() == 2
+        assert set(out.columns) == {"k", "v", "cnt", "extra", "prefix_sum"}
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # key
+            st.integers(min_value=-100, max_value=100),  # value (deduped)
+            st.integers(min_value=1, max_value=50),  # weight
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    buckets=st.sampled_from([1, 2, 5, 13]),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_prefix_sum_matches_bruteforce(spark, data, buckets):
+    """Random (key, value, weight) grains — unique (key, value) per the
+    operator precondition — exact agreement with the python brute force
+    at several bucket counts including the degenerate single bucket."""
+    grain = {}
+    for k, v, c in data:
+        grain[(k, v)] = c  # last write wins -> unique (k, v)
+    rows = [(k, float(v), c) for (k, v), c in grain.items()]
+    df = spark.createDataFrame(rows, "k int, v double, cnt long")
+    got = {
+        (r["k"], r["v"]): int(r["prefix_sum"])
+        for r in range_partitioned_prefix_sum(
+            df, ["k"], "v", "cnt", buckets=buckets
+        ).collect()
+    }
+    exp = {}
+    for k, v, c in rows:
+        exp[(k, v)] = sum(
+            c2 for (k2, v2), c2 in grain.items() if k2 == k and v2 < v
+        )
+    assert got == exp
+
+
+class TestGiniScalableTwin:
+    def test_exactly_equals_window_form_on_orders(self, spark):
+        """The escape hatch must be value-identical to the registered
+        window form on the real table — the equality that lets it take
+        over at scale without re-oracling."""
+        from drug_target_discovery_spark.queries.round8 import (
+            order_value_gini_by_nation,
+            order_value_gini_by_nation_scalable,
+        )
+
+        base = [tuple(r) for r in order_value_gini_by_nation(spark, SF).collect()]
+        twin = [
+            tuple(r)
+            for r in order_value_gini_by_nation_scalable(spark, SF, buckets=8).collect()
+        ]
+        assert base == twin
+        assert len(base) > 0
+
+    def test_defeated_tie_grain_equality(self, spark):
+        """Worst case for the window form: every value UNIQUE (cnt=1),
+        so the tie-collapse buys nothing and the grain equals the row
+        count. The prefix-sum form must still be exactly equal."""
+        from drug_target_discovery_spark.queries.round8 import _gini_finish
+
+        rows = [
+            ("N%d" % (i % 5), 1000 + 7 * i + (i % 5), 1)
+            for i in range(4000)
+        ]
+        g = spark.createDataFrame(rows, "n_name string, cents long, cnt long")
+        w = (
+            W.partitionBy("n_name")
+            .orderBy("cents")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        window_form = g.select(
+            "n_name",
+            "cents",
+            "cnt",
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+        )
+        prefix_form = range_partitioned_prefix_sum(
+            g, ["n_name"], "cents", "cnt", out="below", buckets=16
+        )
+        assert sorted(map(tuple, _gini_finish(window_form).collect())) == sorted(
+            map(tuple, _gini_finish(prefix_form).collect())
+        )
