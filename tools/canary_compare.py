@@ -9,10 +9,17 @@ comparison is the output of
     python tools/canary_compare.py BENCH_CANARY_r07.json BENCH_CANARY.json
 
 over files that are IN the repo. Estimator: per-row MINIMUM across each
-payload's `runs` arrays (the noise-robust statistic under one-sided host
+side's `runs` arrays (the noise-robust statistic under one-sided host
 contamination — co-tenant load only ever adds time), deltas sorted
 largest-regression-first, rows past the +/-30% named-investigation
 threshold flagged. Markdown table on stdout, machine row (JSON) last.
+
+Multiple payloads per side are separated by `--` (min taken across ALL
+of a side's committed runs — the estimator the r8 notes applied to
+uncommitted data, now over committed files only):
+
+    python tools/canary_compare.py BENCH_CANARY_r08.json -- \\
+        BENCH_CANARY_r09_runA.json BENCH_CANARY.json
 """
 
 from __future__ import annotations
@@ -23,15 +30,23 @@ import sys
 THRESHOLD_PCT = 30.0
 
 
-def _mins(payload: dict) -> dict[str, float]:
-    return {
-        name: min(q["runs"])
-        for name, q in payload.get("queries", {}).items()
-        if q.get("runs")
-    }
+def _mins(payloads: list[dict]) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for payload in payloads:
+        for name, q in payload.get("queries", {}).items():
+            if q.get("runs"):
+                m = min(q["runs"])
+                out[name] = min(out.get(name, m), m)
+    return out
 
 
-def compare(old: dict, new: dict) -> tuple[list[dict], float, float]:
+def compare(
+    old: dict | list[dict], new: dict | list[dict]
+) -> tuple[list[dict], float, float]:
+    if isinstance(old, dict):
+        old = [old]
+    if isinstance(new, dict):
+        new = [new]
     a, b = _mins(old), _mins(new)
     rows = []
     for name in sorted(set(a) & set(b)):
@@ -50,18 +65,32 @@ def compare(old: dict, new: dict) -> tuple[list[dict], float, float]:
 
 
 def main() -> None:
-    if len(sys.argv) != 3:
-        raise SystemExit("usage: canary_compare.py OLD.json NEW.json")
-    with open(sys.argv[1]) as fh:
-        old = json.load(fh)
-    with open(sys.argv[2]) as fh:
-        new = json.load(fh)
+    args = sys.argv[1:]
+    if "--" in args:
+        i = args.index("--")
+        old_paths, new_paths = args[:i], args[i + 1 :]
+    elif len(args) == 2:
+        old_paths, new_paths = args[:1], args[1:]
+    else:
+        raise SystemExit(
+            "usage: canary_compare.py OLD.json NEW.json | "
+            "canary_compare.py OLD.json [OLD2...] -- NEW.json [NEW2...]"
+        )
+
+    def _load(paths: list[str]) -> list[dict]:
+        out = []
+        for p in paths:
+            with open(p) as fh:
+                out.append(json.load(fh))
+        return out
+
+    old, new = _load(old_paths), _load(new_paths)
     rows, tot_old, tot_new = compare(old, new)
 
     print(
-        f"min-of-runs, committed artifacts only: {sys.argv[1]} "
-        f"(round {old.get('round')}, {old.get('reps')} reps) -> "
-        f"{sys.argv[2]} (round {new.get('round')}, {new.get('reps')} reps)\n"
+        f"min-of-runs, committed artifacts only: {'+'.join(old_paths)} "
+        f"(round {old[0].get('round')}) -> {'+'.join(new_paths)} "
+        f"(round {new[0].get('round')})\n"
     )
     print("| query | old min | new min | delta |")
     print("| --- | --- | --- | --- |")

@@ -1,0 +1,164 @@
+"""Round-9 scale probes (VERDICT r8 #6/#7):
+
+1. event_burstiness_fano at x10/x30 production growth (more users over
+   the same time span — the events SHIFTS mode of scale_probe.py) — the
+   one r8 operator without its own SCALING.md row.
+2. The Gini escape hatch at the DEFEATED-TIE-GRAIN worst case: x30
+   orders with per-replica cent jitter (re-creating the r8 probe where
+   distinct cents grew 28.7x), window form vs range-partitioned
+   prefix-sum twin on the SAME data — the probe row the twin's
+   SCALING.md entry cites.
+
+Usage: python tools/round9_probe.py [fano|gini ...]   (default: both)
+Writes /tmp/r9probe/*; prints one JSON line per probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.caching import release_caches
+from drug_target_discovery_spark.session import get_spark
+from drug_target_discovery_spark.sources.tables import load_table
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/r9probe"
+
+
+def _noop(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    release_caches(fixtures=True)
+    return round(dt, 2)
+
+
+def _load1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except Exception:
+        return -1.0
+
+
+def build_events(spark, factor: int) -> str:
+    """Key-shifted events clones: user cardinality scales, per-user
+    sequence lengths stay fixed (scale_probe.py's production growth)."""
+    dst = f"{OUT}/x{factor}"
+    os.makedirs(dst, exist_ok=True)
+    src = load_table(spark, BASE, "events")
+    parts = [
+        src.withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+        .withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000))
+        for i in range(factor)
+    ]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    out.write.mode("overwrite").parquet(f"{dst}/events.parquet")
+    return dst
+
+
+def probe_fano(spark) -> None:
+    from drug_target_discovery_spark.queries.round8 import event_burstiness_fano
+
+    report = {"probe": "event_burstiness_fano", "loadavg1_start": _load1()}
+    report["sf0.1_s"] = _noop(event_burstiness_fano(spark, BASE))
+    for factor in (10, 30):
+        d = build_events(spark, factor)
+        t = _noop(event_burstiness_fano(spark, d))
+        report[f"x{factor}_s"] = t
+        report[f"x{factor}_factor"] = round(t / report["sf0.1_s"], 2)
+    report["loadavg1_end"] = _load1()
+    print(json.dumps(report), flush=True)
+
+
+def build_jittered_orders(spark, factor: int) -> str:
+    """x-factor orders + customer with per-replica CENT JITTER on
+    o_totalprice, deliberately defeating the (nation, cents) tie
+    collapse: replica i shifts prices by i cents, so distinct cents
+    grows ~factor x (the r8 probe measured 28.7x at factor 30)."""
+    dst = f"{OUT}/gini_x{factor}"
+    os.makedirs(dst, exist_ok=True)
+    orders = load_table(spark, BASE, "orders")
+    customer = load_table(spark, BASE, "customer")
+    o_parts = [
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 10_000_000))
+        .withColumn("o_custkey", F.col("o_custkey") + F.lit(i * 1_000_000))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(i * 0.01))
+        for i in range(factor)
+    ]
+    c_parts = [
+        customer.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * 1_000_000))
+        for i in range(factor)
+    ]
+    o = o_parts[0]
+    for df in o_parts[1:]:
+        o = o.unionByName(df)
+    c = c_parts[0]
+    for df in c_parts[1:]:
+        c = c.unionByName(df)
+    o.write.mode("overwrite").parquet(f"{dst}/orders.parquet")
+    c.write.mode("overwrite").parquet(f"{dst}/customer.parquet")
+    import shutil
+
+    for small in ("nation", "region"):
+        src_path = f"{BASE}/{small}.parquet"
+        if os.path.isfile(src_path):
+            shutil.copy(src_path, f"{dst}/{small}.parquet")
+    return dst
+
+
+def probe_gini_twin(spark) -> None:
+    from drug_target_discovery_spark.queries.round8 import (
+        _gini_grain,
+        order_value_gini_by_nation,
+        order_value_gini_by_nation_scalable,
+    )
+
+    report = {"probe": "gini_window_vs_prefix_sum", "loadavg1_start": _load1()}
+    d = build_jittered_orders(spark, 30)
+    base_grain = _gini_grain(spark, BASE).count()
+    big_grain = _gini_grain(spark, d).count()
+    release_caches(fixtures=True)
+    report["distinct_grain_sf0.1"] = base_grain
+    report["distinct_grain_x30"] = big_grain
+    report["grain_factor"] = round(big_grain / base_grain, 1)
+    report["window_sf0.1_s"] = _noop(order_value_gini_by_nation(spark, BASE))
+    report["window_x30_s"] = _noop(order_value_gini_by_nation(spark, d))
+    report["prefix_sf0.1_s"] = _noop(
+        order_value_gini_by_nation_scalable(spark, BASE, buckets=200)
+    )
+    report["prefix_x30_s"] = _noop(
+        order_value_gini_by_nation_scalable(spark, d, buckets=200)
+    )
+    # value equality on the defeated grain, not just speed
+    a = [tuple(r) for r in order_value_gini_by_nation(spark, d).collect()]
+    b = [
+        tuple(r)
+        for r in order_value_gini_by_nation_scalable(spark, d, buckets=200).collect()
+    ]
+    report["x30_values_equal"] = a == b
+    report["loadavg1_end"] = _load1()
+    print(json.dumps(report), flush=True)
+
+
+def main() -> None:
+    which = set(sys.argv[1:]) or {"fano", "gini"}
+    spark = get_spark("round9_probe")
+    load_table(spark, BASE, "lineitem").count()  # warm session
+    if "fano" in which:
+        probe_fano(spark)
+    if "gini" in which:
+        probe_gini_twin(spark)
+
+
+if __name__ == "__main__":
+    main()
