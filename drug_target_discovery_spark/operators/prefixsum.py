@@ -67,6 +67,14 @@ def range_partitioned_prefix_sum(
     """
     if buckets < 1:
         raise ValueError("buckets must be positive")
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    # multi-pass discipline (the bh_fdr_scalable rule): three actions
+    # consume df (approxQuantile, the totals collect, the consumer's
+    # final job) — without the query-scoped cache each one recomputes
+    # df's full upstream plan, which the r9 probe measured at 8x the
+    # window form's wall on the Gini grain
+    df = scoped_cache(df)
     dec = "decimal(38,0)"
     # pass 0: value-deterministic range bucketing (loose 1% quantile
     # error only skews balance, never correctness). buckets=1 is the

@@ -1,0 +1,198 @@
+"""Round-9 additions, built in the TESTS-ONLY lane (the registration
+freeze — queries/registry.py capacity policy): implemented, property-
+tested, DuckDB-oracle-cross-checked in pytest, but NOT registered. If a
+slot ever opens under the one-in-one-out rule, registration is a
+decorator move.
+
+- Character-level EXACT duplicate-substring spans (Lee, Ippolito et al.
+  2022, "Deduplicating Training Data Makes Language Models Better" —
+  the suffix-array operator class): every maximal character span of
+  length >= L that occurs more than once ANYWHERE in the corpus
+  (within or across documents), aggregated to a per-source duplication
+  audit. The repo's shingle family (duplicate_span_detection,
+  winnowing_fingerprints) approximates this class at token granularity;
+  this operator is the exact-character ground truth they approximate.
+
+Exactness contract as per round7.py/round8.py: integer char counts,
+one IEEE division rounded through rnd/rnd_sql on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
+from drug_target_discovery_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Exact duplicate-substring spans (suffix-array class, Spark-first)
+# --------------------------------------------------------------------------
+# Span length threshold. Lee et al. use 50 BPE tokens; at the synthetic
+# corpus's short-doc scale the equivalent character threshold that still
+# produces non-trivial structure is ~25 chars.
+_SUBSTR_L = 25
+
+
+def exact_substring_dup_stats(
+    spark: SparkSession, sf_dir: str, min_len: int = _SUBSTR_L
+) -> DataFrame:
+    """Per-source exact duplicate-substring audit: for every document,
+    the characters covered by some length->=``min_len`` substring that
+    occurs >= 2 times in the corpus (counting within-document repeats,
+    per Lee et al.'s suffix-array semantics), unioned into maximal
+    spans, as (n_docs, docs_with_dup, dup_chars, total_chars,
+    dup_share) per source.
+
+    Spark-first design (NOT a suffix array — that is the single-node
+    memory trick for this predicate; the distributed-exact equivalent
+    is position-gram detection + interval union):
+
+    1. Gram stream: transform+posexplode builds each doc's sliding
+       ``min_len``-char grams WITHOUT replicating the text per
+       position.
+    2. HASH PRE-PASS (the scale lever): shuffle ONLY xxhash64(gram) —
+       8 bytes/position with map-side combine — to find duplicated
+       hashes; the L-char gram strings themselves never shuffle in
+       pass 1. At 100 TB the position stream is ~L x corpus bytes if
+       shuffled raw; the hash pass cuts that to 8/L of it (~1/3 at
+       L=25... strictly 8 bytes vs L bytes), and hash collisions only
+       ever ADD candidates, never drop them.
+    3. Exact verify on the candidate subset: group the (tiny) candidate
+       gram strings, keep those with true count >= 2 — collision-proof
+       exactness.
+    4. Interval union per doc: flagged position i covers chars
+       [i, i+L-1]; sorted by i, a new span starts when the gap to the
+       previous flagged position exceeds L. ONE window partitioned by
+       doc_id (bounded by doc length), then two keyed aggregates to the
+       (doc) and (source) grains — output bounded by the source domain.
+
+    The grain arithmetic stays in BIGINT (chars per source << 2^63 at
+    any SF); dup_share is one IEEE division rounded half-up on both
+    engines."""
+    L = int(min_len)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.length("text").alias("len")
+    )
+    # positions only exist for docs long enough to hold one gram;
+    # sequence(1, len-L+1) on shorter docs would run DESCENDING (the
+    # step -1 trap, cf. operators/rangejoin.py) — filter first.
+    eligible = docs.filter(F.col("len") >= L)
+    # transform + posexplode builds the gram array once per doc (the
+    # python Column API can't pass a dynamic position to substring —
+    # the whole expression runs JVM-side through expr)
+    grams = eligible.select(
+        "doc_id",
+        F.expr(
+            f"posexplode(transform(sequence(1, len - {L} + 1),"
+            f" i -> substring(text, i, {L})))"
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "gram")
+
+    # pass 1: duplicated HASHES — the only corpus-wide shuffle, 8-byte
+    # keys, map-side combined
+    dup_hashes = (
+        grams.groupBy(F.xxhash64("gram").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("h")
+    )
+    candidates = grams.join(
+        dup_hashes, F.xxhash64(grams["gram"]) == dup_hashes["h"], "leftsemi"
+    )
+    # pass 2: exact gram verify over the candidate subset only
+    dup_grams = (
+        candidates.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("gram")
+    )
+    flagged = candidates.join(dup_grams, "gram", "leftsemi").select("doc_id", "i")
+
+    # interval union: same-length intervals sorted by start merge iff
+    # gap <= L; covered chars per span = max(i) - min(i) + L
+    w = Window.partitionBy("doc_id").orderBy("i")
+    spans = (
+        flagged.withColumn("prev_i", F.lag("i").over(w))
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev_i").isNull() | (F.col("i") - F.col("prev_i") > L),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg((F.max("i") - F.min("i") + L).alias("covered"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(F.sum("covered").alias("dup_chars"))
+
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("dup_chars").alias("docs_with_dup"),
+            F.coalesce(F.sum("dup_chars"), F.lit(0)).alias("dup_chars"),
+            F.sum("len").alias("total_chars"),
+            rnd(
+                F.coalesce(F.sum("dup_chars"), F.lit(0))
+                / F.sum("len").cast("double"),
+                6,
+            ).alias("dup_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# Prepared oracle for the r10+ lane (and the pytest cross-check): same
+# positions/dup-grams/interval-union program in DuckDB SQL.
+_EXACT_SUBSTR_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id,
+         unnest(generate_series(1, length(text) - {_SUBSTR_L} + 1)) AS i
+  FROM documents WHERE length(text) >= {_SUBSTR_L}
+),
+g AS (
+  SELECT p.doc_id, p.i, substr(d.text, CAST(p.i AS BIGINT), {_SUBSTR_L}) AS gram
+  FROM pos p JOIN documents d ON d.doc_id = p.doc_id
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+fl AS (SELECT doc_id, i FROM g WHERE gram IN (SELECT gram FROM dup)),
+lagged AS (
+  SELECT doc_id, i,
+         lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+  FROM fl
+),
+grp AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN prev_i IS NULL OR i - prev_i > {_SUBSTR_L}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM lagged
+),
+spans AS (
+  SELECT doc_id, span_id, max(i) - min(i) + {_SUBSTR_L} AS covered
+  FROM grp GROUP BY doc_id, span_id
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       count(p.doc_id) AS docs_with_dup,
+       CAST(coalesce(sum(p.dup_chars), 0) AS BIGINT) AS dup_chars,
+       CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
+       {rnd_sql(
+           "coalesce(sum(p.dup_chars), 0)"
+           " / CAST(sum(length(d.text)) AS DOUBLE)", 6)} AS dup_share
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+GROUP BY d.source ORDER BY d.source
+"""

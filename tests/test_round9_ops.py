@@ -143,3 +143,154 @@ class TestGiniScalableTwin:
         assert sorted(map(tuple, _gini_finish(window_form).collect())) == sorted(
             map(tuple, _gini_finish(prefix_form).collect())
         )
+
+
+def _python_dup_stats(docs, L):
+    """Brute-force recompute: docs = [(doc_id, source, text)]."""
+    from collections import Counter, defaultdict
+
+    grams = Counter()
+    for _, _, t in docs:
+        for i in range(len(t) - L + 1):
+            grams[t[i : i + L]] += 1
+    per_doc = {}
+    for did, _, t in docs:
+        flagged = [
+            i + 1  # 1-based like the SQL/Spark forms
+            for i in range(len(t) - L + 1)
+            if grams[t[i : i + L]] > 1
+        ]
+        covered = set()
+        for i in flagged:
+            covered.update(range(i, i + L))
+        if covered:
+            per_doc[did] = len(covered)
+    out = {}
+    by_src = defaultdict(list)
+    for did, src, t in docs:
+        by_src[src].append((did, len(t)))
+    for src, members in by_src.items():
+        dup = sum(per_doc.get(d, 0) for d, _ in members)
+        tot = sum(ln for _, ln in members)
+        out[src] = (
+            len(members),
+            sum(1 for d, _ in members if d in per_doc),
+            dup,
+            tot,
+            round(dup / tot + 1e-12, 6),
+        )
+    return out
+
+
+class TestExactSubstringDupStats:
+    def test_hand_crafted_spans(self, spark, tmp_path):
+        """Two docs sharing a 40-char passage + one doc with an internal
+        repeat + one clean doc: known span arithmetic."""
+        from drug_target_discovery_spark.queries.round9 import (
+            exact_substring_dup_stats,
+        )
+
+        shared = "the quick brown fox jumps over the lazy dog wow"  # 48 chars
+        rep = "abcdefghijklmnopqrstuvwxyz0123"  # 30 chars
+        docs = [
+            (0, "a", "PREFIX-ONE " + shared + " SUFFIX-ALPHA-000111222"),
+            (1, "a", "PREFIX-TWO " + shared + " SUFFIX-BETA-33344455566"),
+            (2, "b", rep + "-=-=-=-=-=-=" + rep + " unique tail here 42"),
+            (3, "b", "completely unique text with no repeats at all 9876"),
+        ]
+        spark.createDataFrame(
+            docs, "doc_id long, source string, text string"
+        ).withColumn("lang", F.lit("en")).withColumn(
+            "n_chars", F.length("text")
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        L = 25
+        got = {
+            r["source"]: (
+                r["n_docs"],
+                r["docs_with_dup"],
+                r["dup_chars"],
+                r["total_chars"],
+                float(r["dup_share"]),
+            )
+            for r in exact_substring_dup_stats(
+                spark, str(tmp_path), min_len=L
+            ).collect()
+        }
+        exp = _python_dup_stats([(d, s, t) for d, s, t in docs], L)
+        assert {k: v[:4] for k, v in got.items()} == {
+            k: v[:4] for k, v in exp.items()
+        }
+        for k in exp:
+            assert got[k][4] == pytest.approx(exp[k][4], abs=1e-6)
+        # the shared passage must be flagged in both source-a docs
+        assert got["a"][1] == 2
+        # doc 2's internal repeat flags it; doc 3 stays clean
+        assert got["b"][1] == 1
+
+    @pytest.mark.parametrize(
+        "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    )
+    def test_matches_duckdb_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round9 import (
+            _EXACT_SUBSTR_ORACLE,
+            exact_substring_dup_stats,
+        )
+
+        got = [tuple(r) for r in exact_substring_dup_stats(spark, sf).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        exp = [tuple(r) for r in con.execute(_EXACT_SUBSTR_ORACLE).fetchall()]
+        assert [g[:4] for g in got] == [e[:4] for e in exp]
+        assert [float(g[4]) for g in got] == pytest.approx(
+            [float(e[4]) for e in exp], abs=1e-9
+        )
+        assert got, "corpus should have sources"
+
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab", min_size=0, max_size=40),
+            min_size=1,
+            max_size=8,
+        ),
+        L=st.sampled_from([3, 5]),
+    )
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    def test_matches_bruteforce_random(self, spark, tmp_path_factory, texts, L):
+        """Tiny alphabet forces dense repeats — the interval-union edge
+        cases (overlapping, nested, adjacent spans) all occur."""
+        from drug_target_discovery_spark.queries.round9 import (
+            exact_substring_dup_stats,
+        )
+
+        d = tmp_path_factory.mktemp("substr")
+        docs = [(i, f"s{i % 2}", t) for i, t in enumerate(texts)]
+        spark.createDataFrame(
+            docs, "doc_id long, source string, text string"
+        ).withColumn("lang", F.lit("x")).withColumn(
+            "n_chars", F.length("text")
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r["source"]: (
+                r["n_docs"],
+                r["docs_with_dup"],
+                r["dup_chars"],
+                r["total_chars"],
+            )
+            for r in exact_substring_dup_stats(spark, str(d), min_len=L).collect()
+        }
+        exp = {
+            k: v[:4] for k, v in _python_dup_stats(docs, L).items()
+        }
+        assert got == exp

@@ -116,7 +116,11 @@ def build_jittered_orders(spark, factor: int) -> str:
     return dst
 
 
-def probe_gini_twin(spark) -> None:
+def probe_gini_twin(spark, reps: int = 3) -> None:
+    """Min-of-reps per leg (the canary estimator — single cold runs on
+    this host swing >2x with co-tenant load; the 16:43 first attempt
+    read window_x30 at 110s under a loadavg-22 burst vs 4.4s an hour
+    earlier)."""
     from drug_target_discovery_spark.queries.round8 import (
         _gini_grain,
         order_value_gini_by_nation,
@@ -124,21 +128,30 @@ def probe_gini_twin(spark) -> None:
     )
 
     report = {"probe": "gini_window_vs_prefix_sum", "loadavg1_start": _load1()}
-    d = build_jittered_orders(spark, 30)
+    d = f"{OUT}/gini_x30"
+    if not os.path.exists(f"{d}/orders.parquet"):
+        d = build_jittered_orders(spark, 30)
     base_grain = _gini_grain(spark, BASE).count()
     big_grain = _gini_grain(spark, d).count()
     release_caches(fixtures=True)
     report["distinct_grain_sf0.1"] = base_grain
     report["distinct_grain_x30"] = big_grain
     report["grain_factor"] = round(big_grain / base_grain, 1)
-    report["window_sf0.1_s"] = _noop(order_value_gini_by_nation(spark, BASE))
-    report["window_x30_s"] = _noop(order_value_gini_by_nation(spark, d))
-    report["prefix_sf0.1_s"] = _noop(
-        order_value_gini_by_nation_scalable(spark, BASE, buckets=200)
-    )
-    report["prefix_x30_s"] = _noop(
-        order_value_gini_by_nation_scalable(spark, d, buckets=200)
-    )
+    legs = {
+        "window_sf0.1_s": lambda: order_value_gini_by_nation(spark, BASE),
+        "window_x30_s": lambda: order_value_gini_by_nation(spark, d),
+        "prefix_sf0.1_s": lambda: order_value_gini_by_nation_scalable(
+            spark, BASE, buckets=200
+        ),
+        "prefix_x30_s": lambda: order_value_gini_by_nation_scalable(
+            spark, d, buckets=200
+        ),
+    }
+    for name, leg in legs.items():
+        runs = [_noop(leg()) for _ in range(reps)]
+        report[name] = min(runs)
+        report[name.replace("_s", "_runs")] = runs
+        report[name.replace("_s", "_load1")] = _load1()
     # value equality on the defeated grain, not just speed
     a = [tuple(r) for r in order_value_gini_by_nation(spark, d).collect()]
     b = [
