@@ -149,9 +149,10 @@ def probe_gini_twin(spark, reps: int = 3) -> None:
     }
     for name, leg in legs.items():
         runs = [_noop(leg()) for _ in range(reps)]
+        stem = name.rsplit("_s", 1)[0]
         report[name] = min(runs)
-        report[name.replace("_s", "_runs")] = runs
-        report[name.replace("_s", "_load1")] = _load1()
+        report[f"{stem}_runs"] = runs
+        report[f"{stem}_load1"] = _load1()
     # value equality on the defeated grain, not just speed
     a = [tuple(r) for r in order_value_gini_by_nation(spark, d).collect()]
     b = [
