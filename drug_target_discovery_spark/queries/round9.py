@@ -140,9 +140,13 @@ def exact_substring_dup_stats(
             F.count("dup_chars").alias("docs_with_dup"),
             F.coalesce(F.sum("dup_chars"), F.lit(0)).alias("dup_chars"),
             F.sum("len").alias("total_chars"),
+            # NULL share for a source of only empty docs (0/0)
             rnd(
-                F.coalesce(F.sum("dup_chars"), F.lit(0))
-                / F.sum("len").cast("double"),
+                F.when(
+                    F.sum("len") > 0,
+                    F.coalesce(F.sum("dup_chars"), F.lit(0))
+                    / F.sum("len").cast("double"),
+                ),
                 6,
             ).alias("dup_share"),
         )
@@ -191,8 +195,9 @@ SELECT d.source,
        CAST(coalesce(sum(p.dup_chars), 0) AS BIGINT) AS dup_chars,
        CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
        {rnd_sql(
-           "coalesce(sum(p.dup_chars), 0)"
-           " / CAST(sum(length(d.text)) AS DOUBLE)", 6)} AS dup_share
+           "CASE WHEN sum(length(d.text)) > 0 THEN"
+           " coalesce(sum(p.dup_chars), 0)"
+           " / CAST(sum(length(d.text)) AS DOUBLE) END", 6)} AS dup_share
 FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 GROUP BY d.source ORDER BY d.source
 """

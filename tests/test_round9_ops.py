@@ -177,7 +177,7 @@ def _python_dup_stats(docs, L):
             sum(1 for d, _ in members if d in per_doc),
             dup,
             tot,
-            round(dup / tot + 1e-12, 6),
+            round(dup / tot + 1e-12, 6) if tot else None,
         )
     return out
 
