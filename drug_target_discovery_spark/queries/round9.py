@@ -51,16 +51,19 @@ def exact_substring_dup_stats(
     1. Gram stream: transform+posexplode builds each doc's sliding
        ``min_len``-char grams WITHOUT replicating the text per
        position.
-    2. HASH PRE-PASS (the scale lever): shuffle ONLY xxhash64(gram) —
-       8 bytes/position with map-side combine — to find duplicated
-       hashes; the L-char gram strings themselves never shuffle in
-       pass 1. At 100 TB the position stream is ~L x corpus bytes if
-       shuffled raw; the hash pass cuts that to 8/L of it (~1/3 at
-       L=25... strictly 8 bytes vs L bytes), and hash collisions only
-       ever ADD candidates, never drop them.
-    3. Exact verify on the candidate subset: group the (tiny) candidate
-       gram strings, keep those with true count >= 2 — collision-proof
-       exactness.
+    2. HASH PRE-PASS (the scale lever): NO exchange ever carries the
+       gram strings for the full position stream. Pass 1 shuffles only
+       xxhash64(gram) — 8 bytes/position, map-side combined — to find
+       duplicated hashes; the candidate filter then shuffles only
+       (doc_id, i, h) positions (24 bytes/row; AQE broadcasts the
+       dup-hash side when it is small). Shuffling raw grams would cost
+       ~L x corpus bytes; this caps every position-stream exchange at
+       position width regardless of L. Hash collisions only ever ADD
+       candidates, never drop them.
+    3. Exact verify on the candidate subset: re-extract the candidate
+       grams with ONE doc-grain join back to the text (corpus-sized,
+       not L x corpus-sized), then group the (tiny) candidate gram
+       strings and keep true count >= 2 — collision-proof exactness.
     4. Interval union per doc: flagged position i covers chars
        [i, i+L-1]; sorted by i, a new span starts when the gap to the
        previous flagged position exceeds L. ONE window partitioned by
@@ -78,36 +81,50 @@ def exact_substring_dup_stats(
     # sequence(1, len-L+1) on shorter docs would run DESCENDING (the
     # step -1 trap, cf. operators/rangejoin.py) — filter first.
     eligible = docs.filter(F.col("len") >= L)
-    # transform + posexplode builds the gram array once per doc (the
-    # python Column API can't pass a dynamic position to substring —
-    # the whole expression runs JVM-side through expr)
-    grams = eligible.select(
+    # transform + posexplode builds the gram HASH stream once per doc —
+    # the gram string itself is hashed inside the projection and never
+    # leaves the mapper (the python Column API can't pass a dynamic
+    # position to substring — the whole expression runs JVM-side
+    # through expr)
+    positions = eligible.select(
         "doc_id",
         F.expr(
             f"posexplode(transform(sequence(1, len - {L} + 1),"
-            f" i -> substring(text, i, {L})))"
-        ).alias("pos0", "gram"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "gram")
+            f" i -> xxhash64(substring(text, i, {L}))))"
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "h")
 
-    # pass 1: duplicated HASHES — the only corpus-wide shuffle, 8-byte
-    # keys, map-side combined
+    # pass 1: duplicated HASHES — 8-byte keys, map-side combined
     dup_hashes = (
-        grams.groupBy(F.xxhash64("gram").alias("h"))
+        positions.groupBy("h")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") > 1)
         .select("h")
     )
-    candidates = grams.join(
-        dup_hashes, F.xxhash64(grams["gram"]) == dup_hashes["h"], "leftsemi"
+    # candidate positions: 24-byte rows through the semi join (AQE
+    # broadcasts dup_hashes when small)
+    candidates = positions.join(dup_hashes, "h", "leftsemi").select("doc_id", "i")
+    # pass 2: re-extract ONLY the candidate grams (doc-grain join back
+    # to the text), exact-verify with a true count
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    # query-scoped cache: cand_grams feeds both the verify aggregate and
+    # the flagged filter (candidates are small by construction; the
+    # POSITION stream is deliberately NOT cached — its recompute is two
+    # map-only corpus scans, cheaper at 100 TB than materializing a
+    # ~24-bytes-per-character frame)
+    cand_grams = scoped_cache(
+        candidates.join(eligible.select("doc_id", "text"), "doc_id").select(
+            "doc_id", "i", F.expr(f"substring(text, i, {L})").alias("gram")
+        )
     )
-    # pass 2: exact gram verify over the candidate subset only
     dup_grams = (
-        candidates.groupBy("gram")
+        cand_grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") > 1)
         .select("gram")
     )
-    flagged = candidates.join(dup_grams, "gram", "leftsemi").select("doc_id", "i")
+    flagged = cand_grams.join(dup_grams, "gram", "leftsemi").select("doc_id", "i")
 
     # interval union: same-length intervals sorted by start merge iff
     # gap <= L; covered chars per span = max(i) - min(i) + L
