@@ -13,6 +13,13 @@ decorator move.
   winnowing_fingerprints) approximates this class at token granularity;
   this operator is the exact-character ground truth they approximate.
 
+- ANN index build/refresh health audit: per-cell utilization drift
+  (PSI over the IVF coarse-quantizer cells) between the corpus an index
+  was built on and an incremental refresh batch, with the standard
+  PSI > 0.25 retrain decision — the composition that closes the
+  build -> serve -> refresh loop over the existing IVF machinery
+  (ann_ivf_bucketed_topk / ann_recall_eval / kmeans_lloyd_clusters).
+
 Exactness contract as per round7.py/round8.py: integer char counts,
 one IEEE division rounded through rnd/rnd_sql on both engines.
 """
@@ -217,4 +224,146 @@ SELECT d.source,
            " / CAST(sum(length(d.text)) AS DOUBLE) END", 6)} AS dup_share
 FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 GROUP BY d.source ORDER BY d.source
+"""
+
+
+# --------------------------------------------------------------------------
+# ANN index build/refresh health audit (IVF utilization drift)
+# --------------------------------------------------------------------------
+# The production failure mode of a static ANN index: the coarse quantizer
+# was built for yesterday's distribution, today's inserts pile into a few
+# cells, probe cost and recall degrade silently. The audit below is the
+# refresh gate every index maintainer runs before deciding to re-train.
+_IVF_PSI_RETRAIN_T = 0.25  # the standard PSI "significant shift" threshold
+# Laplace-style smoothing floor so an EMPTY cell on either side keeps the
+# PSI term finite (same convention as psi_price_stability's bins)
+_IVF_EPS = 1e-6
+
+
+def ivf_index_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell utilization drift of the deterministic 8-cell IVF coarse
+    quantizer (the ``ann_ivf_bucketed_topk`` index) between the BASE
+    corpus (vec_id % 10 != 9 — the vectors the index was "built" on) and
+    an INCREMENTAL batch (vec_id % 10 == 9, the refresh arrivals):
+
+    - per cell: base/batch counts, occupancy shares, the PSI
+      contribution (share_new - share_base) * ln(share_new/share_base)
+      with an epsilon floor so empty cells stay finite,
+    - plus each cell's verdict inputs surfaced: occupancy_ratio (>1 =
+      the cell is gaining share) and the global retrain decision
+      (total PSI > 0.25) repeated on every row so the 8-row result is
+      self-contained.
+
+    Scale design: ONE scan of the embeddings table computing the cell
+    id map-side from the first 3 dims (element_at — no vector math),
+    one 8-cell-bounded aggregate with map-side partials (conditional
+    counts for base/batch — no second scan, no join), then literal
+    arithmetic on the 8-row frame. Nothing grows with corpus size
+    except the scan; the index cell domain (2^3) bounds every exchange.
+    Tests-only lane (registration freeze; oracle prepared below)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    cells = emb.select(
+        F.expr(_IVF_BUCKET_SPARK).alias("cell"),
+        (F.col("vec_id") % 10 == 9).cast("int").alias("is_batch"),
+    )
+    g = cells.groupBy("cell").agg(
+        F.sum(1 - F.col("is_batch")).alias("n_base"),
+        F.sum("is_batch").alias("n_batch"),
+    )
+    tot_b = F.sum("n_base").over(Window.partitionBy())
+    tot_n = F.sum("n_batch").over(Window.partitionBy())
+    # the unpartitioned windows run over the 8-row cell frame (bounded
+    # by the 2^3 cell domain — the documented exemption class in
+    # tests/test_window_boundedness.py)
+    shares = g.select(
+        "cell",
+        "n_base",
+        "n_batch",
+        (F.col("n_base") / tot_b).alias("_sb"),
+        (F.col("n_batch") / tot_n).alias("_sn"),
+    )
+    eps = F.lit(_IVF_EPS)
+    sb = F.greatest(F.col("_sb"), eps)
+    sn = F.greatest(F.col("_sn"), eps)
+    psi_term = (sn - sb) * F.log(sn / sb)
+    scored = shares.select(
+        "cell",
+        "n_base",
+        "n_batch",
+        rnd(F.col("_sb"), 6).alias("share_base"),
+        rnd(F.col("_sn"), 6).alias("share_batch"),
+        rnd(psi_term, 6).alias("psi_term"),
+        rnd(sn / sb, 6).alias("occupancy_ratio"),
+        psi_term.alias("_raw_term"),
+    )
+    total_psi = F.sum("_raw_term").over(Window.partitionBy())
+    return (
+        scored.select(
+            "cell",
+            "n_base",
+            "n_batch",
+            "share_base",
+            "share_batch",
+            "psi_term",
+            "occupancy_ratio",
+            rnd(total_psi, 6).alias("total_psi"),
+            (total_psi > _IVF_PSI_RETRAIN_T).alias("retrain_needed"),
+        )
+        .orderBy("cell")
+    )
+
+
+# same cell expression as similarity._BUCKET_SPARK / _BUCKET_DUCK —
+# duplicated as literals so this module's oracle is self-contained
+_IVF_BUCKET_SPARK = (
+    "CAST(CASE WHEN element_at(emb, 1) > 0 THEN 4 ELSE 0 END "
+    "+ CASE WHEN element_at(emb, 2) > 0 THEN 2 ELSE 0 END "
+    "+ CASE WHEN element_at(emb, 3) > 0 THEN 1 ELSE 0 END AS INT)"
+)
+_IVF_BUCKET_DUCK = (
+    "CAST(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END "
+    "+ CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END "
+    "+ CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END AS INT)"
+)
+
+_IVF_REFRESH_ORACLE = f"""
+WITH cells AS (
+  SELECT {_IVF_BUCKET_DUCK} AS cell,
+         CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END AS is_batch
+  FROM embeddings
+),
+g AS (
+  SELECT cell,
+         CAST(sum(1 - is_batch) AS BIGINT) AS n_base,
+         CAST(sum(is_batch) AS BIGINT) AS n_batch
+  FROM cells GROUP BY cell
+),
+s AS (
+  SELECT cell, n_base, n_batch,
+         n_base / CAST(sum(n_base) OVER () AS DOUBLE) AS sb0,
+         n_batch / CAST(sum(n_batch) OVER () AS DOUBLE) AS sn0
+  FROM g
+),
+t AS (
+  SELECT cell, n_base, n_batch, sb0, sn0,
+         greatest(sb0, {_IVF_EPS}) AS sb,
+         greatest(sn0, {_IVF_EPS}) AS sn
+  FROM s
+),
+scored AS (
+  SELECT cell, n_base, n_batch, sb0, sn0,
+         (sn - sb) * ln(sn / sb) AS raw_term,
+         sn / sb AS ratio
+  FROM t
+)
+SELECT cell, n_base, n_batch,
+       {rnd_sql("sb0", 6)} AS share_base,
+       {rnd_sql("sn0", 6)} AS share_batch,
+       {rnd_sql("raw_term", 6)} AS psi_term,
+       {rnd_sql("ratio", 6)} AS occupancy_ratio,
+       {rnd_sql("sum(raw_term) OVER ()", 6)} AS total_psi,
+       (sum(raw_term) OVER ()) > {_IVF_PSI_RETRAIN_T} AS retrain_needed
+FROM scored ORDER BY cell
 """

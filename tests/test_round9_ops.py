@@ -294,3 +294,82 @@ class TestExactSubstringDupStats:
             k: v[:4] for k, v in _python_dup_stats(docs, L).items()
         }
         assert got == exp
+
+
+class TestIvfIndexRefreshAudit:
+    @pytest.mark.parametrize(
+        "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    )
+    def test_matches_duckdb_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round9 import (
+            _IVF_REFRESH_ORACLE,
+            ivf_index_refresh_audit,
+        )
+
+        got = [tuple(r) for r in ivf_index_refresh_audit(spark, sf).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        exp = [tuple(r) for r in con.execute(_IVF_REFRESH_ORACLE).fetchall()]
+        assert got == exp
+        assert len(got) > 1, "corpus should occupy multiple cells"
+        # shares are distributions
+        assert sum(r[3] for r in got) == pytest.approx(1.0, abs=1e-4)
+        assert sum(r[4] for r in got) == pytest.approx(1.0, abs=1e-4)
+
+    def test_skewed_batch_triggers_retrain(self, spark, tmp_path):
+        """Base spread over cells, batch rammed into ONE cell: the PSI
+        must cross 0.25 and flip retrain_needed on every row."""
+        import random
+
+        from drug_target_discovery_spark.queries.round9 import (
+            ivf_index_refresh_audit,
+        )
+
+        rng = random.Random(7)
+        rows = []
+        for vid in range(200):
+            if vid % 10 == 9:  # batch: all-positive first dims -> cell 7
+                emb = [1.0, 1.0, 1.0, 0.0]
+            else:  # base: random sign pattern
+                emb = [rng.choice([-1.0, 1.0]) for _ in range(3)] + [0.0]
+            rows.append((vid, emb, 0))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(f"{tmp_path}/embeddings.parquet")
+        got = ivf_index_refresh_audit(spark, str(tmp_path)).collect()
+        assert all(r["retrain_needed"] for r in got)
+        cell7 = next(r for r in got if r["cell"] == 7)
+        assert cell7["n_batch"] == 20
+        assert cell7["occupancy_ratio"] > 4.0
+        assert cell7["total_psi"] > 0.25
+
+    def test_identical_distribution_no_retrain(self, spark, tmp_path):
+        """Batch drawn from the same cell layout as the base: PSI ~ 0,
+        no retrain."""
+        from drug_target_discovery_spark.queries.round9 import (
+            ivf_index_refresh_audit,
+        )
+
+        rows = []
+        # one cell per DECADE of vec_ids: each decade holds 9 base + 1
+        # batch vector in the same cell, so base and batch shares are
+        # exactly proportional in every cell (PSI identically ~0).
+        # (vid % 8 would interact with the %10 batch stripe via
+        # lcm(8,10) and pile the batch into the odd cells.)
+        signs = [
+            [1.0 if c & b else -1.0 for b in (4, 2, 1)] + [0.5]
+            for c in range(8)
+        ]
+        for vid in range(200):
+            rows.append((vid, signs[(vid // 10) % 8], 0))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(f"{tmp_path}/embeddings.parquet")
+        got = ivf_index_refresh_audit(spark, str(tmp_path)).collect()
+        assert not any(r["retrain_needed"] for r in got)
+        assert all(abs(float(r["total_psi"])) < 0.05 for r in got)

@@ -164,6 +164,60 @@ def probe_gini_twin(spark, reps: int = 3) -> None:
     print(json.dumps(report), flush=True)
 
 
+def build_documents(spark, factor: int, perturb: bool) -> str:
+    """Documents clones: verbatim (every replica family an exact-dup
+    clique — the substring operator's worst case, 100% of positions
+    survive the hash prepass) or perturbed (replica tokens suffixed —
+    content-disjoint replicas, the production growth mode)."""
+    mode = "perturb" if perturb else "clone"
+    dst = f"{OUT}/docs_{mode}_x{factor}"
+    os.makedirs(dst, exist_ok=True)
+    src = load_table(spark, BASE, "documents")
+    parts = []
+    for i in range(factor):
+        df = src.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        if perturb and i > 0:
+            df = df.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda x: F.concat(x, F.lit(f"_r{i}")),
+                    ),
+                    " ",
+                ),
+            )
+        parts.append(df)
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+    return dst
+
+
+def probe_substr(spark, reps: int = 3) -> None:
+    from drug_target_discovery_spark.queries.round9 import (
+        exact_substring_dup_stats,
+    )
+
+    report = {"probe": "exact_substring_dup_stats", "loadavg1_start": _load1()}
+    legs = {"sf0.1": BASE}
+    for perturb in (False, True):
+        legs[("perturb" if perturb else "clone") + "_x10"] = build_documents(
+            spark, 10, perturb
+        )
+    for name, d in legs.items():
+        runs = [_noop(exact_substring_dup_stats(spark, d)) for _ in range(reps)]
+        report[f"{name}_s"] = min(runs)
+        report[f"{name}_runs"] = runs
+        report[f"{name}_load1"] = _load1()
+    base = report["sf0.1_s"]
+    report["clone_x10_factor"] = round(report["clone_x10_s"] / base, 2)
+    report["perturb_x10_factor"] = round(report["perturb_x10_s"] / base, 2)
+    report["loadavg1_end"] = _load1()
+    print(json.dumps(report), flush=True)
+
+
 def main() -> None:
     which = set(sys.argv[1:]) or {"fano", "gini"}
     spark = get_spark("round9_probe")
@@ -172,6 +226,8 @@ def main() -> None:
         probe_fano(spark)
     if "gini" in which:
         probe_gini_twin(spark)
+    if "substr" in which:
+        probe_substr(spark)
 
 
 if __name__ == "__main__":
