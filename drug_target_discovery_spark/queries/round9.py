@@ -272,11 +272,11 @@ def ivf_index_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("is_batch")).alias("n_base"),
         F.sum("is_batch").alias("n_batch"),
     )
+    # the unpartitioned windows below run over the cell frame, bounded
+    # by construction at 2^3 rows (the quantizer's cell domain — the
+    # documented exemption class in tests/test_window_boundedness.py)
     tot_b = F.sum("n_base").over(Window.partitionBy())
     tot_n = F.sum("n_batch").over(Window.partitionBy())
-    # the unpartitioned windows run over the 8-row cell frame (bounded
-    # by the 2^3 cell domain — the documented exemption class in
-    # tests/test_window_boundedness.py)
     shares = g.select(
         "cell",
         "n_base",
@@ -298,6 +298,8 @@ def ivf_index_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(sn / sb, 6).alias("occupancy_ratio"),
         psi_term.alias("_raw_term"),
     )
+    # unpartitioned but bounded by construction: scored is the same
+    # <= 2^3-row cell frame as above
     total_psi = F.sum("_raw_term").over(Window.partitionBy())
     return (
         scored.select(

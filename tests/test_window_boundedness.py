@@ -38,6 +38,7 @@ _KNOWN_FILES = {
     "queries/round6a.py",     # MI total / skyline levels / daily series
     "queries/round6b.py",     # Zipf rank (top-K truncation)
     "queries/round7.py",      # KM day-grain gaps / CUSUM daily series
+    "queries/round9.py",      # IVF refresh audit shares/PSI (2^3 cell frame)
     "queries/tpchx.py",       # decile offsets (bucket table)
     "queries/windows.py",     # daily rolling (calendar) + ntile demo (dim)
 }
