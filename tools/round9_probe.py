@@ -218,6 +218,36 @@ def probe_substr(spark, reps: int = 3) -> None:
     print(json.dumps(report), flush=True)
 
 
+def probe_ivf(spark, reps: int = 3) -> None:
+    """IVF refresh audit at x10 embeddings (vec_id-shifted clones keep
+    the %10 batch stripe and the cell layout — the audit's input grows,
+    its 8-cell aggregate domain doesn't)."""
+    from drug_target_discovery_spark.queries.round9 import (
+        ivf_index_refresh_audit,
+    )
+
+    report = {"probe": "ivf_index_refresh_audit", "loadavg1_start": _load1()}
+    dst = f"{OUT}/emb_x10"
+    os.makedirs(dst, exist_ok=True)
+    src = load_table(spark, BASE, "embeddings")
+    parts = [
+        src.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        for i in range(10)
+    ]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    out.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+    for name, d in (("sf0.1", BASE), ("x10", dst)):
+        runs = [_noop(ivf_index_refresh_audit(spark, d)) for _ in range(reps)]
+        report[f"{name}_s"] = min(runs)
+        report[f"{name}_runs"] = runs
+        report[f"{name}_load1"] = _load1()
+    report["x10_factor"] = round(report["x10_s"] / report["sf0.1_s"], 2)
+    report["loadavg1_end"] = _load1()
+    print(json.dumps(report), flush=True)
+
+
 def main() -> None:
     which = set(sys.argv[1:]) or {"fano", "gini"}
     spark = get_spark("round9_probe")
@@ -228,6 +258,8 @@ def main() -> None:
         probe_gini_twin(spark)
     if "substr" in which:
         probe_substr(spark)
+    if "ivf" in which:
+        probe_ivf(spark)
 
 
 if __name__ == "__main__":
