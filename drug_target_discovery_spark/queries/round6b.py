@@ -364,11 +364,24 @@ def _containment_via_prefix(
     df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # keyed (per-doc) window: rank each doc's shingles rarest-first
     wdoc = W.partitionBy("doc_id").orderBy("df", "shingle")
+    # Prefix length floor((1-t)|A|)+1 in EXACT INTEGER arithmetic
+    # (hypothesis-caught boundary bug, round 9): the IEEE form
+    # floor((1.0 - t) * sz) + 1 computes (1-0.9) as 0.09999...98, so at
+    # t=0.9, sz=10 the product is 0.99...98, floor gives 0 and the
+    # prefix comes out one SHORTER than the theorem requires — a doc at
+    # exactly-threshold containment can then miss the candidate set
+    # (tests/test_properties.py::test_containment_prefix_theorem holds
+    # the falsifying example). t scaled to an exact integer numerator
+    # over 10^6 and DIV keeps every step in integers.
+    t_num = int(round(t * 1_000_000))
     prefix = (
         sh.join(df_tbl, "shingle")
         .withColumn("rn", F.row_number().over(wdoc))
         .join(sizes, "doc_id")
-        .filter(F.col("rn") <= F.floor((1.0 - t) * F.col("sz")) + 1)
+        .filter(
+            F.col("rn")
+            <= F.expr(f"(({1_000_000 - t_num} * sz) DIV 1000000) + 1")
+        )
         .select(F.col("doc_id").alias("d1"), "shingle")
     )
     cand = (

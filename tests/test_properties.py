@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import collections
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from drug_target_discovery_spark.functions.stats import bh_fdr, bh_fdr_scalable
 from drug_target_discovery_spark.operators.heavyhitters import exact_heavy_hitters
@@ -192,25 +192,36 @@ def test_jaccard_verify_matches_bruteforce(spark, docs, threshold):
     t=st.sampled_from([0.5, 0.7, 0.9]),
 )
 @settings(max_examples=200, deadline=None)
+@example(
+    # Round-9 hypothesis-discovered failure of the earlier IEEE formula
+    # floor((1.0 - t) * sz) + 1: at t=0.9 the double (1-t) is
+    # 0.0999...98, so sz=10 gave plen 1 instead of 2 and the
+    # exactly-at-threshold doc missed the prefix. Kept as a permanent
+    # regression example for the exact integer formula.
+    corpora=[{0, 1, 2, 3, 4, 5, 6, 7, 8}, {0, 1, 2, 3, 4, 5, 6, 7, 8, 9}],
+    t=0.9,
+)
 def test_containment_prefix_theorem(corpora, t):
-    """The SSJoin prefix theorem as implemented (round 7): for every doc A,
-    taking its first floor((1-t)|A|)+1 shingles in GLOBAL ascending-(df,
-    shingle) order — the exact ordering and prefix-length formula of
+    """The SSJoin prefix theorem as implemented (round 7; exact-integer
+    prefix length since round 9): for every doc A, taking its first
+    floor((1-t)|A|)+1 shingles in GLOBAL ascending-(df, shingle) order —
+    the exact ordering and prefix-length formula of
     _containment_via_prefix — every B with C(A,B) >= t must share at
     least one prefix shingle. Pure-python model, adversarial small sets
     (heavy overlap, ties in df, singleton docs); 200 examples since no
     Spark job runs. This is the property that makes the candidate set a
     provable superset of the answer, so a formula regression (e.g.
-    floor vs ceil, >= vs >) fails here before it silently drops pairs."""
-    import math
-
+    floor vs ceil, >= vs >, or the IEEE rounding of (1-t) this test
+    caught at round 9) fails here before it silently drops pairs."""
     df: dict[int, int] = {}
     for s in corpora:
         for sh in s:
             df[sh] = df.get(sh, 0) + 1
+    t_num = int(round(t * 1_000_000))
     for a_idx, A in enumerate(corpora):
         order = sorted(A, key=lambda sh: (df[sh], sh))
-        plen = math.floor((1.0 - t) * len(A)) + 1
+        # mirrors _containment_via_prefix's integer DIV formula exactly
+        plen = ((1_000_000 - t_num) * len(A)) // 1_000_000 + 1
         prefix = set(order[:plen])
         for b_idx, B in enumerate(corpora):
             if a_idx == b_idx:

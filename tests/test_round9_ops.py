@@ -373,3 +373,47 @@ class TestIvfIndexRefreshAudit:
         got = ivf_index_refresh_audit(spark, str(tmp_path)).collect()
         assert not any(r["retrain_needed"] for r in got)
         assert all(abs(float(r["total_psi"])) < 0.05 for r in got)
+
+
+class TestContainmentPrefixBoundary:
+    def test_exact_threshold_pair_survives_prefix_strategy(self, spark, tmp_path):
+        """Round-9 regression (hypothesis-caught): C(A,B) EXACTLY 0.9 at
+        |S(A)| = 10 — the old IEEE prefix length floor((1.0-t)*sz)+1
+        computed 1 instead of 2, A probed with only its df=1 unique
+        shingle, and the (A,B) directed pair silently missed the
+        candidate set. The exact-integer DIV formula must catch it, and
+        memo/prefix strategies must agree."""
+        from drug_target_discovery_spark.queries.round6b import containment_pairs
+
+        words = [f"w{k}" for k in range(12)]
+        docs = [
+            (0, " ".join(words)),          # A: 10 3-gram shingles
+            (1, " ".join(words[:11])),     # B: A's first 9 shingles
+        ]
+        # filler so shared shingles stay under the 50%-df stop cap
+        for i in range(2, 10):
+            docs.append((i, " ".join(f"u{i}_{k}" for k in range(12))))
+        spark.createDataFrame(docs, "doc_id long, text string").selectExpr(
+            "doc_id",
+            "text",
+            "'en' AS lang",
+            "'s' AS source",
+            "length(text) AS n_chars",
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+
+        got_prefix = {
+            (r["d1"], r["d2"]): float(r["containment"])
+            for r in containment_pairs(
+                spark, str(tmp_path), t=0.9, strategy="prefix"
+            ).collect()
+        }
+        got_memo = {
+            (r["d1"], r["d2"]): float(r["containment"])
+            for r in containment_pairs(
+                spark, str(tmp_path), t=0.9, strategy="memo"
+            ).collect()
+        }
+        assert (0, 1) in got_prefix, "exact-boundary pair dropped by prefix"
+        assert got_prefix[(0, 1)] == pytest.approx(0.9)
+        assert got_prefix[(1, 0)] == pytest.approx(1.0)
+        assert got_prefix == got_memo
