@@ -20,6 +20,11 @@ decorator move.
   build -> serve -> refresh loop over the existing IVF machinery
   (ann_ivf_bucketed_topk / ann_recall_eval / kmeans_lloyd_clusters).
 
+- Newman-Girvan modularity of the LPA partition over the near-dup
+  graph — the partition-quality number that tells a dedup reviewer
+  whether the communities reflect real dense cores (library oracle:
+  networkx modularity, the graph family's fixture pattern).
+
 Exactness contract as per round7.py/round8.py: integer char counts,
 one IEEE division rounded through rnd/rnd_sql on both engines.
 """
@@ -369,3 +374,79 @@ SELECT cell, n_base, n_batch,
        (sum(raw_term) OVER ()) > {_IVF_PSI_RETRAIN_T} AS retrain_needed
 FROM scored ORDER BY cell
 """
+
+
+# --------------------------------------------------------------------------
+# Modularity of the LPA communities (partition quality metric)
+# --------------------------------------------------------------------------
+def lpa_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity Q of the label-propagation partition
+    over the LSH near-dup candidate graph — the quality number a
+    community detection ships with (Newman 2006: Q = sum_c [m_c/m -
+    (d_c/2m)^2] over communities c, with m edges, m_c intra-community
+    edges, d_c the community's total degree). Complements the r10-queued
+    ``label_propagation_communities``: LPA says WHAT the communities
+    are, Q says whether the partition beats the random-graph baseline
+    (Q near 0) or reflects real dense cores (Q >> 0).
+
+    Scale design: communities ride the LPA loop (measured 2.7x at 10x
+    edges); Q itself is ONE join of the distinct undirected edge list
+    to the label table on each endpoint (two keyed joins) + a
+    community-grain aggregate (degree sums, intra counts) + one
+    bounded reduce to the single summary row. No window, no driver
+    iteration; the only new exchanges are keyed on node/community.
+
+    Tests-only lane; library oracle = networkx modularity on the same
+    edges+partition (tests/test_round9_ops.py), the graph family's
+    fixture pattern (closeness/harmonic precedent)."""
+    from drug_target_discovery_spark.graph.algorithms import label_propagation
+    from drug_target_discovery_spark.queries.dedup import candidate_pairs
+    from drug_target_discovery_spark.queries.round8 import _LPA_ITERS
+
+    pairs = candidate_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    labels = label_propagation(edges, n_iter=_LPA_ITERS)
+    l1 = labels.select(F.col("node").alias("src"), F.col("community").alias("c1"))
+    l2 = labels.select(F.col("node").alias("dst"), F.col("community").alias("c2"))
+    tagged = edges.join(l1, "src").join(l2, "dst")
+    # per-community degree (each undirected edge adds 1 to both ends)
+    deg = (
+        tagged.select(F.col("c1").alias("c")).unionAll(
+            tagged.select(F.col("c2").alias("c"))
+        )
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    intra = (
+        tagged.filter(F.col("c1") == F.col("c2"))
+        .groupBy(F.col("c1").alias("c"))
+        .agg(F.count(F.lit(1)).alias("m_c"))
+    )
+    per_c = deg.join(intra, "c", "left").select(
+        "c", "d_c", F.coalesce("m_c", F.lit(0)).alias("m_c")
+    )
+    m = edges.count()  # driver scalar: one bounded count, reused as literal
+    if m == 0:
+        return spark.createDataFrame(
+            [(0, 0, 0, None)],
+            "n_nodes long, n_edges long, n_communities long, modularity double",
+        )
+    q_terms = per_c.select(
+        (
+            F.col("m_c") / F.lit(float(m))
+            - (F.col("d_c") / F.lit(2.0 * m)) * (F.col("d_c") / F.lit(2.0 * m))
+        ).alias("term")
+    )
+    summary = q_terms.agg(F.sum("term").alias("q"))
+    n_nodes = labels.count()
+    n_comms = per_c.count()
+    return summary.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(m).cast("long").alias("n_edges"),
+        F.lit(n_comms).cast("long").alias("n_communities"),
+        rnd(F.col("q"), 6).alias("modularity"),
+    )

@@ -417,3 +417,70 @@ class TestContainmentPrefixBoundary:
         assert got_prefix[(0, 1)] == pytest.approx(0.9)
         assert got_prefix[(1, 0)] == pytest.approx(1.0)
         assert got_prefix == got_memo
+
+
+class TestLpaCommunityModularity:
+    def test_matches_networkx_on_real_graph(self, spark):
+        """networkx.community.modularity on the SAME edges + the SAME
+        partition (Spark's LPA labels) — the graph family's library-
+        oracle pattern. Independent Q arithmetic, exact to rounding."""
+        import networkx as nx
+
+        from drug_target_discovery_spark.graph.algorithms import (
+            label_propagation,
+        )
+        from drug_target_discovery_spark.queries.dedup import candidate_pairs
+        from drug_target_discovery_spark.queries.round8 import _LPA_ITERS
+        from drug_target_discovery_spark.queries.round9 import (
+            lpa_community_modularity,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        got = lpa_community_modularity(spark, sf).collect()[0]
+
+        pairs = candidate_pairs(spark, sf)
+        edge_list = sorted(
+            {
+                tuple(sorted((r["d1"], r["d2"])))
+                for r in pairs.collect()
+                if r["d1"] != r["d2"]
+            }
+        )
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        labels = {
+            r["node"]: r["community"]
+            for r in label_propagation(edges, n_iter=_LPA_ITERS).collect()
+        }
+        g = nx.Graph(edge_list)
+        comms = {}
+        for n, c in labels.items():
+            comms.setdefault(c, set()).add(n)
+        q = nx.community.modularity(g, comms.values())
+        assert got["n_edges"] == len(edge_list)
+        assert got["n_nodes"] == g.number_of_nodes()
+        assert got["n_communities"] == len(comms)
+        assert float(got["modularity"]) == pytest.approx(q, abs=1e-6)
+        assert got["n_edges"] > 0
+
+    def test_two_cliques_known_q(self, spark, tmp_path):
+        """Synthetic check of the Q arithmetic itself through the graph
+        layer: two disjoint triangles -> LPA gives 2 communities, all
+        edges intra, Q = 1 - 2*(1/2)^2 = 0.5."""
+        import networkx as nx
+
+        from drug_target_discovery_spark.graph.algorithms import (
+            label_propagation,
+        )
+
+        edge_list = [(0, 1), (1, 2), (2, 0), (5, 6), (6, 7), (7, 5)]
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        labels = {
+            r["node"]: r["community"]
+            for r in label_propagation(edges, n_iter=5).collect()
+        }
+        g = nx.Graph(edge_list)
+        comms = {}
+        for n, c in labels.items():
+            comms.setdefault(c, set()).add(n)
+        assert len(comms) == 2
+        assert nx.community.modularity(g, comms.values()) == pytest.approx(0.5)
