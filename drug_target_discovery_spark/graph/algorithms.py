@@ -470,3 +470,58 @@ def label_propagation(
 
     track(labels)
     return labels
+
+
+def modularity_summary(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman-Girvan modularity Q of a node partition (Newman 2006):
+    Q = sum_c [m_c/m - (d_c/2m)^2] over communities c, m = |E|, m_c =
+    intra-community edges, d_c = the community's total degree. Returns
+    ONE row (n_nodes, n_edges, n_communities, modularity — unrounded;
+    callers round for oracles).
+
+    ``edges`` must be distinct single-orientation pairs with src != dst
+    (the label_propagation edge contract); ``labels`` is (node,
+    community) covering every endpoint. Plan: two keyed joins tag each
+    edge's endpoint communities, one community-grain aggregate builds
+    (d_c, m_c), one bounded reduce sums the Q terms — no window, no
+    driver iteration; the three driver scalars (m, n_nodes,
+    n_communities) are single-row counts."""
+    l1 = labels.select(F.col("node").alias("src"), F.col("community").alias("c1"))
+    l2 = labels.select(F.col("node").alias("dst"), F.col("community").alias("c2"))
+    tagged = edges.join(l1, "src").join(l2, "dst")
+    deg = (
+        tagged.select(F.col("c1").alias("c")).unionAll(
+            tagged.select(F.col("c2").alias("c"))
+        )
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    intra = (
+        tagged.filter(F.col("c1") == F.col("c2"))
+        .groupBy(F.col("c1").alias("c"))
+        .agg(F.count(F.lit(1)).alias("m_c"))
+    )
+    per_c = deg.join(intra, "c", "left").select(
+        "c", "d_c", F.coalesce("m_c", F.lit(0)).alias("m_c")
+    )
+    spark = edges.sparkSession
+    m = edges.count()
+    if m == 0:
+        return spark.createDataFrame(
+            [(0, 0, 0, None)],
+            "n_nodes long, n_edges long, n_communities long, modularity double",
+        )
+    n_nodes = labels.count()
+    n_comms = per_c.count()
+    q_terms = per_c.select(
+        (
+            F.col("m_c") / F.lit(float(m))
+            - (F.col("d_c") / F.lit(2.0 * m)) * (F.col("d_c") / F.lit(2.0 * m))
+        ).alias("term")
+    )
+    return q_terms.agg(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(m).cast("long").alias("n_edges"),
+        F.lit(n_comms).cast("long").alias("n_communities"),
+        F.sum("term").alias("modularity"),
+    )

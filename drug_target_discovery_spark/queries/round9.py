@@ -399,7 +399,10 @@ def lpa_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tests-only lane; library oracle = networkx modularity on the same
     edges+partition (tests/test_round9_ops.py), the graph family's
     fixture pattern (closeness/harmonic precedent)."""
-    from drug_target_discovery_spark.graph.algorithms import label_propagation
+    from drug_target_discovery_spark.graph.algorithms import (
+        label_propagation,
+        modularity_summary,
+    )
     from drug_target_discovery_spark.queries.dedup import candidate_pairs
     from drug_target_discovery_spark.queries.round8 import _LPA_ITERS
 
@@ -410,43 +413,10 @@ def lpa_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     labels = label_propagation(edges, n_iter=_LPA_ITERS)
-    l1 = labels.select(F.col("node").alias("src"), F.col("community").alias("c1"))
-    l2 = labels.select(F.col("node").alias("dst"), F.col("community").alias("c2"))
-    tagged = edges.join(l1, "src").join(l2, "dst")
-    # per-community degree (each undirected edge adds 1 to both ends)
-    deg = (
-        tagged.select(F.col("c1").alias("c")).unionAll(
-            tagged.select(F.col("c2").alias("c"))
-        )
-        .groupBy("c")
-        .agg(F.count(F.lit(1)).alias("d_c"))
-    )
-    intra = (
-        tagged.filter(F.col("c1") == F.col("c2"))
-        .groupBy(F.col("c1").alias("c"))
-        .agg(F.count(F.lit(1)).alias("m_c"))
-    )
-    per_c = deg.join(intra, "c", "left").select(
-        "c", "d_c", F.coalesce("m_c", F.lit(0)).alias("m_c")
-    )
-    m = edges.count()  # driver scalar: one bounded count, reused as literal
-    if m == 0:
-        return spark.createDataFrame(
-            [(0, 0, 0, None)],
-            "n_nodes long, n_edges long, n_communities long, modularity double",
-        )
-    q_terms = per_c.select(
-        (
-            F.col("m_c") / F.lit(float(m))
-            - (F.col("d_c") / F.lit(2.0 * m)) * (F.col("d_c") / F.lit(2.0 * m))
-        ).alias("term")
-    )
-    summary = q_terms.agg(F.sum("term").alias("q"))
-    n_nodes = labels.count()
-    n_comms = per_c.count()
-    return summary.select(
-        F.lit(n_nodes).cast("long").alias("n_nodes"),
-        F.lit(m).cast("long").alias("n_edges"),
-        F.lit(n_comms).cast("long").alias("n_communities"),
-        rnd(F.col("q"), 6).alias("modularity"),
+    s = modularity_summary(edges, labels)
+    return s.select(
+        "n_nodes",
+        "n_edges",
+        "n_communities",
+        rnd(F.col("modularity"), 6).alias("modularity"),
     )
