@@ -174,6 +174,12 @@ _GATE_PLAN_CHANGED: tuple[str, ...] = ()
 #     plan-changed re-gate materializes in r10 it takes this slot instead.
 # After r10 the registry stands at 199/200 and the CAPACITY POLICY above
 # (freeze + one-in-one-out + tests-only lane) governs all further growth.
+# The round-9 tests-only operators (exact_substring_dup_stats,
+# ivf_index_refresh_audit, lpa_community_modularity in queries/round9.py,
+# plus the order_value_gini_by_nation_scalable twin) are NOT r10
+# registration candidates: under the freeze they stay in the lane
+# permanently unless a one-in-one-out delist is argued, and their pytest
+# oracle cross-checks already run the driver-row comparison at sf0.01.
 _PRIORITY_REST: tuple[str, ...] = (
     # r6-green refreshes (round-10 gate head)
     "ann_recall_eval",
