@@ -259,6 +259,11 @@ def ivf_index_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       (total PSI > 0.25) repeated on every row so the 8-row result is
       self-contained.
 
+    Precondition: both splits are non-empty (true for any corpus with
+    >= 10 consecutive vec_ids); an empty split makes the share
+    denominators 0, which ANSI mode surfaces as an explicit
+    DIVIDE_BY_ZERO on both engines rather than a silent NULL/inf.
+
     Scale design: ONE scan of the embeddings table computing the cell
     id map-side from the first 3 dims (element_at — no vector math),
     one 8-cell-bounded aggregate with map-side partials (conditional
