@@ -484,3 +484,25 @@ class TestLpaCommunityModularity:
             comms.setdefault(c, set()).add(n)
         assert len(comms) == 2
         assert nx.community.modularity(g, comms.values()) == pytest.approx(0.5)
+
+
+def test_prefix_sum_plan_has_no_single_partition_window(spark):
+    """The operator's reason to exist: every window in its plan must be
+    partitioned (by key + _pid bucket). A regression to an unpartitioned
+    window would silently reintroduce the all-data-to-one-partition
+    WindowExec the operator replaces."""
+    df = spark.createDataFrame(
+        [(k, float(v), 1) for k in range(2) for v in range(50)],
+        "k int, v double, cnt long",
+    )
+    out = range_partitioned_prefix_sum(df, ["k"], "v", "cnt", buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_pid" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            # spec args before the first ASC/DESC marker are the
+            # partition columns — there must be at least one
+            assert "windowspecdefinition(v#" not in line.replace(" ", ""), (
+                "window partitioned only by nothing/order col: " + line
+            )
+            assert "_pid" in line, "window lost its bucket partitioning: " + line
