@@ -25,6 +25,12 @@ decorator move.
   whether the communities reflect real dense cores (library oracle:
   networkx modularity, the graph family's fixture pattern).
 
+- BPE merge training (Sennrich 2016): the first k byte-pair merges
+  learned distributed via the classic factoring (merge statistics
+  need only the distinct-word count table — ONE corpus scan, then a
+  vocabulary-sized iteration), with exact left-to-right non-overlap
+  merge semantics pinned against a python recompute.
+
 Exactness contract as per round7.py/round8.py: integer char counts,
 one IEEE division rounded through rnd/rnd_sql on both engines.
 """
@@ -424,4 +430,109 @@ def lpa_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges",
         "n_communities",
         rnd(F.col("modularity"), 6).alias("modularity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (tokenizer-training operator, Sennrich 2016)
+# --------------------------------------------------------------------------
+_BPE_MERGES = 10
+
+
+def bpe_top_merges(
+    spark: SparkSession, sf_dir: str, k: int = _BPE_MERGES
+) -> DataFrame:
+    """The first ``k`` byte-pair-encoding merges learned from the corpus
+    (Sennrich, Haddow & Birch 2016) — the tokenizer-training operator an
+    LLM data pipeline runs before anything tokenizes. Deterministic:
+    each iteration merges the adjacent symbol pair with the highest
+    corpus frequency, ties broken by lexicographically smallest
+    (left, right). Returns (merge_rank, left, right, merged,
+    pair_count).
+
+    Scale design — the classic BPE factoring: merge statistics depend
+    only on the DISTINCT-WORD count table, so the corpus is scanned
+    ONCE (whitespace tokenize -> word counts, map-side combined, the
+    same exchange token_count_stats uses) and the k-iteration loop runs
+    on the vocabulary-sized table (Zipf: ~sqrt-ish of token volume).
+    Per iteration: adjacent pairs via zip_with over each word's symbol
+    array (map-side), ONE vocabulary-bounded pair-count aggregate, a
+    1-row argmax collect, and the merge applied JVM-side with an
+    aggregate() fold implementing exact LEFT-TO-RIGHT NON-OVERLAPPING
+    replacement ("a a a" + (a,a) -> "(aa) a" — the string-replace
+    shortcut is wrong at symbol boundaries, e.g. pair (a,b) inside
+    symbols ["xa","b"]). No end-of-word marker (documented deviation;
+    adding '</w>' is one append on the symbol array).
+
+    Tests-only lane; oracle = exact python recompute of the same
+    deterministic algorithm (tests/test_round9_ops.py), the graph
+    family's library-oracle evidence class."""
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # symbol arrays: one row per distinct word — the loop's working set
+    vocab = scoped_cache(
+        words.select(
+            F.expr("filter(split(w, ''), s -> s != '')").alias("syms"), "cnt"
+        )
+    )
+    merges = []
+    for rank in range(1, k + 1):
+        pairs = vocab.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(syms, 1, size(syms) - 1),"
+                    " slice(syms, 2, size(syms) - 1),"
+                    " (a, b) -> struct(a AS l, b AS r))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] <= 0:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((rank, l, r, l + r, n))
+        # exact left-to-right non-overlapping merge fold: acc carries
+        # (result-so-far, one pending symbol); a pending L followed by R
+        # emits LR and clears, anything else flushes the pending symbol
+        le, re_ = l.replace("'", "\\'"), r.replace("'", "\\'")
+        merged = F.expr(
+            "aggregate(syms,"
+            " struct(CAST(array() AS array<string>) AS res, CAST('' AS string) AS pend),"
+            " (acc, x) -> CASE"
+            "   WHEN acc.pend = '' THEN struct(acc.res AS res, x AS pend)"
+            f"  WHEN acc.pend = '{le}' AND x = '{re_}'"
+            f"    THEN struct(concat(acc.res, array('{le}{re_}')) AS res,"
+            "       CAST('' AS string) AS pend)"
+            "   ELSE struct(concat(acc.res, array(acc.pend)) AS res,"
+            "     x AS pend) END,"
+            " acc -> CASE WHEN acc.pend = '' THEN acc.res"
+            "   ELSE concat(acc.res, array(acc.pend)) END)"
+        )
+        new_vocab = scoped_cache(vocab.select(merged.alias("syms"), "cnt"))
+        new_vocab.count()
+        vocab = new_vocab
+    if not merges:
+        return spark.createDataFrame(
+            [],
+            "merge_rank int, left string, right string, merged string,"
+            " pair_count long",
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left string, right string, merged string,"
+        " pair_count long",
     )

@@ -506,3 +506,109 @@ def test_prefix_sum_plan_has_no_single_partition_window(spark):
                 "window partitioned only by nothing/order col: " + line
             )
             assert "_pid" in line, "window lost its bucket partitioning: " + line
+
+
+def _python_bpe(texts, k):
+    """Exact recompute of the deterministic BPE merge rule."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for rank in range(1, k + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += words[w]
+        if not pc:
+            break
+        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, n))
+        for w, syms in vocab.items():
+            out, pend = [], None
+            for x in syms:
+                if pend is None:
+                    pend = x
+                elif pend == l and x == r:
+                    out.append(l + r)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            vocab[w] = out
+    return merges
+
+
+class TestBpeTopMerges:
+    def test_hand_crafted_overlap_rule(self, spark, tmp_path):
+        """'aaaa' x3 + 'ab': (a,a) wins; LEFT-TO-RIGHT non-overlap gives
+        each 'aaaa' TWO (a,a) pairs merged to ['aa','aa'], so merge 2 is
+        (aa,aa) — the case a string-replace or overlap-counting
+        implementation gets wrong."""
+        from drug_target_discovery_spark.queries.round9 import bpe_top_merges
+
+        docs = [(0, "s", "aaaa aaaa aaaa ab")]
+        spark.createDataFrame(
+            docs, "doc_id long, source string, text string"
+        ).selectExpr(
+            "doc_id", "text", "'en' AS lang", "source", "length(text) AS n_chars"
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        got = [tuple(r) for r in bpe_top_merges(spark, str(tmp_path), k=3).collect()]
+        exp = _python_bpe(["aaaa aaaa aaaa ab"], 3)
+        assert got == exp
+        assert got[0][1:3] == ("a", "a")  # 9 weighted (a,a) pairs... 3 words x 3
+        assert got[1][1:3] == ("aa", "aa")
+
+    @pytest.mark.parametrize(
+        "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    )
+    def test_matches_python_recompute_on_corpus(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round9 import bpe_top_merges
+
+        got = [tuple(r) for r in bpe_top_merges(spark, sf, k=8).collect()]
+        texts = [
+            r[0]
+            for r in duckdb.connect()
+            .execute(f"SELECT text FROM read_parquet('{sf}/documents.parquet')")
+            .fetchall()
+        ]
+        exp = _python_bpe(texts, 8)
+        assert got == exp
+        assert len(got) == 8
+
+    @given(
+        texts=st.lists(
+            st.text(alphabet="abc ", min_size=0, max_size=30),
+            min_size=1,
+            max_size=6,
+        ),
+        k=st.sampled_from([1, 4]),
+    )
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    def test_matches_bruteforce_random(self, spark, tmp_path_factory, texts, k):
+        from drug_target_discovery_spark.queries.round9 import bpe_top_merges
+
+        d = tmp_path_factory.mktemp("bpe")
+        docs = [(i, "s", t) for i, t in enumerate(texts)]
+        spark.createDataFrame(
+            docs, "doc_id long, source string, text string"
+        ).selectExpr(
+            "doc_id", "text", "'x' AS lang", "source", "length(text) AS n_chars"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = [tuple(r) for r in bpe_top_merges(spark, str(d), k=k).collect()]
+        assert got == _python_bpe(texts, k)
