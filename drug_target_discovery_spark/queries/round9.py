@@ -53,7 +53,10 @@ _SUBSTR_L = 25
 
 
 def exact_substring_dup_stats(
-    spark: SparkSession, sf_dir: str, min_len: int = _SUBSTR_L
+    spark: SparkSession,
+    sf_dir: str,
+    min_len: int = _SUBSTR_L,
+    trivial_dup_df: int | None = None,
 ) -> DataFrame:
     """Per-source exact duplicate-substring audit: for every document,
     the characters covered by some length->=``min_len`` substring that
@@ -90,7 +93,19 @@ def exact_substring_dup_stats(
 
     The grain arithmetic stays in BIGINT (chars per source << 2^63 at
     any SF); dup_share is one IEEE division rounded half-up on both
-    engines."""
+    engines.
+
+    ``trivial_dup_df`` is the heavily-duplicated-corpus valve (the
+    mitigation the x30 clone probe named, SCALING.md): hashes occurring
+    >= this many times flag their positions DIRECTLY, skipping the
+    exact gram verify — on a 100%-duplicated corpus pass 2 otherwise
+    degenerates into a full corpus-wide gram-string aggregate (measured
+    67x wall at 30x clone data). Default None = fully exact. With the
+    valve on, a false flag requires a 64-bit xxhash collision landing
+    inside a >=cap-df hash group (~|positions|^2 / 2^64 expected
+    corpus-wide — astronomically rare, but not zero, hence opt-in);
+    tests pin valve-on == valve-off on corpora with real high-df
+    repeats."""
     L = int(min_len)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text", F.length("text").alias("len")
@@ -113,12 +128,24 @@ def exact_substring_dup_stats(
     ).select("doc_id", (F.col("pos0") + 1).alias("i"), "h")
 
     # pass 1: duplicated HASHES — 8-byte keys, map-side combined
-    dup_hashes = (
+    hash_counts = (
         positions.groupBy("h")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") > 1)
-        .select("h")
     )
+    if trivial_dup_df is not None:
+        # heavily-duplicated valve: >= cap occurrences flag directly
+        # (no gram ever extracted or shuffled for these positions)
+        trivial = hash_counts.filter(F.col("cnt") >= int(trivial_dup_df)).select("h")
+        dup_hashes = hash_counts.filter(
+            F.col("cnt") < int(trivial_dup_df)
+        ).select("h")
+        trivially_flagged = positions.join(trivial, "h", "leftsemi").select(
+            "doc_id", "i"
+        )
+    else:
+        dup_hashes = hash_counts.select("h")
+        trivially_flagged = None
     # candidate positions: 24-byte rows through the semi join (AQE
     # broadcasts dup_hashes when small)
     candidates = positions.join(dup_hashes, "h", "leftsemi").select("doc_id", "i")
@@ -143,6 +170,8 @@ def exact_substring_dup_stats(
         .select("gram")
     )
     flagged = cand_grams.join(dup_grams, "gram", "leftsemi").select("doc_id", "i")
+    if trivially_flagged is not None:
+        flagged = flagged.unionByName(trivially_flagged)
 
     # interval union: same-length intervals sorted by start merge iff
     # gap <= L; covered chars per span = max(i) - min(i) + L

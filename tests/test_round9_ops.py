@@ -612,3 +612,51 @@ class TestBpeTopMerges:
         ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
         got = [tuple(r) for r in bpe_top_merges(spark, str(d), k=k).collect()]
         assert got == _python_bpe(texts, k)
+
+
+class TestSubstringTrivialDupValve:
+    @pytest.mark.parametrize("cap", [2, 3, 100])
+    def test_valve_equals_exact_form(self, spark, tmp_path, cap):
+        """The heavily-duplicated valve must not change results on real
+        high-df corpora (no hash collisions at test scale): cap=2 sends
+        EVERY duplicated hash down the trivial path, cap=3 mixes both
+        paths, cap=100 is effectively off."""
+        from drug_target_discovery_spark.queries.round9 import (
+            exact_substring_dup_stats,
+        )
+
+        shared = "the quick brown fox jumps over the lazy dog wow"
+        docs = [(i, "a", f"DOC-{i:03d} " + shared + f" TAIL-{i:03d}") for i in range(6)]
+        docs += [(9, "b", "a completely unique document with no repeats x")]
+        spark.createDataFrame(
+            docs, "doc_id long, source string, text string"
+        ).selectExpr(
+            "doc_id", "text", "'en' AS lang", "source", "length(text) AS n_chars"
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        exact = sorted(
+            map(tuple, exact_substring_dup_stats(spark, str(tmp_path)).collect())
+        )
+        valved = sorted(
+            map(
+                tuple,
+                exact_substring_dup_stats(
+                    spark, str(tmp_path), trivial_dup_df=cap
+                ).collect(),
+            )
+        )
+        assert exact == valved
+
+    def test_valve_equals_exact_on_corpus(self, spark):
+        from drug_target_discovery_spark.queries.round9 import (
+            exact_substring_dup_stats,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        exact = sorted(map(tuple, exact_substring_dup_stats(spark, sf).collect()))
+        valved = sorted(
+            map(
+                tuple,
+                exact_substring_dup_stats(spark, sf, trivial_dup_df=4).collect(),
+            )
+        )
+        assert exact == valved
