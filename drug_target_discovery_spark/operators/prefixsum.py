@@ -135,3 +135,38 @@ def range_partitioned_prefix_sum(
         .withColumn(out, (local + F.col("_off")).cast(dec))
         .drop("_pid", "_off")
     )
+
+
+def weighted_median_by_key(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    weight_col: str,
+    out: str = "weighted_median",
+    buckets: int = 200,
+) -> DataFrame:
+    """Exact lower weighted median per key — the smallest value v with
+    cumulative weight(<= v) >= total/2 — computed entirely through the
+    range-partitioned prefix sum, so no per-key ordered domain ever
+    lands on one partition (the regime where percentile_approx loses
+    exactness and an exact sort-based median loses scalability).
+
+    Plan: tie-collapse to the (key, value) grain with summed weights
+    (ONE keyed map-side-combinable shuffle), INCLUSIVE prefix sum over
+    the grain (the operator above: bucketed local windows + broadcast
+    offsets), per-key totals as one aggregate, then min(value) over
+    rows with 2*cum >= total. Integer-exact when weights are integers
+    (DECIMAL(38,0) cumulative sums); 2*cum stays in decimal."""
+    grain = df.groupBy(key, value_col).agg(
+        F.sum(weight_col).alias("_w")
+    )
+    cum = range_partitioned_prefix_sum(
+        grain, [key], value_col, "_w", out="_cum", buckets=buckets, exclusive=False
+    )
+    totals = grain.groupBy(key).agg(F.sum("_w").cast("decimal(38,0)").alias("_tot"))
+    return (
+        cum.join(totals, key)
+        .filter(F.col("_cum") * 2 >= F.col("_tot"))
+        .groupBy(key)
+        .agg(F.min(value_col).alias(out))
+    )

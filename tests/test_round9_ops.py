@@ -660,3 +660,92 @@ class TestSubstringTrivialDupValve:
             )
         )
         assert exact == valved
+
+
+class TestWeightedMedianByKey:
+    def test_matches_bruteforce_and_unweighted_median(self, spark):
+        """Lower weighted median vs python brute force, including the
+        unit-weight case where it must equal the classic lower median."""
+        from drug_target_discovery_spark.operators.prefixsum import (
+            weighted_median_by_key,
+        )
+
+        rows = [
+            (k, float(v), (k * 7 + v * 3) % 5 + 1)
+            for k in range(4)
+            for v in range(1, 30)
+        ]
+        df = spark.createDataFrame(rows, "k int, v double, w long")
+        got = {
+            r["k"]: r["weighted_median"]
+            for r in weighted_median_by_key(df, "k", "v", "w", buckets=6).collect()
+        }
+
+        def brute(items):
+            total = sum(w for _, w in items)
+            cum = 0
+            for v, w in sorted(items):
+                cum += w
+                if 2 * cum >= total:
+                    return v
+
+        exp = {}
+        for k in range(4):
+            exp[k] = brute([(v, w) for kk, v, w in rows if kk == k])
+        assert got == exp
+        # unit weights -> classic lower median
+        dfu = df.withColumn("w", F.lit(1))
+        gotu = {
+            r["k"]: r["weighted_median"]
+            for r in weighted_median_by_key(dfu, "k", "v", "w", buckets=6).collect()
+        }
+        for k in range(4):
+            vals = sorted(v for kk, v, _ in rows if kk == k)
+            assert gotu[k] == vals[(len(vals) - 1) // 2]
+
+    def test_matches_duckdb_on_lineitem(self, spark):
+        """Quantity-weighted median price per returnflag on the real
+        table, vs DuckDB's brute-force cumulative formulation."""
+        import duckdb
+
+        from drug_target_discovery_spark.operators.prefixsum import (
+            weighted_median_by_key,
+        )
+        from drug_target_discovery_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.01"
+        li = load_table(spark, sf, "lineitem").select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+            F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+        )
+        got = {
+            r["l_returnflag"]: int(r["weighted_median"])
+            for r in weighted_median_by_key(
+                li, "l_returnflag", "cents", "qty", buckets=32
+            ).collect()
+        }
+        exp = dict(
+            duckdb.connect()
+            .execute(
+                f"""
+                WITH g AS (
+                  SELECT l_returnflag AS k,
+                         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+                         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS HUGEINT) AS w
+                  FROM read_parquet('{sf}/lineitem.parquet')
+                  GROUP BY 1, 2
+                ),
+                c AS (
+                  SELECT k, v, sum(w) OVER (PARTITION BY k ORDER BY v) AS cum,
+                         sum(w) OVER (PARTITION BY k) AS tot
+                  FROM g
+                )
+                SELECT k, CAST(min(v) AS BIGINT)
+                FROM c WHERE 2 * cum >= tot GROUP BY k
+                """
+            )
+            .fetchall()
+        )
+        assert got == exp
+        assert len(got) == 3
