@@ -45,13 +45,13 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-visit priority. The driver's correctness gate walks the queries()
 # dict in insertion order and stops at 50 entries per round, so coverage is a
-# rotation problem (VERDICT r3 #1). Round 9's 50 is exactly the plan written
-# at r8 close (and VERDICT r8 #1): the full 50-query r5-evidence cohort,
-# whose driver evidence hits the age-4 staleness ceiling at this gate.
-# ZERO new registrations this round — the rotation arithmetic (197
-# registered / 50 slots / age budget 4) leaves no free slot, so round-9
-# operator work lands as unit/property-tested, oracle-ready, UNREGISTERED
-# queries (the fano/LPA lane proved at r8).
+# rotation problem (VERDICT r3 #1). Round 10's 50 is exactly the plan written
+# at r9 close (and VERDICT r9 #1): the 47-query r6-evidence cohort (hits the
+# age-4 ceiling after r10) + the two committed registrations
+# (event_burstiness_fano, label_propagation_communities — decorator moves
+# from the tests-only lane, both declared in _GATE_PLAN_CHANGED) +
+# kaplan_meier_customer_gaps (the stalest r7-cohort query) in slot 50.
+# After this gate the registry stands at 199/200 under the freeze.
 # _PRIORITY_GATE must hold exactly _GATE_WINDOW names; a unit test pins the
 # length, and tests/test_registry_rotation.py enforces the staleness budget
 # (no query's driver evidence older than _MAX_EVIDENCE_AGE rounds after the
@@ -87,101 +87,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _GATE_WINDOW = 50
 
 _PRIORITY_GATE: tuple[str, ...] = (
-    # The full r5-evidence cohort (50) — the oldest driver evidence in the
-    # repo (age 4 at the r9 gate, the staleness ceiling).
-    "auc_by_cohort",
-    "bigram_pmi_collocations",
-    "boilerplate_ngram_stats",
-    "chi2_status_priority",
-    "conditional_log2",
-    "core_numbers_corr_graph",
-    "count_min_frequency_probe",
-    "cube_order_stats",
-    "curation_end_to_end",
-    "embedding_label_stats",
-    "event_transition_matrix",
-    "grouping_sets_ship_stats",
-    "hybrid_retrieval_rerank",
-    "kmeans_lloyd_clusters",
-    "ks_test_price_drift",
-    "lang_id_stopwords",
-    "large_quantity_orders",
-    "late_sole_supplier_orders",
-    "media_metadata_stats",
-    "missing_census",
-    "na_threshold_filter",
-    "near_dup_groups",
-    "ntile_price_bands",
-    "pagerank_corr_graph",
-    "part_name_analysis",
-    "part_pair_affinity",
-    "pr_curve_sampled",
-    "promo_revenue_share",
-    "psi_price_stability",
-    "quantile_normalize_exact",
-    "repeated_ngram_fraction",
-    "revenue_pareto_deciles",
-    "rolling_hash_fingerprint",
-    "semantic_dedup_prune",
-    "sequence_packing",
-    "session_windows_builtin",
-    "session_windows_gap",
-    "simhash_fingerprints",
-    "simhash_near_dups",
-    "split_contamination_audit",
-    "supplier_composite_score",
-    "text_quality_scores",
-    "tfidf_top_terms",
-    "token_count_stats",
-    "top_variance_parts",
-    "training_shard_assignment",
-    "winnowing_fingerprints",
-    "winsorized_price_stats",
-    "zorder_file_layout",
-    "zscore_by_part",
-)
-
-# Gate members whose slot is justified by a NEW or CHANGED plan rather than
-# evidence staleness. tests/test_registry_rotation.py exempts these from the
-# stalest-first ordering check (their evidence, if any, is legitimately
-# fresh) — every other gate member must be at least as stale as everything
-# left outside the gate. Round 9 registers nothing and changes no registered
-# plan, so the exemption set is empty.
-_GATE_PLAN_CHANGED: tuple[str, ...] = ()
-
-# Slots 51+: refresh order for queries that already hold a green driver row
-# — oldest evidence first. After the r9 gate runs, the r6 cohort (47 names
-# below) is the oldest evidence in the repo and heads the round-10 gate
-# (age hits the 4-round ceiling after r10); the r7 and r8 cohorts follow.
-#
-# Round-10 gate plan (written at r9 close, per VERDICT r8 #7): the r10 gate
-# is the 47-query r6 cohort + 2 registrations + 1 plan-change headroom slot:
-#   event_burstiness_fano — IMPLEMENTED round 8 (queries/round8.py,
-#     oracle ready in _FANO_ORACLE, DuckDB cross-check already running
-#     in tests/test_round8_ops.py, x10/x30 scale probe row in SCALING.md):
-#     registration is moving the @register decorator onto it and adding
-#     the gate slot (declare it in _GATE_PLAN_CHANGED).
-#   label_propagation_communities — IMPLEMENTED round 8
-#     (graph/algorithms.py label_propagation, python-recompute parity
-#     pinned at k=1/3/5; queries/round8.py carries the full driver query
-#     AND its oracle _LPA_ORACLE — unrolled fixed-K iteration CTEs over
-#     the same pair SQL connected_components_near_dups uses — already
-#     cross-checked exact vs DuckDB at sf0.001 and sf0.01 in
-#     tests/test_round8_ops.py): registration is a decorator move
-#     (declare it in _GATE_PLAN_CHANGED).
-#   slot 50 — the stalest r7-cohort query (kaplan_meier_customer_gaps,
-#     first name in the r7 block below), pulled one round early; if a
-#     plan-changed re-gate materializes in r10 it takes this slot instead.
-# After r10 the registry stands at 199/200 and the CAPACITY POLICY above
-# (freeze + one-in-one-out + tests-only lane) governs all further growth.
-# The round-9 tests-only operators (exact_substring_dup_stats,
-# ivf_index_refresh_audit, lpa_community_modularity in queries/round9.py,
-# plus the order_value_gini_by_nation_scalable twin) are NOT r10
-# registration candidates: under the freeze they stay in the lane
-# permanently unless a one-in-one-out delist is argued, and their pytest
-# oracle cross-checks already run the driver-row comparison at sf0.01.
-_PRIORITY_REST: tuple[str, ...] = (
-    # r6-green refreshes (round-10 gate head)
+    # The full r6-evidence cohort (47) — the oldest driver evidence in the
+    # repo (age 4 at the r10 gate, the staleness ceiling).
     "ann_recall_eval",
     "benford_first_digit_check",
     "calendar_gap_fill_revenue",
@@ -229,9 +136,60 @@ _PRIORITY_REST: tuple[str, ...] = (
     "weighted_reservoir_sample",
     "zipf_slope_tokens",
     "zone_map_stats",
-    # r7-green refreshes (the round-7 gate: 10 r7-new/plan-changed + the
-    # 40-query r3 cohort refreshed at r7)
+    # The two committed r10 registrations (decorator moves from the
+    # tests-only lane; plan-changed slots, declared below).
+    "event_burstiness_fano",
+    "label_propagation_communities",
+    # Slot 50: the stalest r7-cohort query, pulled one round early (no
+    # plan-changed re-gate materialized this round).
     "kaplan_meier_customer_gaps",
+)
+
+# Gate members whose slot is justified by a NEW or CHANGED plan rather than
+# evidence staleness. tests/test_registry_rotation.py exempts these from the
+# stalest-first ordering check (their evidence, if any, is legitimately
+# fresh) — every other gate member must be at least as stale as everything
+# left outside the gate. Round 10 registers the two queries the r9-close
+# plan committed to (first driver rows — decorator moves from the
+# tests-only lane).
+_GATE_PLAN_CHANGED: tuple[str, ...] = (
+    "event_burstiness_fano",
+    "label_propagation_communities",
+)
+
+# Slots 51+: refresh order for queries that already hold a green driver row
+# — oldest evidence first. After the r10 gate runs, the r7 cohort (49 names
+# below, kaplan_meier already refreshed in slot 50 above) is the oldest
+# evidence in the repo and heads the round-11 gate (age hits the 4-round
+# ceiling after r11); the r8 and r9 cohorts follow.
+#
+# Round-11 gate plan (written at r10 close): the r11 gate is the 49-query
+# r7 cohort (every name in the first block below) + 1 headroom slot:
+#   slot 50 — the stalest r8-cohort query (price_band_lookup_binned, first
+#     name in the r8 block below), pulled one round early; if a
+#     plan-changed re-gate materializes in r11 it takes this slot instead.
+# ZERO registrations in r11: the registry is at its 199 freeze; any new
+# registration requires the one-in-one-out delist recorded in the CAPACITY
+# POLICY above.
+#
+# ONE-IN-ONE-OUT DECISION (2026-08-15, VERDICT r9 #6): the tests-only lane
+# operators (exact_substring_dup_stats, ivf_index_refresh_audit,
+# lpa_community_modularity, bpe_top_merges, the gini scalable twin) STAY in
+# the lane permanently; the shortlisted delists (simhash_fingerprints,
+# minhash_signatures) are NOT executed. Rationale: the driver-hash row a
+# swap would buy duplicates evidence the lane already has — each lane
+# operator's pytest oracle cross-check runs the SAME comparison (DuckDB
+# SQL, sorted-column hash, sf0.01) the driver runs — while the delisted
+# queries would LOSE their driver rows outright, and both shortlist members
+# exercise a distinct registered surface (the raw fingerprint/signature
+# tables feed downstream joins users run directly). Net evidence of a swap
+# is negative. Revisit only if a lane operator's plan changes in a way
+# pytest cannot gate (e.g. a nondeterministic form needing the driver's
+# rows-only lane).
+_PRIORITY_REST: tuple[str, ...] = (
+    # r7-green refreshes (round-11 gate head; the round-7 gate was 10
+    # r7-new/plan-changed + the 40-query r3 cohort refreshed at r7;
+    # kaplan_meier_customer_gaps moved to the r10 gate's slot 50)
     "cusum_changepoint_daily_revenue",
     "basket_brand_lift",
     "minhash_jaccard_estimate_error",
@@ -333,11 +291,64 @@ _PRIORITY_REST: tuple[str, ...] = (
     "view_purchase_attribution",
     "weighted_systematic_sample",
     "welch_t_by_part",
+    # r9-green refreshes (the round-9 gate: the full 50-query r5 cohort,
+    # refreshed at r9 — the freshest evidence in the repo)
+    "auc_by_cohort",
+    "bigram_pmi_collocations",
+    "boilerplate_ngram_stats",
+    "chi2_status_priority",
+    "conditional_log2",
+    "core_numbers_corr_graph",
+    "count_min_frequency_probe",
+    "cube_order_stats",
+    "curation_end_to_end",
+    "embedding_label_stats",
+    "event_transition_matrix",
+    "grouping_sets_ship_stats",
+    "hybrid_retrieval_rerank",
+    "kmeans_lloyd_clusters",
+    "ks_test_price_drift",
+    "lang_id_stopwords",
+    "large_quantity_orders",
+    "late_sole_supplier_orders",
+    "media_metadata_stats",
+    "missing_census",
+    "na_threshold_filter",
+    "near_dup_groups",
+    "ntile_price_bands",
+    "pagerank_corr_graph",
+    "part_name_analysis",
+    "part_pair_affinity",
+    "pr_curve_sampled",
+    "promo_revenue_share",
+    "psi_price_stability",
+    "quantile_normalize_exact",
+    "repeated_ngram_fraction",
+    "revenue_pareto_deciles",
+    "rolling_hash_fingerprint",
+    "semantic_dedup_prune",
+    "sequence_packing",
+    "session_windows_builtin",
+    "session_windows_gap",
+    "simhash_fingerprints",
+    "simhash_near_dups",
+    "split_contamination_audit",
+    "supplier_composite_score",
+    "text_quality_scores",
+    "tfidf_top_terms",
+    "token_count_stats",
+    "top_variance_parts",
+    "training_shard_assignment",
+    "winnowing_fingerprints",
+    "winsorized_price_stats",
+    "zorder_file_layout",
+    "zscore_by_part",
 )
 
-# (The r8-close "round-9 gate plan" comment was executed this round — the
-# r5 cohort moved into _PRIORITY_GATE, nothing registered — and is
-# superseded by the round-10 plan comment above _PRIORITY_REST.)
+# (The r9-close "round-10 gate plan" comment was executed this round — the
+# r6 cohort moved into _PRIORITY_GATE, fano + LPA registered as declared
+# plan-changed slots, kaplan_meier in slot 50 — and is superseded by the
+# round-11 plan comment above _PRIORITY_REST.)
 _PRIORITY: tuple[str, ...] = _PRIORITY_GATE + _PRIORITY_REST
 
 

@@ -344,9 +344,8 @@ def hapax_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Per-user Fano burstiness (designed r8, registration deferred to the r10
-# gate — the r9 gate is fully owned by the r5-cohort staleness refresh;
-# see the registry's r9/r10 plan comment)
+# Per-user Fano burstiness (designed r8; registered at the r10 gate per
+# the plan written at r9 close — see the registry's r10 plan comment)
 # --------------------------------------------------------------------------
 _FANO_ORACLE = f"""
     WITH e AS (
@@ -384,6 +383,11 @@ _FANO_ORACLE = f"""
 """
 
 
+@register(
+    "event_burstiness_fano",
+    tags=("events", "stats", "scalable"),
+    oracle=_FANO_ORACLE,
+)
 def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(user, event_type) Fano factor (variance/mean) of DAILY event
     counts over the corpus calendar span — the burstiness index: Fano = 1
@@ -410,8 +414,9 @@ def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: two keyed shuffles — the fact to the (user, type, day)
     grain, then to the (user, type) grain, both map-side combinable; the
     2-row span aggregate broadcasts; output is event-type-domain-bounded.
-    Registration deferred to the r10 gate (oracle ready: _FANO_ORACLE);
-    until then tests/test_round8_ops.py carries the python recompute."""
+    Registered at the r10 gate as planned (decorator move, declared in
+    _GATE_PLAN_CHANGED); tests/test_round8_ops.py keeps the python
+    recompute cross-check alongside the driver hash row."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.date_trunc("day", "ts").alias("day")
     )
@@ -456,7 +461,7 @@ def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Label propagation communities over the near-dup candidate graph
-# (designed r8, registration deferred to the r10 gate like fano)
+# (designed r8; registered at the r10 gate like fano)
 # --------------------------------------------------------------------------
 _LPA_ITERS = 4
 
@@ -518,6 +523,11 @@ def _lpa_oracle(n_iter: int) -> str:
 _LPA_ORACLE = _lpa_oracle(_LPA_ITERS)
 
 
+@register(
+    "label_propagation_communities",
+    tags=("graph", "dedup", "communities", "scalable"),
+    oracle=_LPA_ORACLE,
+)
 def label_propagation_communities(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -534,9 +544,10 @@ def label_propagation_communities(
     rounds over the pair graph — SCALING.md measured 2.7x wall at 10x
     edges on hub-skewed synthetic graphs.
 
-    Registration deferred to the r10 gate (oracle ready: _LPA_ORACLE,
-    unrolled fixed-K CTEs over the same pair SQL the CC oracle uses);
-    until then tests/test_round8_ops.py runs the DuckDB cross-check."""
+    Registered at the r10 gate as planned (decorator move, declared in
+    _GATE_PLAN_CHANGED; oracle: _LPA_ORACLE, unrolled fixed-K CTEs over
+    the same pair SQL the CC oracle uses); tests/test_round8_ops.py
+    keeps the DuckDB cross-check alongside the driver hash row."""
     from drug_target_discovery_spark.graph.algorithms import (
         label_propagation,
     )
