@@ -14,9 +14,10 @@ functions/stats.py:275):
           embedded as comparison literals (deterministic expression of
           the value — repartitionByRange's per-execution sampled
           boundaries could disagree between the passes);
-  pass 1  per-(key, bucket) totals -> per-key running offsets, a table
-          bounded by |keys| x buckets, computed driver-side and
-          broadcast back;
+  pass 1  per-(key, bucket) totals -> per-key running offsets: one
+          small key-partitioned window over the |keys| x buckets
+          totals table (nothing driver-side — VERDICT r9 #5 removed
+          the earlier collect+python stitch), broadcast back;
   pass 2  per-(key, bucket) local window + the broadcast offset.
 
 Exactness is boundary-independent: boundaries only balance the buckets,
@@ -55,27 +56,47 @@ def range_partitioned_prefix_sum(
     row); ``exclusive=False`` includes the current row.
 
     Precondition: (partition_cols, order_col) identifies rows uniquely
-    (true for tie-collapsed grains like Gini's (nation, cents)).
+    (true for tie-collapsed grains like Gini's (nation, cents)), and
+    ``order_col``/``value_col`` are non-NULL — NULL order values would
+    silently collapse into bucket 0 (every range comparison is NULL ->
+    otherwise-0) and break the uniqueness contract, so both are checked
+    up front with one cheap aggregate over the already-cached input and
+    violations raise ``ValueError`` (ADVICE r9: the earlier form
+    surfaced them as a driver TypeError or silent misbucketing).
     Ordered ties would make the EXCLUSIVE form depend on intra-tie
     order, which a distributed sort does not define; the inclusive form
     over full tie groups is well-defined but not what this computes.
 
-    Driver/broadcast budget: the offsets table is |keys| x buckets rows
-    — both caller-chosen bounds (Gini: 25 nations x 200 = 5,000). The
-    value sums run in DECIMAL(38,0) so offset stitching cannot overflow
-    long counts at 100 TB grains.
+    Broadcast budget: the offsets table is |keys| x buckets rows — both
+    caller-chosen bounds (Gini: 25 nations x 200 = 5,000). The offsets
+    are themselves a per-key exclusive running sum over that bounded
+    table, computed as one key-partitioned Spark window (bounded frame,
+    never single-partition) and broadcast back. The value sums run in
+    DECIMAL(38,0) so offset stitching cannot overflow long counts at
+    100 TB grains.
     """
     if buckets < 1:
         raise ValueError("buckets must be positive")
     from drug_target_discovery_spark.caching import scoped_cache
 
     # multi-pass discipline (the bh_fdr_scalable rule): three actions
-    # consume df (approxQuantile, the totals collect, the consumer's
-    # final job) — without the query-scoped cache each one recomputes
-    # df's full upstream plan, which the r9 probe measured at 8x the
-    # window form's wall on the Gini grain
+    # consume df (the null guard + approxQuantile, the offsets-side
+    # totals, the consumer's final job) — without the query-scoped
+    # cache each one recomputes df's full upstream plan, which the r9
+    # probe measured at 8x the window form's wall on the Gini grain
     df = scoped_cache(df)
     dec = "decimal(38,0)"
+    # precondition guard: NULL order/value violate the contract noisily
+    nulls = df.agg(
+        F.count(F.when(F.col(order_col).isNull(), 1)).alias("o"),
+        F.count(F.when(F.col(value_col).isNull(), 1)).alias("v"),
+    ).first()
+    if nulls["o"] or nulls["v"]:
+        raise ValueError(
+            f"range_partitioned_prefix_sum requires non-NULL {order_col!r}"
+            f" and {value_col!r}: found {nulls['o']} NULL order and"
+            f" {nulls['v']} NULL value rows — filter or coalesce upstream"
+        )
     # pass 0: value-deterministic range bucketing (loose 1% quantile
     # error only skews balance, never correctness). buckets=1 is the
     # degenerate single-range case (no boundaries — approxQuantile NPEs
@@ -93,32 +114,25 @@ def range_partitioned_prefix_sum(
     bucketed = df.withColumn("_pid", bucket)
 
     # pass 1: per-(key, bucket) totals -> per-key exclusive running
-    # offsets over bucket id, computed on the bounded |keys| x buckets
-    # table and broadcast back
-    totals = (
-        bucketed.groupBy(*partition_cols, "_pid")
-        .agg(F.sum(F.col(value_col).cast(dec)).alias("_tot"))
-        .collect()
+    # offsets over bucket id. The totals table is bounded by |keys| x
+    # buckets, so the running sum is ONE small key-partitioned window
+    # (bounded frame per key; never a single-partition window) — all in
+    # Spark, no driver-side stitching (VERDICT r9 #5).
+    totals = bucketed.groupBy(*partition_cols, "_pid").agg(
+        F.sum(F.col(value_col).cast(dec)).alias("_tot")
     )
-    by_key: dict[tuple, list] = {}
-    for r in totals:
-        by_key.setdefault(tuple(r[c] for c in partition_cols), []).append(r)
-    offset_rows = []
-    for key, rows in by_key.items():
-        acc = 0
-        for r in sorted(rows, key=lambda r: r["_pid"]):
-            offset_rows.append((*key, r["_pid"], str(acc)))
-            acc += int(r["_tot"])
-    key_schema = ", ".join(
-        f"{c} {t}"
-        for c, t in zip(
-            partition_cols,
-            [dict(df.dtypes)[c] for c in partition_cols],
-        )
+    w_off = (
+        W.partitionBy(*partition_cols)
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, -1)
     )
-    offsets = df.sparkSession.createDataFrame(
-        offset_rows, f"{key_schema}, _pid int, _off_s string"
-    ).select(*partition_cols, "_pid", F.col("_off_s").cast(dec).alias("_off"))
+    offsets = totals.select(
+        *partition_cols,
+        "_pid",
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0).cast(dec)).alias(
+            "_off"
+        ),
+    )
 
     # pass 2: local window inside each (key, bucket) + broadcast offset
     upper = -1 if exclusive else 0
@@ -155,8 +169,28 @@ def weighted_median_by_key(
     (ONE keyed map-side-combinable shuffle), INCLUSIVE prefix sum over
     the grain (the operator above: bucketed local windows + broadcast
     offsets), per-key totals as one aggregate, then min(value) over
-    rows with 2*cum >= total. Integer-exact when weights are integers
-    (DECIMAL(38,0) cumulative sums); 2*cum stays in decimal."""
+    rows with 2*cum >= total. Exact because the DECIMAL(38,0)
+    cumulative sums are exact — which requires INTEGRAL weights, so the
+    weight column's dtype is validated up front (int types or a
+    zero-scale decimal) and anything fractional raises instead of being
+    silently rounded into a wrong median (ADVICE r9); 2*cum stays in
+    decimal."""
+    import re as _re
+
+    wt = dict(df.dtypes).get(weight_col)
+    if wt is None:
+        raise ValueError(f"weight column {weight_col!r} not in DataFrame")
+    integral = wt in ("tinyint", "smallint", "int", "bigint") or bool(
+        _re.fullmatch(r"decimal\(\d+,0\)", wt)
+    )
+    if not integral:
+        raise ValueError(
+            f"weighted_median_by_key requires an integral weight column"
+            f" (int types or decimal(p,0)); {weight_col!r} is {wt} —"
+            f" fractional weights would be silently rounded by the"
+            f" DECIMAL(38,0) accumulator. Rescale to integers upstream"
+            f" (e.g. fixed-point cents) if fractional weights are meant."
+        )
     grain = df.groupBy(key, value_col).agg(
         F.sum(weight_col).alias("_w")
     )

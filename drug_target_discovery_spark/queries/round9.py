@@ -496,7 +496,7 @@ def bpe_top_merges(
     Tests-only lane; oracle = exact python recompute of the same
     deterministic algorithm (tests/test_round9_ops.py), the graph
     family's library-oracle evidence class."""
-    from drug_target_discovery_spark.caching import scoped_cache
+    from drug_target_discovery_spark.caching import track
 
     docs = load_table(spark, sf_dir, "documents").select("text")
     words = (
@@ -505,12 +505,13 @@ def bpe_top_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # symbol arrays: one row per distinct word — the loop's working set
-    vocab = scoped_cache(
-        words.select(
-            F.expr("filter(split(w, ''), s -> s != '')").alias("syms"), "cnt"
-        )
-    )
+    # symbol arrays: one row per distinct word — the loop's working set.
+    # Per-generation cache + unpersist-the-superseded (the
+    # label_propagation loop idiom): only the live generation stays
+    # pinned, the survivor is tracked for query-scoped release.
+    vocab = words.select(
+        F.expr("filter(split(w, ''), s -> s != '')").alias("syms"), "cnt"
+    ).cache()
     merges = []
     for rank in range(1, k + 1):
         pairs = vocab.select(
@@ -536,24 +537,46 @@ def bpe_top_merges(
         merges.append((rank, l, r, l + r, n))
         # exact left-to-right non-overlapping merge fold: acc carries
         # (result-so-far, one pending symbol); a pending L followed by R
-        # emits LR and clears, anything else flushes the pending symbol
-        le, re_ = l.replace("'", "\\'"), r.replace("'", "\\'")
-        merged = F.expr(
-            "aggregate(syms,"
-            " struct(CAST(array() AS array<string>) AS res, CAST('' AS string) AS pend),"
-            " (acc, x) -> CASE"
-            "   WHEN acc.pend = '' THEN struct(acc.res AS res, x AS pend)"
-            f"  WHEN acc.pend = '{le}' AND x = '{re_}'"
-            f"    THEN struct(concat(acc.res, array('{le}{re_}')) AS res,"
-            "       CAST('' AS string) AS pend)"
-            "   ELSE struct(concat(acc.res, array(acc.pend)) AS res,"
-            "     x AS pend) END,"
-            " acc -> CASE WHEN acc.pend = '' THEN acc.res"
-            "   ELSE concat(acc.res, array(acc.pend)) END)"
+        # emits LR and clears, anything else flushes the pending symbol.
+        # Built with the Column API — the learned symbols are BOUND as
+        # literals (F.lit), never spliced into SQL text, so symbols
+        # containing quotes/backslashes/any byte are safe (ADVICE r9:
+        # the earlier expr-string form died on backslash-bearing
+        # corpora). '' is a safe no-pending sentinel: source symbols are
+        # single non-empty characters and merges only concatenate.
+        lp, rp, mp = F.lit(l), F.lit(r), F.lit(l + r)
+        merged = F.aggregate(
+            F.col("syms"),
+            F.struct(
+                F.array().cast("array<string>").alias("res"),
+                F.lit("").alias("pend"),
+            ),
+            lambda acc, x: F.when(
+                acc["pend"] == "",
+                F.struct(acc["res"].alias("res"), x.alias("pend")),
+            )
+            .when(
+                (acc["pend"] == lp) & (x == rp),
+                F.struct(
+                    F.concat(acc["res"], F.array(mp)).alias("res"),
+                    F.lit("").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["res"], F.array(acc["pend"])).alias("res"),
+                    x.alias("pend"),
+                )
+            ),
+            lambda acc: F.when(acc["pend"] == "", acc["res"]).otherwise(
+                F.concat(acc["res"], F.array(acc["pend"]))
+            ),
         )
-        new_vocab = scoped_cache(vocab.select(merged.alias("syms"), "cnt"))
+        new_vocab = vocab.select(merged.alias("syms"), "cnt").cache()
         new_vocab.count()
+        vocab.unpersist()
         vocab = new_vocab
+    track(vocab)  # surviving generation, released by the harness loop
     if not merges:
         return spark.createDataFrame(
             [],

@@ -56,6 +56,18 @@ class TestRangePartitionedPrefixSum:
         assert out.count() == 2
         assert set(out.columns) == {"k", "v", "cnt", "extra", "prefix_sum"}
 
+    @pytest.mark.parametrize("null_col", ["v", "cnt"])
+    def test_null_order_or_value_raises(self, spark, null_col):
+        """ADVICE r9: NULL order values used to misbucket silently into
+        bucket 0 and NULL value groups crashed offset stitching with a
+        driver TypeError; the precondition is now checked noisily."""
+        rows = [(0, 1.0, 2), (0, None, 3)] if null_col == "v" else [
+            (0, 1.0, 2), (0, 2.0, None)
+        ]
+        df = spark.createDataFrame(rows, "k int, v double, cnt long")
+        with pytest.raises(ValueError, match="non-NULL"):
+            range_partitioned_prefix_sum(df, ["k"], "v", "cnt", buckets=4)
+
 
 @given(
     data=st.lists(
@@ -584,9 +596,28 @@ class TestBpeTopMerges:
         assert got == exp
         assert len(got) == 8
 
+    def test_backslash_and_quote_symbols(self, spark, tmp_path):
+        """ADVICE r9 regression: a corpus whose winning merge pairs
+        contain backslashes/quotes must work — the r9 expr-string fold
+        spliced symbols into SQL text (escaping only single quotes) and
+        died with ParseException on '\\a' words; the Column-API fold
+        binds symbols as literals, so any byte is safe."""
+        from drug_target_discovery_spark.queries.round9 import bpe_top_merges
+
+        texts = ["\\a \\a \\a '' 'b 'b \"q\\' \\a"]
+        spark.createDataFrame(
+            [(0, "s", texts[0])], "doc_id long, source string, text string"
+        ).selectExpr(
+            "doc_id", "text", "'x' AS lang", "source", "length(text) AS n_chars"
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        got = [tuple(r) for r in bpe_top_merges(spark, str(tmp_path), k=4).collect()]
+        exp = _python_bpe(texts, 4)
+        assert got == exp
+        assert got[0][1:3] == ("\\", "a")  # the backslash pair wins merge 1
+
     @given(
         texts=st.lists(
-            st.text(alphabet="abc ", min_size=0, max_size=30),
+            st.text(alphabet="ab\\' ", min_size=0, max_size=30),
             min_size=1,
             max_size=6,
         ),
@@ -601,6 +632,9 @@ class TestBpeTopMerges:
         ],
     )
     def test_matches_bruteforce_random(self, spark, tmp_path_factory, texts, k):
+        """Alphabet deliberately includes backslash and single-quote
+        (ADVICE r9) so the symbol-binding path is fuzzed, not just the
+        happy alphabet."""
         from drug_target_discovery_spark.queries.round9 import bpe_top_merges
 
         d = tmp_path_factory.mktemp("bpe")
@@ -702,6 +736,22 @@ class TestWeightedMedianByKey:
         for k in range(4):
             vals = sorted(v for kk, v, _ in rows if kk == k)
             assert gotu[k] == vals[(len(vals) - 1) // 2]
+
+    def test_fractional_weight_dtype_raises(self, spark):
+        """ADVICE r9: fractional weights were silently rounded by the
+        DECIMAL(38,0) accumulator — the dtype is now validated."""
+        from drug_target_discovery_spark.operators.prefixsum import (
+            weighted_median_by_key,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 1.0, 0.5), (0, 2.0, 1.5)], "k int, v double, w double"
+        )
+        with pytest.raises(ValueError, match="integral weight"):
+            weighted_median_by_key(df, "k", "v", "w")
+        # zero-scale decimal weights are integral and pass the guard
+        dfd = df.withColumn("w", F.ceil("w").cast("decimal(10,0)"))
+        assert weighted_median_by_key(dfd, "k", "v", "w").count() == 1
 
     def test_matches_duckdb_on_lineitem(self, spark):
         """Quantity-weighted median price per returnflag on the real
