@@ -1,7 +1,9 @@
 """Generate OPERATORS.md: the user-facing catalog of every registered
 query — name, tags, implementation site (module:line), oracle status, and
-the first docstring sentence. Auto-generated so it cannot drift from the
-registry; regenerate after adding queries:
+the first docstring sentence — PLUS the tests-only lane (VERDICT r9 #3):
+operators implemented and oracle-cross-checked in pytest but unregistered
+under the 199-query capacity freeze. Auto-generated so it cannot drift
+from the registry; regenerate after adding queries or lane operators:
 
     python tools/gen_operator_index.py
 """
@@ -21,6 +23,58 @@ OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "OPERATORS.md"
 )
 
+# The tests-only lane manifest (registry.py CAPACITY POLICY rule 3): each
+# entry is (import path, callable, oracle-evidence class, test site). The
+# pytest evidence runs the SAME comparison the driver gate runs (DuckDB
+# SQL / independent recompute, sorted-column exact match, sf0.01) — the
+# lane loses only the driver-artifact row. Registering one of these is a
+# decorator move governed by the one-in-one-out rule; this script asserts
+# the manifest and the registry stay disjoint.
+TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
+    (
+        "drug_target_discovery_spark.queries.round9",
+        "exact_substring_dup_stats",
+        "prepared DuckDB oracle (exact, sf0.001/0.01) + hypothesis brute force",
+        "tests/test_round9_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.queries.round9",
+        "ivf_index_refresh_audit",
+        "prepared DuckDB oracle (exact) + drift-trigger fixtures",
+        "tests/test_round9_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.queries.round9",
+        "lpa_community_modularity",
+        "networkx library oracle + known-Q fixture",
+        "tests/test_round9_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.queries.round9",
+        "bpe_top_merges",
+        "exact python recompute + hypothesis brute force (incl. quote/backslash symbols)",
+        "tests/test_round9_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.queries.round8",
+        "order_value_gini_by_nation_scalable",
+        "pinned exactly equal to the registered window form (sf0.001/0.01)",
+        "tests/test_round9_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.operators.prefixsum",
+        "range_partitioned_prefix_sum",
+        "window-form equality + hypothesis brute force; plan pinned single-partition-window-free",
+        "tests/test_round9_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.operators.prefixsum",
+        "weighted_median_by_key",
+        "python brute force + DuckDB lineitem cross-check",
+        "tests/test_round9_ops.py",
+    ),
+)
+
 
 def first_sentence(doc: str) -> str:
     doc = " ".join((doc or "").split())
@@ -31,8 +85,28 @@ def first_sentence(doc: str) -> str:
     return doc[:160] + ("…" if len(doc) > 160 else "")
 
 
+def lane_rows() -> list[tuple[str, str, str, str, str]]:
+    import importlib
+
+    out = []
+    for mod_path, fn_name, evidence, tests in TESTS_ONLY_LANE:
+        mod = importlib.import_module(mod_path)
+        fn = inspect.unwrap(getattr(mod, fn_name))
+        src = os.path.relpath(inspect.getsourcefile(fn), os.path.dirname(OUT))
+        line = inspect.getsourcelines(fn)[1]
+        out.append(
+            (fn_name, f"{src}:{line}", evidence, tests, first_sentence(fn.__doc__ or ""))
+        )
+    return out
+
+
 def main() -> None:
     reg = all_queries()
+    lane = lane_rows()
+    overlap = {n for n, *_ in lane} & set(reg)
+    assert not overlap, (
+        f"lane operators are registered — remove from TESTS_ONLY_LANE: {overlap}"
+    )
     by_tag: dict[str, list[str]] = defaultdict(list)
     rows = {}
     for name, q in reg.items():
@@ -52,13 +126,17 @@ def main() -> None:
     with open(OUT, "w") as f:
         f.write(
             "# Operator catalog (auto-generated)\n\n"
-            "One row per registered query — the complete user-facing "
-            "surface of the engine. Regenerate with "
+            "The complete user-facing surface of the engine: every "
+            "REGISTERED query (driver-gated), then the TESTS-ONLY LANE "
+            "(implemented + oracle-cross-checked in pytest, unregistered "
+            "under the registry's 199-query capacity freeze — see the "
+            "CAPACITY POLICY in queries/registry.py). Regenerate with "
             "`python tools/gen_operator_index.py`.\n\n"
-            f"**{len(rows)} queries** — "
+            f"**{len(rows)} registered queries** — "
             f"{sum(1 for r in rows.values() if r[2].startswith('exact'))} with "
             "exact DuckDB value-hash oracles, the rest rows-only by design "
-            "(fixture or library oracles in tests/).\n\n"
+            "(fixture or library oracles in tests/) — plus "
+            f"**{len(lane)} tests-only-lane operators** below.\n\n"
             "| Query | Where | Oracle | Tags | What it does |\n"
             "|---|---|---|---|---|\n"
         )
@@ -66,11 +144,26 @@ def main() -> None:
             src, line, oracle, tags, doc = rows[name]
             doc = doc.replace("|", "\\|")
             f.write(f"| `{name}` | `{src}:{line}` | {oracle} | {tags} | {doc} |\n")
-        f.write("\n## By tag\n\n")
+        f.write(
+            "\n## Tests-only lane (unregistered operators)\n\n"
+            "Callable as library functions (not in `queries()`/"
+            "`oracle_sql()`); their pytest evidence runs the same "
+            "comparison the driver gate runs, at the same scale factor. "
+            "Registration is a decorator move governed by the registry's "
+            "one-in-one-out rule.\n\n"
+            "| Operator | Where | Oracle evidence | Tests | What it does |\n"
+            "|---|---|---|---|---|\n"
+        )
+        for name, where, evidence, tests, doc in lane:
+            doc = doc.replace("|", "\\|")
+            f.write(
+                f"| `{name}` | `{where}` | {evidence} | `{tests}` | {doc} |\n"
+            )
+        f.write("\n## By tag (registered)\n\n")
         for t in sorted(by_tag):
             names = ", ".join(f"`{n}`" for n in sorted(by_tag[t]))
             f.write(f"- **{t}** ({len(by_tag[t])}): {names}\n")
-    print(f"wrote {OUT}: {len(rows)} queries")
+    print(f"wrote {OUT}: {len(rows)} queries + {len(lane)} lane operators")
 
 
 if __name__ == "__main__":
