@@ -31,6 +31,18 @@ decorator move.
   vocabulary-sized iteration), with exact left-to-right non-overlap
   merge semantics pinned against a python recompute.
 
+Round-10 additions (same lane, the loop-closing consumers VERDICT r9
+#10 shortlisted):
+
+- BPE tokenizer APPLICATION (bpe_encode_stats): encode the corpus with
+  the learned merges, per-source fertility/compression stats — the
+  train -> apply completion, sharing the trainer's exact merge fold.
+
+- IVF drift-retrain executor (ivf_drift_retrain): acts on the refresh
+  audit's retrain_needed flag — keeps the sign-bit quantizer census, or
+  retrains a deterministic Lloyd model on base + batch — closing
+  build -> serve -> audit -> RETRAIN.
+
 Exactness contract as per round7.py/round8.py: integer char counts,
 one IEEE division rounded through rnd/rnd_sql on both engines.
 """
@@ -468,6 +480,48 @@ def lpa_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 10
 
 
+def _bpe_merge_fold(syms: "F.Column", left: str, right: str) -> "F.Column":
+    """Exact left-to-right non-overlapping merge of the (left, right)
+    symbol pair inside a symbol array, as one JVM-side aggregate() fold:
+    acc carries (result-so-far, one pending symbol); a pending LEFT
+    followed by RIGHT emits LEFT+RIGHT and clears, anything else flushes
+    the pending symbol. Built with the Column API — the symbols are
+    BOUND as literals (F.lit), never spliced into SQL text, so symbols
+    containing quotes/backslashes/any byte are safe (ADVICE r9: the
+    earlier expr-string form died on backslash-bearing corpora). '' is a
+    safe no-pending sentinel: source symbols are single non-empty
+    characters and merges only concatenate. Shared by training
+    (bpe_top_merges) and application (bpe_encode_stats)."""
+    lp, rp, mp = F.lit(left), F.lit(right), F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.array().cast("array<string>").alias("res"),
+            F.lit("").alias("pend"),
+        ),
+        lambda acc, x: F.when(
+            acc["pend"] == "",
+            F.struct(acc["res"].alias("res"), x.alias("pend")),
+        )
+        .when(
+            (acc["pend"] == lp) & (x == rp),
+            F.struct(
+                F.concat(acc["res"], F.array(mp)).alias("res"),
+                F.lit("").alias("pend"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["res"], F.array(acc["pend"])).alias("res"),
+                x.alias("pend"),
+            )
+        ),
+        lambda acc: F.when(acc["pend"] == "", acc["res"]).otherwise(
+            F.concat(acc["res"], F.array(acc["pend"]))
+        ),
+    )
+
+
 def bpe_top_merges(
     spark: SparkSession, sf_dir: str, k: int = _BPE_MERGES
 ) -> DataFrame:
@@ -535,43 +589,7 @@ def bpe_top_merges(
             break
         l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
         merges.append((rank, l, r, l + r, n))
-        # exact left-to-right non-overlapping merge fold: acc carries
-        # (result-so-far, one pending symbol); a pending L followed by R
-        # emits LR and clears, anything else flushes the pending symbol.
-        # Built with the Column API — the learned symbols are BOUND as
-        # literals (F.lit), never spliced into SQL text, so symbols
-        # containing quotes/backslashes/any byte are safe (ADVICE r9:
-        # the earlier expr-string form died on backslash-bearing
-        # corpora). '' is a safe no-pending sentinel: source symbols are
-        # single non-empty characters and merges only concatenate.
-        lp, rp, mp = F.lit(l), F.lit(r), F.lit(l + r)
-        merged = F.aggregate(
-            F.col("syms"),
-            F.struct(
-                F.array().cast("array<string>").alias("res"),
-                F.lit("").alias("pend"),
-            ),
-            lambda acc, x: F.when(
-                acc["pend"] == "",
-                F.struct(acc["res"].alias("res"), x.alias("pend")),
-            )
-            .when(
-                (acc["pend"] == lp) & (x == rp),
-                F.struct(
-                    F.concat(acc["res"], F.array(mp)).alias("res"),
-                    F.lit("").alias("pend"),
-                ),
-            )
-            .otherwise(
-                F.struct(
-                    F.concat(acc["res"], F.array(acc["pend"])).alias("res"),
-                    x.alias("pend"),
-                )
-            ),
-            lambda acc: F.when(acc["pend"] == "", acc["res"]).otherwise(
-                F.concat(acc["res"], F.array(acc["pend"]))
-            ),
-        )
+        merged = _bpe_merge_fold(F.col("syms"), l, r)
         new_vocab = vocab.select(merged.alias("syms"), "cnt").cache()
         new_vocab.count()
         vocab.unpersist()
@@ -587,4 +605,220 @@ def bpe_top_merges(
         merges,
         "merge_rank int, left string, right string, merged string,"
         " pair_count long",
+    )
+
+
+def bpe_encode_stats(
+    spark: SparkSession, sf_dir: str, k: int = _BPE_MERGES
+) -> DataFrame:
+    """Tokenizer APPLICATION — encode the corpus with the first ``k``
+    learned BPE merges (the consumer of ``bpe_top_merges``, completing
+    the train -> apply loop) and report the per-source tokenizer-fit
+    statistics an LLM data pipeline reads before committing a tokenizer:
+
+      n_words            total word occurrences
+      n_tokens           total BPE tokens after the k merges
+      n_chars            total word characters
+      n_distinct_tokens  distinct token types the source uses
+      fertility          n_tokens / n_words (tokens per word — the
+                         fragmentation signal; 1.0 = every word fused)
+      chars_per_token    n_chars / n_tokens (compression ratio)
+
+    Scale design: training cost is documented at ``bpe_top_merges``
+    (ONE corpus scan + vocabulary-sized iterations); application adds
+    ONE more corpus scan collapsing to the (source, word) count grain
+    (map-side combinable — the shuffle carries the per-source
+    vocabulary, never the token stream), then the k merge folds compose
+    into a single chained JVM-side projection over that bounded table
+    (exact same ``_bpe_merge_fold`` the trainer used, so train and
+    apply cannot drift), two bounded aggregates, and a
+    source-domain-sized join. The merges table itself is k rows —
+    driver-held and bound as literals.
+
+    Exactness: all counts are exact BIGINTs; the two ratios are one
+    IEEE division each, rounded through ``rnd`` (order-independent).
+
+    Tests-only lane; oracle = exact python recompute of train + encode
+    (tests/test_round9_ops.py), the bpe_top_merges evidence class."""
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_top_merges(spark, sf_dir, k=k).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    sw = (
+        docs.select("source", F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = F.expr("filter(split(w, ''), s -> s != '')")
+    for left, right in merges:
+        syms = _bpe_merge_fold(syms, left, right)
+    # (source, word) grain with the encoded token array — consumed by
+    # two aggregates below, so query-scoped cache (diamond rule)
+    enc = scoped_cache(sw.withColumn("toks", syms))
+    base = enc.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.size("toks")).cast("long").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_chars"),
+    )
+    dtoks = (
+        enc.select("source", F.explode("toks").alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").cast("long").alias("n_distinct_tokens"))
+    )
+    return (
+        base.join(dtoks, "source")
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            "n_distinct_tokens",
+            rnd(F.col("n_tokens") / F.col("n_words"), 6).alias("fertility"),
+            rnd(F.col("n_chars") / F.col("n_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF drift-retrain executor (acts on the refresh audit's decision)
+# --------------------------------------------------------------------------
+_IVF_RETRAIN_K = 8
+_IVF_RETRAIN_ITERS = 3
+
+# no-retrain branch oracle: the occupied-cell census of the CURRENT
+# sign-bit quantizer + the audit verdict repeated per row (DuckDB twin of
+# the Spark branch; the retrain branch's oracle is the independent
+# numpy_lloyd recompute in tests — the kmeans fixture evidence class)
+_IVF_RETRAIN_NORETRAIN_ORACLE = f"""
+WITH cells AS (
+  SELECT {_IVF_BUCKET_DUCK} AS cell,
+         CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END AS is_batch
+  FROM embeddings
+),
+g AS (
+  SELECT cell,
+         CAST(sum(1 - is_batch) AS BIGINT) AS n_base,
+         CAST(sum(is_batch) AS BIGINT) AS n_batch
+  FROM cells GROUP BY cell
+),
+s AS (
+  SELECT cell, n_base, n_batch,
+         greatest(n_base / CAST(sum(n_base) OVER () AS DOUBLE), {_IVF_EPS}) AS sb,
+         greatest(n_batch / CAST(sum(n_batch) OVER () AS DOUBLE), {_IVF_EPS}) AS sn
+  FROM g
+),
+t AS (SELECT cell, n_base, n_batch, (sn - sb) * ln(sn / sb) AS raw_term FROM s)
+SELECT cell AS cell_id,
+       n_base + n_batch AS n_members,
+       CAST(NULL AS BIGINT) AS centroid_norm_micro,
+       false AS retrained,
+       {rnd_sql("sum(raw_term) OVER ()", 6)} AS total_psi
+FROM t ORDER BY cell_id
+"""
+
+
+def ivf_drift_retrain(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _IVF_RETRAIN_K,
+    iters: int = _IVF_RETRAIN_ITERS,
+) -> DataFrame:
+    """The EXECUTOR for ``ivf_index_refresh_audit``'s retrain decision —
+    the act step that closes the index build -> serve -> audit -> retrain
+    loop (VERDICT r9 #10 stretch). Reads the audit's 8-row verdict
+    (bounded collect, same class as the audit's own cell frame) and:
+
+    - ``retrain_needed`` FALSE: keeps the current sign-bit quantizer —
+      returns its occupied-cell census (cell id, member count) with
+      ``retrained = false``; ``centroid_norm_micro`` is NULL (sign-bit
+      cells have no trained centroid).
+    - ``retrain_needed`` TRUE: trains a fresh deterministic Lloyd model
+      (k clusters, ``iters`` rounds, the exact integer-sufficient-
+      statistics loop of ``operators/kmeans.py`` — init = k smallest
+      vec_ids) on base + batch TOGETHER (the drifted index must serve
+      both), returning per-cluster member counts and centroid norms with
+      ``retrained = true``.
+
+    One stable schema either way:
+      (cell_id, n_members, centroid_norm_micro, retrained, total_psi).
+
+    Scale design: the branch decision reads ONE bounded (<= 2^3 rows)
+    audit result; the no-retrain branch is one scan + cell-bounded
+    aggregate; the retrain branch is the documented Lloyd loop (per
+    round: map-side K x (D+1) integer partial sums, model-sized collect
+    + re-broadcast — corpus size touches only the map side). Driver
+    branching on a data-dependent flag is the operator's CONTRACT (act
+    on the audit), not an incidental collect.
+
+    Tests-only lane. Oracles: no-retrain branch vs the prepared DuckDB
+    census SQL (_IVF_RETRAIN_NORETRAIN_ORACLE); retrain branch vs the
+    independent plain-numpy Lloyd recompute (tools/gen_kmeans_oracle.py's
+    ``numpy_lloyd``, the kmeans fixture evidence class) on a
+    drift-triggering corpus."""
+    import math
+
+    from drug_target_discovery_spark.operators.kmeans import (
+        QUANT_SCALE,
+        final_assignment,
+        lloyd_iterations,
+        quantize_embeddings,
+    )
+
+    audit = ivf_index_refresh_audit(spark, sf_dir).collect()
+    total_psi = float(audit[0]["total_psi"]) if audit else 0.0
+    retrain = bool(audit[0]["retrain_needed"]) if audit else False
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    if not retrain:
+        cells = emb.select(
+            F.col("embedding").alias("emb")
+        ).select(F.expr(_IVF_BUCKET_SPARK).alias("cell_id"))
+        return (
+            cells.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+            .select(
+                "cell_id",
+                "n_members",
+                F.lit(None).cast("long").alias("centroid_norm_micro"),
+                F.lit(False).alias("retrained"),
+                F.lit(total_psi).alias("total_psi"),
+            )
+            .orderBy("cell_id")
+        )
+    vq = quantize_embeddings(emb)
+    centroids = lloyd_iterations(vq, k, iters)
+    counts = (
+        final_assignment(vq, centroids)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    summary = []
+    for j, c in enumerate(centroids):
+        acc = 0.0
+        for x in c:  # left-to-right, mirroring kmeans_lloyd_clusters
+            acc += (x / QUANT_SCALE) ** 2
+        summary.append((j, int(math.floor(math.sqrt(acc) * 1e6 + 0.5))))
+    model = spark.createDataFrame(
+        summary, "cell_id INT, centroid_norm_micro BIGINT"
+    )
+    return (
+        model.join(counts, model["cell_id"] == F.col("cluster"), "left_outer")
+        .select(
+            "cell_id",
+            F.coalesce(F.col("n_members"), F.lit(0))
+            .cast("long")
+            .alias("n_members"),
+            "centroid_norm_micro",
+            F.lit(True).alias("retrained"),
+            F.lit(total_psi).alias("total_psi"),
+        )
+        .orderBy("cell_id")
     )

@@ -799,3 +799,210 @@ class TestWeightedMedianByKey:
         )
         assert got == exp
         assert len(got) == 3
+
+
+def _python_bpe_encode_stats(docs, k):
+    """Exact recompute: train k merges on the texts, encode every word,
+    aggregate per-source stats with the engine's rnd() rounding."""
+    import math
+
+    merges = _python_bpe([t for _, t in docs], k)
+    rules = [(l, r) for _, l, r, _, _ in merges]
+    stats = {}
+    for source, t in docs:
+        for w in t.split():
+            if not w:
+                continue
+            syms = list(w)
+            for l, r in rules:
+                out, pend = [], None
+                for x in syms:
+                    if pend is None:
+                        pend = x
+                    elif pend == l and x == r:
+                        out.append(l + r)
+                        pend = None
+                    else:
+                        out.append(pend)
+                        pend = x
+                if pend is not None:
+                    out.append(pend)
+                syms = out
+            s = stats.setdefault(source, [0, 0, 0, set()])
+            s[0] += 1
+            s[1] += len(syms)
+            s[2] += len(w)
+            s[3].update(syms)
+
+    def _rnd6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    return [
+        (
+            source,
+            nw,
+            nt,
+            nc,
+            len(dt),
+            _rnd6(nt / nw),
+            _rnd6(nc / nt),
+        )
+        for source, (nw, nt, nc, dt) in sorted(stats.items())
+    ]
+
+
+class TestBpeEncodeStats:
+    def test_hand_crafted(self, spark, tmp_path):
+        """'aaaa' x3 + 'ab': after 3 merges 'aaaa'->['aaaa'] (via aa,
+        then aa+aa) and 'ab'->['ab'] — fertility collapses to 1.0."""
+        from drug_target_discovery_spark.queries.round9 import bpe_encode_stats
+
+        docs = [(0, "s1", "aaaa aaaa aaaa ab"), (1, "s2", "aaaa ba")]
+        spark.createDataFrame(
+            docs, "doc_id long, source string, text string"
+        ).selectExpr(
+            "doc_id", "text", "'x' AS lang", "source", "length(text) AS n_chars"
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        got = [tuple(r) for r in bpe_encode_stats(spark, str(tmp_path), k=3).collect()]
+        exp = _python_bpe_encode_stats(
+            [("s1", "aaaa aaaa aaaa ab"), ("s2", "aaaa ba")], 3
+        )
+        assert got == exp
+
+    @pytest.mark.parametrize(
+        "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    )
+    def test_matches_python_recompute_on_corpus(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round9 import bpe_encode_stats
+
+        got = [tuple(r) for r in bpe_encode_stats(spark, sf, k=8).collect()]
+        docs = (
+            duckdb.connect()
+            .execute(
+                f"SELECT source, text FROM read_parquet('{sf}/documents.parquet')"
+            )
+            .fetchall()
+        )
+        exp = _python_bpe_encode_stats(docs, 8)
+        assert got == exp
+        assert len(got) > 0
+
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.sampled_from(["s1", "s2"]),
+                st.text(alphabet="ab\\' ", min_size=0, max_size=25),
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        k=st.sampled_from([1, 3]),
+    )
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    def test_matches_bruteforce_random(self, spark, tmp_path_factory, docs, k):
+        from drug_target_discovery_spark.queries.round9 import bpe_encode_stats
+
+        if not any(w for _, t in docs for w in t.split()):
+            return  # empty corpus: no rows on either side, vacuous
+        d = tmp_path_factory.mktemp("bpe_enc")
+        rows = [(i, s, t) for i, (s, t) in enumerate(docs)]
+        spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        ).selectExpr(
+            "doc_id", "text", "'x' AS lang", "source", "length(text) AS n_chars"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = [tuple(r) for r in bpe_encode_stats(spark, str(d), k=k).collect()]
+        assert got == _python_bpe_encode_stats(docs, k)
+
+
+class TestIvfDriftRetrain:
+    @pytest.mark.parametrize(
+        "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    )
+    def test_no_retrain_branch_matches_duckdb(self, spark, sf):
+        """The committed corpus does not drift (batch stripe mirrors the
+        base), so the executor must keep the sign-bit quantizer and
+        return its occupied-cell census — pinned against the prepared
+        DuckDB census oracle."""
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round9 import (
+            _IVF_RETRAIN_NORETRAIN_ORACLE,
+            ivf_drift_retrain,
+        )
+
+        got = [tuple(r) for r in ivf_drift_retrain(spark, sf).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        exp = [
+            tuple(r)
+            for r in con.execute(_IVF_RETRAIN_NORETRAIN_ORACLE).fetchall()
+        ]
+        assert got == exp
+        assert all(r[3] is False for r in got)
+        assert all(r[2] is None for r in got)
+
+    def test_retrain_branch_matches_numpy_lloyd(self, spark, tmp_path):
+        """The skewed-batch fixture (audit's retrain trigger) must flip
+        the executor into a fresh Lloyd model — pinned against the
+        INDEPENDENT plain-numpy recompute (tools/gen_kmeans_oracle.py),
+        the kmeans fixture evidence class."""
+        import os
+        import random
+        import sys
+
+        import numpy as np
+
+        sys.path.insert(
+            0,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "tools",
+            ),
+        )
+        from gen_kmeans_oracle import numpy_lloyd
+
+        from drug_target_discovery_spark.queries.round9 import (
+            _IVF_RETRAIN_ITERS,
+            _IVF_RETRAIN_K,
+            ivf_drift_retrain,
+            ivf_index_refresh_audit,
+        )
+
+        rng = random.Random(7)
+        rows = []
+        for vid in range(200):
+            if vid % 10 == 9:  # batch rammed into cell 7 -> PSI > 0.25
+                emb = [1.0, 1.0, 1.0, 0.0]
+            else:
+                emb = [rng.choice([-1.0, 1.0]) for _ in range(3)] + [0.0]
+            rows.append((vid, emb, 0))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+        audit = ivf_index_refresh_audit(spark, str(tmp_path)).collect()
+        assert audit[0]["retrain_needed"]
+        got = [tuple(r) for r in ivf_drift_retrain(spark, str(tmp_path)).collect()]
+        assert all(r[3] is True for r in got)
+        assert all(float(r[4]) == float(audit[0]["total_psi"]) for r in got)
+
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        V = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        V_int = np.floor(V * 1_000_000 + 0.5).astype(np.int64)
+        exp_model, _ = numpy_lloyd(V_int, ids, _IVF_RETRAIN_K, _IVF_RETRAIN_ITERS)
+        assert [(r[0], r[1], r[2]) for r in got] == [
+            (j, n, norm) for j, n, norm in exp_model
+        ]

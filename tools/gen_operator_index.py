@@ -56,6 +56,18 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
         "tests/test_round9_ops.py",
     ),
     (
+        "drug_target_discovery_spark.queries.round9",
+        "bpe_encode_stats",
+        "exact python recompute of train + encode (incl. quote/backslash fuzzing)",
+        "tests/test_round9_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.queries.round9",
+        "ivf_drift_retrain",
+        "prepared DuckDB census oracle (no-retrain branch) + independent numpy Lloyd recompute (retrain branch)",
+        "tests/test_round9_ops.py",
+    ),
+    (
         "drug_target_discovery_spark.queries.round8",
         "order_value_gini_by_nation_scalable",
         "pinned exactly equal to the registered window form (sf0.001/0.01)",

@@ -218,6 +218,37 @@ def probe_substr(spark, reps: int = 3) -> None:
     print(json.dumps(report), flush=True)
 
 
+def probe_substr_x30_valve(spark, reps: int = 2) -> None:
+    """VERDICT r9 #7: the valve-on number at the x30 verbatim-clone
+    worst case, as a committed reproducible probe (the r9 measurement
+    was ad-hoc and did not record the df-cap). Legs: exact (no valve)
+    and valved with trivial_dup_df=30 — on a x30 clone corpus every
+    position's gram df is >= 30, so the cap flags exactly the
+    clone-degenerate hash groups while natural low-df dups still take
+    the exact verify path."""
+    from drug_target_discovery_spark.queries.round9 import (
+        exact_substring_dup_stats,
+    )
+
+    report = {
+        "probe": "exact_substring_dup_stats_x30_valve",
+        "trivial_dup_df": 30,
+        "loadavg1_start": _load1(),
+    }
+    d = build_documents(spark, 30, perturb=False)
+    for name, kw in (("exact", {}), ("valved", {"trivial_dup_df": 30})):
+        runs = [
+            _noop(exact_substring_dup_stats(spark, d, **kw))
+            for _ in range(reps)
+        ]
+        report[f"{name}_s"] = min(runs)
+        report[f"{name}_runs"] = runs
+        report[f"{name}_load1"] = _load1()
+    report["valve_speedup"] = round(report["exact_s"] / report["valved_s"], 2)
+    report["loadavg1_end"] = _load1()
+    print(json.dumps(report), flush=True)
+
+
 def probe_ivf(spark, reps: int = 3) -> None:
     """IVF refresh audit at x10 embeddings (vec_id-shifted clones keep
     the %10 batch stripe and the cell layout — the audit's input grows,
@@ -258,6 +289,8 @@ def main() -> None:
         probe_gini_twin(spark)
     if "substr" in which:
         probe_substr(spark)
+    if "substr30" in which:
+        probe_substr_x30_valve(spark)
     if "ivf" in which:
         probe_ivf(spark)
 
