@@ -50,6 +50,10 @@ def range_partitioned_prefix_sum(
     ``order_col`` order, computed without any per-key single-partition
     window: each key's ordered domain is split across ``buckets`` range
     buckets, summed locally, and stitched with broadcast offsets.
+    ``partition_cols=[]`` is the KEYLESS mode — an exact GLOBAL
+    cumulative sum/rank with no corpus-sized single-partition window
+    (used by ``deterministic_epoch_shuffle``'s global permutation
+    ranks); only the buckets-bounded offsets window is unpartitioned.
 
     ``exclusive=True`` (default) sums strictly-preceding rows (the
     ``rowsBetween(unboundedPreceding, -1)`` shape — 0 for the first
@@ -115,9 +119,11 @@ def range_partitioned_prefix_sum(
 
     # pass 1: per-(key, bucket) totals -> per-key exclusive running
     # offsets over bucket id. The totals table is bounded by |keys| x
-    # buckets, so the running sum is ONE small key-partitioned window
-    # (bounded frame per key; never a single-partition window) — all in
-    # Spark, no driver-side stitching (VERDICT r9 #5).
+    # buckets, so the running sum is ONE small key-partitioned window —
+    # all in Spark, no driver-side stitching (VERDICT r9 #5). KEYLESS
+    # mode (partition_cols=[], the exact-global-rank use): the window is
+    # unpartitioned but bounded BY CONSTRUCTION at `buckets` rows (the
+    # totals table's whole domain), the audited exemption class.
     totals = bucketed.groupBy(*partition_cols, "_pid").agg(
         F.sum(F.col(value_col).cast(dec)).alias("_tot")
     )

@@ -43,6 +43,11 @@ Round-10 additions (same lane, the loop-closing consumers VERDICT r9
   retrains a deterministic Lloyd model on base + batch — closing
   build -> serve -> audit -> RETRAIN.
 
+- Deterministic epoch shuffle (deterministic_epoch_shuffle): seeded
+  RNG-free global training-order permutation + balanced round-robin
+  shard manifest, ranks through the prefix-sum operator's KEYLESS mode
+  (no corpus-sized single-partition window).
+
 Exactness contract as per round7.py/round8.py: integer char counts,
 one IEEE division rounded through rnd/rnd_sql on both engines.
 """
@@ -822,3 +827,110 @@ def ivf_drift_retrain(
         )
         .orderBy("cell_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle (seeded global permutation + shard manifest)
+# --------------------------------------------------------------------------
+_SHUF_SEED = "epoch1"
+_SHUF_SHARDS = 8
+
+# prepared DuckDB oracle for the default (seed, shards) — row_number over
+# the identical md5-derived 60-bit key (tests substitute other seeds)
+_EPOCH_SHUFFLE_ORACLE_TMPL = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+           AS shuffle_rank
+  FROM h
+)
+SELECT doc_id, shuffle_rank,
+       CAST(shuffle_rank % {shards} AS INT) AS shard_id
+FROM r ORDER BY shuffle_rank
+"""
+_EPOCH_SHUFFLE_ORACLE = _EPOCH_SHUFFLE_ORACLE_TMPL.format(
+    seed=_SHUF_SEED, shards=_SHUF_SHARDS
+)
+
+
+def deterministic_epoch_shuffle(
+    spark: SparkSession,
+    sf_dir: str,
+    seed: str = _SHUF_SEED,
+    n_shards: int = _SHUF_SHARDS,
+    buckets: int = 64,
+) -> DataFrame:
+    """Seeded GLOBAL training-order shuffle as a manifest: every document
+    gets its epoch position (``shuffle_rank``: the exact 0-based rank of
+    its md5(seed:doc_id)-derived key) and a round-robin ``shard_id`` —
+    the per-epoch data-order randomization a training pipeline needs,
+    RNG-free and backfill-stable (same seed -> byte-identical manifest on
+    any cluster, any partitioning, any rerun; a new epoch is a new seed).
+    Round-robin on the rank makes shard sizes exactly balanced (differ by
+    <= 1) — the property that keeps data-parallel workers in step.
+
+    Plan — the keyless mode of ``range_partitioned_prefix_sum``: the
+    exact global rank is an exclusive prefix sum of 1s over the hash-key
+    order, so NO unbounded single-partition window ever materializes
+    (rank windows run inside value-range buckets; the offset stitch is a
+    window over the buckets-bounded totals table — the same machinery
+    the Pareto deciles use, generalized). The order key is
+    (h60 * 2^63 + doc_id) in DECIMAL(38,0) — unique by construction, so
+    the operator's uniqueness precondition holds even across md5 60-bit
+    prefix collisions at any corpus size. Seed and shard count are bound
+    as Column literals / plain ints, never spliced into SQL.
+
+    The production write path this manifest drives:
+    ``repartitionByRange(n_shards, key).sortWithinPartitions(key)`` —
+    one range exchange, no global sort on a single node.
+
+    Tests-only lane; oracle = prepared DuckDB row_number SQL
+    (_EPOCH_SHUFFLE_ORACLE) + independent hashlib recompute
+    (tests/test_round9_ops.py)."""
+    from drug_target_discovery_spark.operators.prefixsum import (
+        range_partitioned_prefix_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(str(seed)),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    two63 = F.lit("9223372036854775808").cast("decimal(38,0)")
+    keyed = docs.select(
+        "doc_id",
+        (h.cast("decimal(38,0)") * two63 + F.col("doc_id")).alias("_hkey"),
+        F.lit(1).alias("_one"),
+    )
+    ranked = range_partitioned_prefix_sum(
+        keyed,
+        [],
+        "_hkey",
+        "_one",
+        out="shuffle_rank",
+        buckets=buckets,
+        exclusive=True,
+    )
+    rank = F.col("shuffle_rank").cast("long")
+    return ranked.select(
+        "doc_id",
+        rank.alias("shuffle_rank"),
+        F.pmod(rank, F.lit(int(n_shards))).cast("int").alias("shard_id"),
+    ).orderBy("shuffle_rank")

@@ -56,6 +56,27 @@ class TestRangePartitionedPrefixSum:
         assert out.count() == 2
         assert set(out.columns) == {"k", "v", "cnt", "extra", "prefix_sum"}
 
+    def test_keyless_mode_equals_global_window(self, spark):
+        """partition_cols=[] — the exact-global-rank mode the epoch
+        shuffle uses — must equal the (scale-hostile) unpartitioned
+        window form."""
+        rows = [(float(v), v % 7 + 1) for v in range(300)]
+        df = spark.createDataFrame(rows, "v double, cnt long")
+        got = {
+            r["v"]: int(r["prefix_sum"])
+            for r in range_partitioned_prefix_sum(
+                df, [], "v", "cnt", buckets=8
+            ).collect()
+        }
+        w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+        exp = {
+            r["v"]: int(r["ps"])
+            for r in df.select(
+                "v", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("ps")
+            ).collect()
+        }
+        assert got == exp
+
     @pytest.mark.parametrize("null_col", ["v", "cnt"])
     def test_null_order_or_value_raises(self, spark, null_col):
         """ADVICE r9: NULL order values used to misbucket silently into
@@ -1006,3 +1027,72 @@ class TestIvfDriftRetrain:
         assert [(r[0], r[1], r[2]) for r in got] == [
             (j, n, norm) for j, n, norm in exp_model
         ]
+
+
+class TestDeterministicEpochShuffle:
+    @pytest.mark.parametrize(
+        "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    )
+    def test_matches_duckdb_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round9 import (
+            _EPOCH_SHUFFLE_ORACLE,
+            deterministic_epoch_shuffle,
+        )
+
+        got = [tuple(r) for r in deterministic_epoch_shuffle(spark, sf).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        exp = [tuple(r) for r in con.execute(_EPOCH_SHUFFLE_ORACLE).fetchall()]
+        assert got == exp
+        # ranks are a dense permutation; round-robin shards balanced to <= 1
+        n = len(got)
+        assert sorted(r[1] for r in got) == list(range(n))
+        from collections import Counter
+
+        sizes = Counter(r[2] for r in got).values()
+        assert max(sizes) - min(sizes) <= 1
+
+    def test_seed_changes_permutation_deterministically(self, spark):
+        from drug_target_discovery_spark.queries.round9 import (
+            deterministic_epoch_shuffle,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        a1 = {r[0]: r[1] for r in deterministic_epoch_shuffle(spark, sf, seed="e1").collect()}
+        a2 = {r[0]: r[1] for r in deterministic_epoch_shuffle(spark, sf, seed="e1").collect()}
+        b = {r[0]: r[1] for r in deterministic_epoch_shuffle(spark, sf, seed="e2").collect()}
+        assert a1 == a2  # same seed -> byte-identical manifest
+        assert a1 != b  # new epoch seed -> a different permutation
+
+    def test_matches_hashlib_bruteforce(self, spark, tmp_path):
+        """Independent python recompute (hashlib md5, first 15 hex chars
+        as the 60-bit key, ties by doc_id) — validates the conv/md5
+        cross-engine idiom without DuckDB in the loop."""
+        import hashlib
+
+        from drug_target_discovery_spark.queries.round9 import (
+            deterministic_epoch_shuffle,
+        )
+
+        ids = [3, 7, 11, 42, 100, 101, 102, 500_000_001]
+        rows = [(i, f"t{i}", "x", "s", 1) for i in ids]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars int"
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        got = [
+            (r["doc_id"], r["shuffle_rank"])
+            for r in deterministic_epoch_shuffle(
+                spark, str(tmp_path), seed="zz", n_shards=3, buckets=4
+            ).collect()
+        ]
+        keyed = sorted(
+            (int(hashlib.md5(f"zz:{i}".encode()).hexdigest()[:15], 16), i)
+            for i in ids
+        )
+        exp = [(i, rank) for rank, (_, i) in enumerate(keyed)]
+        assert sorted(got) == sorted(exp)

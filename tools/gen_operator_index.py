@@ -68,6 +68,12 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
         "tests/test_round9_ops.py",
     ),
     (
+        "drug_target_discovery_spark.queries.round9",
+        "deterministic_epoch_shuffle",
+        "prepared DuckDB row_number oracle (sf0.001/0.01) + independent hashlib recompute",
+        "tests/test_round9_ops.py",
+    ),
+    (
         "drug_target_discovery_spark.queries.round8",
         "order_value_gini_by_nation_scalable",
         "pinned exactly equal to the registered window form (sf0.001/0.01)",
