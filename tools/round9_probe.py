@@ -40,6 +40,19 @@ def _noop(df) -> float:
     return round(dt, 2)
 
 
+def _timed(fn) -> float:
+    """Full-call wall: construction + final write. Required for any
+    operator that does EAGER work at call time (the prefix-sum's
+    quantile/guard actions, the BPE merge loop, Lloyd iterations) —
+    timing only the returned plan's write under-reports those."""
+    t0 = time.perf_counter()
+    df = fn()
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    release_caches(fixtures=True)
+    return round(dt, 2)
+
+
 def _load1() -> float:
     try:
         with open("/proc/loadavg") as f:
@@ -148,7 +161,11 @@ def probe_gini_twin(spark, reps: int = 3) -> None:
         ),
     }
     for name, leg in legs.items():
-        runs = [_noop(leg()) for _ in range(reps)]
+        # _timed, not _noop(leg()): the twin runs approxQuantile + the
+        # null guard EAGERLY at call time — r10 fix; the r9 numbers
+        # under-timed the twin (conservative toward the committed
+        # window-stays-default conclusion, but still mis-measured)
+        runs = [_timed(leg) for _ in range(reps)]
         stem = name.rsplit("_s", 1)[0]
         report[name] = min(runs)
         report[f"{stem}_runs"] = runs
@@ -279,6 +296,98 @@ def probe_ivf(spark, reps: int = 3) -> None:
     print(json.dumps(report), flush=True)
 
 
+def probe_round10(spark, reps: int = 2) -> None:
+    """Round-10 lane operators at scale (probe-before-claiming):
+
+    - deterministic_epoch_shuffle at x10/x30 doc clones (doc_id-shifted;
+      content irrelevant — the shuffle keys on ids only). Expected
+      ~linear: one scan, value-range bucketing, bounded offsets window.
+    - bpe_encode_stats at x10 PERTURBED docs (vocabulary AND token
+      stream x10). Expected ~flat-to-linear: training is the measured
+      bpe_top_merges loop; application adds one (source, word)-grain
+      scan + vocab-sized folds.
+    - ivf_drift_retrain RETRAIN branch at x1/x10 skewed embeddings
+      (batch rammed into cell 7 so retrain_needed flips). Expected
+      ~linear: Lloyd's per-iteration work is map-side; only K x (D+1)
+      partials shuffle."""
+    import json as _json
+
+    from drug_target_discovery_spark.queries.round9 import (
+        bpe_encode_stats,
+        deterministic_epoch_shuffle,
+        ivf_drift_retrain,
+    )
+
+    report = {"probe": "round10_ops", "loadavg1_start": _load1()}
+
+    legs = {"shuffle_sf0.1": lambda: deterministic_epoch_shuffle(spark, BASE)}
+    for factor in (10, 30):
+        d = build_documents(spark, factor, perturb=False)
+        legs[f"shuffle_clone_x{factor}"] = (
+            lambda d=d: deterministic_epoch_shuffle(spark, d)
+        )
+    for name, leg in legs.items():
+        runs = [_timed(leg) for _ in range(reps)]
+        report[f"{name}_s"] = min(runs)
+        report[f"{name}_runs"] = runs
+        report[f"{name}_load1"] = _load1()
+    report["shuffle_x10_factor"] = round(
+        report["shuffle_clone_x10_s"] / report["shuffle_sf0.1_s"], 2
+    )
+    report["shuffle_x30_factor"] = round(
+        report["shuffle_clone_x30_s"] / report["shuffle_sf0.1_s"], 2
+    )
+
+    dp = build_documents(spark, 10, perturb=True)
+    for name, d in (("bpe_encode_sf0.1", BASE), ("bpe_encode_perturb_x10", dp)):
+        runs = [_timed(lambda d=d: bpe_encode_stats(spark, d)) for _ in range(reps)]
+        report[f"{name}_s"] = min(runs)
+        report[f"{name}_runs"] = runs
+        report[f"{name}_load1"] = _load1()
+    report["bpe_encode_x10_factor"] = round(
+        report["bpe_encode_perturb_x10_s"] / report["bpe_encode_sf0.1_s"], 2
+    )
+
+    # skewed embeddings (retrain branch triggers) at x1 and x10
+    src = load_table(spark, BASE, "embeddings")
+    for factor in (1, 10):
+        dst = f"{OUT}/emb_skew_x{factor}"
+        os.makedirs(dst, exist_ok=True)
+        parts = []
+        for i in range(factor):
+            df = src.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * 10_000_000)
+            )
+            parts.append(df)
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        # ram the batch stripe into cell 7 (all-positive lead dims)
+        out = out.withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 10 == 9,
+                F.expr(
+                    "transform(embedding, (x, i) -> CASE WHEN i < 3"
+                    " THEN CAST(abs(x) + 0.001 AS FLOAT) ELSE x END)"
+                ),
+            ).otherwise(F.col("embedding")),
+        )
+        out.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+        runs = [
+            _timed(lambda dst=dst: ivf_drift_retrain(spark, dst))
+            for _ in range(reps)
+        ]
+        report[f"retrain_x{factor}_s"] = min(runs)
+        report[f"retrain_x{factor}_runs"] = runs
+        report[f"retrain_x{factor}_load1"] = _load1()
+    report["retrain_x10_factor"] = round(
+        report["retrain_x10_s"] / report["retrain_x1_s"], 2
+    )
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
 def main() -> None:
     which = set(sys.argv[1:]) or {"fano", "gini"}
     spark = get_spark("round9_probe")
@@ -293,6 +402,8 @@ def main() -> None:
         probe_substr_x30_valve(spark)
     if "ivf" in which:
         probe_ivf(spark)
+    if "r10" in which:
+        probe_round10(spark)
 
 
 if __name__ == "__main__":
