@@ -1096,3 +1096,29 @@ class TestDeterministicEpochShuffle:
         )
         exp = [(i, rank) for rank, (_, i) in enumerate(keyed)]
         assert sorted(got) == sorted(exp)
+
+
+def test_epoch_shuffle_plan_window_shape(spark):
+    """The keyless rank's scale contract, pinned on the executed plan:
+    the CORPUS-sized window must be partitioned by the _pid bucket
+    (spec: windowspecdefinition(_pid, _hkey ASC ...)), and the only
+    UNPARTITIONED window (spec starting with '_pid ASC' — _pid is its
+    ORDER col, no partition cols) is the offsets stitch over the
+    buckets-bounded totals table."""
+    import re
+
+    from drug_target_discovery_spark.queries.round9 import (
+        deterministic_epoch_shuffle,
+    )
+
+    out = deterministic_epoch_shuffle(spark, SF, buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    norm = plan.replace(" ", "")
+    assert re.search(r"windowspecdefinition\(_pid#\d+L?,_hkey#\d+", norm), (
+        "corpus-side rank window lost its _pid bucket partitioning"
+    )
+    unpartitioned = re.findall(r"windowspecdefinition\(_pid#\d+L?ASC", norm)
+    assert len(unpartitioned) == 1, (
+        f"expected exactly the bounded offsets window unpartitioned, "
+        f"saw {len(unpartitioned)} in:\n{plan}"
+    )
