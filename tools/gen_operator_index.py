@@ -166,8 +166,10 @@ def main() -> None:
             "\n## Tests-only lane (unregistered operators)\n\n"
             "Callable as library functions (not in `queries()`/"
             "`oracle_sql()`); their pytest evidence runs the same "
-            "comparison the driver gate runs, at the same scale factor. "
-            "Registration is a decorator move governed by the registry's "
+            "comparison the driver gate runs, at the same scale factor, "
+            "and `python tools/lane_check.py [sf_dir]` reproduces the "
+            "whole lane gate at any scale in one command. Registration "
+            "is a decorator move governed by the registry's "
             "one-in-one-out rule.\n\n"
             "| Operator | Where | Oracle evidence | Tests | What it does |\n"
             "|---|---|---|---|---|\n"

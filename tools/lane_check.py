@@ -1,0 +1,354 @@
+"""check_correctness twin for the TESTS-ONLY LANE (OPERATORS.md lane
+section): runs every unregistered operator at the given sf_dir against
+its prepared oracle — DuckDB SQL, independent python/library recompute,
+or the registered-twin equality — and reports exact-match status.
+
+The pytest suite runs these same comparisons at sf0.001/0.01; this tool
+exists so the lane's evidence can be re-produced at ANY scale factor
+with one command (the driver gate only covers registered queries).
+
+Usage:  python tools/lane_check.py [sf_dir]          (default sf0.01)
+Exit code 0 iff every check passes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.caching import release_caches
+from drug_target_discovery_spark.session import get_spark
+from drug_target_discovery_spark.sources.tables import load_table
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def _con(*tables: str):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _python_bpe(texts, k):
+    """Independent recompute of the deterministic BPE merge rule (the
+    same model tests/test_round9_ops.py pins against)."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for rank in range(1, k + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += words[w]
+        if not pc:
+            break
+        (le, ri), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, le, ri, le + ri, n))
+        for w, syms in vocab.items():
+            out, pend = [], None
+            for x in syms:
+                if pend is None:
+                    pend = x
+                elif pend == le and x == ri:
+                    out.append(le + ri)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            vocab[w] = out
+    return merges
+
+
+def _encode(word, rules):
+    syms = list(word)
+    for le, ri in rules:
+        out, pend = [], None
+        for x in syms:
+            if pend is None:
+                pend = x
+            elif pend == le and x == ri:
+                out.append(le + ri)
+                pend = None
+            else:
+                out.append(pend)
+                pend = x
+        if pend is not None:
+            out.append(pend)
+        syms = out
+    return syms
+
+
+def _rnd6(x):
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def check_substring_spans(spark):
+    from drug_target_discovery_spark.queries.round9 import (
+        _EXACT_SUBSTR_ORACLE,
+        exact_substring_dup_stats,
+    )
+
+    got = [tuple(r) for r in exact_substring_dup_stats(spark, SF).collect()]
+    exp = [
+        tuple(r) for r in _con("documents").execute(_EXACT_SUBSTR_ORACLE).fetchall()
+    ]
+    ok = (
+        [g[:4] for g in got] == [e[:4] for e in exp]
+        and len(got) == len(exp)
+        and all(abs(float(g[4]) - float(e[4])) < 1e-9 for g, e in zip(got, exp))
+        and bool(got)
+    )
+    return ok, f"{len(got)} sources"
+
+
+def check_substring_valve(spark):
+    from drug_target_discovery_spark.queries.round9 import (
+        exact_substring_dup_stats,
+    )
+
+    exact = sorted(map(tuple, exact_substring_dup_stats(spark, SF).collect()))
+    release_caches(fixtures=True)
+    valved = sorted(
+        map(
+            tuple,
+            exact_substring_dup_stats(spark, SF, trivial_dup_df=4).collect(),
+        )
+    )
+    return exact == valved, "valve(df=4) == exact"
+
+
+def check_ivf_audit(spark):
+    from drug_target_discovery_spark.queries.round9 import (
+        _IVF_REFRESH_ORACLE,
+        ivf_index_refresh_audit,
+    )
+
+    got = [tuple(r) for r in ivf_index_refresh_audit(spark, SF).collect()]
+    exp = [
+        tuple(r) for r in _con("embeddings").execute(_IVF_REFRESH_ORACLE).fetchall()
+    ]
+    return got == exp and len(got) > 1, f"{len(got)} cells"
+
+
+def check_ivf_retrain(spark):
+    from drug_target_discovery_spark.queries.round9 import (
+        _IVF_RETRAIN_NORETRAIN_ORACLE,
+        ivf_drift_retrain,
+    )
+
+    got = [tuple(r) for r in ivf_drift_retrain(spark, SF).collect()]
+    exp = [
+        tuple(r)
+        for r in _con("embeddings")
+        .execute(_IVF_RETRAIN_NORETRAIN_ORACLE)
+        .fetchall()
+    ]
+    return got == exp and bool(got), f"{len(got)} cells (no-drift branch)"
+
+
+def check_epoch_shuffle(spark):
+    from drug_target_discovery_spark.queries.round9 import (
+        _EPOCH_SHUFFLE_ORACLE,
+        _SHUF_SEED,
+        deterministic_epoch_shuffle,
+    )
+
+    got = [tuple(r) for r in deterministic_epoch_shuffle(spark, SF).collect()]
+    exp = [
+        tuple(r) for r in _con("documents").execute(_EPOCH_SHUFFLE_ORACLE).fetchall()
+    ]
+    # belt-and-braces: hashlib agrees with the engines on the first rows
+    head = sorted(
+        (
+            int(hashlib.md5(f"{_SHUF_SEED}:{d}".encode()).hexdigest()[:15], 16),
+            d,
+        )
+        for d, _, _ in got
+    )[:5]
+    hash_ok = [d for _, d in head] == [g[0] for g in got[:5]]
+    return got == exp and hash_ok and bool(got), f"{len(got)} docs"
+
+
+def check_bpe_merges(spark, k=8):
+    from drug_target_discovery_spark.queries.round9 import bpe_top_merges
+
+    got = [tuple(r) for r in bpe_top_merges(spark, SF, k=k).collect()]
+    texts = [
+        r[0]
+        for r in _con("documents").execute("SELECT text FROM documents").fetchall()
+    ]
+    exp = _python_bpe(texts, k)
+    return got == exp and len(got) == k, f"k={k} merges"
+
+
+def check_bpe_encode(spark, k=8):
+    from drug_target_discovery_spark.queries.round9 import bpe_encode_stats
+
+    got = [tuple(r) for r in bpe_encode_stats(spark, SF, k=k).collect()]
+    docs = (
+        _con("documents")
+        .execute("SELECT source, text FROM documents")
+        .fetchall()
+    )
+    rules = [(le, ri) for _, le, ri, _, _ in _python_bpe([t for _, t in docs], k)]
+    stats = {}
+    for source, t in docs:
+        for w in t.split():
+            if not w:
+                continue
+            syms = _encode(w, rules)
+            s = stats.setdefault(source, [0, 0, 0, set()])
+            s[0] += 1
+            s[1] += len(syms)
+            s[2] += len(w)
+            s[3].update(syms)
+    exp = [
+        (src, nw, nt, nc, len(dt), _rnd6(nt / nw), _rnd6(nc / nt))
+        for src, (nw, nt, nc, dt) in sorted(stats.items())
+    ]
+    return got == exp and bool(got), f"{len(got)} sources"
+
+
+def check_gini_twin(spark):
+    from drug_target_discovery_spark.queries.round8 import (
+        order_value_gini_by_nation,
+        order_value_gini_by_nation_scalable,
+    )
+
+    base = [tuple(r) for r in order_value_gini_by_nation(spark, SF).collect()]
+    twin = [
+        tuple(r)
+        for r in order_value_gini_by_nation_scalable(spark, SF).collect()
+    ]
+    return base == twin and bool(base), f"{len(base)} nations"
+
+
+def check_weighted_median(spark):
+    from drug_target_discovery_spark.operators.prefixsum import (
+        weighted_median_by_key,
+    )
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+    )
+    got = {
+        r["l_returnflag"]: int(r["weighted_median"])
+        for r in weighted_median_by_key(
+            li, "l_returnflag", "cents", "qty", buckets=32
+        ).collect()
+    }
+    exp = dict(
+        _con("lineitem")
+        .execute(
+            """
+            WITH g AS (
+              SELECT l_returnflag AS k,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+                     CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS HUGEINT) AS w
+              FROM lineitem GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT k, v, sum(w) OVER (PARTITION BY k ORDER BY v) AS cum,
+                     sum(w) OVER (PARTITION BY k) AS tot
+              FROM g
+            )
+            SELECT k, CAST(min(v) AS BIGINT) FROM c
+            WHERE 2 * cum >= tot GROUP BY k
+            """
+        )
+        .fetchall()
+    )
+    return got == exp and bool(got), f"{len(got)} keys"
+
+
+def check_modularity(spark):
+    import networkx as nx
+
+    from drug_target_discovery_spark.graph.algorithms import label_propagation
+    from drug_target_discovery_spark.queries.dedup import candidate_pairs
+    from drug_target_discovery_spark.queries.round8 import _LPA_ITERS
+    from drug_target_discovery_spark.queries.round9 import (
+        lpa_community_modularity,
+    )
+
+    got = lpa_community_modularity(spark, SF).collect()[0]
+    pairs = candidate_pairs(spark, SF)
+    edge_list = sorted(
+        {
+            tuple(sorted((r["d1"], r["d2"])))
+            for r in pairs.collect()
+            if r["d1"] != r["d2"]
+        }
+    )
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    labels = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, n_iter=_LPA_ITERS).collect()
+    }
+    g = nx.Graph(edge_list)
+    comms = {}
+    for n, c in labels.items():
+        comms.setdefault(c, set()).add(n)
+    q = nx.community.modularity(g, comms.values())
+    ok = (
+        got["n_edges"] == len(edge_list)
+        and got["n_nodes"] == g.number_of_nodes()
+        and got["n_communities"] == len(comms)
+        and abs(float(got["modularity"]) - q) < 1e-6
+        and got["n_edges"] > 0
+    )
+    return ok, f"Q={got['modularity']}, {got['n_communities']} communities"
+
+
+CHECKS = [
+    ("exact_substring_dup_stats", check_substring_spans),
+    ("exact_substring_dup_stats[valve]", check_substring_valve),
+    ("ivf_index_refresh_audit", check_ivf_audit),
+    ("ivf_drift_retrain", check_ivf_retrain),
+    ("deterministic_epoch_shuffle", check_epoch_shuffle),
+    ("bpe_top_merges", check_bpe_merges),
+    ("bpe_encode_stats", check_bpe_encode),
+    ("order_value_gini_by_nation_scalable", check_gini_twin),
+    ("weighted_median_by_key", check_weighted_median),
+    ("lpa_community_modularity", check_modularity),
+]
+
+
+def main() -> int:
+    spark = get_spark("lane_check")
+    failed = 0
+    for name, fn in CHECKS:
+        try:
+            ok, detail = fn(spark)
+        except Exception as exc:  # noqa: BLE001 — report, keep checking
+            ok, detail = False, f"error: {exc}"
+        release_caches(fixtures=True)
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {detail}", flush=True)
+        failed += 0 if ok else 1
+    print(f"\n{len(CHECKS) - failed} pass, {failed} fail at {SF}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
