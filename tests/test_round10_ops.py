@@ -1,0 +1,381 @@
+"""Round-10 tests-only-lane operators: cross-source overlap matrix,
+Jelinek-Mercer bigram LM quality, and product-quantization ADC recall.
+Each carries the same side-by-side comparison a driver row would record
+(DuckDB prepared oracle / independent numpy recompute), per the registry
+capacity policy's tests-only lane (queries/registry.py)."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+class TestCrossSourceShingleOverlap:
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_duckdb_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round10 import (
+            _XSRC_ORACLE,
+            cross_source_shingle_overlap,
+        )
+
+        got = [tuple(r) for r in cross_source_shingle_overlap(spark, sf).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        exp = [tuple(r) for r in con.execute(_XSRC_ORACLE).fetchall()]
+        assert got == exp
+        # the matrix is complete: C(n_sources, 2) rows
+        n_src = con.execute("SELECT count(DISTINCT source) FROM documents").fetchone()[0]
+        assert len(got) == n_src * (n_src - 1) // 2
+
+    def test_hand_fixture_exact_values(self, spark, tmp_path):
+        """3 sources with known shingle sets: a={'x y z','y z w'},
+        b={'x y z'}, c disjoint. Checks Jaccard/containment arithmetic and
+        that the zero-overlap pair appears with 0s."""
+        from drug_target_discovery_spark.queries.round10 import (
+            cross_source_shingle_overlap,
+        )
+
+        rows = [
+            (0, "x y z w", "en", "a", 7),
+            (1, "x y z", "en", "b", 5),
+            (2, "p q r", "en", "c", 5),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            (r["source_a"], r["source_b"]): r
+            for r in cross_source_shingle_overlap(spark, str(tmp_path)).collect()
+        }
+        assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+        ab = got[("a", "b")]
+        # a = {x y z, y z w} (2), b = {x y z} (1), inter = 1
+        assert (ab["n_a"], ab["n_b"], ab["n_inter"]) == (2, 1, 1)
+        assert ab["jaccard"] == pytest.approx(0.5)
+        assert ab["containment"] == pytest.approx(1.0)
+        ac = got[("a", "c")]
+        assert ac["n_inter"] == 0 and ac["jaccard"] == 0.0 and ac["containment"] == 0.0
+
+    def test_identical_sources_jaccard_one(self, spark, tmp_path):
+        from drug_target_discovery_spark.queries.round10 import (
+            cross_source_shingle_overlap,
+        )
+
+        rows = [
+            (0, "a b c d e", "en", "s1", 9),
+            (1, "a b c d e", "en", "s2", 9),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        (r,) = cross_source_shingle_overlap(spark, str(tmp_path)).collect()
+        assert r["jaccard"] == pytest.approx(1.0)
+        assert r["containment"] == pytest.approx(1.0)
+
+
+def _python_jm(docs):
+    """Independent python recompute of bigram_lm_quality_by_source on
+    [(doc_id, source, text)] — same JM model, same integer micro-log
+    quantization, same low-quality rule."""
+    from collections import Counter, defaultdict
+
+    from drug_target_discovery_spark.queries.round10 import (
+        _JM_LAMBDA,
+        _JM_LOWQ_MICRO,
+    )
+
+    words = {d: [w for w in t.split(" ") if w != ""] for d, _, t in docs}
+    src = {d: s for d, s, _ in docs}
+    uni = Counter(w for ws in words.values() for w in ws)
+    n = float(sum(uni.values()))
+    bg = Counter(
+        (ws[i], ws[i + 1])
+        for ws in words.values()
+        if len(ws) >= 2
+        for i in range(len(ws) - 1)
+    )
+    ctx = Counter()
+    for (w1, _), c in bg.items():
+        ctx[w1] += c
+    lp_q = {
+        (w1, w2): int(
+            math.floor(
+                math.log10(
+                    _JM_LAMBDA * (float(c) / float(ctx[w1]))
+                    + (1 - _JM_LAMBDA) * (float(uni[w2]) / n)
+                )
+                * 1000000.0
+                + 0.5
+            )
+        )
+        for (w1, w2), c in bg.items()
+    }
+    per_src = defaultdict(lambda: [0, 0, 0, 0])  # n_docs, nb, lp_sum, low
+    for d, ws in words.items():
+        if len(ws) < 2:
+            continue
+        pairs = list(zip(ws, ws[1:]))
+        s = sum(lp_q[p] for p in pairs)
+        acc = per_src[src[d]]
+        acc[0] += 1
+        acc[1] += len(pairs)
+        acc[2] += s
+        acc[3] += 1 if s < _JM_LOWQ_MICRO * len(pairs) else 0
+    out = []
+    for s in sorted(per_src):
+        nd, nb, lps, low = per_src[s]
+        mean = math.floor((lps / (1000000.0 * nb)) * 1e6 + 0.5) / 1e6
+        out.append((s, nd, nb, mean, low))
+    return out
+
+
+class TestBigramLmQuality:
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_duckdb_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round10 import (
+            _JM_ORACLE,
+            bigram_lm_quality_by_source,
+        )
+
+        got = [tuple(r) for r in bigram_lm_quality_by_source(spark, sf).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        exp = [tuple(r) for r in con.execute(_JM_ORACLE).fetchall()]
+        assert got == exp
+        # the threshold actually separates on the committed corpus
+        assert sum(r[4] for r in got) > 0
+        assert sum(r[4] for r in got) < sum(r[1] for r in got)
+
+    def test_repetitive_beats_disfluent(self, spark, tmp_path):
+        """A doc made of the corpus's repeated template bigrams must score
+        HIGHER (less negative) than a doc of the same unigrams in a
+        never-seen order — the separation the bigram order adds over the
+        registered unigram filter."""
+        from drug_target_discovery_spark.queries.round10 import (
+            bigram_lm_quality_by_source,
+        )
+
+        template = "the quick brown fox jumps over the lazy dog"
+        rows = [(i, template, "en", "fluent", 1) for i in range(5)]
+        rows.append((10, "dog the over fox lazy quick jumps brown the", "en", "shuffled", 1))
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["source"]: r["mean_logprob"]
+            for r in bigram_lm_quality_by_source(spark, str(tmp_path)).collect()
+        }
+        assert got["fluent"] > got["shuffled"]
+
+    def test_short_docs_excluded(self, spark, tmp_path):
+        from drug_target_discovery_spark.queries.round10 import (
+            bigram_lm_quality_by_source,
+        )
+
+        rows = [
+            (0, "a b a b", "en", "s", 7),
+            (1, "a", "en", "s", 1),  # < 2 tokens: not scored
+            (2, "", "en", "s", 0),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        (r,) = bigram_lm_quality_by_source(spark, str(tmp_path)).collect()
+        assert r["n_docs"] == 1 and r["n_bigrams"] == 3
+
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab ", min_size=0, max_size=24),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_property_python_recompute(self, spark, tmp_path_factory, texts):
+        from drug_target_discovery_spark.queries.round10 import (
+            bigram_lm_quality_by_source,
+        )
+
+        docs = [(i, f"s{i % 2}", t) for i, t in enumerate(texts)]
+        if not any(
+            len([w for w in t.split(" ") if w]) >= 2 for _, _, t in docs
+        ):
+            return  # no scorable doc: operator returns empty, trivially fine
+        tmp = tmp_path_factory.mktemp("jm")
+        df = spark.createDataFrame(
+            [(d, t, "en", s, len(t)) for d, s, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(str(tmp / "documents.parquet"))
+        got = [
+            (r["source"], r["n_docs"], r["n_bigrams"], r["mean_logprob"], r["n_low_quality"])
+            for r in bigram_lm_quality_by_source(spark, str(tmp)).collect()
+        ]
+        exp = _python_jm(docs)
+        assert [(g[0], g[1], g[2], g[4]) for g in got] == [
+            (e[0], e[1], e[2], e[4]) for e in exp
+        ]
+        assert [g[3] for g in got] == pytest.approx([e[3] for e in exp], abs=1e-9)
+
+
+def _numpy_pq_oracle(sf, m, k, iters, topk, stride):
+    """Independent numpy recompute of pq_adc_recall: same micro-unit
+    quantization, init rule, tie-breaks, LUT construction, and exclusion
+    protocol — written against the operator's CONTRACT, not its code."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"select vec_id, embedding from read_parquet('{sf}/embeddings.parquet')"
+        " order by vec_id"
+    ).fetchall()
+    vids = np.array([r[0] for r in rows], dtype=np.int64)
+    V = np.array(
+        [[int(np.floor(float(x) * 1_000_000 + 0.5)) for x in r[1]] for r in rows],
+        dtype=np.int64,
+    )
+    d = V.shape[1] // m
+    spans = [(j * d, (j + 1) * d) for j in range(m)]
+
+    def assign(Vs, cents):
+        best_d, best_i = None, None
+        for j, c in enumerate(cents):
+            dd = ((Vs - np.asarray(c, dtype=np.float64)) ** 2).sum(axis=1)
+            if best_d is None:
+                best_d, best_i = dd, np.zeros(len(dd), dtype=np.int64)
+            else:
+                upd = dd < best_d
+                best_d = np.where(upd, dd, best_d)
+                best_i = np.where(upd, j, best_i)
+        return best_i
+
+    first = np.argsort(vids, kind="stable")[:k]
+    cbs = [[[float(x) for x in V[i, lo:hi]] for i in first] for lo, hi in spans]
+    for _ in range(iters):
+        new = []
+        for j, (lo, hi) in enumerate(spans):
+            Vs = V[:, lo:hi]
+            lab = assign(Vs.astype(np.float64), cbs[j])
+            cb = []
+            for c in range(k):
+                mask = lab == c
+                if not mask.any():
+                    cb.append(cbs[j][c])
+                else:
+                    s = Vs[mask].sum(axis=0)
+                    cb.append([int(x) / int(mask.sum()) for x in s])
+            new.append(cb)
+        cbs = new
+    codes = np.stack(
+        [assign(V[:, lo:hi].astype(np.float64), cbs[j]) for j, (lo, hi) in enumerate(spans)],
+        axis=1,
+    )
+    out = []
+    for qi in np.where(vids % stride == 0)[0]:
+        qid = int(vids[qi])
+        keep = vids != qid
+        v_keep = vids[keep]
+        diff = V[keep] - V[qi]
+        d_exact = (diff * diff).sum(axis=1)
+        exact_top = set(v_keep[np.lexsort((v_keep, d_exact))[:topk]].tolist())
+        q = V[qi].astype(np.float64)
+        lut = np.stack(
+            [
+                ((q[lo:hi] - np.asarray(cbs[j], dtype=np.float64)) ** 2).sum(axis=1)
+                for j, (lo, hi) in enumerate(spans)
+            ]
+        )
+        c = codes[keep]
+        d_adc = np.zeros(len(v_keep), dtype=np.float64)
+        for j in range(m):
+            d_adc += lut[j][c[:, j]]
+        adc_top = set(v_keep[np.lexsort((v_keep, d_adc))[:topk]].tolist())
+        n_ov = len(exact_top & adc_top)
+        out.append((qid, n_ov, n_ov * 1.0 / len(exact_top)))
+    return sorted(out)
+
+
+class TestPqAdcRecall:
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_numpy_oracle(self, spark, sf):
+        from drug_target_discovery_spark.queries.round10 import (
+            _PQ_ITERS,
+            _PQ_K,
+            _PQ_M,
+            _PQ_PROBE_STRIDE,
+            _PQ_TOPK,
+            pq_adc_recall,
+        )
+
+        got = sorted(
+            (int(r["query_vid"]), int(r["n_overlap"]), float(r["recall_at_k"]))
+            for r in pq_adc_recall(spark, sf).collect()
+        )
+        exp = _numpy_pq_oracle(sf, _PQ_M, _PQ_K, _PQ_ITERS, _PQ_TOPK, _PQ_PROBE_STRIDE)
+        assert [(g[0], g[1]) for g in got] == [(e[0], e[1]) for e in exp]
+        assert [g[2] for g in got] == pytest.approx([e[2] for e in exp], abs=1e-12)
+        assert all(0.0 <= g[2] <= 1.0 for g in got)
+        assert len(got) >= 1
+
+    def test_train_partitioning_invariant(self, spark):
+        """Codebooks must be byte-identical under a hostile repartition —
+        the operator's whole exactness contract."""
+        from drug_target_discovery_spark.operators.kmeans import quantize_embeddings
+        from drug_target_discovery_spark.operators.pq import pq_train
+        from drug_target_discovery_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", "embedding"
+        )
+        vq = quantize_embeddings(emb)
+        a = pq_train(vq, m=4, k=8, iters=2)
+        b = pq_train(vq.repartition(7), m=4, k=8, iters=2)
+        assert a == b
+
+    def test_perfect_codebook_gives_full_recall(self, spark):
+        """k >= n vectors: after an iteration every vector sits alone in
+        its own code, so ADC distance equals the exact distance and
+        recall@k is 1.0 for every query."""
+        from drug_target_discovery_spark.operators.kmeans import quantize_embeddings
+        from drug_target_discovery_spark.operators.pq import (
+            pq_recall_eval,
+            pq_train,
+        )
+
+        rows = [(i, [float(i * 10 + j) for j in range(4)]) for i in range(6)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        vq = quantize_embeddings(emb)
+        cbs = pq_train(vq, m=2, k=6, iters=2)
+        probes = [
+            (int(r["vid"]), [int(x) for x in r["v_int"]])
+            for r in vq.orderBy("vid").limit(2).collect()
+        ]
+        got = pq_recall_eval(vq, cbs, probes, topk=3).collect()
+        assert len(got) == 2
+        assert all(r["recall_at_k"] == pytest.approx(1.0) for r in got)
+
+    def test_dims_must_divide(self):
+        from drug_target_discovery_spark.operators.pq import _split
+
+        with pytest.raises(ValueError):
+            _split(10, 3)

@@ -91,6 +91,24 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
         "python brute force + DuckDB lineitem cross-check",
         "tests/test_round9_ops.py",
     ),
+    (
+        "drug_target_discovery_spark.queries.round10",
+        "cross_source_shingle_overlap",
+        "prepared DuckDB oracle (exact, sf0.001/0.01) + hand-built exact fixtures",
+        "tests/test_round10_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.queries.round10",
+        "bigram_lm_quality_by_source",
+        "prepared DuckDB oracle (exact, sf0.001/0.01) + hypothesis python recompute",
+        "tests/test_round10_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.queries.round10",
+        "pq_adc_recall",
+        "independent numpy recompute (exact, sf0.001/0.01) + partitioning-invariance and perfect-codebook pins",
+        "tests/test_round10_ops.py",
+    ),
 )
 
 

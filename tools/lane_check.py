@@ -321,6 +321,64 @@ def check_modularity(spark):
     return ok, f"Q={got['modularity']}, {got['n_communities']} communities"
 
 
+def check_xsrc_overlap(spark):
+    from drug_target_discovery_spark.queries.round10 import (
+        _XSRC_ORACLE,
+        cross_source_shingle_overlap,
+    )
+
+    got = [tuple(r) for r in cross_source_shingle_overlap(spark, SF).collect()]
+    exp = [tuple(r) for r in _con("documents").execute(_XSRC_ORACLE).fetchall()]
+    return got == exp and bool(got), f"{len(got)} source pairs"
+
+
+def check_bigram_lm(spark):
+    from drug_target_discovery_spark.queries.round10 import (
+        _JM_ORACLE,
+        bigram_lm_quality_by_source,
+    )
+
+    got = [tuple(r) for r in bigram_lm_quality_by_source(spark, SF).collect()]
+    exp = [tuple(r) for r in _con("documents").execute(_JM_ORACLE).fetchall()]
+    return got == exp and bool(got), f"{len(got)} sources"
+
+
+def check_pq_recall(spark):
+    # reuse the pytest oracle verbatim so tool and test cannot drift
+    import importlib.util
+
+    p = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "test_round10_ops.py",
+    )
+    spec = importlib.util.spec_from_file_location("_t10", p)
+    t10 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(t10)
+
+    from drug_target_discovery_spark.queries.round10 import (
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+        _PQ_PROBE_STRIDE,
+        _PQ_TOPK,
+        pq_adc_recall,
+    )
+
+    got = sorted(
+        (int(r["query_vid"]), int(r["n_overlap"]), _rnd6(float(r["recall_at_k"])))
+        for r in pq_adc_recall(spark, SF).collect()
+    )
+    exp = [
+        (q, n, _rnd6(rec))
+        for q, n, rec in t10._numpy_pq_oracle(
+            SF, _PQ_M, _PQ_K, _PQ_ITERS, _PQ_TOPK, _PQ_PROBE_STRIDE
+        )
+    ]
+    mean = sum(g[2] for g in got) / len(got) if got else 0.0
+    return got == exp and bool(got), f"{len(got)} probes, mean recall {mean:.3f}"
+
+
 CHECKS = [
     ("exact_substring_dup_stats", check_substring_spans),
     ("exact_substring_dup_stats[valve]", check_substring_valve),
@@ -332,6 +390,9 @@ CHECKS = [
     ("order_value_gini_by_nation_scalable", check_gini_twin),
     ("weighted_median_by_key", check_weighted_median),
     ("lpa_community_modularity", check_modularity),
+    ("cross_source_shingle_overlap", check_xsrc_overlap),
+    ("bigram_lm_quality_by_source", check_bigram_lm),
+    ("pq_adc_recall", check_pq_recall),
 ]
 
 
