@@ -152,6 +152,223 @@ def pq_encode(vq: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
     return vq.mapInPandas(kernel, schema="vid BIGINT, codes ARRAY<INT>")
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ composition (IVFADC — Jegou et al. 2011 §V): coarse cells restrict
+# the candidate set, PQ codes of the RESIDUAL (vector - cell centroid)
+# provide the compressed distance. The cell rule is the repo's deterministic
+# 8-cell sign-bit quantizer (similarity.py's IVF family), so the composition
+# needs no coarse training; cell centroids are exact-integer means so
+# residuals stay int64 and the whole pipeline keeps the exactness contract.
+# ---------------------------------------------------------------------------
+
+
+def ivf_cells(vq: DataFrame) -> DataFrame:
+    """(vid, v_int, cell): the sign-bit cell of micro-unit dims 1-3."""
+    bit = lambda i, w: F.when(F.element_at("v_int", i) > 0, F.lit(w)).otherwise(
+        F.lit(0)
+    )
+    return vq.withColumn("cell", (bit(1, 4) + bit(2, 2) + bit(3, 1)).cast("int"))
+
+
+def ivf_cell_centroids(cells: DataFrame) -> dict[int, list[int]]:
+    """Exact-integer per-cell centroids: elementwise round-half-up mean
+    (2*s + n) // (2*n) computed on exact int64 sums — deterministic in any
+    accumulation order. The shuffle is map-side-combined to
+    8 cells x D dims partials; only the 8 x D table is collected."""
+    stats = (
+        cells.select("cell", F.posexplode("v_int").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    acc: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in stats:
+        acc.setdefault(r["cell"], {})[r["dim"]] = (int(r["s"]), int(r["n"]))
+    out = {}
+    for cell, dims in acc.items():
+        vec = []
+        for d in range(len(dims)):
+            s, n = dims[d]
+            # round-half-up integer mean, exact for negatives too:
+            # floor((2s + n) / 2n) == floor(s/n + 1/2)
+            vec.append((2 * s + n) // (2 * n))
+        out[cell] = vec
+    return out
+
+
+def ivfpq_recall_eval(
+    vq: DataFrame,
+    m: int,
+    k: int,
+    iters: int,
+    queries: list[tuple[int, list[int]]],
+    topk: int,
+    nprobe: int,
+) -> DataFrame:
+    """IVFADC end to end: assign sign-bit cells, train ONE shared PQ
+    codebook set on the integer RESIDUALS (vector - its cell's exact
+    integer centroid — the standard IVFADC factoring: residuals are
+    centered, so one codebook serves every cell), then for each probe
+    query search only its ``nprobe`` nearest cells by ADC over the
+    residual codes, against the exact integer-L2 top-k over the WHOLE
+    corpus. Output per query: (query_vid, n_overlap, recall_at_k,
+    scan_frac) — scan_frac is the fraction of the corpus the probed
+    cells actually contain, the honest cost side of the recall number.
+
+    ADC under residuals: for candidate x in cell c with codes b,
+    dist(q, x) ~ sum_j LUT[q][c][j][b_j] where LUT[q][c][j][code] =
+    || (q - centroid_c)_sub_j - codebook_j[code] ||^2 — per query a
+    bounded nprobe x m x k table, built driver-side in fixed order.
+
+    Scale design: centroids are one map-side-combined 8 x D aggregate;
+    residuals are a JVM-side zip_with against a broadcast 8-row dim
+    table; PQ training shuffles model-sized partials (pq_train); eval
+    is ONE scan emitting batch-local top-k per (leg, query) — the
+    non-probed cells never enter the ADC leg's candidate set at all,
+    exactly like a real IVF index skips their posting lists."""
+    import numpy as np
+
+    cells = ivf_cells(vq)
+    cents = ivf_cell_centroids(cells)
+    spark = vq.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, v) for c, v in sorted(cents.items())], "cell INT, c_int ARRAY<BIGINT>"
+    )
+    fact = cells.join(F.broadcast(cent_df), "cell").select(
+        "vid",
+        "cell",
+        "v_int",
+        F.zip_with("v_int", "c_int", lambda a, b: a - b).alias("r_int"),
+    )
+    codebooks = pq_train(
+        fact.select("vid", F.col("r_int").alias("v_int")), m, k, iters
+    )
+
+    dims = sum(len(cb[0]) for cb in codebooks)
+    spans = _split(dims, m)
+    cb_np = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    cent_np = {c: np.asarray(v, dtype=np.int64) for c, v in cents.items()}
+    cell_ids = sorted(cent_np)
+    q_ids = [int(qid) for qid, _ in queries]
+    q_int = [np.asarray(qv, dtype=np.int64) for _, qv in queries]
+    # probed cells per query: nprobe nearest centroids by exact integer L2,
+    # ties toward the smaller cell id
+    probed: list[list[int]] = []
+    luts: list[dict[int, "np.ndarray"]] = []
+    for q in q_int:
+        d_cell = sorted(
+            (int(((q - cent_np[c]) ** 2).sum()), c) for c in cell_ids
+        )
+        mine = [c for _, c in d_cell[:nprobe]]
+        probed.append(mine)
+        lut_q = {}
+        for c in mine:
+            qr = (q - cent_np[c]).astype(np.float64)
+            lut_q[c] = np.stack(
+                [
+                    ((qr[lo:hi] - cb_np[j]) ** 2).sum(axis=1)
+                    for j, (lo, hi) in enumerate(spans)
+                ]
+            )
+        luts.append(lut_q)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v_int"].map(lambda a: np.asarray(a, dtype=np.int64)))
+            R = np.stack(pdf["r_int"].map(lambda a: np.asarray(a, dtype=np.int64)))
+            vids = pdf["vid"].to_numpy()
+            cell_col = pdf["cell"].to_numpy()
+            codes = np.stack(
+                [
+                    _assign_ids(R[:, lo:hi].astype(np.float64), codebooks[j])
+                    for j, (lo, hi) in enumerate(spans)
+                ],
+                axis=1,
+            )
+            rows = {"qid": [], "vid": [], "leg": [], "d_int": [], "d_f": []}
+            for qi, qid in enumerate(q_ids):
+                keep = vids != qid
+                if keep.any():
+                    v_keep = vids[keep]
+                    diff = V[keep] - q_int[qi]
+                    d_exact = (diff * diff).sum(axis=1)
+                    order = np.lexsort((v_keep, d_exact))[:topk]
+                    rows["qid"].extend([qid] * len(order))
+                    rows["vid"].extend(int(v) for v in v_keep[order])
+                    rows["leg"].extend(["exact"] * len(order))
+                    rows["d_int"].extend(int(d) for d in d_exact[order])
+                    rows["d_f"].extend([0.0] * len(order))
+                # ADC leg: candidates restricted to the probed cells
+                in_probe = keep & np.isin(cell_col, probed[qi])
+                if in_probe.any():
+                    v_adc = vids[in_probe]
+                    c_adc = codes[in_probe]
+                    cells_adc = cell_col[in_probe]
+                    d_adc = np.zeros(len(v_adc), dtype=np.float64)
+                    for c in probed[qi]:
+                        mask = cells_adc == c
+                        if not mask.any():
+                            continue
+                        lut = luts[qi][c]
+                        dd = np.zeros(int(mask.sum()), dtype=np.float64)
+                        cc = c_adc[mask]
+                        for j in range(m):
+                            dd += lut[j][cc[:, j]]
+                        d_adc[mask] = dd
+                    order = np.lexsort((v_adc, d_adc))[:topk]
+                    rows["qid"].extend([qid] * len(order))
+                    rows["vid"].extend(int(v) for v in v_adc[order])
+                    rows["leg"].extend(["adc"] * len(order))
+                    rows["d_int"].extend([0] * len(order))
+                    rows["d_f"].extend(float(d) for d in d_adc[order])
+            yield pd.DataFrame(rows)
+
+    local = fact.mapInPandas(
+        kernel, schema="qid BIGINT, vid BIGINT, leg STRING, d_int BIGINT, d_f DOUBLE"
+    )
+    w = W.partitionBy("leg", "qid").orderBy("d_int", "d_f", "vid")
+    top = (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("qid", "vid", "leg")
+    )
+    exact = top.filter(F.col("leg") == "exact").select("qid", "vid")
+    adc = top.filter(F.col("leg") == "adc").select("qid", "vid")
+    hits = exact.join(adc, ["qid", "vid"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    base = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    # scan fraction per query: probed-cell population / corpus (bounded:
+    # the cell census is 8 rows; the per-query expansion |Q| x nprobe)
+    census = {
+        int(r["cell"]): int(r["n"])
+        for r in cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(census.values())
+    scan = spark.createDataFrame(
+        [
+            (qid, sum(census.get(c, 0) for c in probed[qi]) * 1.0 / total)
+            for qi, qid in enumerate(q_ids)
+        ],
+        "qid BIGINT, scan_frac DOUBLE",
+    )
+    return (
+        base.join(hits, "qid", "left")
+        .join(F.broadcast(scan), "qid")
+        .select(
+            F.col("qid").alias("query_vid"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("int").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) * 1.0 / F.col("n_exact")).alias(
+                "recall_at_k"
+            ),
+            "scan_frac",
+        )
+        .orderBy("query_vid")
+    )
+
+
 def pq_recall_eval(
     vq: DataFrame,
     codebooks: list[list[list[float]]],

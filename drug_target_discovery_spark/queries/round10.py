@@ -365,3 +365,471 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 pq_adc_recall.__doc__ = pq_adc_recall.__doc__.format(
     m=_PQ_M, k=_PQ_K, stride=_PQ_PROBE_STRIDE, topk=_PQ_TOPK
 )
+
+
+_IVFPQ_NPROBE = 2
+
+
+def ivfpq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC) composed search, measured: the repo's deterministic
+    8-cell sign-bit coarse quantizer restricts each probe query to its
+    nprobe={nprobe} nearest cells (by exact integer L2 to the exact-integer
+    cell centroids), and PQ codes of the RESIDUALS rank candidates inside
+    them — the production ANN shape (FAISS IVFPQ) assembled from this
+    repo's own verified parts (sign-bit cells: `ann_ivf_bucketed_topk`;
+    PQ: `pq_adc_recall`). Output per probe query: recall@{topk} of the
+    composed search against the exact whole-corpus top-{topk}, plus
+    scan_frac — the fraction of the corpus the probed cells contain, the
+    cost side of the trade (recall without its scan fraction is
+    marketing, not measurement).
+
+    Same probe set, codebook shape, and exactness contract as
+    `pq_adc_recall` (see operators/pq.py:ivfpq_recall_eval for the scale
+    argument), so the two rows read side by side: what nprobe/8 of the
+    corpus buys vs scanning all of it with the same code budget.
+    """
+    from drug_target_discovery_spark.caching import scoped_cache
+    from drug_target_discovery_spark.operators.kmeans import quantize_embeddings
+    from drug_target_discovery_spark.operators.pq import ivfpq_recall_eval
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vq = scoped_cache(quantize_embeddings(emb.select("vec_id", "embedding")))
+    probes = [
+        (int(r["vid"]), [int(x) for x in r["v_int"]])
+        for r in vq.filter(F.col("vid") % _PQ_PROBE_STRIDE == 0)
+        .orderBy("vid")
+        .collect()
+    ]
+    return ivfpq_recall_eval(
+        vq, _PQ_M, _PQ_K, _PQ_ITERS, probes, _PQ_TOPK, _IVFPQ_NPROBE
+    )
+
+
+ivfpq_adc_recall.__doc__ = ivfpq_adc_recall.__doc__.format(
+    nprobe=_IVFPQ_NPROBE, topk=_PQ_TOPK
+)
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve layout vs Z-order: measured skip fractions
+# --------------------------------------------------------------------------
+_HIL_BITS = 10  # 2^10 buckets per dimension (the zorder query's grid)
+_HIL_FILES_SHIFT = 14  # d >> 14 => 64 target files (the zorder convention)
+_HIL_N_PREDS = 10  # predicate windows per class
+
+
+def _hilbert_cols(x, y, bits: int):
+    """Hilbert index d of grid cell (x, y) as a Column — the standard
+    xy2d loop (rx/ry extraction, quadrant accumulation, rotation) as ONE
+    `F.aggregate` fold over the literal array of side lengths with a
+    (x, y, d) struct accumulator: the loop runs at RUNTIME inside the
+    JVM, so the expression tree stays constant-size. (Unrolling the loop
+    into nested whens is a trap: each level re-references x and y twice,
+    so the tree grows ~4^bits nodes and Catalyst analysis takes minutes
+    at bits=10 — measured before this formulation.) Zero Python on the
+    data path, like the zorder query's interleave."""
+    sides = F.array(*[F.lit(1 << (bits - 1 - i)) for i in range(bits)])
+    init = F.struct(
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def step(acc, s):
+        ax, ay = acc.getField("x"), acc.getField("y")
+        rx = F.when(ax.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(ay.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0))
+        nd = acc.getField("d") + (s * s).cast("long") * (
+            (F.lit(3) * rx).bitwiseXOR(ry)
+        )
+        # rotate the quadrant: if ry == 0 { if rx == 1 reflect; swap x/y }
+        fx = F.when(rx == 1, (s - 1).cast("long") - ax).otherwise(ax)
+        fy = F.when(rx == 1, (s - 1).cast("long") - ay).otherwise(ay)
+        nx = F.when(ry == 0, fy).otherwise(ax)
+        ny = F.when(ry == 0, fx).otherwise(ay)
+        return F.struct(nx.alias("x"), ny.alias("y"), nd.alias("d"))
+
+    return F.aggregate(sides, init, step).getField("d")
+
+
+_HIL_FILES = 64  # equal-row target files per layout
+
+
+def hilbert_vs_zorder_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head layout measurement: cluster lineitem's
+    (l_partkey, l_suppkey) into {files} EQUAL-ROW files along BOTH
+    space-filling curves (the registered `zorder_file_layout`'s Morton
+    interleave vs a Hilbert curve on the same 2^{bits} grid), then score
+    each layout by what its per-file min/max footers let a scan SKIP —
+    {n} single-column range predicates per dimension plus {n}
+    two-dimensional boxes, all derived from the global extent in integer
+    arithmetic. Output per (layout, predicate class): mean fraction of
+    files skipped and mean fraction of ROWS scanned — the number a
+    100 TB table actually pays.
+
+    Files are EQUAL-ROW runs along the curve (rank r -> file r*F div N),
+    the real writer's shape (`repartitionByRange(curve_key)` + target
+    file size). The naive alternative — file = curve_index >> k — is
+    DEGENERATE for this comparison: at power-of-4 aligned splits both
+    curves tile the plane into the SAME axis-aligned quadrant blocks and
+    every file statistic is identical (pinned as a test property, and a
+    strong cross-check of both curve implementations). Only under
+    equal-row splits does Morton's diagonal-jump weakness show up — on
+    this corpus Hilbert skips measurably more (box predicates at sf0.01:
+    ~.90 vs ~.86 of files) because its unit-step traversal keeps each
+    run's key spans narrower.
+
+    Scale shape: extent = ONE map-side 1-row aggregate (bounded collect,
+    doubling as the tie-break pack-width guard — production substitutes
+    known domain bounds); both curve indexes are constant-size JVM folds
+    (see _hilbert_cols —
+    unrolling is a 4^bits expression-tree trap, measured); the
+    corpus-sized work collapses to the distinct (curve, part, supp)
+    triple grain (ONE map-side-combinable shuffle per layout), the exact
+    global rank of each triple runs through the repo's
+    `range_partitioned_prefix_sum` KEYLESS mode (no corpus-sized
+    single-partition window — the epoch shuffle's machinery), each
+    triple expands to the <= (cnt x F / N) + 2 files its rank span
+    overlaps, and file stats group on {files} ids. The predicate table
+    is extent x sequence({n}) and the skip join is files x preds, both
+    broadcast-sized at any corpus scale. Everything is int64 until the
+    two final fractions, each one IEEE division rounded via rnd.
+    """
+    from drug_target_discovery_spark.operators.prefixsum import (
+        range_partitioned_prefix_sum,
+    )
+    from drug_target_discovery_spark.queries.layout import (
+        _BUCKET_SPARK,
+        _interleave_spark,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    # Extent as literals: one bounded 1-row collect (the prefix-sum
+    # operator class's cardinality-gated pattern) — it also powers the
+    # noisy pack-width guard below; production substitutes known domain
+    # bounds without changing the plan shape.
+    e = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    ).collect()[0]
+    pmin, pmax, smin, smax = int(e[0]), int(e[1]), int(e[2]), int(e[3])
+    if pmax - pmin >= (1 << 21) or smax - smin >= (1 << 21):
+        raise ValueError(
+            "hilbert_vs_zorder_skip_stats: key extent exceeds the 21-bit "
+            f"tie-break pack (part span {pmax - pmin}, supp span "
+            f"{smax - smin}); widen the ord_key packing"
+        )
+    scale = (1 << _HIL_BITS) - 1
+    bucketed = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            _BUCKET_SPARK.format(col="l_partkey", lo=pmin, hi=pmax, scale=scale)
+        )
+        .cast("long")
+        .alias("bx"),
+        F.expr(
+            _BUCKET_SPARK.format(col="l_suppkey", lo=smin, hi=smax, scale=scale)
+        )
+        .cast("long")
+        .alias("by"),
+    )
+    zed = bucketed.select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(_interleave_spark("bx", "by")).cast("long").alias("d_z"),
+        _hilbert_cols(F.col("bx"), F.col("by"), _HIL_BITS).alias("d_h"),
+    )
+    nf = _HIL_FILES
+    stats = None
+    for layout, dcol in (("zorder", "d_z"), ("hilbert", "d_h")):
+        # total order for the rank: curve index, tie-broken by the raw
+        # keys, packed into one BIGINT (20 curve bits + 2 x 21 offset
+        # bits; the extent guard above fails noisily past that)
+        packed = (
+            F.col(dcol) * F.lit(1 << 42)
+            + (F.col("l_partkey") - F.lit(pmin)) * F.lit(1 << 21)
+            + (F.col("l_suppkey") - F.lit(smin))
+        ).alias("ord_key")
+        triples = (
+            zed.select("l_partkey", "l_suppkey", packed)
+            .groupBy("ord_key", "l_partkey", "l_suppkey")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        ranked = range_partitioned_prefix_sum(
+            triples, [], "ord_key", "cnt", buckets=64, exclusive=True
+        ).withColumnRenamed("prefix_sum", "lo")
+        n_total = triples.agg(F.sum("cnt").alias("n_total"))
+        expanded = (
+            ranked.crossJoin(F.broadcast(n_total))
+            .withColumn("hi", F.col("lo") + F.col("cnt"))
+            .withColumn(
+                "file_id",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"(lo * {nf}) div n_total"),
+                        F.expr(f"((hi - 1) * {nf}) div n_total"),
+                    )
+                ),
+            )
+            .withColumn("b_lo", F.expr(f"(file_id * n_total + {nf} - 1) div {nf}"))
+            .withColumn(
+                "b_hi", F.expr(f"((file_id + 1) * n_total + {nf} - 1) div {nf}")
+            )
+            .withColumn(
+                "rows_in_file",
+                F.least("hi", "b_hi") - F.greatest("lo", "b_lo"),
+            )
+        )
+        s = (
+            expanded.groupBy("file_id")
+            .agg(
+                F.sum("rows_in_file").alias("n_rows"),
+                F.min("l_partkey").alias("part_lo"),
+                F.max("l_partkey").alias("part_hi"),
+                F.min("l_suppkey").alias("supp_lo"),
+                F.max("l_suppkey").alias("supp_hi"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+        stats = s if stats is None else stats.unionByName(s)
+    # predicate windows: for i in 0..n-1, a 20%-of-extent range starting
+    # at i/n of the extent, per dimension; boxes pair the two. Built
+    # driver-side from the collected extent (pure integer arithmetic,
+    # n rows).
+    n = _HIL_N_PREDS
+    preds = spark.createDataFrame(
+        [
+            (
+                i,
+                pmin + (pmax - pmin) * i // n,
+                pmin + (pmax - pmin) * (i + 2) // n,
+                smin + (smax - smin) * i // n,
+                smin + (smax - smin) * (i + 2) // n,
+            )
+            for i in range(n)
+        ],
+        "i INT, p_lo BIGINT, p_hi BIGINT, s_lo BIGINT, s_hi BIGINT",
+    )
+    total = li.agg(F.count(F.lit(1)).alias("t_rows"))
+    joined = stats.crossJoin(F.broadcast(preds)).crossJoin(F.broadcast(total))
+    part_skip = (F.col("part_hi") < F.col("p_lo")) | (F.col("part_lo") > F.col("p_hi"))
+    supp_skip = (F.col("supp_hi") < F.col("s_lo")) | (F.col("supp_lo") > F.col("s_hi"))
+    out = None
+    for pred_dim, skip in (
+        ("part_range", part_skip),
+        ("supp_range", supp_skip),
+        ("box", part_skip | supp_skip),
+    ):
+        g = (
+            joined.withColumn("skipped", skip.cast("long"))
+            .groupBy("layout")
+            .agg(
+                F.count_distinct("file_id").alias("n_files"),
+                F.sum("skipped").alias("files_skipped"),
+                F.count(F.lit(1)).alias("file_preds"),
+                F.sum(
+                    F.when(F.col("skipped") == 0, F.col("n_rows")).otherwise(F.lit(0))
+                ).alias("rows_scanned"),
+                F.max("t_rows").alias("t_rows"),
+            )
+            .select(
+                F.col("layout"),
+                F.lit(pred_dim).alias("pred_dim"),
+                F.col("n_files").cast("int").alias("n_files"),
+                rnd(F.col("files_skipped") * 1.0 / F.col("file_preds"), 6).alias(
+                    "mean_skip_frac"
+                ),
+                rnd(
+                    F.col("rows_scanned")
+                    * 1.0
+                    / (F.col("t_rows") * F.lit(_HIL_N_PREDS)),
+                    6,
+                ).alias("mean_rows_scanned_frac"),
+            )
+        )
+        out = g if out is None else out.unionByName(g)
+    return out.orderBy("pred_dim", "layout")
+
+
+hilbert_vs_zorder_skip_stats.__doc__ = hilbert_vs_zorder_skip_stats.__doc__.format(
+    bits=_HIL_BITS, n=_HIL_N_PREDS, files=_HIL_FILES
+)
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture sampling with exact apportionment
+# --------------------------------------------------------------------------
+_MIX_ALPHA_IS_HALF = True  # alpha = 0.5 -> sqrt weights (see docstring)
+_MIX_SAMPLE_DIV = 5  # T = total div 5 (a 20% mixture)
+_MIX_SEED = "mix1"
+
+
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixture (the multilingual-pretraining
+    standard: sample source s proportionally to n_s^alpha, alpha=0.5, so
+    low-resource sources are up-weighted relative to their raw share)
+    with EXACT integer apportionment and deterministic selection:
+
+    - weights: w_s = floor(sqrt(n_s) * 1e6 + 0.5) — sqrt is correctly
+      rounded in IEEE 754, and quantizing to integer micro-units BEFORE
+      the weight total makes every downstream sum/compare exact integer
+      arithmetic in any order (the unigram/bigram LM trick applied to
+      apportionment: a raw double Sum(sqrt) would be accumulation-order
+      dependent across engines);
+    - targets: largest-remainder (Hamilton) apportionment of
+      T = total div {div} seats — base_s = (T*w_s) div W,
+      rem_s = (T*w_s) mod W, the T - Sum(base) leftover seats go to the
+      largest remainders (source-asc tie-break) — all integer, so the
+      targets are exact and Sum(target_s) == T by construction;
+    - selection: each source's target_s lowest documents by the seeded
+      60-bit md5 rank (hash tie-broken by doc_id via a DECIMAL(38,0)
+      pack), i.e. a deterministic uniform sample within source — same
+      seed, same sample, on any cluster (the epoch shuffle's property,
+      per source).
+
+    Output per source: n_docs, weight_micro, target_n, sampled_n
+    (== target_n, pinned), sample_rate. Bounded by the source domain.
+
+    Scale shape: counts collapse to the |sources|-row grain (one
+    map-side-combinable shuffle); apportionment runs entirely on that
+    bounded table (its rank window is |sources|-bounded); per-source doc
+    ranks run through `range_partitioned_prefix_sum`'s KEYED mode — no
+    per-source ordered domain ever lands on one partition, the exact
+    hazard a naive row_number() OVER (PARTITION BY source ORDER BY hash)
+    hits when one source holds a trillion docs; the target table
+    broadcasts.
+    """
+    from drug_target_discovery_spark.operators.prefixsum import (
+        range_partitioned_prefix_sum,
+    )
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = counts.withColumn(
+        "w", F.floor(F.sqrt(F.col("n_docs")) * 1000000.0 + F.lit(0.5)).cast("long")
+    )
+    tot = weighted.agg(
+        F.sum("n_docs").alias("n_total"), F.sum("w").alias("w_total")
+    )
+    seats = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w",
+        F.expr(f"(n_total div {_MIX_SAMPLE_DIV})").alias("t_seats"),
+        F.expr(f"((n_total div {_MIX_SAMPLE_DIV}) * w) div w_total").alias("base"),
+        F.expr(f"((n_total div {_MIX_SAMPLE_DIV}) * w) % w_total").alias("rem"),
+    )
+    deficit = seats.agg(
+        (F.max("t_seats") - F.sum("base")).alias("deficit")
+    )
+    # the rank window is |sources|-bounded (the apportionment table)
+    w_rank = W.orderBy(F.col("rem").desc(), F.col("source"))
+    targets = (
+        seats.withColumn("rk", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(deficit))
+        .select(
+            "source",
+            "n_docs",
+            F.col("w").alias("weight_micro"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
+            ).alias("target_n"),
+        )
+    )
+    # deterministic per-source uniform ranks: seeded 60-bit md5, doc_id
+    # tie-break, packed exactly into DECIMAL(38,0)
+    h = F.expr(
+        "CAST(conv(substring(md5(concat('" + _MIX_SEED + ":', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS DECIMAL(38,0))"
+    )
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        (h * F.lit(10**18).cast("decimal(38,0)") + F.col("doc_id").cast("decimal(38,0)")).alias("ord_key"),
+        F.lit(1).alias("one"),
+    )
+    ranked = range_partitioned_prefix_sum(
+        keyed, ["source"], "ord_key", "one", out="rk", buckets=64, exclusive=True
+    )
+    sampled = (
+        ranked.join(F.broadcast(targets.select("source", "target_n")), "source")
+        .filter(F.col("rk") < F.col("target_n"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("sampled_n"))
+    )
+    return (
+        targets.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "weight_micro",
+            "target_n",
+            F.coalesce(F.col("sampled_n"), F.lit(0)).alias("sampled_n"),
+            rnd(
+                F.coalesce(F.col("sampled_n"), F.lit(0)) * 1.0 / F.col("n_docs"), 6
+            ).alias("sample_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+temperature_mixture_sample.__doc__ = temperature_mixture_sample.__doc__.format(
+    div=_MIX_SAMPLE_DIV
+)
+
+_MIX_ORACLE = f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(n_docs) * 1000000.0 + 0.5) AS BIGINT) AS w
+      FROM counts
+    ),
+    tot AS (
+      SELECT sum(n_docs) AS n_total, sum(w) AS w_total FROM weighted
+    ),
+    seats AS (
+      SELECT source, n_docs, w,
+             (n_total // {_MIX_SAMPLE_DIV}) AS t_seats,
+             ((n_total // {_MIX_SAMPLE_DIV}) * w) // w_total AS base,
+             ((n_total // {_MIX_SAMPLE_DIV}) * w) % w_total AS rem
+      FROM weighted CROSS JOIN tot
+    ),
+    deficit AS (SELECT max(t_seats) - sum(base) AS d FROM seats),
+    targets AS (
+      SELECT source, n_docs, w AS weight_micro,
+             base + CASE WHEN row_number()
+                           OVER (ORDER BY rem DESC, source) <= (SELECT d FROM deficit)
+                         THEN 1 ELSE 0 END AS target_n
+      FROM seats
+    ),
+    ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5('{_MIX_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                        doc_id
+             ) - 1 AS rk
+      FROM documents
+    ),
+    sampled AS (
+      SELECT r.source, CAST(count(*) AS BIGINT) AS sampled_n
+      FROM ranked r JOIN targets t USING (source)
+      WHERE r.rk < t.target_n
+      GROUP BY r.source
+    )
+    SELECT t.source,
+           t.n_docs,
+           t.weight_micro,
+           CAST(t.target_n AS BIGINT) AS target_n,
+           CAST(coalesce(s.sampled_n, 0) AS BIGINT) AS sampled_n,
+           {rnd_sql("coalesce(s.sampled_n, 0) * 1.0 / t.n_docs", 6)} AS sample_rate
+    FROM targets t LEFT JOIN sampled s USING (source)
+    ORDER BY t.source
+"""

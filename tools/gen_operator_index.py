@@ -109,6 +109,24 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
         "independent numpy recompute (exact, sf0.001/0.01) + partitioning-invariance and perfect-codebook pins",
         "tests/test_round10_ops.py",
     ),
+    (
+        "drug_target_discovery_spark.queries.round10",
+        "ivfpq_adc_recall",
+        "independent numpy recompute (exact, sf0.001/0.01) + nprobe=all degeneracy pin (scan_frac == 1)",
+        "tests/test_round10_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.queries.round10",
+        "hilbert_vs_zorder_skip_stats",
+        "independent python recompute (exact, sf0.001/0.01) + exhaustive xy2d grid pin + aligned-split degeneracy cross-check",
+        "tests/test_round10_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.queries.round10",
+        "temperature_mixture_sample",
+        "prepared DuckDB oracle (exact, sf0.001/0.01) + apportionment-sums-to-T and upweighting fixtures + partitioning invariance",
+        "tests/test_round10_ops.py",
+    ),
 )
 
 

@@ -379,6 +379,99 @@ def check_pq_recall(spark):
     return got == exp and bool(got), f"{len(got)} probes, mean recall {mean:.3f}"
 
 
+def check_ivfpq_recall(spark):
+    import importlib.util
+
+    p = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "test_round10_ops.py",
+    )
+    spec = importlib.util.spec_from_file_location("_t10b", p)
+    t10 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(t10)
+
+    from drug_target_discovery_spark.queries.round10 import (
+        _IVFPQ_NPROBE,
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+        _PQ_PROBE_STRIDE,
+        _PQ_TOPK,
+        ivfpq_adc_recall,
+    )
+
+    got = sorted(
+        (
+            int(r["query_vid"]),
+            int(r["n_overlap"]),
+            _rnd6(float(r["recall_at_k"])),
+            _rnd6(float(r["scan_frac"])),
+        )
+        for r in ivfpq_adc_recall(spark, SF).collect()
+    )
+    exp = [
+        (q, n, _rnd6(rec), _rnd6(scan))
+        for q, n, rec, scan in t10._numpy_ivfpq_oracle(
+            SF, _PQ_M, _PQ_K, _PQ_ITERS, _PQ_TOPK, _PQ_PROBE_STRIDE, _IVFPQ_NPROBE
+        )
+    ]
+    mean = sum(g[2] for g in got) / len(got) if got else 0.0
+    mscan = sum(g[3] for g in got) / len(got) if got else 0.0
+    return got == exp and bool(got), (
+        f"{len(got)} probes, mean recall {mean:.3f} at mean scan_frac {mscan:.3f}"
+    )
+
+
+def check_hilbert_layout(spark):
+    import importlib.util
+
+    p = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "test_round10_ops.py",
+    )
+    spec = importlib.util.spec_from_file_location("_t10c", p)
+    t10 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(t10)
+
+    from drug_target_discovery_spark.queries.round10 import (
+        hilbert_vs_zorder_skip_stats,
+    )
+
+    got = [
+        (
+            r["layout"],
+            r["pred_dim"],
+            int(r["n_files"]),
+            _rnd6(float(r["mean_skip_frac"])),
+            _rnd6(float(r["mean_rows_scanned_frac"])),
+        )
+        for r in hilbert_vs_zorder_skip_stats(spark, SF).collect()
+    ]
+    exp = [
+        (a, b, c, _rnd6(d), _rnd6(e))
+        for a, b, c, d, e in t10._python_hilbert_layout(SF)
+    ]
+    box = {g[0]: g[4] for g in got if g[1] == "box"}
+    return got == exp and bool(got), (
+        f"{len(got)} rows; box rows-scanned hilbert {box.get('hilbert')} "
+        f"vs zorder {box.get('zorder')}"
+    )
+
+
+def check_mixture_sample(spark):
+    from drug_target_discovery_spark.queries.round10 import (
+        _MIX_ORACLE,
+        temperature_mixture_sample,
+    )
+
+    got = [tuple(r) for r in temperature_mixture_sample(spark, SF).collect()]
+    exp = [tuple(r) for r in _con("documents").execute(_MIX_ORACLE).fetchall()]
+    t = sum(g[3] for g in got)
+    return got == exp and bool(got), f"{len(got)} sources, {t} seats apportioned"
+
+
 CHECKS = [
     ("exact_substring_dup_stats", check_substring_spans),
     ("exact_substring_dup_stats[valve]", check_substring_valve),
@@ -393,6 +486,9 @@ CHECKS = [
     ("cross_source_shingle_overlap", check_xsrc_overlap),
     ("bigram_lm_quality_by_source", check_bigram_lm),
     ("pq_adc_recall", check_pq_recall),
+    ("ivfpq_adc_recall", check_ivfpq_recall),
+    ("hilbert_vs_zorder_skip_stats", check_hilbert_layout),
+    ("temperature_mixture_sample", check_mixture_sample),
 ]
 
 

@@ -388,6 +388,234 @@ def probe_round10(spark, reps: int = 2) -> None:
     print(_json.dumps(report), flush=True)
 
 
+def probe_round10b(spark, reps: int = 2) -> None:
+    """Round-10 second-batch lane operators at scale:
+
+    - cross_source_shingle_overlap and bigram_lm_quality_by_source at
+      x10 PERTURBED docs (replica tokens suffixed: vocabulary, shingle
+      sets, and the token/bigram streams all grow ~x10 — the honest
+      growth mode; verbatim clones would vanish in the DISTINCT).
+      Expected ~linear: both plans are scan + vocab/set-grain
+      map-side-combined aggregates; the overlap self-join's fan-out is
+      source-domain-bounded regardless of corpus size.
+    - PQ: training and eval legs separated, PROBE COUNT HELD FIXED
+      (the operator's stride would grow probes ~x10 with the corpus and
+      conflate probe-set growth with corpus growth). Train: fused Lloyd
+      at x1/x10 (expected ~linear, map-side). Eval: ADC+exact recall
+      for the same 10 probes at x1/x10 (expected ~linear: one scan,
+      batch-local top-k, bounded global window)."""
+    import json as _json
+    import time as _time
+
+    from drug_target_discovery_spark.operators.kmeans import quantize_embeddings
+    from drug_target_discovery_spark.operators.pq import pq_recall_eval, pq_train
+    from drug_target_discovery_spark.queries.round10 import (
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+        _PQ_PROBE_STRIDE,
+        _PQ_TOPK,
+        bigram_lm_quality_by_source,
+        cross_source_shingle_overlap,
+    )
+
+    report = {"probe": "round10b_ops", "loadavg1_start": _load1()}
+
+    dp = build_documents(spark, 10, perturb=True)
+    for op_name, op in (
+        ("xsrc", cross_source_shingle_overlap),
+        ("jm", bigram_lm_quality_by_source),
+    ):
+        for leg_name, d in ((f"{op_name}_sf0.1", BASE), (f"{op_name}_perturb_x10", dp)):
+            runs = [_timed(lambda op=op, d=d: op(spark, d)) for _ in range(reps)]
+            report[f"{leg_name}_s"] = min(runs)
+            report[f"{leg_name}_runs"] = runs
+            report[f"{leg_name}_load1"] = _load1()
+        report[f"{op_name}_x10_factor"] = round(
+            report[f"{op_name}_perturb_x10_s"] / report[f"{op_name}_sf0.1_s"], 2
+        )
+
+    # PQ: x10 embeddings (vec_id-shifted clones), fixed probe set
+    dst = f"{OUT}/emb_x10"
+    if not os.path.exists(f"{dst}/embeddings.parquet"):
+        os.makedirs(dst, exist_ok=True)
+        src = load_table(spark, BASE, "embeddings")
+        parts = [
+            src.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+            for i in range(10)
+        ]
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        out.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+    base_vq = quantize_embeddings(
+        load_table(spark, BASE, "embeddings").select("vec_id", "embedding")
+    )
+    probes = [
+        (int(r["vid"]), [int(x) for x in r["v_int"]])
+        for r in base_vq.filter(F.col("vid") % _PQ_PROBE_STRIDE == 0)
+        .orderBy("vid")
+        .collect()
+    ]
+    report["pq_n_probes_fixed"] = len(probes)
+    for factor, d in ((1, BASE), (10, dst)):
+        vq = quantize_embeddings(
+            load_table(spark, d, "embeddings").select("vec_id", "embedding")
+        )
+        tr_runs, ev_runs = [], []
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            cbs = pq_train(vq, _PQ_M, _PQ_K, _PQ_ITERS)
+            tr_runs.append(round(_time.perf_counter() - t0, 2))
+            ev_runs.append(
+                _noop(pq_recall_eval(vq, cbs, probes, _PQ_TOPK))
+            )
+        report[f"pq_train_x{factor}_s"] = min(tr_runs)
+        report[f"pq_train_x{factor}_runs"] = tr_runs
+        report[f"pq_eval_x{factor}_s"] = min(ev_runs)
+        report[f"pq_eval_x{factor}_runs"] = ev_runs
+        report[f"pq_x{factor}_load1"] = _load1()
+        release_caches(fixtures=True)
+    report["pq_train_x10_factor"] = round(
+        report["pq_train_x10_s"] / report["pq_train_x1_s"], 2
+    )
+    report["pq_eval_x10_factor"] = round(
+        report["pq_eval_x10_s"] / report["pq_eval_x1_s"], 2
+    )
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
+def probe_ivfpq(spark, reps: int = 2) -> None:
+    """IVF-PQ composed search at x1/x10 embeddings, probe set FIXED (the
+    r10b PQ-probe protocol). Expected ~linear like the PQ legs, plus the
+    bounded extras the composition adds (8 x D centroid aggregate, 8-row
+    census, broadcast residual zip)."""
+    import json as _json
+    import time as _time
+
+    from drug_target_discovery_spark.operators.kmeans import quantize_embeddings
+    from drug_target_discovery_spark.operators.pq import ivfpq_recall_eval
+    from drug_target_discovery_spark.queries.round10 import (
+        _IVFPQ_NPROBE,
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+        _PQ_PROBE_STRIDE,
+        _PQ_TOPK,
+    )
+
+    report = {"probe": "ivfpq_adc_recall", "loadavg1_start": _load1()}
+    dst = f"{OUT}/emb_x10"
+    if not os.path.exists(f"{dst}/embeddings.parquet"):
+        os.makedirs(dst, exist_ok=True)
+        src = load_table(spark, BASE, "embeddings")
+        parts = [
+            src.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+            for i in range(10)
+        ]
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        out.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+    base_vq = quantize_embeddings(
+        load_table(spark, BASE, "embeddings").select("vec_id", "embedding")
+    )
+    probes = [
+        (int(r["vid"]), [int(x) for x in r["v_int"]])
+        for r in base_vq.filter(F.col("vid") % _PQ_PROBE_STRIDE == 0)
+        .orderBy("vid")
+        .collect()
+    ]
+    report["n_probes_fixed"] = len(probes)
+    for factor, d in ((1, BASE), (10, dst)):
+        vq = quantize_embeddings(
+            load_table(spark, d, "embeddings").select("vec_id", "embedding")
+        )
+        runs = []
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            ivfpq_recall_eval(
+                vq, _PQ_M, _PQ_K, _PQ_ITERS, probes, _PQ_TOPK, _IVFPQ_NPROBE
+            ).write.format("noop").mode("overwrite").save()
+            runs.append(round(_time.perf_counter() - t0, 2))
+            release_caches(fixtures=True)
+        report[f"x{factor}_s"] = min(runs)
+        report[f"x{factor}_runs"] = runs
+        report[f"x{factor}_load1"] = _load1()
+    report["x10_factor"] = round(report["x10_s"] / report["x1_s"], 2)
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
+def probe_hilbert(spark, reps: int = 2) -> None:
+    """hilbert_vs_zorder_skip_stats at x1/x10 lineitem (replicas shift
+    both keys past the base extent so the grid population and the
+    distinct (curve, part, supp) triple grain genuinely grow ~x10).
+    Expected ~linear: the corpus-sized work is the triple-grain distinct
+    + the keyless prefix-sum rank (bucketed, no global window)."""
+    import json as _json
+
+    report = {"probe": "hilbert_vs_zorder", "loadavg1_start": _load1()}
+    from drug_target_discovery_spark.queries.round10 import (
+        hilbert_vs_zorder_skip_stats,
+    )
+
+    dst = f"{OUT}/li_x10"
+    if not os.path.exists(f"{dst}/lineitem.parquet"):
+        os.makedirs(dst, exist_ok=True)
+        src = load_table(spark, BASE, "lineitem").select("l_partkey", "l_suppkey")
+        ext = src.agg(
+            F.max("l_partkey").alias("pm"), F.max("l_suppkey").alias("sm")
+        ).collect()[0]
+        parts = [
+            src.withColumn("l_partkey", F.col("l_partkey") + F.lit(i * (int(ext[0]) + 1)))
+            .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * (int(ext[1]) + 1)))
+            for i in range(10)
+        ]
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        out.write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
+    for name, d in (("x1", BASE), ("x10", dst)):
+        runs = [
+            _timed(lambda d=d: hilbert_vs_zorder_skip_stats(spark, d))
+            for _ in range(reps)
+        ]
+        report[f"{name}_s"] = min(runs)
+        report[f"{name}_runs"] = runs
+        report[f"{name}_load1"] = _load1()
+    report["x10_factor"] = round(report["x10_s"] / report["x1_s"], 2)
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
+def probe_mixture(spark, reps: int = 2) -> None:
+    """temperature_mixture_sample at x1/x10 doc clones (doc_id-shifted;
+    source domain fixed, per-source populations x10). Expected ~linear:
+    the corpus-sized work is the source-count aggregate + the keyed
+    prefix-sum rank; apportionment runs on the 20-row source table."""
+    import json as _json
+
+    from drug_target_discovery_spark.queries.round10 import (
+        temperature_mixture_sample,
+    )
+
+    report = {"probe": "temperature_mixture_sample", "loadavg1_start": _load1()}
+    d10 = build_documents(spark, 10, perturb=False)
+    for name, d in (("x1", BASE), ("x10", d10)):
+        runs = [
+            _timed(lambda d=d: temperature_mixture_sample(spark, d))
+            for _ in range(reps)
+        ]
+        report[f"{name}_s"] = min(runs)
+        report[f"{name}_runs"] = runs
+        report[f"{name}_load1"] = _load1()
+    report["x10_factor"] = round(report["x10_s"] / report["x1_s"], 2)
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
 def main() -> None:
     which = set(sys.argv[1:]) or {"fano", "gini"}
     spark = get_spark("round9_probe")
@@ -404,6 +632,14 @@ def main() -> None:
         probe_ivf(spark)
     if "r10" in which:
         probe_round10(spark)
+    if "r10b" in which:
+        probe_round10b(spark)
+    if "ivfpq" in which:
+        probe_ivfpq(spark)
+    if "hilbert" in which:
+        probe_hilbert(spark)
+    if "mixture" in which:
+        probe_mixture(spark)
 
 
 if __name__ == "__main__":
