@@ -781,6 +781,191 @@ temperature_mixture_sample.__doc__ = temperature_mixture_sample.__doc__.format(
     div=_MIX_SAMPLE_DIV
 )
 
+# --------------------------------------------------------------------------
+# Split-conformal prediction intervals with exact rank-k quantiles
+# --------------------------------------------------------------------------
+_CONF_ALPHAS = ((10, 1), (20, 1))  # alpha = 1/10 and 1/20, as exact fractions
+_CONF_SEED = "conf1"
+
+
+def split_conformal_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction (Vovk et al.; Angelopoulos & Bates 2021
+    survey) over a transparent per-brand price model, all-integer:
+
+    - SPLIT: each lineitem goes to calibration or test by the parity of
+      its seeded 60-bit md5 hash (deterministic, partitioning-free);
+    - MODEL: per-brand round-half-up integer mean of calibration cents
+      ((2s+n) div (2n) — exact in any accumulation order);
+    - SCORES: nonconformity r = |cents - brand_mean| (pure int64);
+    - QUANTILE: for each alpha the split-conformal threshold is the
+      k-th smallest calibration score with k = ceil((1-alpha)(n_cal+1)),
+      computed EXACTLY as min r with inclusive-prefix-count >= k through
+      `range_partitioned_prefix_sum`'s keyless mode at the tie-collapsed
+      score grain — the exact distributed order statistic, where
+      percentile_approx would trade away the conformal guarantee and a
+      global sort would trade away the cluster;
+    - COVERAGE: the fraction of TEST rows with |cents - mean| <= q_hat —
+      the number the conformal guarantee (>= 1-alpha marginally) is
+      about, measured rather than asserted.
+
+    Output per alpha: n_cal, n_test, k, q_hat_cents, coverage, target.
+    This is the uncertainty-quantification leg of the eval family
+    (calibration_curve_bins measures probability calibration; this
+    measures interval validity) — the audit run before shipping model
+    scores with error bars into a labeling or filtering pipeline.
+
+    Scale shape: one broadcast dim join (part), one map-side-combinable
+    aggregate per split to the brand/model grain, scores collapse to the
+    distinct-|r| grain before the prefix sum (value-domain-sized, not
+    corpus-sized), thresholds reduce to ONE row broadcast back over the
+    test side's bounded aggregate. Integer end to end; the only IEEE
+    division is the final coverage ratio, rounded via rnd.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    h = F.expr(
+        "CAST(conv(substring(md5(concat('"
+        + _CONF_SEED
+        + ":', CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    fact = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"), "cents", (h % 2 == 0).alias("is_cal")
+    )
+    cal = fact.filter(F.col("is_cal"))
+    test = fact.filter(~F.col("is_cal"))
+    model = cal.groupBy("brand").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    ).select(
+        "brand",
+        F.expr("(2 * s + n) div (2 * n)").alias("mean_c"),
+    )
+    r_cal = cal.join(F.broadcast(model), "brand").select(
+        F.abs(F.col("cents") - F.col("mean_c")).alias("r")
+    )
+    grain = r_cal.groupBy("r").agg(F.count(F.lit(1)).alias("cnt"))
+    from drug_target_discovery_spark.operators.prefixsum import (
+        range_partitioned_prefix_sum,
+    )
+
+    cum = range_partitioned_prefix_sum(
+        grain, [], "r", "cnt", out="cum", buckets=64, exclusive=False
+    )
+    n_cal_row = grain.agg(F.sum("cnt").alias("n_cal"))
+    # thresholds: ONE bounded aggregate over the score grain — k and
+    # q_hat per alpha, folded into a single row
+    thr_cols = []
+    for denom, num in _CONF_ALPHAS:
+        # k = ceil((1 - num/denom) * (n_cal + 1)), exact integers
+        k = F.expr(f"(({denom - 1} * (n_cal + 1)) + {denom} - 1) div {denom}").alias(
+            f"k_{denom}"
+        )
+        thr_cols.append(k)
+    with_k = cum.crossJoin(F.broadcast(n_cal_row.select("n_cal", *thr_cols)))
+    agg_cols = []
+    for denom, _ in _CONF_ALPHAS:
+        agg_cols.append(
+            F.min(
+                F.when(F.col("cum") >= F.col(f"k_{denom}"), F.col("r"))
+            ).alias(f"q_{denom}")
+        )
+    thresholds = with_k.agg(
+        F.max("n_cal").alias("n_cal"),
+        *[F.max(f"k_{d}").alias(f"k_{d}") for d, _ in _CONF_ALPHAS],
+        *agg_cols,
+    )
+    r_test = test.join(F.broadcast(model), "brand").select(
+        F.abs(F.col("cents") - F.col("mean_c")).alias("r")
+    )
+    cov = r_test.crossJoin(F.broadcast(thresholds)).agg(
+        F.max("n_cal").alias("n_cal"),
+        F.count(F.lit(1)).alias("n_test"),
+        *[F.max(f"k_{d}").alias(f"k_{d}") for d, _ in _CONF_ALPHAS],
+        *[F.max(f"q_{d}").alias(f"q_{d}") for d, _ in _CONF_ALPHAS],
+        *[
+            F.sum((F.col("r") <= F.col(f"q_{d}")).cast("long")).alias(f"c_{d}")
+            for d, _ in _CONF_ALPHAS
+        ],
+    )
+    out = None
+    for denom, num in _CONF_ALPHAS:
+        row = cov.select(
+            rnd(F.lit(num) * 1.0 / F.lit(denom), 6).alias("alpha"),
+            F.col("n_cal"),
+            F.col("n_test"),
+            F.col(f"k_{denom}").cast("long").alias("k"),
+            F.col(f"q_{denom}").cast("long").alias("q_hat_cents"),
+            rnd(F.col(f"c_{denom}") * 1.0 / F.col("n_test"), 6).alias("coverage"),
+            rnd(F.lit(denom - num) * 1.0 / F.lit(denom), 6).alias("target"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("alpha")
+
+
+_CONF_THRESH_SQL = " , ".join(
+    f"""(SELECT min(r) FROM cum, ncal
+         WHERE cum >= ((({d - 1}) * (n_cal + 1)) + {d} - 1) // {d}) AS q_{d},
+        (SELECT ((({d - 1}) * (n_cal + 1)) + {d} - 1) // {d} FROM ncal) AS k_{d}"""
+    for d, _ in _CONF_ALPHAS
+)
+
+_CONF_ORACLE = f"""
+    WITH fact AS (
+      SELECT p.p_brand AS brand,
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             (CAST(('0x' || substr(md5('{_CONF_SEED}:' || CAST(l.l_orderkey AS VARCHAR)
+                    || ':' || CAST(l.l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0)
+               AS is_cal
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    model AS (
+      SELECT brand, (2 * sum(cents) + count(*)) // (2 * count(*)) AS mean_c
+      FROM fact WHERE is_cal GROUP BY brand
+    ),
+    r_cal AS (
+      SELECT abs(cents - mean_c) AS r
+      FROM fact JOIN model USING (brand) WHERE is_cal
+    ),
+    grain AS (SELECT r, count(*) AS cnt FROM r_cal GROUP BY r),
+    cum AS (
+      SELECT r, sum(cnt) OVER (ORDER BY r
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM grain
+    ),
+    ncal AS (SELECT sum(cnt) AS n_cal FROM grain),
+    thresh AS (SELECT {_CONF_THRESH_SQL}),
+    r_test AS (
+      SELECT abs(cents - mean_c) AS r
+      FROM fact JOIN model USING (brand) WHERE NOT is_cal
+    ),
+    cov AS (
+      SELECT (SELECT n_cal FROM ncal) AS n_cal,
+             count(*) AS n_test,
+             {", ".join(f"sum(CASE WHEN r <= (SELECT q_{d} FROM thresh) THEN 1 ELSE 0 END) AS c_{d}" for d, _ in _CONF_ALPHAS)}
+      FROM r_test
+    )
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f'''SELECT {rnd_sql(f"{num} * 1.0 / {d}", 6)} AS alpha,
+               CAST(n_cal AS BIGINT) AS n_cal,
+               CAST(n_test AS BIGINT) AS n_test,
+               CAST((SELECT k_{d} FROM thresh) AS BIGINT) AS k,
+               CAST((SELECT q_{d} FROM thresh) AS BIGINT) AS q_hat_cents,
+               {rnd_sql(f"c_{d} * 1.0 / n_test", 6)} AS coverage,
+               {rnd_sql(f"{d - num} * 1.0 / {d}", 6)} AS target
+            FROM cov'''
+        for d, num in _CONF_ALPHAS
+      )}
+    ) ORDER BY alpha
+"""
+
+
 _MIX_ORACLE = f"""
     WITH counts AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs

@@ -127,6 +127,12 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
         "prepared DuckDB oracle (exact, sf0.001/0.01) + apportionment-sums-to-T and upweighting fixtures + partitioning invariance",
         "tests/test_round10_ops.py",
     ),
+    (
+        "drug_target_discovery_spark.queries.round10",
+        "split_conformal_price_intervals",
+        "prepared DuckDB oracle (exact, sf0.001/0.01) + rank-formula and coverage-tracks-target pins",
+        "tests/test_round10_ops.py",
+    ),
 )
 
 

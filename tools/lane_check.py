@@ -460,6 +460,21 @@ def check_hilbert_layout(spark):
     )
 
 
+def check_conformal(spark):
+    from drug_target_discovery_spark.queries.round10 import (
+        _CONF_ORACLE,
+        split_conformal_price_intervals,
+    )
+
+    got = [tuple(r) for r in split_conformal_price_intervals(spark, SF).collect()]
+    exp = [
+        tuple(r)
+        for r in _con("lineitem", "part").execute(_CONF_ORACLE).fetchall()
+    ]
+    detail = "; ".join(f"a={g[0]}: cov {g[5]} vs target {g[6]}" for g in got)
+    return got == exp and bool(got), detail
+
+
 def check_mixture_sample(spark):
     from drug_target_discovery_spark.queries.round10 import (
         _MIX_ORACLE,
@@ -489,6 +504,7 @@ CHECKS = [
     ("ivfpq_adc_recall", check_ivfpq_recall),
     ("hilbert_vs_zorder_skip_stats", check_hilbert_layout),
     ("temperature_mixture_sample", check_mixture_sample),
+    ("split_conformal_price_intervals", check_conformal),
 ]
 
 

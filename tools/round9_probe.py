@@ -616,6 +616,56 @@ def probe_mixture(spark, reps: int = 2) -> None:
     print(_json.dumps(report), flush=True)
 
 
+def probe_conformal(spark, reps: int = 2) -> None:
+    """split_conformal_price_intervals at x1/x10 lineitem clones
+    (orderkey-shifted, per-replica cent jitter so the nonconformity
+    score DOMAIN grows too — the prefix-sum grain's honest growth mode;
+    part table unchanged: the brand model stays 25 rows). Expected
+    ~linear: broadcast dim join + two map-side-combined aggregates +
+    the keyless prefix sum over the score grain."""
+    import json as _json
+
+    from drug_target_discovery_spark.queries.round10 import (
+        split_conformal_price_intervals,
+    )
+
+    report = {"probe": "split_conformal", "loadavg1_start": _load1()}
+    dst = f"{OUT}/conf_x10"
+    if not os.path.exists(f"{dst}/lineitem.parquet"):
+        os.makedirs(dst, exist_ok=True)
+        src = load_table(spark, BASE, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+        )
+        parts = [
+            src.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000))
+            .withColumn("l_extendedprice", F.col("l_extendedprice") + F.lit(i * 0.01))
+            for i in range(10)
+        ]
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        out.write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
+        import shutil
+
+        if os.path.isfile(f"{BASE}/part.parquet"):
+            shutil.copy(f"{BASE}/part.parquet", f"{dst}/part.parquet")
+        else:
+            load_table(spark, BASE, "part").write.mode("overwrite").parquet(
+                f"{dst}/part.parquet"
+            )
+    for name, d in (("x1", BASE), ("x10", dst)):
+        runs = [
+            _timed(lambda d=d: split_conformal_price_intervals(spark, d))
+            for _ in range(reps)
+        ]
+        report[f"{name}_s"] = min(runs)
+        report[f"{name}_runs"] = runs
+        report[f"{name}_load1"] = _load1()
+    report["x10_factor"] = round(report["x10_s"] / report["x1_s"], 2)
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
 def main() -> None:
     which = set(sys.argv[1:]) or {"fano", "gini"}
     spark = get_spark("round9_probe")
@@ -640,6 +690,8 @@ def main() -> None:
         probe_hilbert(spark)
     if "mixture" in which:
         probe_mixture(spark)
+    if "conformal" in which:
+        probe_conformal(spark)
 
 
 if __name__ == "__main__":
