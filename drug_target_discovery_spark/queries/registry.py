@@ -176,7 +176,15 @@ _GATE_PLAN_CHANGED: tuple[str, ...] = (
 # operators (exact_substring_dup_stats, ivf_index_refresh_audit,
 # lpa_community_modularity, bpe_top_merges, the gini scalable twin) STAY in
 # the lane permanently; the shortlisted delists (simhash_fingerprints,
-# minhash_signatures) are NOT executed. Rationale: the driver-hash row a
+# minhash_signatures) are NOT executed.
+# (2026-08-16 addendum: the round-10 lane additions — cross-source overlap
+# matrix, bigram-LM quality filter, PQ / IVF-PQ ADC recall, Hilbert-vs-
+# Z-order layout, temperature mixture sampling, split-conformal intervals,
+# plus the earlier bpe_encode_stats / ivf_drift_retrain /
+# deterministic_epoch_shuffle — all enter under rule 3 with zero gate
+# slots; the lane gate is one command, tools/lane_check.py, runnable at
+# any scale factor, so the lane's evidence is reproducible without
+# trusting pytest internals.) Rationale: the driver-hash row a
 # swap would buy duplicates evidence the lane already has — each lane
 # operator's pytest oracle cross-check runs the SAME comparison (DuckDB
 # SQL, sorted-column hash, sf0.01) the driver runs — while the delisted
