@@ -553,7 +553,13 @@ def hilbert_vs_zorder_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("l_partkey") - F.lit(pmin)) * F.lit(1 << 21)
             + (F.col("l_suppkey") - F.lit(smin))
         ).alias("ord_key")
-        triples = (
+        # query-scope cached: three consumers (the prefix sum's internal
+        # passes — its own scoped_cache dedupes onto this same plan — the
+        # n_total aggregate, and the final stats job) would otherwise
+        # each re-run the curve fold + grain collapse from the scan
+        from drug_target_discovery_spark.caching import scoped_cache
+
+        triples = scoped_cache(
             zed.select("l_partkey", "l_suppkey", packed)
             .groupBy("ord_key", "l_partkey", "l_suppkey")
             .agg(F.count(F.lit(1)).alias("cnt"))
