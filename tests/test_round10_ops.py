@@ -824,6 +824,60 @@ class TestSplitConformal:
             assert r["q_hat_cents"] is not None and r["q_hat_cents"] >= 0
 
 
+class TestPlanShapes:
+    """The round-10 prefix-sum consumers must never regress to a
+    corpus-grain single-partition window: every window over their
+    corpus-sized order column must keep the bucket (_pid) partitioning
+    (the prefix sum's reason to exist); the only windows WITHOUT _pid
+    must be the audited bounded ones (the 20-row apportionment rank)."""
+
+    @staticmethod
+    def _window_lines(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "_pid" in plan, "prefix sum not in effect (no _pid in plan)"
+        return [
+            ln.replace(" ", "")
+            for ln in plan.splitlines()
+            if "windowspecdefinition" in ln
+        ]
+
+    def test_mixture_plan(self, spark):
+        from drug_target_discovery_spark.queries.round10 import (
+            temperature_mixture_sample,
+        )
+
+        lines = self._window_lines(
+            temperature_mixture_sample(spark, "/root/testdata/sf0.001")
+        )
+        for ln in lines:
+            if "ord_key#" in ln:  # the corpus-grain rank
+                assert "_pid" in ln, "doc-rank window lost its bucket: " + ln
+
+    def test_conformal_plan(self, spark):
+        from drug_target_discovery_spark.queries.round10 import (
+            split_conformal_price_intervals,
+        )
+
+        lines = self._window_lines(
+            split_conformal_price_intervals(spark, "/root/testdata/sf0.001")
+        )
+        for ln in lines:
+            if "windowspecdefinition(r#" in ln:  # the score-grain cum
+                assert "_pid" in ln, "score cum window lost its bucket: " + ln
+
+    def test_layout_plan(self, spark):
+        from drug_target_discovery_spark.queries.round10 import (
+            hilbert_vs_zorder_skip_stats,
+        )
+
+        lines = self._window_lines(
+            hilbert_vs_zorder_skip_stats(spark, "/root/testdata/sf0.001")
+        )
+        for ln in lines:
+            if "ord_key#" in ln:  # the curve-rank order column
+                assert "_pid" in ln, "curve-rank window lost its bucket: " + ln
+
+
 class TestPqAdcRecall:
     @pytest.mark.parametrize("sf", SFS)
     def test_matches_numpy_oracle(self, spark, sf):
