@@ -34,7 +34,7 @@ IEEE division rounded through rnd/rnd_sql on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
@@ -786,6 +786,192 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 temperature_mixture_sample.__doc__ = temperature_mixture_sample.__doc__.format(
     div=_MIX_SAMPLE_DIV
 )
+
+# --------------------------------------------------------------------------
+# Character-level cross-corpus contamination (decontamination ground truth)
+# --------------------------------------------------------------------------
+_XCON_L = 25  # span length threshold (the round-9 substring grain)
+_XCON_BENCH_MOD = 10  # benchmark split: doc_id % 10 == _XCON_BENCH_REM
+_XCON_BENCH_REM = 7
+
+
+def cross_corpus_contamination(
+    spark: SparkSession, sf_dir: str, min_len: int = _XCON_L
+) -> DataFrame:
+    """Character-level EXACT benchmark contamination: for every TRAINING
+    document, the characters covered by some length->=``min_len``
+    substring that also occurs ANYWHERE in the held-out benchmark set
+    (here the deterministic doc_id % {mod} == {rem} slice), unioned into
+    maximal spans — per-source (n_train_docs, docs_contaminated,
+    contam_chars, total_chars, contam_share).
+
+    This is the exact-character ground truth under the registered
+    `benchmark_decontamination` (token n-gram overlap) — the Lee et al.
+    2022 decontamination predicate applied ACROSS corpora, where
+    `exact_substring_dup_stats` applies it within one. Same Spark-first
+    machinery, one-sided:
+
+    1. Both sides stream gram HASHES only (xxhash64 inside the mapper —
+       the benchmark side collapses to DISTINCT 8-byte hashes
+       map-side); no exchange ever carries gram strings for a full
+       position stream.
+    2. Train candidates = positions semi-joined to benchmark hashes
+       (24-byte rows; AQE broadcasts the benchmark hash set when small
+       — at real benchmark scales it always is).
+    3. Exact verify, collision-proof: candidate train grams re-extract
+       via ONE doc-grain join; the matching BENCHMARK grams re-extract
+       the same way restricted to candidate hashes; a semi join on the
+       gram STRING confirms true cross-corpus occurrence (an xxhash64
+       collision can only ADD candidates, never flag a span).
+    4. Interval union per train doc (doc-bounded window), two keyed
+       aggregates to the source grain.
+
+    Output columns mirror `exact_substring_dup_stats` so the two audits
+    read side by side; contamination of benchmark docs by themselves is
+    definitionally excluded (they are not in the training side).
+    """
+    L = int(min_len)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.length("text").alias("len")
+    )
+    is_bench = (F.col("doc_id") % _XCON_BENCH_MOD) == _XCON_BENCH_REM
+    train = docs.filter(~is_bench)
+    bench = docs.filter(is_bench)
+
+    def positions(side: DataFrame) -> DataFrame:
+        eligible = side.filter(F.col("len") >= L)
+        return eligible.select(
+            "doc_id",
+            F.expr(
+                f"posexplode(transform(sequence(1, len - {L} + 1),"
+                f" i -> xxhash64(substring(text, i, {L}))))"
+            ).alias("pos0", "h"),
+        ).select("doc_id", (F.col("pos0") + 1).alias("i"), "h")
+
+    train_pos = positions(train)
+    bench_pos = positions(bench)
+    bench_hashes = bench_pos.select("h").distinct()
+    candidates = train_pos.join(bench_hashes, "h", "leftsemi")
+
+    from drug_target_discovery_spark.caching import scoped_cache
+
+    # query-scoped: feeds the verify semi join AND the flagged filter
+    cand_grams = scoped_cache(
+        candidates.join(train.select("doc_id", "text"), "doc_id").select(
+            "doc_id", "i", "h", F.expr(f"substring(text, i, {L})").alias("gram")
+        )
+    )
+    cand_hashes = cand_grams.select("h").distinct()
+    bench_grams = (
+        bench_pos.join(cand_hashes, "h", "leftsemi")
+        .join(bench.select("doc_id", "text"), "doc_id")
+        .select(F.expr(f"substring(text, i, {L})").alias("gram"))
+        .distinct()
+    )
+    flagged = cand_grams.join(bench_grams, "gram", "leftsemi").select("doc_id", "i")
+
+    w = Window.partitionBy("doc_id").orderBy("i")
+    spans = (
+        flagged.withColumn("prev_i", F.lag("i").over(w))
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev_i").isNull() | (F.col("i") - F.col("prev_i") > L), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg((F.max("i") - F.min("i") + L).alias("covered"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(F.sum("covered").alias("contam_chars"))
+    return (
+        train.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("contam_chars").alias("docs_contaminated"),
+            F.coalesce(F.sum("contam_chars"), F.lit(0)).alias("contam_chars"),
+            F.sum("len").alias("total_chars"),
+            rnd(
+                F.when(
+                    F.sum("len") > 0,
+                    F.coalesce(F.sum("contam_chars"), F.lit(0))
+                    / F.sum("len").cast("double"),
+                ),
+                6,
+            ).alias("contam_share"),
+        )
+        .orderBy("source")
+    )
+
+
+cross_corpus_contamination.__doc__ = cross_corpus_contamination.__doc__.format(
+    mod=_XCON_BENCH_MOD, rem=_XCON_BENCH_REM
+)
+
+_XCON_ORACLE = f"""
+WITH train AS (
+  SELECT * FROM documents WHERE doc_id % {_XCON_BENCH_MOD} <> {_XCON_BENCH_REM}
+),
+bench AS (
+  SELECT * FROM documents WHERE doc_id % {_XCON_BENCH_MOD} = {_XCON_BENCH_REM}
+),
+tpos AS (
+  SELECT doc_id, unnest(generate_series(1, length(text) - {_XCON_L} + 1)) AS i
+  FROM train WHERE length(text) >= {_XCON_L}
+),
+tg AS (
+  SELECT p.doc_id, p.i, substr(d.text, CAST(p.i AS BIGINT), {_XCON_L}) AS gram
+  FROM tpos p JOIN train d ON d.doc_id = p.doc_id
+),
+bpos AS (
+  SELECT doc_id, unnest(generate_series(1, length(text) - {_XCON_L} + 1)) AS i
+  FROM bench WHERE length(text) >= {_XCON_L}
+),
+bg AS (
+  SELECT DISTINCT substr(d.text, CAST(p.i AS BIGINT), {_XCON_L}) AS gram
+  FROM bpos p JOIN bench d ON d.doc_id = p.doc_id
+),
+fl AS (SELECT doc_id, i FROM tg WHERE gram IN (SELECT gram FROM bg)),
+lagged AS (
+  SELECT doc_id, i,
+         lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+  FROM fl
+),
+grp AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN prev_i IS NULL OR i - prev_i > {_XCON_L}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM lagged
+),
+spans AS (
+  SELECT doc_id, span_id, max(i) - min(i) + {_XCON_L} AS covered
+  FROM grp GROUP BY doc_id, span_id
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(covered) AS BIGINT) AS contam_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.source,
+       count(*) AS n_train_docs,
+       count(p.doc_id) AS docs_contaminated,
+       CAST(coalesce(sum(p.contam_chars), 0) AS BIGINT) AS contam_chars,
+       CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
+       {rnd_sql(
+           "CASE WHEN sum(length(d.text)) > 0 THEN"
+           " coalesce(sum(p.contam_chars), 0)"
+           " / CAST(sum(length(d.text)) AS DOUBLE) END", 6)} AS contam_share
+FROM train d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
 
 # --------------------------------------------------------------------------
 # Split-conformal prediction intervals with exact rank-k quantiles

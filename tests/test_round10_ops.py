@@ -749,6 +749,91 @@ class TestTemperatureMixtureSample:
         assert a == b
 
 
+class TestCrossCorpusContamination:
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_duckdb_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round10 import (
+            _XCON_ORACLE,
+            cross_corpus_contamination,
+        )
+
+        got = [tuple(r) for r in cross_corpus_contamination(spark, sf).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        exp = [tuple(r) for r in con.execute(_XCON_ORACLE).fetchall()]
+        assert got == exp
+        assert got, "corpus should have sources"
+        # benchmark docs are excluded from the training side entirely
+        n_bench = con.execute(
+            "SELECT count(*) FROM documents WHERE doc_id % 10 = 7"
+        ).fetchone()[0]
+        n_all = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+        assert sum(g[1] for g in got) == n_all - n_bench
+
+    def test_hand_fixture_known_spans(self, spark, tmp_path):
+        """doc 17 (doc_id % 10 == 7) is the benchmark; doc 0 quotes a
+        30-char passage from it verbatim, doc 1 is clean. Exactly the
+        quoted span (30 chars) must be flagged, nothing else."""
+        from drug_target_discovery_spark.queries.round10 import (
+            cross_corpus_contamination,
+        )
+
+        passage = "abcdefghijklmnopqrstuvwxyz0123"  # 30 chars
+        assert len(passage) == 30
+        # flanking chars DIFFER between the two sides, so the maximal
+        # shared substring is exactly the 30-char passage (flanking a
+        # quote with the same character — e.g. a space on both sides —
+        # would legitimately extend the exact shared span)
+        rows = [
+            (17, f"BENCHX{passage}YTAIL", "en", "bench_src", 1),
+            (0, f"prefix text Q{passage}Z suffix text", "en", "a", 1),
+            (1, "totally unrelated content with no overlap at all.", "en", "a", 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["source"]: r
+            for r in cross_corpus_contamination(spark, str(tmp_path)).collect()
+        }
+        # bench doc is not a training row; source 'a' has 1 of 2 docs hit
+        assert set(got) == {"a"}
+        a = got["a"]
+        assert a["n_train_docs"] == 2
+        assert a["docs_contaminated"] == 1
+        assert a["contam_chars"] == 30
+        # clean doc contributes 0; share = 30 / total chars of both docs
+        total = len(rows[1][1]) + len(rows[2][1])
+        assert a["total_chars"] == total
+        assert a["contam_share"] == pytest.approx(
+            math.floor(30 / total * 1e6 + 0.5) / 1e6
+        )
+
+    def test_no_benchmark_no_contamination(self, spark, tmp_path):
+        """No doc_id lands in the benchmark slice -> zero contamination
+        (and no crash on the empty side)."""
+        from drug_target_discovery_spark.queries.round10 import (
+            cross_corpus_contamination,
+        )
+
+        rows = [
+            (0, "some training text that is long enough to have grams", "en", "s", 1),
+            (1, "some training text that is long enough to have grams", "en", "s", 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        (r,) = cross_corpus_contamination(spark, str(tmp_path)).collect()
+        assert r["docs_contaminated"] == 0 and r["contam_chars"] == 0
+
+
 class TestSplitConformal:
     @pytest.mark.parametrize("sf", SFS)
     def test_matches_duckdb_oracle(self, spark, sf):

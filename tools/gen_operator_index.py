@@ -133,6 +133,12 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
         "prepared DuckDB oracle (exact, sf0.001/0.01) + rank-formula and coverage-tracks-target pins",
         "tests/test_round10_ops.py",
     ),
+    (
+        "drug_target_discovery_spark.queries.round10",
+        "cross_corpus_contamination",
+        "prepared DuckDB oracle (exact, sf0.001/0.01) + known-span hand fixture + empty-benchmark edge",
+        "tests/test_round10_ops.py",
+    ),
 )
 
 

@@ -460,6 +460,19 @@ def check_hilbert_layout(spark):
     )
 
 
+def check_xcorpus_contam(spark):
+    from drug_target_discovery_spark.queries.round10 import (
+        _XCON_ORACLE,
+        cross_corpus_contamination,
+    )
+
+    got = [tuple(r) for r in cross_corpus_contamination(spark, SF).collect()]
+    exp = [tuple(r) for r in _con("documents").execute(_XCON_ORACLE).fetchall()]
+    hit = sum(g[2] for g in got)
+    n = sum(g[1] for g in got)
+    return got == exp and bool(got), f"{hit}/{n} train docs contaminated"
+
+
 def check_conformal(spark):
     from drug_target_discovery_spark.queries.round10 import (
         _CONF_ORACLE,
@@ -505,6 +518,7 @@ CHECKS = [
     ("hilbert_vs_zorder_skip_stats", check_hilbert_layout),
     ("temperature_mixture_sample", check_mixture_sample),
     ("split_conformal_price_intervals", check_conformal),
+    ("cross_corpus_contamination", check_xcorpus_contam),
 ]
 
 

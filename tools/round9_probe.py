@@ -666,6 +666,35 @@ def probe_conformal(spark, reps: int = 2) -> None:
     print(_json.dumps(report), flush=True)
 
 
+def probe_xcontam(spark, reps: int = 2) -> None:
+    """cross_corpus_contamination at x1/x10 PERTURBED docs (replicas
+    content-disjoint, benchmark membership preserved under the doc_id
+    shift — verbatim clones would make every replica share everything
+    with the benchmark replicas, the substring operator's clone-
+    degenerate mode, measured separately there). Expected ~linear: both
+    position streams shuffle 8-byte hashes, candidates are
+    benchmark-bounded."""
+    import json as _json
+
+    from drug_target_discovery_spark.queries.round10 import (
+        cross_corpus_contamination,
+    )
+
+    report = {"probe": "cross_corpus_contamination", "loadavg1_start": _load1()}
+    dp = build_documents(spark, 10, perturb=True)
+    for name, d in (("x1", BASE), ("perturb_x10", dp)):
+        runs = [
+            _timed(lambda d=d: cross_corpus_contamination(spark, d))
+            for _ in range(reps)
+        ]
+        report[f"{name}_s"] = min(runs)
+        report[f"{name}_runs"] = runs
+        report[f"{name}_load1"] = _load1()
+    report["x10_factor"] = round(report["perturb_x10_s"] / report["x1_s"], 2)
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
 def main() -> None:
     which = set(sys.argv[1:]) or {"fano", "gini"}
     spark = get_spark("round9_probe")
@@ -692,6 +721,8 @@ def main() -> None:
         probe_mixture(spark)
     if "conformal" in which:
         probe_conformal(spark)
+    if "xcontam" in which:
+        probe_xcontam(spark)
 
 
 if __name__ == "__main__":
