@@ -788,6 +788,116 @@ temperature_mixture_sample.__doc__ = temperature_mixture_sample.__doc__.format(
 )
 
 # --------------------------------------------------------------------------
+# Embedding-distribution drift: linear-time MMD two-sample test
+# --------------------------------------------------------------------------
+_MMD_SIGMA2 = 64.0  # RBF bandwidth sigma^2, fixed (embeddings ~N(0,1), D=64)
+
+
+def embedding_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space two-sample drift: the linear-time MMD^2 estimator
+    (Gretton et al. 2012, §6 "MMD_l") between the base corpus stripes
+    and the refresh-batch stripe of the embeddings table, next to a
+    same-distribution NULL leg — extending the scalar drift family
+    (ks_test_price_drift / psi_price_stability / chi2) to the embedding
+    column, where no per-dimension scalar test can see a JOINT shift.
+
+    Estimator: for aligned quadruples (x1, x2, y1, y2),
+    h = k(x1,x2) + k(y1,y2) - k(x1,y2) - k(x2,y1), MMD^2 = mean(h),
+    with the RBF kernel k(a,b) = exp(-||a-b||^2 / (2 sigma^2)),
+    sigma^2 = {s2} fixed (bandwidth heuristics would add a
+    data-dependent pass; a FIXED bandwidth keeps the statistic exact
+    and comparable across runs — the PSI-bucket philosophy).
+
+    DETERMINISTIC PAIRING WITHOUT A SORT (the design point): quadruples
+    are formed by pure vec_id arithmetic on the table's own %10 stripe
+    layout (the IVF audit's convention: stripe 9 is the refresh batch).
+    Block b contributes drift quadruple (20b, 20b+10 | 20b+9, 20b+19)
+    and null quadruple (20b, 20b+10 | 20b+1, 20b+11) — same x-pair,
+    batch vs base y-pair. No rank, no window, no shuffle beyond ONE
+    map-side-combinable groupBy on the block id; blocks missing any
+    member drop out deterministically.
+
+    Exactness: squared distances fold in exact int64 micro-units
+    (JVM zip_with/aggregate); each block's h is a fixed-order float64
+    expression, quantized to integer picounits BEFORE the sum
+    (DECIMAL(38,0) — the bigram-LM trick), so the statistic is
+    partitioning-independent to the last digit and the numpy oracle
+    matches exactly. Output per leg: (comparison, n_quadruples,
+    mmd2_pico BIGINT-exact, mmd2 rounded).
+    """
+    from drug_target_discovery_spark.operators.kmeans import quantize_embeddings
+
+    vq = quantize_embeddings(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    roled = vq.select(
+        (F.col("vid") % 20).alias("slot"),
+        F.expr("vid div 20").alias("b"),
+        "v_int",
+    ).filter(F.col("slot").isin(0, 10, 9, 19, 1, 11))
+    wide = roled.groupBy("b").agg(
+        *[
+            F.first(F.when(F.col("slot") == s, F.col("v_int")), ignorenulls=True).alias(
+                f"s{s}"
+            )
+            for s in (0, 10, 9, 19, 1, 11)
+        ]
+    )
+
+    def d2(a: str, bcol: str):
+        # exact int64 squared distance in micro-units^2
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(bcol), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def k(a: str, bcol: str):
+        # micro^2 -> real^2 is /1e12; fixed-order float64 expression
+        return F.exp(-(d2(a, bcol) / F.lit(1e12)) / F.lit(2.0 * _MMD_SIGMA2))
+
+    legs = (
+        ("base_vs_batch", "s9", "s19"),
+        ("base_vs_base_null", "s1", "s11"),
+    )
+    out = None
+    for name, y1, y2 in legs:
+        quads = wide.filter(
+            F.col("s0").isNotNull()
+            & F.col("s10").isNotNull()
+            & F.col(y1).isNotNull()
+            & F.col(y2).isNotNull()
+        )
+        h = k("s0", "s10") + k(y1, y2) - k("s0", y2) - k("s10", y1)
+        row = (
+            quads.select(
+                F.floor(h * F.lit(1e12) + F.lit(0.5))
+                .cast("decimal(38,0)")
+                .alias("h_pico")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_quadruples"),
+                F.sum("h_pico").alias("sum_pico"),
+            )
+            .select(
+                F.lit(name).alias("comparison"),
+                F.col("n_quadruples"),
+                F.col("sum_pico").cast("string").alias("sum_h_pico"),
+                rnd(
+                    F.col("sum_pico").cast("double")
+                    / (F.lit(1e12) * F.col("n_quadruples")),
+                    9,
+                ).alias("mmd2"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("comparison")
+
+
+embedding_mmd_drift.__doc__ = embedding_mmd_drift.__doc__.format(s2=_MMD_SIGMA2)
+
+
+# --------------------------------------------------------------------------
 # Character-level cross-corpus contamination (decontamination ground truth)
 # --------------------------------------------------------------------------
 _XCON_L = 25  # span length threshold (the round-9 substring grain)

@@ -749,6 +749,110 @@ class TestTemperatureMixtureSample:
         assert a == b
 
 
+def _numpy_mmd_oracle(sf):
+    """Independent numpy recompute of embedding_mmd_drift: same stripe
+    quadruples, int64 micro-unit distances, fixed-order float64 h,
+    picounit quantization before the sum."""
+    import duckdb
+
+    from drug_target_discovery_spark.queries.round10 import _MMD_SIGMA2
+
+    rows = duckdb.connect().execute(
+        f"select vec_id, embedding from read_parquet('{sf}/embeddings.parquet')"
+    ).fetchall()
+    V = {
+        int(r[0]): np.array(
+            [int(np.floor(float(x) * 1_000_000 + 0.5)) for x in r[1]],
+            dtype=np.int64,
+        )
+        for r in rows
+    }
+
+    def kern(a, b):
+        d = int(((a - b) ** 2).sum())
+        return math.exp(-(d / 1e12) / (2.0 * _MMD_SIGMA2))
+
+    out = []
+    for name, y1o, y2o in (
+        ("base_vs_batch", 9, 19),
+        ("base_vs_base_null", 1, 11),
+    ):
+        n = 0
+        tot = 0
+        for b in range(0, (max(V) // 20) + 1):
+            ids = (20 * b, 20 * b + 10, 20 * b + y1o, 20 * b + y2o)
+            if not all(i in V for i in ids):
+                continue
+            x1, x2, yy1, yy2 = (V[i] for i in ids)
+            h = kern(x1, x2) + kern(yy1, yy2) - kern(x1, yy2) - kern(x2, yy1)
+            tot += int(math.floor(h * 1e12 + 0.5))
+            n += 1
+        mmd2 = math.floor(tot / (1e12 * n) * 1e9 + 0.5) / 1e9 if n else None
+        out.append((name, n, str(tot), mmd2))
+    return sorted(out)
+
+
+class TestEmbeddingMmdDrift:
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_numpy_oracle(self, spark, sf):
+        from drug_target_discovery_spark.queries.round10 import (
+            embedding_mmd_drift,
+        )
+
+        got = sorted(
+            (r["comparison"], int(r["n_quadruples"]), r["sum_h_pico"], float(r["mmd2"]))
+            for r in embedding_mmd_drift(spark, sf).collect()
+        )
+        exp = _numpy_mmd_oracle(sf)
+        assert [(g[0], g[1], g[2]) for g in got] == [
+            (e[0], e[1], e[2]) for e in exp
+        ]
+        assert [g[3] for g in got] == pytest.approx(
+            [e[3] for e in exp], abs=1e-12
+        )
+
+    def test_shifted_batch_detected(self, spark, tmp_path):
+        """Batch stripe shifted by a constant vector: the drift leg's
+        MMD^2 must sit far above the null leg's."""
+        import random
+
+        from drug_target_discovery_spark.queries.round10 import (
+            embedding_mmd_drift,
+        )
+
+        rng = random.Random(5)
+        rows = []
+        for vid in range(400):
+            base = [rng.gauss(0, 1) for _ in range(8)]
+            if vid % 10 == 9:  # batch stripe: mean shift
+                base = [x + 2.0 for x in base]
+            rows.append((vid, base, 0))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        ).write.parquet(str(tmp_path / "embeddings.parquet"))
+        got = {
+            r["comparison"]: float(r["mmd2"])
+            for r in embedding_mmd_drift(spark, str(tmp_path)).collect()
+        }
+        assert got["base_vs_batch"] > 10 * abs(got["base_vs_base_null"])
+        assert got["base_vs_batch"] > 0.05
+
+    def test_partitioning_invariant(self, spark):
+        from drug_target_discovery_spark.queries.round10 import (
+            embedding_mmd_drift,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        a = [tuple(r) for r in embedding_mmd_drift(spark, sf).collect()]
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        try:
+            b = [tuple(r) for r in embedding_mmd_drift(spark, sf).collect()]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        assert a == b
+
+
 class TestCrossCorpusContamination:
     @pytest.mark.parametrize("sf", SFS)
     def test_matches_duckdb_oracle(self, spark, sf):

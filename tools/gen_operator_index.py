@@ -139,6 +139,12 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
         "prepared DuckDB oracle (exact, sf0.001/0.01) + known-span hand fixture + empty-benchmark edge",
         "tests/test_round10_ops.py",
     ),
+    (
+        "drug_target_discovery_spark.queries.round10",
+        "embedding_mmd_drift",
+        "independent numpy recompute (exact, sf0.001/0.01) + shifted-batch detection + partitioning invariance",
+        "tests/test_round10_ops.py",
+    ),
 )
 
 

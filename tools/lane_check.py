@@ -460,6 +460,31 @@ def check_hilbert_layout(spark):
     )
 
 
+def check_mmd_drift(spark):
+    import importlib.util
+
+    p = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "test_round10_ops.py",
+    )
+    spec = importlib.util.spec_from_file_location("_t10d", p)
+    t10 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(t10)
+
+    from drug_target_discovery_spark.queries.round10 import embedding_mmd_drift
+
+    got = sorted(
+        (r["comparison"], int(r["n_quadruples"]), r["sum_h_pico"], float(r["mmd2"]))
+        for r in embedding_mmd_drift(spark, SF).collect()
+    )
+    exp = t10._numpy_mmd_oracle(SF)
+    d = {g[0]: g[3] for g in got}
+    return got == exp and bool(got), (
+        f"drift {d.get('base_vs_batch')} vs null {d.get('base_vs_base_null')}"
+    )
+
+
 def check_xcorpus_contam(spark):
     from drug_target_discovery_spark.queries.round10 import (
         _XCON_ORACLE,
@@ -519,6 +544,7 @@ CHECKS = [
     ("temperature_mixture_sample", check_mixture_sample),
     ("split_conformal_price_intervals", check_conformal),
     ("cross_corpus_contamination", check_xcorpus_contam),
+    ("embedding_mmd_drift", check_mmd_drift),
 ]
 
 

@@ -695,6 +695,40 @@ def probe_xcontam(spark, reps: int = 2) -> None:
     print(_json.dumps(report), flush=True)
 
 
+def probe_mmd(spark, reps: int = 2) -> None:
+    """embedding_mmd_drift at x1/x10 embeddings (vec_id-shifted clones:
+    10M % 20 == 0 so every replica's stripe/block structure is
+    preserved and the quadruple count grows x10). Expected ~linear/flat:
+    one scan, block-grain map-side groupBy, fixed-size reduce."""
+    import json as _json
+
+    from drug_target_discovery_spark.queries.round10 import embedding_mmd_drift
+
+    report = {"probe": "embedding_mmd_drift", "loadavg1_start": _load1()}
+    dst = f"{OUT}/emb_x10"
+    if not os.path.exists(f"{dst}/embeddings.parquet"):
+        os.makedirs(dst, exist_ok=True)
+        src = load_table(spark, BASE, "embeddings")
+        parts = [
+            src.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+            for i in range(10)
+        ]
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        out.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+    for name, d in (("x1", BASE), ("x10", dst)):
+        runs = [
+            _timed(lambda d=d: embedding_mmd_drift(spark, d)) for _ in range(reps)
+        ]
+        report[f"{name}_s"] = min(runs)
+        report[f"{name}_runs"] = runs
+        report[f"{name}_load1"] = _load1()
+    report["x10_factor"] = round(report["x10_s"] / report["x1_s"], 2)
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
 def main() -> None:
     which = set(sys.argv[1:]) or {"fano", "gini"}
     spark = get_spark("round9_probe")
@@ -723,6 +757,8 @@ def main() -> None:
         probe_conformal(spark)
     if "xcontam" in which:
         probe_xcontam(spark)
+    if "mmd" in which:
+        probe_mmd(spark)
 
 
 if __name__ == "__main__":
