@@ -1054,6 +1054,24 @@ class TestPlanShapes:
             if "windowspecdefinition(r#" in ln:  # the score-grain cum
                 assert "_pid" in ln, "score cum window lost its bucket: " + ln
 
+    def test_model_joins_broadcast(self, spark):
+        """The vocab-grain / brand-grain model joins must be broadcast
+        hash joins — a silent fallback to sort-merge would shuffle the
+        corpus-sized fact on the join key."""
+        from drug_target_discovery_spark.queries.round10 import (
+            bigram_lm_quality_by_source,
+            split_conformal_price_intervals,
+        )
+
+        for fn in (bigram_lm_quality_by_source, split_conformal_price_intervals):
+            plan = (
+                fn(spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "BroadcastHashJoin" in plan, fn.__name__
+
     def test_layout_plan(self, spark):
         from drug_target_discovery_spark.queries.round10 import (
             hilbert_vs_zorder_skip_stats,
