@@ -788,6 +788,143 @@ temperature_mixture_sample.__doc__ = temperature_mixture_sample.__doc__.format(
 )
 
 # --------------------------------------------------------------------------
+# LSH candidate recall audit (the banding-parameter measurement)
+# --------------------------------------------------------------------------
+_LSH_RECALL_THRESHOLDS = (5, 6, 7, 8, 9)  # Jaccard thresholds, in tenths
+
+
+def lsh_candidate_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the MinHash-LSH banding front-end against the
+    EXACT Jaccard ground truth, per threshold: of all pairs with exact
+    Jaccard >= t, what fraction did the band join actually surface as
+    candidates? Reported next to the banding S-curve's theoretical
+    per-pair capture probability at exactly t — 1 - (1 - t^r)^b for the
+    family's r rows x b bands — which lower-bounds the expected recall
+    of the >= t cohort.
+
+    This closes the dedup family's tuning loop the way `ann_recall_eval`
+    closes ANN's and `minhash_jaccard_estimate_error` closes the
+    estimator's: the banding parameters (16 hashes, 2 rows x 8 bands)
+    were chosen from the S-curve; this audit is the committed
+    measurement that the real corpus agrees. A recall below the curve at
+    any threshold means true near-dups are silently skipping the LSH
+    pipeline (and its downstream groups/components/curation consumers).
+
+    Exactness: the threshold predicate runs in PURE INTEGERS
+    (10k >= t(s1+s2-k), never a float compare at the boundary); recall
+    is one IEEE division rounded via rnd. Scale shape: both inputs ride
+    the family's sweep-scoped memos (the stop-capped exact pair table
+    and the banded candidate table — shared with five registered
+    queries); the audit itself is one broadcast-able left join at the
+    candidate grain plus ONE aggregate producing every threshold's
+    counters in the same pass (conditional sums, no per-threshold scan).
+    """
+    from drug_target_discovery_spark.queries.dedup import (
+        _BANDS_ROWS,
+        _NUM_HASHES,
+        candidate_pairs,
+        shingle_sizes_and_intersections,
+    )
+
+    sizes, inter = shingle_sizes_and_intersections(spark, sf_dir)
+    jac = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("s1")), "d1"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("s2")), "d2"
+        )
+        .select("d1", "d2", "k", (F.col("s1") + F.col("s2") - F.col("k")).alias("u"))
+    )
+    cand = candidate_pairs(spark, sf_dir).select("d1", "d2", F.lit(1).alias("hit"))
+    flagged = jac.join(cand, ["d1", "d2"], "left")
+    aggs = []
+    for t in _LSH_RECALL_THRESHOLDS:
+        true_t = (F.col("k") * 10 >= F.lit(t) * F.col("u")).cast("long")
+        aggs.append(F.sum(true_t).alias(f"n_{t}"))
+        aggs.append(
+            F.sum(true_t * F.coalesce(F.col("hit"), F.lit(0))).alias(f"c_{t}")
+        )
+    counters = flagged.agg(*aggs)
+    n_bands = _NUM_HASHES // _BANDS_ROWS
+    out = None
+    for t in _LSH_RECALL_THRESHOLDS:
+        curve = 1.0 - (1.0 - (t / 10.0) ** _BANDS_ROWS) ** n_bands
+        row = counters.select(
+            rnd(F.lit(t) * 1.0 / 10.0, 6).alias("threshold"),
+            F.col(f"n_{t}").alias("n_true_pairs"),
+            F.col(f"c_{t}").alias("n_candidates_caught"),
+            rnd(
+                F.when(
+                    F.col(f"n_{t}") > 0, F.col(f"c_{t}") * 1.0 / F.col(f"n_{t}")
+                ),
+                6,
+            ).alias("recall"),
+            rnd(F.lit(curve), 6).alias("curve_capture_at_t"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("threshold")
+
+
+# DuckDB oracle: the family's shared signature/banding CTEs + the exact
+# stop-capped pair table, same integer threshold predicate.
+def _lsh_recall_oracle() -> str:
+    from drug_target_discovery_spark.queries.dedup import (
+        _BANDED_CAND_SQL,
+        _BANDS_ROWS,
+        _NUM_HASHES,
+        _SHINGLES_SQL,
+        _SIG_SQL,
+    )
+
+    n_bands = _NUM_HASHES // _BANDS_ROWS
+    legs = []
+    for t in _LSH_RECALL_THRESHOLDS:
+        curve = 1.0 - (1.0 - (t / 10.0) ** _BANDS_ROWS) ** n_bands
+        legs.append(
+            f"""SELECT {rnd_sql(f"{t} * 1.0 / 10.0", 6)} AS threshold,
+               CAST(sum(CASE WHEN 10 * k >= {t} * u THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_true_pairs,
+               CAST(sum(CASE WHEN 10 * k >= {t} * u AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_candidates_caught,
+               {rnd_sql(
+                   f"CASE WHEN sum(CASE WHEN 10 * k >= {t} * u THEN 1 ELSE 0 END) > 0"
+                   f" THEN sum(CASE WHEN 10 * k >= {t} * u AND hit = 1 THEN 1 ELSE 0 END) * 1.0"
+                   f" / sum(CASE WHEN 10 * k >= {t} * u THEN 1 ELSE 0 END) END", 6)}
+                 AS recall,
+               {rnd_sql(f"CAST({curve!r} AS DOUBLE)", 6)} AS curve_capture_at_t
+            FROM flagged"""
+        )
+    union = " UNION ALL ".join(legs)
+    return f"""
+    WITH {_SIG_SQL},
+    {_BANDED_CAND_SQL},
+    {_SHINGLES_SQL.replace("shingles AS", "shingles2 AS")},
+    ndocs AS (SELECT count(*) AS n FROM documents),
+    stop AS (
+      SELECT shingle FROM shingles2 CROSS JOIN ndocs
+      GROUP BY shingle, n HAVING count(*) > 0.5 * n
+    ),
+    sh AS (SELECT * FROM shingles2 WHERE shingle NOT IN (SELECT shingle FROM stop)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS k
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT d1, d2, k, s1.sz + s2.sz - k AS u
+      FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    ),
+    flagged AS (
+      SELECT j.*, CASE WHEN c.d1 IS NULL THEN 0 ELSE 1 END AS hit
+      FROM jac j LEFT JOIN cand c ON j.d1 = c.d1 AND j.d2 = c.d2
+    )
+    SELECT * FROM ({union}) ORDER BY threshold
+    """
+
+
+# --------------------------------------------------------------------------
 # Embedding-distribution drift: linear-time MMD two-sample test
 # --------------------------------------------------------------------------
 _MMD_SIGMA2 = 64.0  # RBF bandwidth sigma^2, fixed (embeddings ~N(0,1), D=64)

@@ -792,6 +792,69 @@ def _numpy_mmd_oracle(sf):
     return sorted(out)
 
 
+class TestLshCandidateRecall:
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_duckdb_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round10 import (
+            _lsh_recall_oracle,
+            lsh_candidate_recall_audit,
+        )
+
+        got = [tuple(r) for r in lsh_candidate_recall_audit(spark, sf).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        exp = [tuple(r) for r in con.execute(_lsh_recall_oracle()).fetchall()]
+        assert got == exp
+        # cohort sizes shrink (weakly) as the threshold tightens, and
+        # every recall is a valid fraction of its cohort
+        n_true = [g[1] for g in got]
+        assert n_true == sorted(n_true, reverse=True)
+        assert all(0 <= g[2] <= g[1] for g in got)
+        assert all(g[3] is None or 0.0 <= g[3] <= 1.0 for g in got)
+
+    def test_curve_column_is_the_banding_s_curve(self, spark):
+        from drug_target_discovery_spark.queries.dedup import (
+            _BANDS_ROWS,
+            _NUM_HASHES,
+        )
+        from drug_target_discovery_spark.queries.round10 import (
+            _LSH_RECALL_THRESHOLDS,
+            lsh_candidate_recall_audit,
+        )
+
+        got = {
+            float(r["threshold"]): float(r["curve_capture_at_t"])
+            for r in lsh_candidate_recall_audit(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        b = _NUM_HASHES // _BANDS_ROWS
+        for t in _LSH_RECALL_THRESHOLDS:
+            curve = 1.0 - (1.0 - (t / 10.0) ** _BANDS_ROWS) ** b
+            assert got[t / 10.0] == pytest.approx(
+                math.floor(curve * 1e6 + 0.5) / 1e6, abs=1e-12
+            )
+
+    @pytest.mark.parametrize("sf", SFS)
+    def test_measured_recall_beats_curve_on_committed_corpus(self, spark, sf):
+        """On the committed corpus the >= t cohorts sit well above t, so
+        measured recall should meet or beat the curve AT t (the bound is
+        per-pair at exactly t; cohort members are easier). A drop below
+        would mean true near-dups are skipping the LSH pipeline."""
+        from drug_target_discovery_spark.queries.round10 import (
+            lsh_candidate_recall_audit,
+        )
+
+        for r in lsh_candidate_recall_audit(spark, sf).collect():
+            if r["n_true_pairs"] > 0:
+                assert r["recall"] >= r["curve_capture_at_t"] - 1e-9
+
+
 class TestEmbeddingMmdDrift:
     @pytest.mark.parametrize("sf", SFS)
     def test_matches_numpy_oracle(self, spark, sf):

@@ -145,6 +145,12 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
         "independent numpy recompute (exact, sf0.001/0.01) + shifted-batch detection + partitioning invariance",
         "tests/test_round10_ops.py",
     ),
+    (
+        "drug_target_discovery_spark.queries.round10",
+        "lsh_candidate_recall_audit",
+        "prepared DuckDB oracle (exact, sf0.001/0.01) + S-curve column pin + recall-beats-curve pin",
+        "tests/test_round10_ops.py",
+    ),
 )
 
 

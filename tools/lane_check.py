@@ -460,6 +460,20 @@ def check_hilbert_layout(spark):
     )
 
 
+def check_lsh_recall(spark):
+    from drug_target_discovery_spark.queries.round10 import (
+        _lsh_recall_oracle,
+        lsh_candidate_recall_audit,
+    )
+
+    got = [tuple(r) for r in lsh_candidate_recall_audit(spark, SF).collect()]
+    exp = [
+        tuple(r) for r in _con("documents").execute(_lsh_recall_oracle()).fetchall()
+    ]
+    detail = "; ".join(f"t={g[0]}: {g[2]}/{g[1]}" for g in got)
+    return got == exp and bool(got), detail
+
+
 def check_mmd_drift(spark):
     import importlib.util
 
@@ -545,6 +559,7 @@ CHECKS = [
     ("split_conformal_price_intervals", check_conformal),
     ("cross_corpus_contamination", check_xcorpus_contam),
     ("embedding_mmd_drift", check_mmd_drift),
+    ("lsh_candidate_recall_audit", check_lsh_recall),
 ]
 
 
