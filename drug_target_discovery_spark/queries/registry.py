@@ -45,13 +45,13 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-visit priority. The driver's correctness gate walks the queries()
 # dict in insertion order and stops at 50 entries per round, so coverage is a
-# rotation problem (VERDICT r3 #1). Round 10's 50 is exactly the plan written
-# at r9 close (and VERDICT r9 #1): the 47-query r6-evidence cohort (hits the
-# age-4 ceiling after r10) + the two committed registrations
-# (event_burstiness_fano, label_propagation_communities — decorator moves
-# from the tests-only lane, both declared in _GATE_PLAN_CHANGED) +
-# kaplan_meier_customer_gaps (the stalest r7-cohort query) in slot 50.
-# After this gate the registry stands at 199/200 under the freeze.
+# rotation problem (VERDICT r3 #1). Round 11's 50 is exactly the plan written
+# at r10 close (and VERDICT r10 #1): the 49-query r7-evidence cohort (hits
+# the age-4 ceiling after r11 — includes the GEO chain,
+# differential_expression, the dedup/LSH family, and both rows-only mllib
+# demos) + price_band_lookup_binned (the stalest r8-cohort query) in slot 50.
+# ZERO registrations this round: the registry stays at 199/200 under the
+# freeze, so _GATE_PLAN_CHANGED is empty.
 # _PRIORITY_GATE must hold exactly _GATE_WINDOW names; a unit test pins the
 # length, and tests/test_registry_rotation.py enforces the staleness budget
 # (no query's driver evidence older than _MAX_EVIDENCE_AGE rounds after the
@@ -87,117 +87,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _GATE_WINDOW = 50
 
 _PRIORITY_GATE: tuple[str, ...] = (
-    # The full r6-evidence cohort (47) — the oldest driver evidence in the
-    # repo (age 4 at the r10 gate, the staleness ceiling).
-    "ann_recall_eval",
-    "benford_first_digit_check",
-    "calendar_gap_fill_revenue",
-    "calibration_curve_bins",
-    "cdc_merge_apply",
-    "closeness_centrality_corr_graph",
-    "cohort_retention_matrix",
-    "cuped_experiment_readout",
-    "customer_order_distribution",
-    "degree_assortativity_corr_graph",
-    "discount_band_revenue",
-    "disjunctive_branch_revenue",
-    "dsir_importance_selection",
-    "gini_segment_mix",
-    "hard_negative_mining",
-    "harmonic_centrality_corr_graph",
-    "important_part_value_share",
-    "jackknife_ratio_readout",
-    "join_key_skew_profile",
-    "kmeans_silhouette_by_cluster",
-    "late_order_priority_counts",
-    "market_share_by_year",
-    "min_cost_part_supplier",
-    "mutual_information_flags",
-    "ndcg_retrieval_eval",
-    "near_dup_best_representative",
-    "order_lineitem_reconciliation",
-    "pareto_frontier_parts",
-    "product_profit_by_nation_year",
-    "reciprocal_rank_fusion",
-    "referential_integrity_audit",
-    "returned_item_report",
-    "returnflag_priority_mix",
-    "rfm_customer_segments",
-    "rolling_revenue_anomaly",
-    "salted_returnflag_stats",
-    "snapshot_diff_changeset",
-    "srm_guardrail",
-    "stratified_kfold_assignment",
-    "temporal_embargo_split",
-    "top_revenue_suppliers",
-    "vocab_oov_coverage",
-    "volume_shipping_pair",
-    "wealthy_inactive_customers",
-    "weighted_reservoir_sample",
-    "zipf_slope_tokens",
-    "zone_map_stats",
-    # The two committed r10 registrations (decorator moves from the
-    # tests-only lane; plan-changed slots, declared below).
-    "event_burstiness_fano",
-    "label_propagation_communities",
-    # Slot 50: the stalest r7-cohort query, pulled one round early (no
-    # plan-changed re-gate materialized this round).
-    "kaplan_meier_customer_gaps",
-)
-
-# Gate members whose slot is justified by a NEW or CHANGED plan rather than
-# evidence staleness. tests/test_registry_rotation.py exempts these from the
-# stalest-first ordering check (their evidence, if any, is legitimately
-# fresh) — every other gate member must be at least as stale as everything
-# left outside the gate. Round 10 registers the two queries the r9-close
-# plan committed to (first driver rows — decorator moves from the
-# tests-only lane).
-_GATE_PLAN_CHANGED: tuple[str, ...] = (
-    "event_burstiness_fano",
-    "label_propagation_communities",
-)
-
-# Slots 51+: refresh order for queries that already hold a green driver row
-# — oldest evidence first. After the r10 gate runs, the r7 cohort (49 names
-# below, kaplan_meier already refreshed in slot 50 above) is the oldest
-# evidence in the repo and heads the round-11 gate (age hits the 4-round
-# ceiling after r11); the r8 and r9 cohorts follow.
-#
-# Round-11 gate plan (written at r10 close): the r11 gate is the 49-query
-# r7 cohort (every name in the first block below) + 1 headroom slot:
-#   slot 50 — the stalest r8-cohort query (price_band_lookup_binned, first
-#     name in the r8 block below), pulled one round early; if a
-#     plan-changed re-gate materializes in r11 it takes this slot instead.
-# ZERO registrations in r11: the registry is at its 199 freeze; any new
-# registration requires the one-in-one-out delist recorded in the CAPACITY
-# POLICY above.
-#
-# ONE-IN-ONE-OUT DECISION (2026-08-15, VERDICT r9 #6): the tests-only lane
-# operators (exact_substring_dup_stats, ivf_index_refresh_audit,
-# lpa_community_modularity, bpe_top_merges, the gini scalable twin) STAY in
-# the lane permanently; the shortlisted delists (simhash_fingerprints,
-# minhash_signatures) are NOT executed.
-# (2026-08-16 addendum: the round-10 lane additions — cross-source overlap
-# matrix, bigram-LM quality filter, PQ / IVF-PQ ADC recall, Hilbert-vs-
-# Z-order layout, temperature mixture sampling, split-conformal intervals,
-# plus the earlier bpe_encode_stats / ivf_drift_retrain /
-# deterministic_epoch_shuffle — all enter under rule 3 with zero gate
-# slots; the lane gate is one command, tools/lane_check.py, runnable at
-# any scale factor, so the lane's evidence is reproducible without
-# trusting pytest internals.) Rationale: the driver-hash row a
-# swap would buy duplicates evidence the lane already has — each lane
-# operator's pytest oracle cross-check runs the SAME comparison (DuckDB
-# SQL, sorted-column hash, sf0.01) the driver runs — while the delisted
-# queries would LOSE their driver rows outright, and both shortlist members
-# exercise a distinct registered surface (the raw fingerprint/signature
-# tables feed downstream joins users run directly). Net evidence of a swap
-# is negative. Revisit only if a lane operator's plan changes in a way
-# pytest cannot gate (e.g. a nondeterministic form needing the driver's
-# rows-only lane).
-_PRIORITY_REST: tuple[str, ...] = (
-    # r7-green refreshes (round-11 gate head; the round-7 gate was 10
-    # r7-new/plan-changed + the 40-query r3 cohort refreshed at r7;
-    # kaplan_meier_customer_gaps moved to the r10 gate's slot 50)
+    # The full r7-evidence cohort (49) — the oldest driver evidence in the
+    # repo (age 4 at the r11 gate, the staleness ceiling).
     "cusum_changepoint_daily_revenue",
     "basket_brand_lift",
     "minhash_jaccard_estimate_error",
@@ -247,9 +138,61 @@ _PRIORITY_REST: tuple[str, ...] = (
     "positional_zip_join",
     "small_lot_revenue",
     "source_lang_entropy",
-    # r8-green refreshes (the round-8 gate: 3 r8-new + the 47-query r4
-    # cohort refreshed at r8)
+    # Slot 50: the stalest r8-cohort query, pulled one round early (no
+    # plan-changed re-gate materialized this round).
     "price_band_lookup_binned",
+)
+
+# Gate members whose slot is justified by a NEW or CHANGED plan rather than
+# evidence staleness. tests/test_registry_rotation.py exempts these from the
+# stalest-first ordering check (their evidence, if any, is legitimately
+# fresh) — every other gate member must be at least as stale as everything
+# left outside the gate. Round 11 has ZERO registrations and zero
+# plan-changed re-gates (the registration freeze at 199 holds; all new r11
+# operator work lands in the tests-only lane per capacity-policy rule 3).
+_GATE_PLAN_CHANGED: tuple[str, ...] = ()
+
+# Slots 51+: refresh order for queries that already hold a green driver row
+# — oldest evidence first. After the r11 gate runs, the r8 cohort (49 names
+# below, price_band_lookup_binned already refreshed in slot 50 above) is the
+# oldest evidence in the repo and heads the round-12 gate (age hits the
+# 4-round ceiling after r12); the r9 and r10 cohorts follow.
+#
+# Round-12 gate plan (written at r11 close): the r12 gate is the 49-query
+# r8 cohort (every name in the first block below) + 1 headroom slot:
+#   slot 50 — the stalest r9-cohort query (auc_by_cohort, first name in the
+#     r9 block below), pulled one round early; if a plan-changed re-gate
+#     materializes in r12 it takes this slot instead.
+# ZERO registrations in r12: the registry is at its 199 freeze; any new
+# registration requires the one-in-one-out delist recorded in the CAPACITY
+# POLICY above.
+#
+# ONE-IN-ONE-OUT DECISION (2026-08-15, VERDICT r9 #6): the tests-only lane
+# operators (exact_substring_dup_stats, ivf_index_refresh_audit,
+# lpa_community_modularity, bpe_top_merges, the gini scalable twin) STAY in
+# the lane permanently; the shortlisted delists (simhash_fingerprints,
+# minhash_signatures) are NOT executed.
+# (2026-08-16 addendum: the round-10 lane additions — cross-source overlap
+# matrix, bigram-LM quality filter, PQ / IVF-PQ ADC recall, Hilbert-vs-
+# Z-order layout, temperature mixture sampling, split-conformal intervals,
+# plus the earlier bpe_encode_stats / ivf_drift_retrain /
+# deterministic_epoch_shuffle — all enter under rule 3 with zero gate
+# slots; the lane gate is one command, tools/lane_check.py, runnable at
+# any scale factor, so the lane's evidence is reproducible without
+# trusting pytest internals.) Rationale: the driver-hash row a
+# swap would buy duplicates evidence the lane already has — each lane
+# operator's pytest oracle cross-check runs the SAME comparison (DuckDB
+# SQL, sorted-column hash, sf0.01) the driver runs — while the delisted
+# queries would LOSE their driver rows outright, and both shortlist members
+# exercise a distinct registered surface (the raw fingerprint/signature
+# tables feed downstream joins users run directly). Net evidence of a swap
+# is negative. Revisit only if a lane operator's plan changes in a way
+# pytest cannot gate (e.g. a nondeterministic form needing the driver's
+# rows-only lane).
+_PRIORITY_REST: tuple[str, ...] = (
+    # r8-green refreshes (round-12 gate head; the round-8 gate was 3
+    # r8-new + the 47-query r4 cohort refreshed at r8;
+    # price_band_lookup_binned moved to the r11 gate's slot 50)
     "order_value_gini_by_nation",
     "hapax_ttr_by_source",
     "approx_distinct_parts",
@@ -351,12 +294,65 @@ _PRIORITY_REST: tuple[str, ...] = (
     "winsorized_price_stats",
     "zorder_file_layout",
     "zscore_by_part",
+    # r10-green refreshes (the round-10 gate: the 47-query r6 cohort + the
+    # two r10 registrations + kaplan_meier in slot 50 — the freshest
+    # evidence in the repo)
+    "ann_recall_eval",
+    "benford_first_digit_check",
+    "calendar_gap_fill_revenue",
+    "calibration_curve_bins",
+    "cdc_merge_apply",
+    "closeness_centrality_corr_graph",
+    "cohort_retention_matrix",
+    "cuped_experiment_readout",
+    "customer_order_distribution",
+    "degree_assortativity_corr_graph",
+    "discount_band_revenue",
+    "disjunctive_branch_revenue",
+    "dsir_importance_selection",
+    "gini_segment_mix",
+    "hard_negative_mining",
+    "harmonic_centrality_corr_graph",
+    "important_part_value_share",
+    "jackknife_ratio_readout",
+    "join_key_skew_profile",
+    "kmeans_silhouette_by_cluster",
+    "late_order_priority_counts",
+    "market_share_by_year",
+    "min_cost_part_supplier",
+    "mutual_information_flags",
+    "ndcg_retrieval_eval",
+    "near_dup_best_representative",
+    "order_lineitem_reconciliation",
+    "pareto_frontier_parts",
+    "product_profit_by_nation_year",
+    "reciprocal_rank_fusion",
+    "referential_integrity_audit",
+    "returned_item_report",
+    "returnflag_priority_mix",
+    "rfm_customer_segments",
+    "rolling_revenue_anomaly",
+    "salted_returnflag_stats",
+    "snapshot_diff_changeset",
+    "srm_guardrail",
+    "stratified_kfold_assignment",
+    "temporal_embargo_split",
+    "top_revenue_suppliers",
+    "vocab_oov_coverage",
+    "volume_shipping_pair",
+    "wealthy_inactive_customers",
+    "weighted_reservoir_sample",
+    "zipf_slope_tokens",
+    "zone_map_stats",
+    "event_burstiness_fano",
+    "label_propagation_communities",
+    "kaplan_meier_customer_gaps",
 )
 
-# (The r9-close "round-10 gate plan" comment was executed this round — the
-# r6 cohort moved into _PRIORITY_GATE, fano + LPA registered as declared
-# plan-changed slots, kaplan_meier in slot 50 — and is superseded by the
-# round-11 plan comment above _PRIORITY_REST.)
+# (The r10-close "round-11 gate plan" comment was executed this round — the
+# r7 cohort moved into _PRIORITY_GATE, price_band_lookup_binned in slot 50,
+# zero registrations — and is superseded by the round-12 plan comment above
+# _PRIORITY_REST.)
 _PRIORITY: tuple[str, ...] = _PRIORITY_GATE + _PRIORITY_REST
 
 
