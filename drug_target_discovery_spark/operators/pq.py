@@ -94,7 +94,17 @@ def pq_train(vq: DataFrame, m: int, k: int, iters: int) -> list[list[list[float]
     Init: each subspace starts from the sub-vectors of the k smallest ids
     (deterministic, the kmeans operator's rule); a code that loses every
     member keeps its previous centroid."""
+    if m < 1 or k < 1:
+        raise ValueError(f"pq_train: m={m} and k={k} must both be >= 1")
     first = vq.orderBy("vid").limit(k).orderBy("vid").collect()
+    # Degenerate-input fuse (ADVICE r10): an empty corpus, or one with
+    # fewer than k vectors, would otherwise fail deep in the update loop
+    # (IndexError at codebooks[j][c]) instead of naming the real problem.
+    if len(first) < k:
+        raise ValueError(
+            f"pq_train: corpus holds {len(first)} vectors but k={k} "
+            "centroids per subspace were requested; supply k <= n vectors"
+        )
     dims = len(first[0]["v_int"])
     spans = _split(dims, m)
     codebooks = [

@@ -178,6 +178,18 @@ def bigram_lm_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials shuffle. Log-probs are quantized to integer micro-log units
     at the MODEL (vocab grain, one IEEE expression per distinct bigram) so
     every downstream sum is order-independent and cross-engine exact.
+
+    LIBM-AGREEMENT ASSUMPTION (ADVICE r10): unlike sqrt (correctly rounded
+    by IEEE 754, so the temperature-mixture weights are exact by
+    guarantee), log10 carries no correct-rounding guarantee — the
+    floor(x*1e6+0.5) quantization is cross-engine exact only because the
+    JVM (StrictMath-backed), DuckDB, and numpy libms agree to well under
+    0.5 micro-units on these inputs, which the oracle cross-check verifies
+    empirically per run. A 1-ULP libm divergence EXACTLY at a .5 rounding
+    boundary on some other platform would flip one quantized unit; if that
+    ever bites, compare lp_q with a +/-1-micro-unit tolerance rather than
+    loosening the integer pipeline downstream of the model. The same
+    assumption (for exp) covers the MMD kernel quantization below.
     """
     from drug_target_discovery_spark.caching import scoped_cache
 
@@ -752,10 +764,26 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.expr(
         "CAST(conv(substring(md5(concat('" + _MIX_SEED + ":', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS DECIMAL(38,0))"
     )
+    # Pack-width fuse (ADVICE r10): the (hash, doc_id) pack reserves 18
+    # decimal digits for the doc_id tie-break, so a negative or >= 10^18
+    # doc_id would silently corrupt the ordering. Guard in-plan with the
+    # rangejoin fuse pattern (operators/rangejoin.py:70) — a per-row long
+    # compare inside codegen, no extra driver action, raises noisily on
+    # the first out-of-range id.
+    did_guarded = F.when(
+        (F.col("doc_id") < 0) | (F.col("doc_id") >= F.lit(10**18)),
+        F.raise_error(
+            F.concat(
+                F.lit("temperature_mixture_sample: doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(" outside the [0, 10^18) ord_key pack width; widen the pack"),
+            )
+        ),
+    ).otherwise(F.col("doc_id").cast("decimal(38,0)"))
     keyed = docs.select(
         "source",
         "doc_id",
-        (h * F.lit(10**18).cast("decimal(38,0)") + F.col("doc_id").cast("decimal(38,0)")).alias("ord_key"),
+        (h * F.lit(10**18).cast("decimal(38,0)") + did_guarded).alias("ord_key"),
         F.lit(1).alias("one"),
     )
     ranked = range_partitioned_prefix_sum(
@@ -960,7 +988,12 @@ def embedding_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DECIMAL(38,0) — the bigram-LM trick), so the statistic is
     partitioning-independent to the last digit and the numpy oracle
     matches exactly. Output per leg: (comparison, n_quadruples,
-    mmd2_pico BIGINT-exact, mmd2 rounded).
+    mmd2_pico BIGINT-exact, mmd2 rounded). The picounit quantization of
+    exp inherits the bigram-LM LIBM-AGREEMENT ASSUMPTION documented on
+    bigram_lm_quality_by_source: exp is not correctly rounded, so
+    cross-engine exactness rests on JVM/numpy libm agreement at these
+    inputs (verified empirically by the oracle cross-check per run); a
+    platform libm divergence at a .5 boundary would flip one picounit.
     """
     from drug_target_discovery_spark.operators.kmeans import quantize_embeddings
 
@@ -1243,11 +1276,22 @@ def split_conformal_price_intervals(spark: SparkSession, sf_dir: str) -> DataFra
       score grain — the exact distributed order statistic, where
       percentile_approx would trade away the conformal guarantee and a
       global sort would trade away the cluster;
-    - COVERAGE: the fraction of TEST rows with |cents - mean| <= q_hat —
-      the number the conformal guarantee (>= 1-alpha marginally) is
-      about, measured rather than asserted.
+    - COVERAGE: the fraction of MODELED test rows with
+      |cents - mean| <= q_hat — the number the conformal guarantee
+      (>= 1-alpha marginally) is about, measured rather than asserted.
 
-    Output per alpha: n_cal, n_test, k, q_hat_cents, coverage, target.
+    Degenerate-split handling (ADVICE r10): test rows whose brand has no
+    calibration rows (so no model and no interval) are NOT silently
+    dropped — the test side LEFT-joins the model and the output counts
+    them per alpha as n_test_unmodeled, excluded from the coverage
+    denominator (a row with no interval can't be covered). And when the
+    calibration set is too small for an alpha (k = ceil((1-a)(n_cal+1))
+    > n_cal, so no score has prefix-count >= k), q_hat is NULL and the
+    query raises noisily in-plan (the rangejoin fuse pattern) instead of
+    emitting NULL q_hat/coverage rows.
+
+    Output per alpha: n_cal, n_test, n_test_unmodeled, k, q_hat_cents,
+    coverage, target.
     This is the uncertainty-quantification leg of the eval family
     (calibration_curve_bins measures probability calibration; this
     measures interval validity) — the audit run before shipping model
@@ -1319,12 +1363,16 @@ def split_conformal_price_intervals(spark: SparkSession, sf_dir: str) -> DataFra
         *[F.max(f"k_{d}").alias(f"k_{d}") for d, _ in _CONF_ALPHAS],
         *agg_cols,
     )
-    r_test = test.join(F.broadcast(model), "brand").select(
+    # LEFT join: a test brand absent from the model keeps its rows with a
+    # NULL r (counted below), instead of silently vanishing in an inner
+    # join (ADVICE r10).
+    r_test = test.join(F.broadcast(model), "brand", "left").select(
         F.abs(F.col("cents") - F.col("mean_c")).alias("r")
     )
     cov = r_test.crossJoin(F.broadcast(thresholds)).agg(
         F.max("n_cal").alias("n_cal"),
         F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.col("r").isNull().cast("long")).alias("n_unmod"),
         *[F.max(f"k_{d}").alias(f"k_{d}") for d, _ in _CONF_ALPHAS],
         *[F.max(f"q_{d}").alias(f"q_{d}") for d, _ in _CONF_ALPHAS],
         *[
@@ -1334,13 +1382,41 @@ def split_conformal_price_intervals(spark: SparkSession, sf_dir: str) -> DataFra
     )
     out = None
     for denom, num in _CONF_ALPHAS:
+        # Degenerate-calibration fuse: k > n_cal leaves no score with
+        # prefix-count >= k, so q_{d} is NULL — raise in-plan rather than
+        # ship NULL intervals (operators/rangejoin.py:70 pattern).
+        q_guarded = (
+            F.when(
+                F.col(f"q_{denom}").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "split_conformal_price_intervals: q_hat is NULL "
+                            f"at alpha={num}/{denom} — k="
+                        ),
+                        F.col(f"k_{denom}").cast("string"),
+                        F.lit(" exceeds n_cal="),
+                        F.col("n_cal").cast("string"),
+                        F.lit(
+                            " (calibration split too small for this alpha);"
+                            " enlarge the calibration set or relax alpha"
+                        ),
+                    )
+                ),
+            )
+            .otherwise(F.col(f"q_{denom}").cast("long"))
+            .alias("q_hat_cents")
+        )
         row = cov.select(
             rnd(F.lit(num) * 1.0 / F.lit(denom), 6).alias("alpha"),
             F.col("n_cal"),
             F.col("n_test"),
+            F.col("n_unmod").alias("n_test_unmodeled"),
             F.col(f"k_{denom}").cast("long").alias("k"),
-            F.col(f"q_{denom}").cast("long").alias("q_hat_cents"),
-            rnd(F.col(f"c_{denom}") * 1.0 / F.col("n_test"), 6).alias("coverage"),
+            q_guarded,
+            rnd(
+                F.col(f"c_{denom}") * 1.0 / (F.col("n_test") - F.col("n_unmod")), 6
+            ).alias("coverage"),
             rnd(F.lit(denom - num) * 1.0 / F.lit(denom), 6).alias("target"),
         )
         out = row if out is None else out.unionByName(row)
@@ -1381,11 +1457,12 @@ _CONF_ORACLE = f"""
     thresh AS (SELECT {_CONF_THRESH_SQL}),
     r_test AS (
       SELECT abs(cents - mean_c) AS r
-      FROM fact JOIN model USING (brand) WHERE NOT is_cal
+      FROM fact LEFT JOIN model USING (brand) WHERE NOT is_cal
     ),
     cov AS (
       SELECT (SELECT n_cal FROM ncal) AS n_cal,
              count(*) AS n_test,
+             sum(CASE WHEN r IS NULL THEN 1 ELSE 0 END) AS n_unmod,
              {", ".join(f"sum(CASE WHEN r <= (SELECT q_{d} FROM thresh) THEN 1 ELSE 0 END) AS c_{d}" for d, _ in _CONF_ALPHAS)}
       FROM r_test
     )
@@ -1394,9 +1471,10 @@ _CONF_ORACLE = f"""
         f'''SELECT {rnd_sql(f"{num} * 1.0 / {d}", 6)} AS alpha,
                CAST(n_cal AS BIGINT) AS n_cal,
                CAST(n_test AS BIGINT) AS n_test,
+               CAST(n_unmod AS BIGINT) AS n_test_unmodeled,
                CAST((SELECT k_{d} FROM thresh) AS BIGINT) AS k,
                CAST((SELECT q_{d} FROM thresh) AS BIGINT) AS q_hat_cents,
-               {rnd_sql(f"c_{d} * 1.0 / n_test", 6)} AS coverage,
+               {rnd_sql(f"c_{d} * 1.0 / (n_test - n_unmod)", 6)} AS coverage,
                {rnd_sql(f"{d - num} * 1.0 / {d}", 6)} AS target
             FROM cov'''
         for d, num in _CONF_ALPHAS

@@ -1025,9 +1025,9 @@ class TestSplitConformal:
         # the rank formula is the split-conformal one: k = ceil((1-a)(n+1))
         for alpha, row in rows.items():
             n_cal = row[1]
-            assert row[3] == math.ceil((1 - alpha) * (n_cal + 1))
+            assert row[4] == math.ceil((1 - alpha) * (n_cal + 1))
         # tighter alpha -> wider (or equal) interval
-        assert rows[0.05][4] >= rows[0.1][4]
+        assert rows[0.05][5] >= rows[0.1][5]
 
     @pytest.mark.parametrize("sf", SFS)
     def test_coverage_tracks_target(self, spark, sf):
@@ -1074,6 +1074,67 @@ class TestSplitConformal:
             assert r["n_cal"] + r["n_test"] == 40
             assert r["k"] == math.ceil((1 - alpha) * (r["n_cal"] + 1))
             assert r["q_hat_cents"] is not None and r["q_hat_cents"] >= 0
+            assert r["n_test_unmodeled"] == 0
+
+    @staticmethod
+    def _is_cal(orderkey: int, linenumber: int) -> bool:
+        """The query's own split rule, recomputed independently."""
+        import hashlib
+
+        from drug_target_discovery_spark.queries.round10 import _CONF_SEED
+
+        h = hashlib.md5(
+            f"{_CONF_SEED}:{orderkey}:{linenumber}".encode()
+        ).hexdigest()[:15]
+        return int(h, 16) % 2 == 0
+
+    def test_unmodeled_test_brand_counted_not_dropped(self, spark, tmp_path):
+        """ADVICE r10: a test brand with NO calibration rows must surface
+        in n_test_unmodeled (left join), not vanish in an inner join."""
+        from drug_target_discovery_spark.queries.round10 import (
+            split_conformal_price_intervals,
+        )
+
+        # Brand A: plenty of both-split rows. Brand B: only rows the hash
+        # routes to the TEST side (parity recomputed here), so B never
+        # gets a model.
+        rows = [(i, 1, 1, float(100 + i)) for i in range(60)]
+        b_rows = [
+            (ok, 1, 2, 500.0)
+            for ok in range(1000, 1400)
+            if not self._is_cal(ok, 1)
+        ][:5]
+        assert len(b_rows) == 5
+        spark.createDataFrame(
+            rows + b_rows,
+            "l_orderkey long, l_linenumber long, l_partkey long, l_extendedprice double",
+        ).write.parquet(str(tmp_path / "lineitem.parquet"))
+        spark.createDataFrame(
+            [(1, "BrandA"), (2, "BrandB")], "p_partkey long, p_brand string"
+        ).write.parquet(str(tmp_path / "part.parquet"))
+        for r in split_conformal_price_intervals(spark, str(tmp_path)).collect():
+            assert r["n_test_unmodeled"] == 5
+            # coverage counts only modeled rows in its denominator
+            assert r["coverage"] <= 1.0
+
+    def test_tiny_calibration_fails_loudly(self, spark, tmp_path):
+        """ADVICE r10: k > n_cal (calibration too small for the alpha)
+        must raise in-plan, not emit NULL q_hat/coverage rows."""
+        from drug_target_discovery_spark.queries.round10 import (
+            split_conformal_price_intervals,
+        )
+
+        # ~10 rows -> n_cal ~ 5 < 19, so k = ceil(0.95*(n_cal+1)) > n_cal.
+        rows = [(i, 1, 1, float(100 + i)) for i in range(10)]
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_linenumber long, l_partkey long, l_extendedprice double",
+        ).write.parquet(str(tmp_path / "lineitem.parquet"))
+        spark.createDataFrame(
+            [(1, "BrandX")], "p_partkey long, p_brand string"
+        ).write.parquet(str(tmp_path / "part.parquet"))
+        with pytest.raises(Exception, match="q_hat is NULL"):
+            split_conformal_price_intervals(spark, str(tmp_path)).collect()
 
 
 class TestPlanShapes:
@@ -1206,6 +1267,26 @@ class TestPqAdcRecall:
         got = pq_recall_eval(vq, cbs, probes, topk=3).collect()
         assert len(got) == 2
         assert all(r["recall_at_k"] == pytest.approx(1.0) for r in got)
+
+    def test_degenerate_inputs_fail_loudly(self, spark):
+        """ADVICE r10: empty corpus or n < k must raise a descriptive
+        ValueError up front, not an IndexError mid-training."""
+        from drug_target_discovery_spark.operators.kmeans import quantize_embeddings
+        from drug_target_discovery_spark.operators.pq import pq_train
+
+        rows = [(i, [float(i), float(i + 1)]) for i in range(3)]
+        vq = quantize_embeddings(
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        )
+        with pytest.raises(ValueError, match="corpus holds 3 vectors but k=8"):
+            pq_train(vq, m=1, k=8, iters=1)
+        from pyspark.sql import functions as F
+
+        empty = vq.filter(F.lit(False))
+        with pytest.raises(ValueError, match="corpus holds 0 vectors"):
+            pq_train(empty, m=1, k=2, iters=1)
+        with pytest.raises(ValueError, match="must both be >= 1"):
+            pq_train(vq, m=0, k=2, iters=1)
 
     def test_dims_must_divide(self):
         from drug_target_discovery_spark.operators.pq import _split
