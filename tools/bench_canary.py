@@ -64,6 +64,19 @@ CANARY_V1: tuple[str, ...] = (
     "mllib_minhash_neardups",        # r5 driver-anomaly row (bounded r6)
 )
 
+# V2 (round 11, VERDICT r10 #3): V1 frozen and extended by the two largest
+# same-code sweep swings of r10 (minhash_jaccard_estimate_error 7.62s driver
+# vs 2.54s idle; mllib_corr_matrix_top 6.93 vs 3.64) so future swings on
+# those rows close from committed band data instead of the idle sweep.
+# V1 rows stay longitudinally comparable (canary_compare intersects names).
+CANARY_V2: tuple[str, ...] = CANARY_V1 + (
+    "minhash_jaccard_estimate_error",  # r10 swing row (shuffle-heavy memo rider)
+    "mllib_corr_matrix_top",           # r10 swing row (MLlib vector-column demo)
+)
+
+CANARY = CANARY_V2
+CANARY_VERSION = 2
+
 
 def _load1() -> float:
     """1-minute load average; -1.0 where /proc is unavailable."""
@@ -97,17 +110,17 @@ def main() -> None:
             prev = json.load(fh)
 
     reg = all_queries()
-    missing = [n for n in CANARY_V1 if n not in reg]
+    missing = [n for n in CANARY if n not in reg]
     if missing:
         raise SystemExit(f"canary names missing from registry: {missing}")
 
     spark = get_spark("bench-canary")
     load_table(spark, args.sf_dir, "lineitem").count()  # session warm-up
 
-    runs: dict[str, list[float]] = {n: [] for n in CANARY_V1}
-    loads: dict[str, list[float]] = {n: [] for n in CANARY_V1}
+    runs: dict[str, list[float]] = {n: [] for n in CANARY}
+    loads: dict[str, list[float]] = {n: [] for n in CANARY}
     for rep in range(args.reps):
-        for name in CANARY_V1:
+        for name in CANARY:
             loads[name].append(_load1())
             t0 = time.perf_counter()
             reg[name].fn(spark, args.sf_dir).write.format("noop").mode(
@@ -126,7 +139,7 @@ def main() -> None:
 
     medians = {n: round(statistics.median(v), 3) for n, v in runs.items()}
     payload = {
-        "canary_version": 1,
+        "canary_version": CANARY_VERSION,
         "round": cur_round,
         "sf_dir": args.sf_dir,
         "reps": args.reps,
@@ -135,21 +148,21 @@ def main() -> None:
         # (VERDICT r8 #4: load attribution must be checkable per row)
         "queries": {
             n: {"median": medians[n], "runs": runs[n], "loadavg1": loads[n]}
-            for n in CANARY_V1
+            for n in CANARY
         },
     }
     with open(args.out, "w") as fh:
         json.dump(payload, fh, indent=1)
 
     print(json.dumps({"total_median_sec": payload["total_median_sec"]}))
-    if prev and prev.get("canary_version") == 1:
+    if prev and prev.get("canary_version") in (1, CANARY_VERSION):
         print(
             f"\ndelta vs round {prev.get('round')} "
             f"(total {prev.get('total_median_sec')}s -> "
             f"{payload['total_median_sec']}s):",
             file=sys.stderr,
         )
-        for n in CANARY_V1:
+        for n in CANARY:
             was = prev.get("queries", {}).get(n, {}).get("median")
             now = medians[n]
             if was is None:

@@ -7,16 +7,21 @@ The pytest suite runs these same comparisons at sf0.001/0.01; this tool
 exists so the lane's evidence can be re-produced at ANY scale factor
 with one command (the driver gate only covers registered queries).
 
-Usage:  python tools/lane_check.py [sf_dir]          (default sf0.01)
-Exit code 0 iff every check passes.
+Usage:  python tools/lane_check.py [sf_dir] [--json OUT.json]
+(default sf0.01). Exit code 0 iff every check passes. With --json the
+per-operator pass table is written as a committed round artifact
+(LANE_r{N}.json — VERDICT r10 #2: the lane gets the same auditable
+evidence stream as the registry's CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import os
 import sys
+import time
 
 import duckdb
 
@@ -28,7 +33,13 @@ from drug_target_discovery_spark.caching import release_caches
 from drug_target_discovery_spark.session import get_spark
 from drug_target_discovery_spark.sources.tables import load_table
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_ARGS = sys.argv[1:]
+JSON_OUT = None
+if "--json" in _ARGS:
+    i = _ARGS.index("--json")
+    JSON_OUT = _ARGS[i + 1]
+    _ARGS = _ARGS[:i] + _ARGS[i + 2 :]
+SF = _ARGS[0] if _ARGS else "/root/testdata/sf0.01"
 
 
 def _con(*tables: str):
@@ -566,15 +577,35 @@ CHECKS = [
 def main() -> int:
     spark = get_spark("lane_check")
     failed = 0
+    results: dict[str, dict] = {}
     for name, fn in CHECKS:
+        t0 = time.perf_counter()
         try:
             ok, detail = fn(spark)
         except Exception as exc:  # noqa: BLE001 — report, keep checking
             ok, detail = False, f"error: {exc}"
         release_caches(fixtures=True)
+        results[name] = {
+            "pass": bool(ok),
+            "detail": str(detail),
+            "sec": round(time.perf_counter() - t0, 3),
+        }
         print(f"{'PASS' if ok else 'FAIL'} {name}: {detail}", flush=True)
         failed += 0 if ok else 1
     print(f"\n{len(CHECKS) - failed} pass, {failed} fail at {SF}")
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": SF,
+                    "n_pass": len(CHECKS) - failed,
+                    "n_fail": failed,
+                    "checks": results,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {JSON_OUT}")
     return 1 if failed else 0
 
 
