@@ -723,9 +723,51 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from drug_target_discovery_spark.operators.prefixsum import (
         range_partitioned_prefix_sum,
     )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    targets, ranked = mixture_targets_and_ranked(docs)
+    sampled = (
+        ranked.join(F.broadcast(targets.select("source", "target_n")), "source")
+        .filter(F.col("rk") < F.col("target_n"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("sampled_n"))
+    )
+    return (
+        targets.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "weight_micro",
+            "target_n",
+            F.coalesce(F.col("sampled_n"), F.lit(0)).alias("sampled_n"),
+            rnd(
+                F.coalesce(F.col("sampled_n"), F.lit(0)) * 1.0 / F.col("n_docs"), 6
+            ).alias("sample_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_targets_and_ranked(docs: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """Shared temperature-mixture selection machinery — micro-unit sqrt
+    weights, Hamilton (largest-remainder) apportionment targets, and the
+    per-source seeded md5 doc ranks — used by BOTH
+    ``temperature_mixture_sample`` and the composed epoch pipeline
+    (``round11.training_epoch_manifest``), the curation composition rule:
+    the composed run reuses the tier's exact definitions so it cannot
+    drift from the tier's standalone evidence.
+
+    ``docs``: (doc_id, source). Returns ``(targets, ranked)``:
+    ``targets`` = (source, n_docs, weight_micro, target_n), bounded by
+    the source domain; ``ranked`` = (source, doc_id, rk) with ``rk`` the
+    exact 0-based rank of md5({seed}:doc_id) within source, computed by
+    the keyed ``range_partitioned_prefix_sum`` (no per-source
+    single-partition window).
+    """
+    from drug_target_discovery_spark.operators.prefixsum import (
+        range_partitioned_prefix_sum,
+    )
     from pyspark.sql.window import Window as W
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     weighted = counts.withColumn(
         "w", F.floor(F.sqrt(F.col("n_docs")) * 1000000.0 + F.lit(0.5)).cast("long")
@@ -774,7 +816,7 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") < 0) | (F.col("doc_id") >= F.lit(10**18)),
         F.raise_error(
             F.concat(
-                F.lit("temperature_mixture_sample: doc_id "),
+                F.lit("mixture_targets_and_ranked: doc_id "),
                 F.col("doc_id").cast("string"),
                 F.lit(" outside the [0, 10^18) ord_key pack width; widen the pack"),
             )
@@ -788,31 +830,15 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = range_partitioned_prefix_sum(
         keyed, ["source"], "ord_key", "one", out="rk", buckets=64, exclusive=True
-    )
-    sampled = (
-        ranked.join(F.broadcast(targets.select("source", "target_n")), "source")
-        .filter(F.col("rk") < F.col("target_n"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("sampled_n"))
-    )
-    return (
-        targets.join(sampled, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            "weight_micro",
-            "target_n",
-            F.coalesce(F.col("sampled_n"), F.lit(0)).alias("sampled_n"),
-            rnd(
-                F.coalesce(F.col("sampled_n"), F.lit(0)) * 1.0 / F.col("n_docs"), 6
-            ).alias("sample_rate"),
-        )
-        .orderBy("source")
-    )
+    ).select("source", "doc_id", "rk")
+    return targets, ranked
 
 
 temperature_mixture_sample.__doc__ = temperature_mixture_sample.__doc__.format(
     div=_MIX_SAMPLE_DIV
+)
+mixture_targets_and_ranked.__doc__ = mixture_targets_and_ranked.__doc__.format(
+    seed=_MIX_SEED
 )
 
 # --------------------------------------------------------------------------

