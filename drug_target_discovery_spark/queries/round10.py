@@ -146,9 +146,21 @@ _JM_LAMBDA = 0.75  # the classic JM mixing weight
 # calibrate this against a reference distribution). The comparison runs in
 # INTEGER space (lp_sum < threshold_micro * n_bigrams), never on a float.
 _JM_LOWQ_MICRO = -1_480_000
+# Broadcast ceiling for the bigram model (SCALING.md watch-item, VERDICT
+# r10 #5): the model is bigram-vocabulary-sized (~vocab^1.5 on natural
+# text), and past executor memory a forced broadcast stops helping and
+# starts failing. At or under this many distinct bigrams (~200 MB at
+# ~100 B/row — inside a default 4-8 GiB executor with headroom) the model
+# broadcasts; above it, the join runs keyed on bg (SMJ/shuffle-hash) —
+# same results, pinned by tests/test_round10_ops.py.
+_BG_BROADCAST_CEILING = 2_000_000
 
 
-def bigram_lm_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bigram_lm_quality_by_source(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_ceiling: int = _BG_BROADCAST_CEILING,
+) -> DataFrame:
     """Per-source quality audit under a Jelinek-Mercer interpolated bigram
     LM trained on the corpus itself:
 
@@ -173,7 +185,11 @@ def bigram_lm_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     table by a second vocab-sized aggregate — the corpus is NOT re-read
     for them — and the unigram model (c2, N) comes from one token-grain
     aggregate of the same scan's token stream. Pass 2 re-scans, joins the
-    broadcast bigram model onto the exploded bigram stream, and
+    bigram model onto the exploded bigram stream — BROADCAST while the
+    model holds <= broadcast_ceiling distinct bigrams (one cheap count on
+    the cached vocab table decides), keyed shuffle join above it (the
+    executor-memory fallback SCALING.md names; results identical, both
+    paths test-pinned) — and
     partial-aggregates (doc, then source) — only integer (sum, count)
     partials shuffle. Log-probs are quantized to integer micro-log units
     at the MODEL (vocab grain, one IEEE expression per distinct bigram) so
@@ -244,8 +260,16 @@ def bigram_lm_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lp_q"),
         )
     )
+    # Threshold-gated model join (the skew_adaptive_agg_stats pattern:
+    # measure, then choose the physical plan): the model's cardinality is
+    # one cheap count on the already-cached vocab-grain table. Under the
+    # ceiling the model broadcasts (map-side join, no fact shuffle); over
+    # it the join runs keyed on bg — the fact stream shuffles once, which
+    # beats an executor-memory blowout at 100 TB vocabularies.
+    n_model = bg_counts.count()
+    model_side = F.broadcast(model) if n_model <= broadcast_ceiling else model
     per_doc = (
-        bg_stream.join(F.broadcast(model), "bg")
+        bg_stream.join(model_side, "bg")
         .groupBy("source", "doc_id")
         .agg(
             F.count(F.lit(1)).alias("nb"),

@@ -161,6 +161,35 @@ class TestBigramLmQuality:
         assert sum(r[4] for r in got) > 0
         assert sum(r[4] for r in got) < sum(r[1] for r in got)
 
+    def test_broadcast_ceiling_fallback_equal_and_shuffled(self, spark):
+        """VERDICT r10 #5: past the model-broadcast ceiling the bg join
+        must degrade to a keyed shuffle join with IDENTICAL results.
+        ceiling=0 forces the fallback; the default path is pinned
+        broadcast by test_model_joins_broadcast."""
+        from drug_target_discovery_spark.queries.round10 import (
+            bigram_lm_quality_by_source,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        dflt_df = bigram_lm_quality_by_source(spark, sf)
+        dflt = [tuple(r) for r in dflt_df.collect()]
+        forced = bigram_lm_quality_by_source(spark, sf, broadcast_ceiling=0)
+
+        def hints(df):
+            return df._jdf.queryExecution().analyzed().toString().count(
+                "ResolvedHint"
+            )
+
+        # the FORCED hint leaves the model join (only the 1-row n_row
+        # crossJoin hint remains), so AQE is free to shuffle the join at
+        # scale — at this tiny SF it may still pick broadcast, which is
+        # exactly the adaptive behavior the fallback buys
+        assert hints(forced) == hints(dflt_df) - 1
+        plan = forced._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan" in plan, plan
+        # ...and the results are byte-identical
+        assert [tuple(r) for r in forced.collect()] == dflt and dflt
+
     def test_repetitive_beats_disfluent(self, spark, tmp_path):
         """A doc made of the corpus's repeated template bigrams must score
         HIGHER (less negative) than a doc of the same unigrams in a

@@ -151,6 +151,12 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
         "prepared DuckDB oracle (exact, sf0.001/0.01) + S-curve column pin + recall-beats-curve pin",
         "tests/test_round10_ops.py",
     ),
+    (
+        "drug_target_discovery_spark.queries.round11",
+        "training_epoch_manifest",
+        "hybrid python-BPE + prepared DuckDB oracle (exact, sf0.001/0.01) + composition-invariant, seed-membership, scan-discipline, and hashlib-rank pins",
+        "tests/test_round11_ops.py",
+    ),
 )
 
 

@@ -616,6 +616,77 @@ def probe_mixture(spark, reps: int = 2) -> None:
     print(_json.dumps(report), flush=True)
 
 
+def probe_bigram_ceiling(spark, reps: int = 2) -> None:
+    """The bigram-LM broadcast-ceiling fallback (VERDICT r10 #5) measured
+    at the scale that trips it: x10 PERTURBED docs (bigram vocabulary
+    ~x10), broadcast path vs FORCED shuffle path (ceiling=0 — the plan the
+    gate selects once the model outgrows executor memory), plus a value
+    equality check between the two paths on the x10 corpus."""
+    import json as _json
+
+    from drug_target_discovery_spark.queries.round10 import (
+        bigram_lm_quality_by_source,
+    )
+
+    report = {"probe": "bigram_ceiling_fallback", "loadavg1_start": _load1()}
+    dp = build_documents(spark, 10, perturb=True)
+    for name, d, ceil in (
+        ("x1_broadcast", BASE, None),
+        ("x10_broadcast", dp, None),
+        ("x10_shuffle", dp, 0),
+    ):
+        kw = {} if ceil is None else {"broadcast_ceiling": ceil}
+        runs = [
+            _timed(lambda d=d, kw=kw: bigram_lm_quality_by_source(spark, d, **kw))
+            for _ in range(reps)
+        ]
+        report[f"{name}_s"] = min(runs)
+        report[f"{name}_runs"] = runs
+        report[f"{name}_load1"] = _load1()
+    a = [tuple(r) for r in bigram_lm_quality_by_source(spark, dp).collect()]
+    release_caches(fixtures=True)
+    b = [
+        tuple(r)
+        for r in bigram_lm_quality_by_source(
+            spark, dp, broadcast_ceiling=0
+        ).collect()
+    ]
+    release_caches(fixtures=True)
+    report["x10_values_equal"] = a == b
+    report["shuffle_over_broadcast"] = round(
+        report["x10_shuffle_s"] / report["x10_broadcast_s"], 2
+    )
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
+def probe_epoch(spark, reps: int = 2) -> None:
+    """training_epoch_manifest (the composed loader pipeline) at x1/x10
+    PERTURBED docs (vocabulary and token stream both grow ~x10 — the
+    BPE stage's honest growth mode). Expected ~linear: the corpus-sized
+    work is the exploded word-grain aggregate + the three prefix-sum
+    passes; the BPE trainer's per-iteration shuffle is vocab-sized."""
+    import json as _json
+
+    from drug_target_discovery_spark.queries.round11 import (
+        training_epoch_manifest,
+    )
+
+    report = {"probe": "training_epoch_manifest", "loadavg1_start": _load1()}
+    dp = build_documents(spark, 10, perturb=True)
+    for name, d in (("x1", BASE), ("x10", dp)):
+        runs = [
+            _timed(lambda d=d: training_epoch_manifest(spark, d))
+            for _ in range(reps)
+        ]
+        report[f"{name}_s"] = min(runs)
+        report[f"{name}_runs"] = runs
+        report[f"{name}_load1"] = _load1()
+    report["x10_factor"] = round(report["x10_s"] / report["x1_s"], 2)
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
 def probe_conformal(spark, reps: int = 2) -> None:
     """split_conformal_price_intervals at x1/x10 lineitem clones
     (orderkey-shifted, per-replica cent jitter so the nonconformity
@@ -759,6 +830,10 @@ def main() -> None:
         probe_xcontam(spark)
     if "mmd" in which:
         probe_mmd(spark)
+    if "bigram_ceiling" in which:
+        probe_bigram_ceiling(spark)
+    if "epoch" in which:
+        probe_epoch(spark)
 
 
 if __name__ == "__main__":
