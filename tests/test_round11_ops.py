@@ -27,6 +27,52 @@ def _wtok_table(con, k):
     )
 
 
+class TestZorderCurveOption:
+    """VERDICT r10 #6: zorder_file_layout grows a curve= option reusing
+    the measured Hilbert machinery; the registered default is unchanged."""
+
+    def test_hilbert_aligned_split_degeneracy(self, spark):
+        """At this query's power-of-4 aligned split (index >> 14, even
+        shift) both recursive quadrant curves must form the SAME file
+        partitions up to file-id relabeling — the degeneracy
+        hilbert_vs_zorder_skip_stats pinned, now cross-checking the
+        registered surface's new option."""
+        from drug_target_discovery_spark.queries.layout import zorder_file_layout
+
+        sf = "/root/testdata/sf0.001"
+        m = zorder_file_layout(spark, sf).collect()
+        h = zorder_file_layout(spark, sf, curve="hilbert").collect()
+        strip = lambda rows: sorted(
+            (r["n_rows"], r["part_lo"], r["part_hi"], r["supp_lo"], r["supp_hi"])
+            for r in rows
+        )
+        assert strip(m) == strip(h)
+        assert len(m) == len(h)
+
+    def test_default_is_morton_and_unchanged(self, spark):
+        """The registered query's plan must be byte-identical with and
+        without the explicit default — no plan-changed re-gate burned."""
+        from drug_target_discovery_spark.queries.layout import zorder_file_layout
+
+        import re
+
+        sf = "/root/testdata/sf0.001"
+        a = zorder_file_layout(spark, sf)
+        b = zorder_file_layout(spark, sf, curve="morton")
+        norm = lambda df: re.sub(
+            r"#\d+", "#N", df._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert norm(a) == norm(b)
+        # and the default is the interleave, not the Hilbert fold
+        assert "shiftleft" in norm(a) and "aggregate(" not in norm(a)
+
+    def test_unknown_curve_raises(self, spark):
+        from drug_target_discovery_spark.queries.layout import zorder_file_layout
+
+        with pytest.raises(ValueError, match="unknown curve"):
+            zorder_file_layout(spark, "/root/testdata/sf0.001", curve="peano")
+
+
 class TestTrainingEpochManifest:
     @pytest.mark.parametrize("sf", SFS)
     def test_matches_hybrid_oracle(self, spark, sf):
