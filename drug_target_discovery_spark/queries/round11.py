@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from drug_target_discovery_spark.functions.rounding import rnd
 from drug_target_discovery_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -329,3 +330,215 @@ _EPOCH_ORACLE = _EPOCH_ORACLE_TMPL.format(
     budget=_EPOCH_PACK_BUDGET,
     shard=_EPOCH_SHARD_TOKENS,
 )
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH banding parameter auto-tuner (measured S-curve -> (b, r))
+# --------------------------------------------------------------------------
+_TUNE_TARGET_TENTHS = 7        # tuning threshold t = 0.7 (the family's regime)
+_TUNE_RECALL_GOAL_MICRO = 950_000  # require expected recall >= 0.95 at t
+
+
+def lsh_parameter_autotune(
+    spark: SparkSession,
+    sf_dir: str,
+    target_tenths: int = _TUNE_TARGET_TENTHS,
+    recall_goal_micro: int = _TUNE_RECALL_GOAL_MICRO,
+) -> DataFrame:
+    """Choose the MinHash-LSH banding (b bands x r rows) from the corpus's
+    own MEASURED similarity spectrum — the tuning step the dedup family's
+    committed (8 x 2) parameters were hand-derived from, automated and
+    auditable (VERDICT r10 #9 stretch; cf. the datasketch library's
+    uniform-prior optimizer — this one integrates over the REAL pair
+    distribution instead of an assumed one).
+
+    For every banding (b, r) with b = n_perm div r (r = 1..n_perm, at
+    most the family's n_perm={n} permutation budget, deduplicated), and
+    every exact pair (d1 < d2, Jaccard s = k/u from the family's
+    stop-capped shingle memos):
+
+        capture probability  P(s) = 1 - (1 - s^r)^b   (the S-curve)
+
+    quantized to integer MICRO-units per pair BEFORE any sum (the
+    bigram-LM trick, same libm caveat documented there), then folded per
+    config into:
+
+      exp_recall   mean P over pairs with s >= t  (expected recall of
+                   the >= t cohort under this banding)
+      exp_fp_pairs sum of P over pairs with s < t  (expected sub-
+                   threshold candidates — the wasted verification load)
+      t_star       (1/b)^(1/r), the S-curve inflection estimate
+
+    CHOICE, in pure integer arithmetic (deterministic on any engine):
+    qualified = configs whose integer cross-product inequality
+    cap_sum_true >= recall_goal * n_true holds; among qualified, the
+    minimum expected-FP mass wins (fewest wasted verifications at the
+    guaranteed recall); if none qualifies, the maximum cap_sum_true
+    (n_true is config-independent, so the sum IS the recall order);
+    b ascending breaks ties. One row per config, chosen flagged — the
+    banding table `lsh_candidate_recall_audit` then validates against
+    ground truth for the committed parameters.
+
+    Scale shape: the pair table rides the family's sweep-scoped memos
+    (shared with six queries); the config table is <= n_perm literal
+    rows cross-joined in (a bounded broadcast — pair x config expands
+    the AGGREGATE INPUT by the config count, map-side-combined straight
+    back down to |configs| rows); the choice runs in one
+    |configs|-bounded window (the apportionment convention). Threshold
+    predicates run in pure integers (10k >= t(s1+s2-k)).
+
+    Tests-only lane; oracle = prepared DuckDB SQL over the family's
+    shared CTEs (tests/test_round11_ops.py, tools/lane_check.py).
+    """
+    from pyspark.sql.window import Window as W
+
+    from drug_target_discovery_spark.queries.dedup import (
+        _NUM_HASHES,
+        shingle_sizes_and_intersections,
+    )
+
+    sizes, inter = shingle_sizes_and_intersections(spark, sf_dir)
+    jac = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("s1")),
+            "d1",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("s2")),
+            "d2",
+        )
+        .select("k", (F.col("s1") + F.col("s2") - F.col("k")).alias("u"))
+    )
+    configs = sorted({(_NUM_HASHES // r, r) for r in range(1, _NUM_HASHES + 1)})
+    cfg = spark.createDataFrame(configs, "b int, r int")
+    t = int(target_tenths)
+    s = F.col("k") * 1.0 / F.col("u")
+    p_micro = F.floor(
+        (
+            F.lit(1.0)
+            - F.pow(F.lit(1.0) - F.pow(s, F.col("r")), F.col("b"))
+        )
+        * 1000000.0
+        + F.lit(0.5)
+    ).cast("long")
+    is_true = (F.col("k") * 10 >= F.lit(t) * F.col("u")).cast("long")
+    folded = (
+        jac.crossJoin(F.broadcast(cfg))
+        .select("b", "r", is_true.alias("tt"), p_micro.alias("pm"))
+        .groupBy("b", "r")
+        .agg(
+            F.sum("tt").alias("n_true"),
+            F.sum(F.col("tt") * F.col("pm")).alias("cap_true"),
+            F.sum((1 - F.col("tt")) * F.col("pm")).alias("cap_false"),
+        )
+    )
+    qualified = (
+        F.col("cap_true") >= F.lit(int(recall_goal_micro)) * F.col("n_true")
+    ).cast("int")
+    # |configs|-bounded choice window (the apportionment convention)
+    w = W.orderBy(
+        qualified.desc(),
+        F.when(qualified == 1, F.col("cap_false")).otherwise(
+            -F.col("cap_true")
+        ),
+        F.col("b"),
+        F.col("r"),
+    )
+    return (
+        folded.withColumn("_rk", F.row_number().over(w))
+        .select(
+            F.col("b").cast("int").alias("n_bands"),
+            F.col("r").cast("int").alias("rows_per_band"),
+            (F.col("b") * F.col("r")).cast("int").alias("perms_used"),
+            rnd(F.pow(F.lit(1.0) / F.col("b"), F.lit(1.0) / F.col("r")), 6).alias(
+                "t_star"
+            ),
+            F.col("n_true").cast("long").alias("n_true_pairs"),
+            rnd(
+                F.when(
+                    F.col("n_true") > 0,
+                    F.col("cap_true") / (F.col("n_true") * 1000000.0),
+                ),
+                6,
+            ).alias("exp_recall"),
+            rnd(F.col("cap_false") / 1000000.0, 6).alias("exp_fp_pairs"),
+            (F.col("_rk") == 1).alias("chosen"),
+        )
+        .orderBy("n_bands", "rows_per_band")
+    )
+
+
+lsh_parameter_autotune.__doc__ = lsh_parameter_autotune.__doc__.format(n=16)
+
+
+# Prepared DuckDB oracle: the dedup family's shared shingle CTEs + the
+# same stop-cap + the same micro-quantized S-curve fold and integer
+# choice rule, over a VALUES config table.
+def _lsh_autotune_oracle(
+    target_tenths: int = _TUNE_TARGET_TENTHS,
+    recall_goal_micro: int = _TUNE_RECALL_GOAL_MICRO,
+) -> str:
+    from drug_target_discovery_spark.functions.rounding import rnd_sql
+    from drug_target_discovery_spark.queries.dedup import (
+        _NUM_HASHES,
+        _SHINGLES_SQL,
+    )
+
+    configs = sorted({(_NUM_HASHES // r, r) for r in range(1, _NUM_HASHES + 1)})
+    values = ", ".join(f"({b}, {r})" for b, r in configs)
+    t = int(target_tenths)
+    return f"""
+    WITH {_SHINGLES_SQL},
+    ndocs AS (SELECT count(*) AS n FROM documents),
+    stop AS (
+      SELECT shingle FROM shingles CROSS JOIN ndocs
+      GROUP BY shingle, n HAVING count(*) > 0.5 * n
+    ),
+    sh AS (SELECT * FROM shingles
+           WHERE shingle NOT IN (SELECT shingle FROM stop)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS k
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT i.k, s1.sz + s2.sz - i.k AS u
+      FROM inter i
+      JOIN sizes s1 ON i.d1 = s1.doc_id
+      JOIN sizes s2 ON i.d2 = s2.doc_id
+    ),
+    cfg(b, r) AS (VALUES {values}),
+    folded AS (
+      SELECT b, r,
+             CAST(sum(CASE WHEN 10 * k >= {t} * u THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true,
+             CAST(sum(CASE WHEN 10 * k >= {t} * u THEN
+               CAST(floor((1.0 - pow(1.0 - pow(k * 1.0 / u, r), b)) * 1000000.0
+                          + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS cap_true,
+             CAST(sum(CASE WHEN 10 * k >= {t} * u THEN 0 ELSE
+               CAST(floor((1.0 - pow(1.0 - pow(k * 1.0 / u, r), b)) * 1000000.0
+                          + 0.5) AS BIGINT) END) AS BIGINT) AS cap_false
+      FROM jac CROSS JOIN cfg GROUP BY b, r
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY
+               (CASE WHEN cap_true >= {int(recall_goal_micro)} * n_true
+                     THEN 1 ELSE 0 END) DESC,
+               (CASE WHEN cap_true >= {int(recall_goal_micro)} * n_true
+                     THEN cap_false ELSE -cap_true END) ASC,
+               b ASC, r ASC) AS _rk
+      FROM folded
+    )
+    SELECT CAST(b AS INT) AS n_bands,
+           CAST(r AS INT) AS rows_per_band,
+           CAST(b * r AS INT) AS perms_used,
+           {rnd_sql("pow(1.0 / b, 1.0 / r)", 6)} AS t_star,
+           n_true AS n_true_pairs,
+           {rnd_sql("CASE WHEN n_true > 0 THEN cap_true / (n_true * 1000000.0) END", 6)}
+             AS exp_recall,
+           {rnd_sql("cap_false / 1000000.0", 6)} AS exp_fp_pairs,
+           (_rk = 1) AS chosen
+    FROM ranked ORDER BY n_bands, rows_per_band
+    """

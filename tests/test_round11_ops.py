@@ -237,3 +237,63 @@ class TestTrainingEpochManifest:
         assert rows[0]["epoch_pos"] == 0
         assert all(0 <= r["epoch_pos"] < len(ids) for r in rows)
         assert sum(r["n_docs"] for r in rows) == len(ids)
+
+
+class TestLshParameterAutotune:
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_duckdb_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round11 import (
+            _lsh_autotune_oracle,
+            lsh_parameter_autotune,
+        )
+
+        got = [tuple(r) for r in lsh_parameter_autotune(spark, sf).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        exp = [tuple(r) for r in con.execute(_lsh_autotune_oracle()).fetchall()]
+        assert got == exp
+        assert sum(1 for r in got if r[7]) == 1  # exactly one chosen config
+
+    def test_choice_rule_properties(self, spark):
+        """The chosen config must satisfy the documented integer rule:
+        if any config meets the recall goal, chosen is the qualified
+        config with minimum expected FP mass (b, r tie-break); the b=1
+        family's expected recall is monotone decreasing in r (stricter
+        AND-of-rows); the committed (8,2) banding's expected recall
+        dominates its S-curve capture at the target (the recall audit's
+        lower bound, integrated over the measured spectrum)."""
+        from drug_target_discovery_spark.queries.round11 import (
+            _TUNE_RECALL_GOAL_MICRO,
+            lsh_parameter_autotune,
+        )
+
+        rows = lsh_parameter_autotune(spark, "/root/testdata/sf0.001").collect()
+        goal = _TUNE_RECALL_GOAL_MICRO / 1e6
+        chosen = [r for r in rows if r["chosen"]]
+        assert len(chosen) == 1
+        c = chosen[0]
+        qualified = [r for r in rows if r["exp_recall"] >= goal]
+        if qualified:
+            assert c["exp_recall"] >= goal
+            assert all(c["exp_fp_pairs"] <= r["exp_fp_pairs"] for r in qualified)
+        b1 = sorted(
+            (r for r in rows if r["n_bands"] == 1),
+            key=lambda r: r["rows_per_band"],
+        )
+        recalls = [r["exp_recall"] for r in b1]
+        assert recalls == sorted(recalls, reverse=True)
+        committed = next(
+            r for r in rows if (r["n_bands"], r["rows_per_band"]) == (8, 2)
+        )
+        curve_at_t = 1.0 - (1.0 - 0.7**2) ** 8
+        assert committed["exp_recall"] >= round(curve_at_t, 6) - 1e-6
+        # t_star arithmetic spot-pin: (4,4) -> (1/4)^(1/4)
+        r44 = next(
+            r for r in rows if (r["n_bands"], r["rows_per_band"]) == (4, 4)
+        )
+        assert r44["t_star"] == round(0.25**0.25, 6)

@@ -585,6 +585,30 @@ def check_mixture_sample(spark):
     return got == exp and bool(got), f"{len(got)} sources, {t} seats apportioned"
 
 
+def check_lsh_autotune(spark):
+    """MinHash-LSH banding auto-tuner (round 11): measured-spectrum
+    S-curve fold over every (b, r) in the permutation budget, integer
+    choice rule, vs the prepared DuckDB oracle."""
+    from drug_target_discovery_spark.queries.round11 import (
+        _lsh_autotune_oracle,
+        lsh_parameter_autotune,
+    )
+
+    got = [tuple(r) for r in lsh_parameter_autotune(spark, SF).collect()]
+    exp = [
+        tuple(r)
+        for r in _con("documents").execute(_lsh_autotune_oracle()).fetchall()
+    ]
+    c = next((g for g in got if g[7]), None)
+    detail = (
+        f"{len(got)} configs; chosen b={c[0]} r={c[1]} "
+        f"(exp_recall {c[5]}, exp_fp {c[6]})"
+        if c
+        else "no chosen row"
+    )
+    return got == exp and c is not None, detail
+
+
 CHECKS = [
     ("exact_substring_dup_stats", check_substring_spans),
     ("exact_substring_dup_stats[valve]", check_substring_valve),
@@ -604,6 +628,7 @@ CHECKS = [
     ("temperature_mixture_sample", check_mixture_sample),
     ("split_conformal_price_intervals", check_conformal),
     ("training_epoch_manifest", check_epoch_manifest),
+    ("lsh_parameter_autotune", check_lsh_autotune),
     ("cross_corpus_contamination", check_xcorpus_contam),
     ("embedding_mmd_drift", check_mmd_drift),
     ("lsh_candidate_recall_audit", check_lsh_recall),
