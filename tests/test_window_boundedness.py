@@ -40,6 +40,7 @@ _KNOWN_FILES = {
     "queries/round7.py",      # KM day-grain gaps / CUSUM daily series
     "queries/round9.py",      # IVF refresh audit shares/PSI (2^3 cell frame)
     "queries/round10.py",     # apportionment rank (source-domain table)
+    "queries/round11.py",     # autotune choice rank (<=16-row config table)
     "queries/tpchx.py",       # decile offsets (bucket table)
     "queries/windows.py",     # daily rolling (calendar) + ntile demo (dim)
 }
