@@ -102,21 +102,8 @@ def training_epoch_manifest(
     (_EPOCH_ORACLE_TMPL with the python word->token-count table
     registered as ``wtok``), the bpe_encode_stats evidence class.
     """
-    from drug_target_discovery_spark.caching import scoped_cache
-    from drug_target_discovery_spark.operators.packing import pack_sequences
-    from drug_target_discovery_spark.operators.prefixsum import (
-        range_partitioned_prefix_sum,
-    )
-    from drug_target_discovery_spark.queries.round9 import (
-        _bpe_merge_fold,
-        bpe_top_merges,
-        epoch_shuffle_ranks,
-    )
-    from drug_target_discovery_spark.queries.round10 import (
-        mixture_targets_and_ranked,
-    )
+    from drug_target_discovery_spark.queries.round9 import bpe_top_merges
 
-    # ---- 1. TOKENIZE ------------------------------------------------------
     merges = [
         (r["left"], r["right"])
         for r in bpe_top_merges(spark, sf_dir, k=k).collect()
@@ -124,6 +111,30 @@ def training_epoch_manifest(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
+    return _epoch_manifest(spark, docs, merges)
+
+
+def _epoch_manifest(
+    spark: SparkSession, docs: DataFrame, merges: "list[tuple[str, str]]"
+) -> DataFrame:
+    """Stages 1b-5 of the epoch pipeline over an explicit corpus frame
+    (doc_id, source, text) and pre-trained merge rules — shared by
+    ``training_epoch_manifest`` (full corpus) and
+    ``curated_epoch_manifest`` (curation-kept train split), so the two
+    cannot drift."""
+    from drug_target_discovery_spark.caching import scoped_cache
+    from drug_target_discovery_spark.operators.packing import pack_sequences
+    from drug_target_discovery_spark.operators.prefixsum import (
+        range_partitioned_prefix_sum,
+    )
+    from drug_target_discovery_spark.queries.round9 import (
+        _bpe_merge_fold,
+        epoch_shuffle_ranks,
+    )
+    from drug_target_discovery_spark.queries.round10 import (
+        mixture_targets_and_ranked,
+    )
+
     # (doc, word)-count grain — ONE exploded corpus pass, cached: consumed
     # by the vocabulary (distinct words) and the per-doc token sums.
     sw = scoped_cache(
@@ -218,6 +229,67 @@ def training_epoch_manifest(
     ).orderBy("epoch_pos")
 
 
+def curated_epoch_manifest(
+    spark: SparkSession, sf_dir: str, k: int = _EPOCH_BPE_K
+) -> DataFrame:
+    """The FULL production chain: curate, then load — the epoch pipeline
+    over exactly the documents ``curation_end_to_end`` keeps for the
+    TRAIN split (status='kept', split='train'), with the BPE tokenizer
+    trained on that same curated corpus (training a tokenizer on text
+    you then throw away biases fertility — real pipelines train on the
+    post-curation corpus). Stages 1b-5 are ``_epoch_manifest`` verbatim,
+    so this query and ``training_epoch_manifest`` cannot drift; the
+    mixture re-apportions over the CURATED per-source counts (a source
+    that loses many docs to dedup/quality also loses epoch share —
+    exactly the coupling a curation dashboard needs to see).
+
+    Composition properties this pins end to end: no exact/near duplicate
+    and no low-quality doc can enter a training shard, and no
+    validation/test-split doc can leak into the epoch (the leakage-safe
+    split's guarantee carried through the loader).
+
+    Scale shape: the curated corpus frame materializes ONCE behind a
+    localCheckpoint lineage cut (see the load-bearing comment below);
+    the curation chain (riding the sweep-scoped LSH memos) runs exactly
+    once, and the epoch stages then run as documented on
+    ``training_epoch_manifest`` over the checkpointed frame. Same
+    integer-exact contract. At 100 TB the checkpoint IS the pipeline
+    boundary: the curated corpus is written once (parquet) and every
+    epoch reads it — this operator expresses both sides in one session.
+
+    Tests-only lane; oracle = curation oracle -> kept_ids temp table ->
+    python-BPE wtok on the kept texts -> _CURATED_EPOCH_ORACLE
+    (tests/test_round11_ops.py, tools/lane_check.py)."""
+    from drug_target_discovery_spark.queries.curation import curation_end_to_end
+    from drug_target_discovery_spark.queries.round9 import bpe_top_merges
+
+    kept = (
+        curation_end_to_end(spark, sf_dir)
+        .filter((F.col("status") == "kept") & (F.col("split") == "train"))
+        .select("doc_id")
+    )
+    # The curated corpus frame is materialized ONCE with a LINEAGE CUT
+    # (localCheckpoint — the graph family's iteration idiom, and the
+    # in-session form of what a nightly pipeline does anyway: write the
+    # curated corpus, read it back). The cut is LOAD-BEARING, not just
+    # the usual cache: the BPE trainer stacks k merge-fold generations
+    # on its input's logical plan, and k generations x the full
+    # curation-chain lineage (LSH CTEs, digest window) sends Catalyst
+    # analysis super-linear — measured as a never-finishing single-task
+    # stage at sf0.001 before the cut, seconds after it.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .join(kept, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_top_merges(spark, sf_dir, k=k, docs=docs).collect()
+    ]
+    return _epoch_manifest(spark, docs, merges)
+
+
 training_epoch_manifest.__doc__ = training_epoch_manifest.__doc__.format(
     budget=_EPOCH_PACK_BUDGET, shard=_EPOCH_SHARD_TOKENS
 )
@@ -232,7 +304,7 @@ _EPOCH_ORACLE_TMPL = """
 WITH RECURSIVE docw AS (
   SELECT doc_id, source,
          unnest(string_split_regex(text, '\\s+')) AS word
-  FROM documents
+  FROM {corpus}
 ),
 dtok AS (
   SELECT d.doc_id, sum(w.n_tok) AS n_tokens
@@ -243,7 +315,7 @@ dtok AS (
 base AS (
   SELECT doc_id, source,
          CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens
-  FROM documents LEFT JOIN dtok t USING (doc_id)
+  FROM {corpus} LEFT JOIN dtok t USING (doc_id)
 ),
 counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
            FROM base GROUP BY source),
@@ -324,6 +396,18 @@ FROM cut ORDER BY epoch_pos
 """
 
 _EPOCH_ORACLE = _EPOCH_ORACLE_TMPL.format(
+    corpus="documents",
+    div=_MIX_SAMPLE_DIV,
+    mix_seed=_MIX_SEED,
+    epoch_seed=_EPOCH_SEED,
+    budget=_EPOCH_PACK_BUDGET,
+    shard=_EPOCH_SHARD_TOKENS,
+)
+
+# Curated-corpus twin: same SQL over the curation-kept train split (the
+# caller creates `kept_ids(doc_id)` from curation_end_to_end's oracle).
+_CURATED_EPOCH_ORACLE = _EPOCH_ORACLE_TMPL.format(
+    corpus="(SELECT d.* FROM documents d JOIN kept_ids USING (doc_id))",
     div=_MIX_SAMPLE_DIV,
     mix_seed=_MIX_SEED,
     epoch_seed=_EPOCH_SEED,

@@ -528,7 +528,10 @@ def _bpe_merge_fold(syms: "F.Column", left: str, right: str) -> "F.Column":
 
 
 def bpe_top_merges(
-    spark: SparkSession, sf_dir: str, k: int = _BPE_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _BPE_MERGES,
+    docs: "DataFrame | None" = None,
 ) -> DataFrame:
     """The first ``k`` byte-pair-encoding merges learned from the corpus
     (Sennrich, Haddow & Birch 2016) — the tokenizer-training operator an
@@ -554,10 +557,18 @@ def bpe_top_merges(
 
     Tests-only lane; oracle = exact python recompute of the same
     deterministic algorithm (tests/test_round9_ops.py), the graph
-    family's library-oracle evidence class."""
+    family's library-oracle evidence class.
+
+    ``docs`` (round 11): train on an explicit (text) DataFrame instead
+    of the full documents table — the curated-corpus tokenizer path
+    (``round11.curated_epoch_manifest``). Default None keeps the
+    original plan byte-identical."""
     from drug_target_discovery_spark.caching import track
 
-    docs = load_table(spark, sf_dir, "documents").select("text")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents").select("text")
+    else:
+        docs = docs.select("text")
     words = (
         docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
         .filter(F.col("w") != "")

@@ -297,3 +297,100 @@ class TestLshParameterAutotune:
             r for r in rows if (r["n_bands"], r["rows_per_band"]) == (4, 4)
         )
         assert r44["t_star"] == round(0.25**0.25, 6)
+
+
+class TestCuratedEpochManifest:
+    @staticmethod
+    def _curated_oracle_rows(sf):
+        import duckdb
+        import pandas as pd
+
+        from drug_target_discovery_spark.queries.registry import all_queries
+        from drug_target_discovery_spark.queries.round11 import (
+            _CURATED_EPOCH_ORACLE,
+            _EPOCH_BPE_K,
+        )
+        from tools.lane_check import _encode, _python_bpe
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        cur_oracle = all_queries()["curation_end_to_end"].oracle
+        con.execute(
+            "CREATE TEMP TABLE kept_ids AS SELECT doc_id FROM "
+            f"({cur_oracle}) WHERE status = 'kept' AND split = 'train'"
+        )
+        texts = [
+            t[0]
+            for t in con.execute(
+                "SELECT text FROM documents JOIN kept_ids USING (doc_id)"
+            ).fetchall()
+        ]
+        rules = [(m[1], m[2]) for m in _python_bpe(texts, _EPOCH_BPE_K)]
+        words = sorted({w for t in texts for w in t.split() if w})
+        con.register(
+            "wtok",
+            pd.DataFrame(
+                {"word": words, "n_tok": [len(_encode(w, rules)) for w in words]}
+            ),
+        )
+        kept = {r[0] for r in con.execute("SELECT doc_id FROM kept_ids").fetchall()}
+        return [tuple(r) for r in con.execute(_CURATED_EPOCH_ORACLE).fetchall()], kept
+
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_hybrid_oracle(self, spark, sf):
+        from drug_target_discovery_spark.queries.round11 import (
+            curated_epoch_manifest,
+        )
+
+        got = [tuple(r) for r in curated_epoch_manifest(spark, sf).collect()]
+        exp, kept = self._curated_oracle_rows(sf)
+        assert got == exp
+        assert len(got) >= 1
+        # the epoch covers a strict subset of the corpus: only curated
+        # train docs, and only the mixture's 20% of those
+        n_docs = sum(g[2] for g in got)
+        assert 0 < n_docs < len(kept)
+
+    def test_no_leakage_into_epoch(self, spark):
+        """End-to-end guarantee: every document in any training shard is
+        a curation-kept TRAIN-split doc — no dup, no low-quality, no
+        validation/test doc can reach the loader. Verified against the
+        standalone curation disposition, independently collected."""
+        from pyspark.sql import functions as F
+
+        from drug_target_discovery_spark.queries.curation import (
+            curation_end_to_end,
+        )
+        from drug_target_discovery_spark.queries.round10 import (
+            mixture_targets_and_ranked,
+        )
+        from drug_target_discovery_spark.queries.round11 import (
+            curated_epoch_manifest,
+        )
+        from drug_target_discovery_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        rows = curated_epoch_manifest(spark, sf).collect()
+        disp = curation_end_to_end(spark, sf).collect()
+        kept_train = {
+            r["doc_id"]
+            for r in disp
+            if r["status"] == "kept" and r["split"] == "train"
+        }
+        # per-source doc counts in the manifest == the mixture targets
+        # re-apportioned over the CURATED corpus
+        docs = (
+            load_table(spark, sf, "documents")
+            .select("doc_id", "source")
+            .filter(F.col("doc_id").isin(list(kept_train)))
+        )
+        targets, _ = mixture_targets_and_ranked(docs)
+        target_by_src = {r["source"]: r["target_n"] for r in targets.collect()}
+        got_by_src = {}
+        for r in rows:
+            got_by_src[r["source"]] = got_by_src.get(r["source"], 0) + r["n_docs"]
+        for src, n in got_by_src.items():
+            assert n == target_by_src[src], (src, n, target_by_src[src])

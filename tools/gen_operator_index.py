@@ -159,6 +159,12 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
     ),
     (
         "drug_target_discovery_spark.queries.round11",
+        "curated_epoch_manifest",
+        "curation-oracle kept_ids + python-BPE + prepared DuckDB replay (exact, sf0.001/0.01) + no-leakage and mixture-reapportionment pins",
+        "tests/test_round11_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.queries.round11",
         "lsh_parameter_autotune",
         "prepared DuckDB oracle (exact, sf0.001/0.01) + choice-rule, b=1 monotonicity, committed-banding-dominates-curve, and t_star arithmetic pins",
         "tests/test_round11_ops.py",

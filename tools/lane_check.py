@@ -585,6 +585,50 @@ def check_mixture_sample(spark):
     return got == exp and bool(got), f"{len(got)} sources, {t} seats apportioned"
 
 
+def check_curated_epoch(spark):
+    """Curate-then-load composition (round 11): the epoch pipeline over
+    exactly the curation-kept train split, tokenizer trained on the
+    curated corpus, vs the curation-oracle -> kept_ids -> python-BPE ->
+    DuckDB replay."""
+    import pandas as pd
+
+    from drug_target_discovery_spark.queries.registry import all_queries
+    from drug_target_discovery_spark.queries.round11 import (
+        _CURATED_EPOCH_ORACLE,
+        _EPOCH_BPE_K,
+        curated_epoch_manifest,
+    )
+
+    got = [tuple(r) for r in curated_epoch_manifest(spark, SF).collect()]
+    con = _con("documents")
+    cur_oracle = all_queries()["curation_end_to_end"].oracle
+    con.execute(
+        "CREATE TEMP TABLE kept_ids AS SELECT doc_id FROM "
+        f"({cur_oracle}) WHERE status = 'kept' AND split = 'train'"
+    )
+    texts = [
+        t[0]
+        for t in con.execute(
+            "SELECT text FROM documents JOIN kept_ids USING (doc_id)"
+        ).fetchall()
+    ]
+    rules = [(m[1], m[2]) for m in _python_bpe(texts, _EPOCH_BPE_K)]
+    words = sorted({w for t in texts for w in t.split() if w})
+    con.register(
+        "wtok",
+        pd.DataFrame(
+            {"word": words, "n_tok": [len(_encode(w, rules)) for w in words]}
+        ),
+    )
+    exp = [tuple(r) for r in con.execute(_CURATED_EPOCH_ORACLE).fetchall()]
+    n_kept = con.execute("SELECT count(*) FROM kept_ids").fetchone()[0]
+    n_docs = sum(g[2] for g in got)
+    return (
+        got == exp and bool(got),
+        f"{len(got)} sequences / {n_docs} of {n_kept} kept-train docs",
+    )
+
+
 def check_lsh_autotune(spark):
     """MinHash-LSH banding auto-tuner (round 11): measured-spectrum
     S-curve fold over every (b, r) in the permutation budget, integer
@@ -629,6 +673,7 @@ CHECKS = [
     ("split_conformal_price_intervals", check_conformal),
     ("training_epoch_manifest", check_epoch_manifest),
     ("lsh_parameter_autotune", check_lsh_autotune),
+    ("curated_epoch_manifest", check_curated_epoch),
     ("cross_corpus_contamination", check_xcorpus_contam),
     ("embedding_mmd_drift", check_mmd_drift),
     ("lsh_candidate_recall_audit", check_lsh_recall),
