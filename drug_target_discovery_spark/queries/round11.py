@@ -21,10 +21,31 @@ registration is a decorator move.
   drift from the per-stage evidence; a plan-shape test pins the
   documents-scan budget so no stage silently re-reads the corpus.
 
+- Curate-then-load composition (curated_epoch_manifest): the epoch
+  pipeline over exactly the curation-kept train split, tokenizer
+  trained on the curated corpus, mixture re-apportioned over curated
+  counts — pins end to end that no duplicate, low-quality, or held-out
+  doc reaches a training shard. Carries the localCheckpoint lineage-cut
+  rule (see the load-bearing comment at the site).
+
+- MinHash-LSH banding auto-tuner (lsh_parameter_autotune): choose
+  (b, r) from the corpus's own measured pair-similarity spectrum —
+  S-curve capture probabilities micro-quantized per pair, folded per
+  config, pure-integer choice rule; emits the banding table
+  lsh_candidate_recall_audit validates.
+
+- Semantic benchmark decontamination (semantic_decontamination): the
+  embedding leg completing the decontamination triple (token 5-gram /
+  exact char / cosine) — asymmetric block-pair GEMM train x bench +
+  the engine-identical fold rerank, same conventions as the registered
+  checks (bench = doc_id %% 20 == 0, vec_id == doc_id).
+
 Exactness contract as per round7.py-round10.py: integer counts and
-token budgets end to end — there is not a single IEEE operation in this
-module's pipeline, so both engines assign literally the same packs,
-ranks, and shards in any accumulation order.
+token budgets end to end in the manifest pipelines (not a single IEEE
+operation, so both engines assign literally the same packs, ranks, and
+shards in any accumulation order); the autotuner and the semantic leg
+quantize or fold their IEEE terms the bigram-LM way before any
+order-sensitive aggregation.
 """
 
 from __future__ import annotations
@@ -625,4 +646,158 @@ def _lsh_autotune_oracle(
            {rnd_sql("cap_false / 1000000.0", 6)} AS exp_fp_pairs,
            (_rk = 1) AS chosen
     FROM ranked ORDER BY n_bands, rows_per_band
+    """
+
+
+# --------------------------------------------------------------------------
+# Semantic benchmark decontamination (the embedding leg of the triple)
+# --------------------------------------------------------------------------
+_SEMDECON_T = 0.40   # cosine flag threshold (the near-dup family's regime)
+_SEMDECON_BLOCK = 2048  # rows per GEMM block (the near-dups kernel's value)
+
+
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBEDDING leg of benchmark decontamination — flags training
+    documents whose embedding sits above cosine {t} of ANY held-out
+    benchmark document: the paraphrase-level contamination the
+    registered token-5-gram check (`benchmark_decontamination`) and the
+    exact-character check (`cross_corpus_contamination`) cannot see,
+    completing the decontamination triple (token / char / semantic, the
+    GPT-4/Llama eval-hygiene stack). Conventions shared with the
+    registered surface: benchmark slice = doc_id % 20 == 0
+    (quality.py:77), embeddings keyed vec_id == doc_id
+    (corpusstats.py:281).
+
+    Output, one row per FLAGGED training doc: (doc_id, n_bench_hits,
+    best_bench_id, best_cosine) — best = highest cosine, bench-id
+    ascending tie-break, so both engines pick the same witness.
+
+    Scale shape — the `embedding_cosine_near_dups` block-pair GEMM
+    (similarity.py:206), asymmetric: train blocks x bench blocks, every
+    pair covered (exact — no LSH blocker at this low threshold), kernel
+    = one BLAS matmul + slack threshold; survivors (~the contamination
+    rate) get the engine-identical left-to-right dot fold so emitted
+    cosines hash-match DuckDB bit-for-bit. The benchmark side is the
+    small one by nature (thousands of eval docs vs billions of training
+    docs), so bench spans few blocks and each train vector shuffles to
+    ~n_bench_blocks tasks — the broadcast-join shape without a
+    driver-side collect, degrading gracefully if the bench side grows.
+    The best-hit window partitions by train doc (bounded by that doc's
+    hit count). Tests-only lane; prepared DuckDB oracle + the flagged ⊆
+    threshold / triple-disjointness pins (tests/test_round11_ops.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window as W
+
+    from drug_target_discovery_spark.queries.similarity import (
+        _DOT_SPARK,
+        _NORM_SPARK,
+        _emb_double,
+    )
+
+    v = _emb_double(load_table(spark, sf_dir, "embeddings")).select("vec_id", "emb")
+    nv = v.withColumn("nrm", F.expr(_NORM_SPARK.format(a="emb"))).select(
+        "vec_id", F.expr("transform(emb, x -> x / nrm)").alias("nemb")
+    )
+    train = nv.filter(F.col("vec_id") % 20 != 0)
+    bench = nv.filter(F.col("vec_id") % 20 == 0)
+    n_bench = bench.count()
+    n_bblocks = max(1, -(-n_bench // _SEMDECON_BLOCK))
+    n_train = train.count()
+    n_tblocks = max(1, -(-n_train // _SEMDECON_BLOCK))
+    slack = _SEMDECON_T - 1e-9
+
+    # train block i joins EVERY bench block j — full cross coverage
+    left = train.withColumn(
+        "bi", F.pmod(F.hash("vec_id"), F.lit(n_tblocks))
+    ).withColumn("bj", F.explode(F.sequence(F.lit(0), F.lit(n_bblocks - 1))))
+    right = bench.withColumn(
+        "bj", F.pmod(F.hash("vec_id"), F.lit(n_bblocks))
+    ).withColumn("bi", F.explode(F.sequence(F.lit(0), F.lit(n_tblocks - 1))))
+
+    def gemm_cross(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "bench_id": pd.Series([], dtype="int64"),
+                }
+            )
+        lm = np.vstack(lpdf["nemb"].to_numpy()).astype(np.float64)
+        rm = np.vstack(rpdf["nemb"].to_numpy()).astype(np.float64)
+        li, rj = np.nonzero(lm @ rm.T > slack)
+        return pd.DataFrame(
+            {
+                "doc_id": lpdf["vec_id"].to_numpy(dtype=np.int64)[li],
+                "bench_id": rpdf["vec_id"].to_numpy(dtype=np.int64)[rj],
+            }
+        )
+
+    cand = (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(gemm_cross, "doc_id BIGINT, bench_id BIGINT")
+    )
+    # exact rerank with the engine-identical fold (AQE sizes the joins)
+    a = nv.select(F.col("vec_id").alias("doc_id"), F.col("nemb").alias("na"))
+    b = nv.select(F.col("vec_id").alias("bench_id"), F.col("nemb").alias("nb"))
+    scored = (
+        cand.join(a, "doc_id")
+        .join(b, "bench_id")
+        .withColumn("cosine", F.expr(_DOT_SPARK.format(a="na", b="nb")))
+        .filter(F.col("cosine") > _SEMDECON_T)
+        .select("doc_id", "bench_id", "cosine")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("cosine"), F.asc("bench_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_hits"),
+            F.max(F.when(F.col("_rk") == 1, F.col("bench_id"))).alias(
+                "best_bench_id"
+            ),
+            rnd(F.max("cosine"), 6).alias("best_cosine"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+semantic_decontamination.__doc__ = semantic_decontamination.__doc__.format(
+    t=_SEMDECON_T
+)
+
+
+def _semdecon_oracle() -> str:
+    from drug_target_discovery_spark.functions.rounding import rnd_sql
+    from drug_target_discovery_spark.queries.similarity import (
+        _DOT_DUCK,
+        _NORM_DUCK,
+    )
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    nrm AS (SELECT vec_id, emb, {_NORM_DUCK.format(a="emb")} AS nrm FROM v),
+    nv AS (SELECT vec_id, list_transform(emb, x -> x / nrm) AS nemb FROM nrm),
+    pairs AS (
+      SELECT t.vec_id AS doc_id, b.vec_id AS bench_id,
+             {_DOT_DUCK.format(a="t.nemb", b="b.nemb")} AS cosine
+      FROM nv t JOIN nv b
+        ON t.vec_id % 20 <> 0 AND b.vec_id % 20 = 0
+    ),
+    hits AS (SELECT * FROM pairs WHERE cosine > {_SEMDECON_T}),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY cosine DESC, bench_id ASC) AS rk
+      FROM hits
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bench_hits,
+           CAST(max(CASE WHEN rk = 1 THEN bench_id END) AS BIGINT)
+             AS best_bench_id,
+           {rnd_sql("max(cosine)", 6)} AS best_cosine
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
     """

@@ -394,3 +394,53 @@ class TestCuratedEpochManifest:
             got_by_src[r["source"]] = got_by_src.get(r["source"], 0) + r["n_docs"]
         for src, n in got_by_src.items():
             assert n == target_by_src[src], (src, n, target_by_src[src])
+
+
+class TestSemanticDecontamination:
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_duckdb_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round11 import (
+            _semdecon_oracle,
+            semantic_decontamination,
+        )
+
+        got = [tuple(r) for r in semantic_decontamination(spark, sf).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        exp = [tuple(r) for r in con.execute(_semdecon_oracle()).fetchall()]
+        assert got == exp
+        assert len(got) >= 1  # the synthetic corpus has real signal
+        for r in got:
+            assert r[0] % 20 != 0  # only TRAIN docs flagged
+            assert r[2] % 20 == 0  # witness is a BENCHMARK doc
+            assert r[3] > 0.4
+
+    def test_planted_paraphrase_flagged(self, spark, tmp_path):
+        """A training vector nearly identical to a benchmark vector must
+        be flagged with that benchmark doc as witness; orthogonal
+        vectors must not be."""
+        from drug_target_discovery_spark.queries.round11 import (
+            semantic_decontamination,
+        )
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),    # benchmark (id % 20 == 0)
+            (20, [0.0, 1.0, 0.0, 0.0], 0),   # benchmark, orthogonal
+            (1, [0.99, 0.01, 0.0, 0.0], 0),  # train: near-copy of 0
+            (2, [0.0, 0.0, 1.0, 0.0], 0),    # train: orthogonal to both
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(str(tmp_path / "embeddings.parquet"))
+        got = {
+            r["doc_id"]: r
+            for r in semantic_decontamination(spark, str(tmp_path)).collect()
+        }
+        assert set(got) == {1}
+        assert got[1]["best_bench_id"] == 0
+        assert got[1]["best_cosine"] > 0.99

@@ -165,6 +165,12 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
     ),
     (
         "drug_target_discovery_spark.queries.round11",
+        "semantic_decontamination",
+        "prepared DuckDB oracle (exact, sf0.001/0.01) + planted-paraphrase fixture + train/bench membership pins",
+        "tests/test_round11_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.queries.round11",
         "lsh_parameter_autotune",
         "prepared DuckDB oracle (exact, sf0.001/0.01) + choice-rule, b=1 monotonicity, committed-banding-dominates-curve, and t_star arithmetic pins",
         "tests/test_round11_ops.py",

@@ -629,6 +629,26 @@ def check_curated_epoch(spark):
     )
 
 
+def check_semantic_decon(spark):
+    """Embedding-leg benchmark decontamination (round 11): block-pair
+    GEMM train x bench + exact fold rerank, vs the prepared DuckDB
+    oracle."""
+    from drug_target_discovery_spark.queries.round11 import (
+        _semdecon_oracle,
+        semantic_decontamination,
+    )
+
+    got = [tuple(r) for r in semantic_decontamination(spark, SF).collect()]
+    exp = [
+        tuple(r)
+        for r in _con("embeddings").execute(_semdecon_oracle()).fetchall()
+    ]
+    return (
+        got == exp and bool(got),
+        f"{len(got)} train docs flagged above cosine 0.4",
+    )
+
+
 def check_lsh_autotune(spark):
     """MinHash-LSH banding auto-tuner (round 11): measured-spectrum
     S-curve fold over every (b, r) in the permutation budget, integer
@@ -674,6 +694,7 @@ CHECKS = [
     ("training_epoch_manifest", check_epoch_manifest),
     ("lsh_parameter_autotune", check_lsh_autotune),
     ("curated_epoch_manifest", check_curated_epoch),
+    ("semantic_decontamination", check_semantic_decon),
     ("cross_corpus_contamination", check_xcorpus_contam),
     ("embedding_mmd_drift", check_mmd_drift),
     ("lsh_candidate_recall_audit", check_lsh_recall),
