@@ -687,6 +687,34 @@ def probe_epoch(spark, reps: int = 2) -> None:
     print(_json.dumps(report), flush=True)
 
 
+def probe_epoch30(spark, reps: int = 2) -> None:
+    """training_epoch_manifest at x1/x30 PERTURBED docs — the substr30
+    precedent: a third scaling point for the composed loader pipeline
+    (x1/x10 measured in the `epoch` probe). Vocabulary, token stream,
+    and selection all grow ~x30; the BPE trainer's per-iteration work is
+    vocab-bounded, the prefix sums are bucketed, so expected clearly
+    sub-linear wall at probe scale."""
+    import json as _json
+
+    from drug_target_discovery_spark.queries.round11 import (
+        training_epoch_manifest,
+    )
+
+    report = {"probe": "training_epoch_manifest_x30", "loadavg1_start": _load1()}
+    d30 = build_documents(spark, 30, perturb=True)
+    for name, d in (("x1", BASE), ("x30", d30)):
+        runs = [
+            _timed(lambda d=d: training_epoch_manifest(spark, d))
+            for _ in range(reps)
+        ]
+        report[f"{name}_s"] = min(runs)
+        report[f"{name}_runs"] = runs
+        report[f"{name}_load1"] = _load1()
+    report["x30_factor"] = round(report["x30_s"] / report["x1_s"], 2)
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
 def probe_conformal(spark, reps: int = 2) -> None:
     """split_conformal_price_intervals at x1/x10 lineitem clones
     (orderkey-shifted, per-replica cent jitter so the nonconformity
@@ -834,6 +862,8 @@ def main() -> None:
         probe_bigram_ceiling(spark)
     if "epoch" in which:
         probe_epoch(spark)
+    if "epoch30" in which:
+        probe_epoch30(spark)
 
 
 if __name__ == "__main__":
