@@ -45,11 +45,12 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-visit priority. The driver's correctness gate walks the queries()
 # dict in insertion order and stops at 50 entries per round, so coverage is a
-# rotation problem (VERDICT r3 #1). Round 11's 50 is exactly the plan written
-# at r10 close (and VERDICT r10 #1): the 49-query r7-evidence cohort (hits
-# the age-4 ceiling after r11 — includes the GEO chain,
-# differential_expression, the dedup/LSH family, and both rows-only mllib
-# demos) + price_band_lookup_binned (the stalest r8-cohort query) in slot 50.
+# rotation problem (VERDICT r3 #1). Round 12's 50 is exactly the plan written
+# at r11 close (and VERDICT r11 #1): the 49-query r8-evidence cohort (hits
+# the age-4 ceiling after r12 — includes bh_fdr_adjust/bh_fdr_scalable_adjust,
+# welch_t_by_part, betweenness/eigenvector centrality, the embedding/GEMM and
+# media tiers, duplicate_span_detection, leakage_safe_splits) +
+# auc_by_cohort (the stalest r9-cohort query) in slot 50.
 # ZERO registrations this round: the registry stays at 199/200 under the
 # freeze, so _GATE_PLAN_CHANGED is empty.
 # _PRIORITY_GATE must hold exactly _GATE_WINDOW names; a unit test pins the
@@ -87,112 +88,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _GATE_WINDOW = 50
 
 _PRIORITY_GATE: tuple[str, ...] = (
-    # The full r7-evidence cohort (49) — the oldest driver evidence in the
-    # repo (age 4 at the r11 gate, the staleness ceiling).
-    "cusum_changepoint_daily_revenue",
-    "basket_brand_lift",
-    "minhash_jaccard_estimate_error",
-    "shingle_novelty_ratio",
-    "weekday_seasonality_revenue",
-    "skew_adaptive_agg_stats",
-    "shingle_containment_pairs",
-    "ols_trend_by_brand",
-    "adamic_adar_link_prediction",
-    "revenue_by_nation",
-    "parts_shipped_to_top_nation",
-    "geo_pipeline_differential",
-    "geo_pipeline_targets",
-    "differential_expression",
-    "ngram_jaccard_near_dups",
-    "pricing_summary",
-    "lsh_candidate_pairs",
-    "benchmark_decontamination",
-    "corr_edges_top_parts",
-    "ann_ivf_bucketed_topk",
-    "degree_centrality_corr_graph",
-    "minhash_signatures",
-    "exact_dedup_sha256",
-    "top_orders_by_revenue",
-    "order_priority_rollup",
-    "supplier_part_distincts",
-    "sliding_window_stats",
-    "tumbling_event_counts",
-    "blocklist_redaction_stats",
-    "corpus_mixture_rebalance",
-    "customers_without_orders",
-    "doc_chunk_packing",
-    "doc_length_histogram",
-    "embedding_quantize_int8",
-    "event_interarrival_stats",
-    "event_type_pivot",
-    "events_in_purchase_hour",
-    "hash_stratified_sample",
-    "latest_event_per_user",
-    "media_audio_decode_stats",
-    "media_image_decode_dims",
-    "media_payload_digest",
-    "mllib_corr_matrix_top",
-    "mllib_minhash_neardups",
-    "part_type_classifier",
-    "per_source_doc_cap",
-    "positional_zip_join",
-    "small_lot_revenue",
-    "source_lang_entropy",
-    # Slot 50: the stalest r8-cohort query, pulled one round early (no
-    # plan-changed re-gate materialized this round).
-    "price_band_lookup_binned",
-)
-
-# Gate members whose slot is justified by a NEW or CHANGED plan rather than
-# evidence staleness. tests/test_registry_rotation.py exempts these from the
-# stalest-first ordering check (their evidence, if any, is legitimately
-# fresh) — every other gate member must be at least as stale as everything
-# left outside the gate. Round 11 has ZERO registrations and zero
-# plan-changed re-gates (the registration freeze at 199 holds; all new r11
-# operator work lands in the tests-only lane per capacity-policy rule 3).
-_GATE_PLAN_CHANGED: tuple[str, ...] = ()
-
-# Slots 51+: refresh order for queries that already hold a green driver row
-# — oldest evidence first. After the r11 gate runs, the r8 cohort (49 names
-# below, price_band_lookup_binned already refreshed in slot 50 above) is the
-# oldest evidence in the repo and heads the round-12 gate (age hits the
-# 4-round ceiling after r12); the r9 and r10 cohorts follow.
-#
-# Round-12 gate plan (written at r11 close): the r12 gate is the 49-query
-# r8 cohort (every name in the first block below) + 1 headroom slot:
-#   slot 50 — the stalest r9-cohort query (auc_by_cohort, first name in the
-#     r9 block below), pulled one round early; if a plan-changed re-gate
-#     materializes in r12 it takes this slot instead.
-# ZERO registrations in r12: the registry is at its 199 freeze; any new
-# registration requires the one-in-one-out delist recorded in the CAPACITY
-# POLICY above.
-#
-# ONE-IN-ONE-OUT DECISION (2026-08-15, VERDICT r9 #6): the tests-only lane
-# operators (exact_substring_dup_stats, ivf_index_refresh_audit,
-# lpa_community_modularity, bpe_top_merges, the gini scalable twin) STAY in
-# the lane permanently; the shortlisted delists (simhash_fingerprints,
-# minhash_signatures) are NOT executed.
-# (2026-08-16 addendum: the round-10 lane additions — cross-source overlap
-# matrix, bigram-LM quality filter, PQ / IVF-PQ ADC recall, Hilbert-vs-
-# Z-order layout, temperature mixture sampling, split-conformal intervals,
-# plus the earlier bpe_encode_stats / ivf_drift_retrain /
-# deterministic_epoch_shuffle — all enter under rule 3 with zero gate
-# slots; the lane gate is one command, tools/lane_check.py, runnable at
-# any scale factor, so the lane's evidence is reproducible without
-# trusting pytest internals.) Rationale: the driver-hash row a
-# swap would buy duplicates evidence the lane already has — each lane
-# operator's pytest oracle cross-check runs the SAME comparison (DuckDB
-# SQL, sorted-column hash, sf0.01) the driver runs — while the delisted
-# queries would LOSE their driver rows outright, and both shortlist members
-# exercise a distinct registered surface (the raw fingerprint/signature
-# tables feed downstream joins users run directly). Net evidence of a swap
-# is negative. Revisit only if a lane operator's plan changes in a way
-# pytest cannot gate (e.g. a nondeterministic form needing the driver's
-# rows-only lane).
-_PRIORITY_REST: tuple[str, ...] = (
-    # r8-green refreshes (round-12 gate head; the round-8 gate was 3
-    # r8-new + the 47-query r4 cohort refreshed at r8;
-    # price_band_lookup_binned moved to the r11 gate's slot 50)
+    # The full r8-evidence cohort (49) — the oldest driver evidence in the
+    # repo (age 4 at the r12 gate, the staleness ceiling).
     "order_value_gini_by_nation",
     "hapax_ttr_by_source",
     "approx_distinct_parts",
@@ -242,9 +139,61 @@ _PRIORITY_REST: tuple[str, ...] = (
     "view_purchase_attribution",
     "weighted_systematic_sample",
     "welch_t_by_part",
-    # r9-green refreshes (the round-9 gate: the full 50-query r5 cohort,
-    # refreshed at r9 — the freshest evidence in the repo)
+    # Slot 50: the stalest r9-cohort query, pulled one round early (no
+    # plan-changed re-gate materialized this round).
     "auc_by_cohort",
+)
+
+# Gate members whose slot is justified by a NEW or CHANGED plan rather than
+# evidence staleness. tests/test_registry_rotation.py exempts these from the
+# stalest-first ordering check (their evidence, if any, is legitimately
+# fresh) — every other gate member must be at least as stale as everything
+# left outside the gate. Round 12 has ZERO registrations and zero
+# plan-changed re-gates (the registration freeze at 199 holds; all new r12
+# operator work lands in the tests-only lane per capacity-policy rule 3).
+_GATE_PLAN_CHANGED: tuple[str, ...] = ()
+
+# Slots 51+: refresh order for queries that already hold a green driver row
+# — oldest evidence first. After the r12 gate runs, the r9 cohort (49 names
+# below, auc_by_cohort already refreshed in slot 50 above) is the oldest
+# evidence in the repo and heads the round-13 gate (age hits the 4-round
+# ceiling after r13); the r10 and r11 cohorts follow.
+#
+# Round-13 gate plan (written at r12 close): the r13 gate is the 49-query
+# r9 cohort (every name in the first block below) + 1 headroom slot:
+#   slot 50 — the stalest r10-cohort query (ann_recall_eval, first name in
+#     the r10 block below), pulled one round early; if a plan-changed
+#     re-gate materializes in r13 it takes this slot instead.
+# ZERO registrations in r13: the registry is at its 199 freeze; any new
+# registration requires the one-in-one-out delist recorded in the CAPACITY
+# POLICY above.
+#
+# ONE-IN-ONE-OUT DECISION (2026-08-15, VERDICT r9 #6): the tests-only lane
+# operators (exact_substring_dup_stats, ivf_index_refresh_audit,
+# lpa_community_modularity, bpe_top_merges, the gini scalable twin) STAY in
+# the lane permanently; the shortlisted delists (simhash_fingerprints,
+# minhash_signatures) are NOT executed.
+# (2026-08-16 addendum: the round-10 lane additions — cross-source overlap
+# matrix, bigram-LM quality filter, PQ / IVF-PQ ADC recall, Hilbert-vs-
+# Z-order layout, temperature mixture sampling, split-conformal intervals,
+# plus the earlier bpe_encode_stats / ivf_drift_retrain /
+# deterministic_epoch_shuffle — all enter under rule 3 with zero gate
+# slots; the lane gate is one command, tools/lane_check.py, runnable at
+# any scale factor, so the lane's evidence is reproducible without
+# trusting pytest internals.) Rationale: the driver-hash row a
+# swap would buy duplicates evidence the lane already has — each lane
+# operator's pytest oracle cross-check runs the SAME comparison (DuckDB
+# SQL, sorted-column hash, sf0.01) the driver runs — while the delisted
+# queries would LOSE their driver rows outright, and both shortlist members
+# exercise a distinct registered surface (the raw fingerprint/signature
+# tables feed downstream joins users run directly). Net evidence of a swap
+# is negative. Revisit only if a lane operator's plan changes in a way
+# pytest cannot gate (e.g. a nondeterministic form needing the driver's
+# rows-only lane).
+_PRIORITY_REST: tuple[str, ...] = (
+    # r9-green refreshes (round-13 gate head; the round-9 gate was the full
+    # 50-query r5 cohort, refreshed at r9; auc_by_cohort moved to the r12
+    # gate's slot 50)
     "bigram_pmi_collocations",
     "boilerplate_ngram_stats",
     "chi2_status_priority",
@@ -295,8 +244,8 @@ _PRIORITY_REST: tuple[str, ...] = (
     "zorder_file_layout",
     "zscore_by_part",
     # r10-green refreshes (the round-10 gate: the 47-query r6 cohort + the
-    # two r10 registrations + kaplan_meier in slot 50 — the freshest
-    # evidence in the repo)
+    # two r10 registrations + kaplan_meier in slot 50; ann_recall_eval heads
+    # this block — it is the round-13 gate's slot-50 pull)
     "ann_recall_eval",
     "benford_first_digit_check",
     "calendar_gap_fill_revenue",
@@ -347,11 +296,64 @@ _PRIORITY_REST: tuple[str, ...] = (
     "event_burstiness_fano",
     "label_propagation_communities",
     "kaplan_meier_customer_gaps",
+    # r11-green refreshes (the round-11 gate: the 49-query r7 cohort +
+    # price_band_lookup_binned in slot 50 — the freshest evidence in the
+    # repo)
+    "cusum_changepoint_daily_revenue",
+    "basket_brand_lift",
+    "minhash_jaccard_estimate_error",
+    "shingle_novelty_ratio",
+    "weekday_seasonality_revenue",
+    "skew_adaptive_agg_stats",
+    "shingle_containment_pairs",
+    "ols_trend_by_brand",
+    "adamic_adar_link_prediction",
+    "revenue_by_nation",
+    "parts_shipped_to_top_nation",
+    "geo_pipeline_differential",
+    "geo_pipeline_targets",
+    "differential_expression",
+    "ngram_jaccard_near_dups",
+    "pricing_summary",
+    "lsh_candidate_pairs",
+    "benchmark_decontamination",
+    "corr_edges_top_parts",
+    "ann_ivf_bucketed_topk",
+    "degree_centrality_corr_graph",
+    "minhash_signatures",
+    "exact_dedup_sha256",
+    "top_orders_by_revenue",
+    "order_priority_rollup",
+    "supplier_part_distincts",
+    "sliding_window_stats",
+    "tumbling_event_counts",
+    "blocklist_redaction_stats",
+    "corpus_mixture_rebalance",
+    "customers_without_orders",
+    "doc_chunk_packing",
+    "doc_length_histogram",
+    "embedding_quantize_int8",
+    "event_interarrival_stats",
+    "event_type_pivot",
+    "events_in_purchase_hour",
+    "hash_stratified_sample",
+    "latest_event_per_user",
+    "media_audio_decode_stats",
+    "media_image_decode_dims",
+    "media_payload_digest",
+    "mllib_corr_matrix_top",
+    "mllib_minhash_neardups",
+    "part_type_classifier",
+    "per_source_doc_cap",
+    "positional_zip_join",
+    "small_lot_revenue",
+    "source_lang_entropy",
+    "price_band_lookup_binned",
 )
 
-# (The r10-close "round-11 gate plan" comment was executed this round — the
-# r7 cohort moved into _PRIORITY_GATE, price_band_lookup_binned in slot 50,
-# zero registrations — and is superseded by the round-12 plan comment above
+# (The r11-close "round-12 gate plan" comment was executed this round — the
+# r8 cohort moved into _PRIORITY_GATE, auc_by_cohort in slot 50, zero
+# registrations — and is superseded by the round-13 plan comment above
 # _PRIORITY_REST.)
 _PRIORITY: tuple[str, ...] = _PRIORITY_GATE + _PRIORITY_REST
 
