@@ -189,9 +189,18 @@ def bigram_lm_quality_by_source(
     model holds <= broadcast_ceiling distinct bigrams (one cheap count on
     the cached vocab table decides), keyed shuffle join above it (the
     executor-memory fallback SCALING.md names; results identical, both
-    paths test-pinned) — and
-    partial-aggregates (doc, then source) — only integer (sum, count)
-    partials shuffle. Log-probs are quantized to integer micro-log units
+    paths test-pinned).
+
+    EAGER GATE (ADVICE r11): that cardinality probe (``bg_counts.count()``)
+    runs AT PLAN-CONSTRUCTION TIME, materializing the pass-1 vocab cache —
+    merely building this DataFrame (e.g. for plan inspection) executes a
+    full corpus aggregate. Deliberate: the physical join strategy cannot be
+    chosen without the measured model cardinality, and the count is reused
+    by the returned plan via the cache. Callers that need an action-free
+    build should inspect the sub-plans directly.
+
+    Pass 2 then partial-aggregates (doc, then source) — only integer
+    (sum, count) partials shuffle. Log-probs are quantized to integer micro-log units
     at the MODEL (vocab grain, one IEEE expression per distinct bigram) so
     every downstream sum is order-independent and cross-engine exact.
 
@@ -1464,9 +1473,27 @@ def split_conformal_price_intervals(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("n_unmod").alias("n_test_unmodeled"),
             F.col(f"k_{denom}").cast("long").alias("k"),
             q_guarded,
-            rnd(
-                F.col(f"c_{denom}") * 1.0 / (F.col("n_test") - F.col("n_unmod")), 6
-            ).alias("coverage"),
+            # All-unmodeled fuse (ADVICE r11): when every test brand lacks
+            # calibration rows the denominator is zero and both engines
+            # would emit NULL coverage silently — the same silent-NULL
+            # failure mode the q_hat fuse above just closed. Fail loudly.
+            F.when(
+                (F.col("n_test") - F.col("n_unmod")) == 0,
+                F.raise_error(
+                    F.lit(
+                        "split_conformal_price_intervals: every test brand "
+                        "is unmodeled (no calibration rows) — coverage is "
+                        "undefined; enlarge the calibration split"
+                    )
+                ),
+            )
+            .otherwise(
+                rnd(
+                    F.col(f"c_{denom}") * 1.0 / (F.col("n_test") - F.col("n_unmod")),
+                    6,
+                )
+            )
+            .alias("coverage"),
             rnd(F.lit(denom - num) * 1.0 / F.lit(denom), 6).alias("target"),
         )
         out = row if out is None else out.unionByName(row)

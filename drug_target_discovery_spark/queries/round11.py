@@ -280,7 +280,15 @@ def curated_epoch_manifest(
 
     Tests-only lane; oracle = curation oracle -> kept_ids temp table ->
     python-BPE wtok on the kept texts -> _CURATED_EPOCH_ORACLE
-    (tests/test_round11_ops.py, tools/lane_check.py)."""
+    (tests/test_round11_ops.py, tools/lane_check.py).
+
+    EAGER GATE (bench caveat, VERDICT r11): calling this function
+    MATERIALIZES the curated corpus (the eager localCheckpoint below) and
+    runs the k-merge BPE trainer before returning — "building the plan"
+    costs the full curation chain plus k driver-folded aggregates. That
+    is the point: the checkpoint is the load-bearing lineage cut, and a
+    lazy form would re-send Catalyst down the super-linear analysis path
+    the cut exists to prevent."""
     from drug_target_discovery_spark.queries.curation import curation_end_to_end
     from drug_target_discovery_spark.queries.round9 import bpe_top_merges
 
@@ -684,7 +692,15 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side collect, degrading gracefully if the bench side grows.
     The best-hit window partitions by train doc (bounded by that doc's
     hit count). Tests-only lane; prepared DuckDB oracle + the flagged ⊆
-    threshold / triple-disjointness pins (tests/test_round11_ops.py)."""
+    threshold / triple-disjointness pins (tests/test_round11_ops.py).
+
+    EAGER GATE (bench caveat, VERDICT r11): plan construction runs ONE
+    eager count aggregate (a single scan, split by the bench predicate —
+    ADVICE r11 collapsed the former two scans) to size the GEMM blocks;
+    "building the plan" therefore costs one cheap cluster job, the same
+    deliberate trade the established GEMM tier makes. An empty benchmark
+    slice short-circuits to an empty frame — no degenerate GEMM is
+    scheduled (the `cross_corpus_contamination` edge convention)."""
     import numpy as np
     import pandas as pd
 
@@ -702,10 +718,30 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = nv.filter(F.col("vec_id") % 20 != 0)
     bench = nv.filter(F.col("vec_id") % 20 == 0)
-    n_bench = bench.count()
-    n_bblocks = max(1, -(-n_bench // _SEMDECON_BLOCK))
-    n_train = train.count()
-    n_tblocks = max(1, -(-n_train // _SEMDECON_BLOCK))
+    # One scan sizes both sides (ADVICE r11: formerly two eager counts on
+    # the uncached nv re-scanned and re-normalized the table twice; the
+    # normalize projection is column-pruned away here since only vec_id is
+    # read).
+    side_counts = {
+        bool(r["is_bench"]): r["n"]
+        for r in nv.groupBy((F.col("vec_id") % 20 == 0).alias("is_bench"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_bench = side_counts.get(True, 0)
+    n_train = side_counts.get(False, 0)
+    if n_bench == 0 or n_train == 0:
+        # Empty-side fuse (VERDICT r11 #6): scheduling a degenerate GEMM
+        # over max(1, 0) blocks would burn a shuffle to produce nothing —
+        # mirror cross_corpus_contamination's empty-benchmark edge and
+        # return the typed empty result directly.
+        return spark.createDataFrame(
+            [],
+            "doc_id BIGINT, n_bench_hits BIGINT, "
+            "best_bench_id BIGINT, best_cosine DOUBLE",
+        )
+    n_bblocks = -(-n_bench // _SEMDECON_BLOCK)
+    n_tblocks = -(-n_train // _SEMDECON_BLOCK)
     slack = _SEMDECON_T - 1e-9
 
     # train block i joins EVERY bench block j — full cross coverage

@@ -951,9 +951,25 @@ def epoch_shuffle_ranks(
         10,
     ).cast("long")
     two63 = F.lit("9223372036854775808").cast("decimal(38,0)")
+    # Pack-width fuse (ADVICE r11, mirroring round10.mixture_targets_and_
+    # ranked): the (hash, doc_id) pack reserves the low 2^63 band for the
+    # doc_id tie-break, so a NEGATIVE doc_id would silently corrupt _hkey
+    # ordering (a BIGINT cannot exceed 2^63-1, so only the sign needs the
+    # guard). Per-row long compare inside codegen — no extra driver action,
+    # raises noisily on the first out-of-range id.
+    did_guarded = F.when(
+        F.col("doc_id") < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("epoch_shuffle_ranks: doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(" is negative — outside the [0, 2^63) _hkey pack band"),
+            )
+        ),
+    ).otherwise(F.col("doc_id").cast("decimal(38,0)"))
     keyed = docs.select(
         "*",
-        (h.cast("decimal(38,0)") * two63 + F.col("doc_id")).alias("_hkey"),
+        (h.cast("decimal(38,0)") * two63 + did_guarded).alias("_hkey"),
         F.lit(1).alias("_one"),
     )
     return range_partitioned_prefix_sum(

@@ -1165,6 +1165,40 @@ class TestSplitConformal:
         with pytest.raises(Exception, match="q_hat is NULL"):
             split_conformal_price_intervals(spark, str(tmp_path)).collect()
 
+    def test_all_unmodeled_fails_loudly(self, spark, tmp_path):
+        """ADVICE r11: when EVERY test brand lacks calibration rows the
+        coverage denominator (n_test - n_unmod) is zero — must raise
+        in-plan, not emit a silently-NULL coverage row (the same
+        fail-loudly rule the q_hat fuse enforces). Constructed by
+        replaying the seeded split hash: brand A rows all land in
+        calibration, brand B rows all in test."""
+        import hashlib
+
+        from drug_target_discovery_spark.queries.round10 import (
+            _CONF_SEED,
+            split_conformal_price_intervals,
+        )
+
+        def is_cal(ok: int, ln: int) -> bool:
+            h = hashlib.md5(f"{_CONF_SEED}:{ok}:{ln}".encode()).hexdigest()
+            return int(h[:15], 16) % 2 == 0
+
+        cal_keys = [ok for ok in range(1, 2000) if is_cal(ok, 1)][:25]
+        test_keys = [ok for ok in range(1, 2000) if not is_cal(ok, 1)][:10]
+        rows = [(ok, 1, 1, float(100 + ok)) for ok in cal_keys] + [
+            (ok, 1, 2, float(500 + ok)) for ok in test_keys
+        ]
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_linenumber long, l_partkey long, "
+            "l_extendedprice double",
+        ).write.parquet(str(tmp_path / "lineitem.parquet"))
+        spark.createDataFrame(
+            [(1, "BrandCal"), (2, "BrandTest")], "p_partkey long, p_brand string"
+        ).write.parquet(str(tmp_path / "part.parquet"))
+        with pytest.raises(Exception, match="every test brand is unmodeled"):
+            split_conformal_price_intervals(spark, str(tmp_path)).collect()
+
 
 class TestPlanShapes:
     """The round-10 prefix-sum consumers must never regress to a

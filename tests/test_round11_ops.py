@@ -444,3 +444,36 @@ class TestSemanticDecontamination:
         assert set(got) == {1}
         assert got[1]["best_bench_id"] == 0
         assert got[1]["best_cosine"] > 0.99
+
+    def test_empty_benchmark_returns_typed_empty(self, spark, tmp_path):
+        """VERDICT r11 #6: an empty benchmark slice (no vec_id % 20 == 0)
+        must short-circuit to a typed empty frame — no degenerate
+        max(1, 0)-block GEMM scheduled — mirroring the
+        cross_corpus_contamination empty-benchmark edge. Ditto an empty
+        TRAIN side."""
+        from drug_target_discovery_spark.queries.round11 import (
+            semantic_decontamination,
+        )
+
+        rows = [  # every id % 20 != 0 -> benchmark slice is empty
+            (1, [1.0, 0.0], 0),
+            (2, [0.0, 1.0], 0),
+            (21, [1.0, 0.0], 0),
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(str(tmp_path / "embeddings.parquet"))
+        out = semantic_decontamination(spark, str(tmp_path))
+        assert out.collect() == []
+        assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+            ("doc_id", "bigint"),
+            ("n_bench_hits", "bigint"),
+            ("best_bench_id", "bigint"),
+            ("best_cosine", "double"),
+        ]
+        # empty-train twin: only benchmark ids -> same typed empty
+        spark.createDataFrame(
+            [(0, [1.0, 0.0], 0), (20, [0.0, 1.0], 0)],
+            "vec_id long, embedding array<float>, label int",
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        assert semantic_decontamination(spark, str(tmp_path)).collect() == []

@@ -1097,6 +1097,19 @@ class TestDeterministicEpochShuffle:
         exp = [(i, rank) for rank, (_, i) in enumerate(keyed)]
         assert sorted(got) == sorted(exp)
 
+    def test_negative_doc_id_fails_loudly(self, spark):
+        """ADVICE r11: the (hash, doc_id) decimal pack reserves the low
+        2^63 band for the doc_id tie-break; a negative doc_id would
+        silently corrupt _hkey ordering. Must raise in-plan (the
+        mixture_targets_and_ranked fuse, mirrored)."""
+        import pytest
+
+        from drug_target_discovery_spark.queries.round9 import epoch_shuffle_ranks
+
+        docs = spark.createDataFrame([(5,), (-1,), (9,)], "doc_id long")
+        with pytest.raises(Exception, match="doc_id -1 is negative"):
+            epoch_shuffle_ranks(docs, seed="zz", buckets=2).collect()
+
 
 def test_epoch_shuffle_plan_window_shape(spark):
     """The keyless rank's scale contract, pinned on the executed plan:

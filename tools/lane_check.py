@@ -37,6 +37,8 @@ _ARGS = sys.argv[1:]
 JSON_OUT = None
 if "--json" in _ARGS:
     i = _ARGS.index("--json")
+    if i + 1 >= len(_ARGS):
+        sys.exit("usage: python tools/lane_check.py [sf_dir] [--json OUT.json]")
     JSON_OUT = _ARGS[i + 1]
     _ARGS = _ARGS[:i] + _ARGS[i + 2 :]
 SF = _ARGS[0] if _ARGS else "/root/testdata/sf0.01"
@@ -505,8 +507,15 @@ def check_mmd_drift(spark):
     )
     exp = t10._numpy_mmd_oracle(SF)
     d = {g[0]: g[3] for g in got}
+    # Label both legs explicitly (VERDICT r11 #7): at real SFs the %10
+    # "batch" stripe IS same-distribution, so BOTH mmd2 values sit near 0
+    # and drift may print below null — that is correct behavior here, not
+    # a failed detection (drift >> null is pinned on the shifted-batch
+    # fixture in tests/test_round10_ops.py).
     return got == exp and bool(got), (
-        f"drift {d.get('base_vs_batch')} vs null {d.get('base_vs_base_null')}"
+        f"mmd2_drift={d.get('base_vs_batch')} "
+        f"mmd2_null={d.get('base_vs_base_null')} "
+        "(same-distribution stripe: both ~0 expected)"
     )
 
 
