@@ -84,6 +84,36 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #      rules 1-2. Rows-only/unregistered surfaces lose nothing but the
 #      driver-hash row; the oracle cross-check in pytest carries the same
 #      comparison at the same scale factor.
+#   4. LANE END-STATE (2026-08-16, VERDICT r11 #3 — decided before the lane
+#      reaches 30 operators): LANE PERMANENCE IS THE END STATE. The lane is
+#      not a waiting room for registration; it is the registry's permanent
+#      overflow tier, and its growth is bounded by evidence quality, not by
+#      a count. Rationale, in order of weight:
+#        (a) Evidence parity: every lane operator runs the SAME comparison
+#            the driver runs (prepared DuckDB SQL or independent library
+#            recompute, sorted-column exact match, any SF) through ONE
+#            command (tools/lane_check.py), and since r11 the result is a
+#            committed per-round artifact (LANE_r{N}.json) with the same
+#            audit trail as CORRECTNESS_r{N}.json. A driver-hash row would
+#            DUPLICATE this evidence, not strengthen it.
+#        (b) Swap arithmetic is net-negative: one-in-one-out would delist a
+#            query (losing its driver row outright) to buy a duplicate row
+#            for a lane operator — and the strongest swap candidates (the
+#            two epoch compositions) are the lane's most EXPENSIVE checks
+#            (18-19s at sf0.01, k BPE driver folds at plan-build); putting
+#            one in the driver's 50-slot gate would eat sweep budget every
+#            round for zero new information. VERDICT r11's own lane-cost
+#            note says not to register either without a cheaper form.
+#        (c) Growth bound: a lane operator is admitted only with (i) a
+#            prepared oracle runnable by lane_check at any SF, (ii)
+#            property/edge tests, (iii) a scale probe or memo-inheritance
+#            note in SCALING.md. Operators that can't meet (i) get the
+#            weaker pytest-pin class and are labeled as such in
+#            OPERATORS.md. The lane may grow past 30 under these rules;
+#            what is FROZEN is the registry (199) and the gate arithmetic.
+#      Revisit trigger (unchanged from the r9 decision): a lane operator
+#      whose plan changes in a way pytest cannot gate (e.g. a
+#      nondeterministic form needing the driver's rows-only lane).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = 50
 
