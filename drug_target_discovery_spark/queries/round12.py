@@ -217,8 +217,15 @@ def bpe_top_merges_batched(
         col = F.col("syms")
         for l, r, _ in batch:
             col = _bpe_merge_fold(col, l, r)
-        new_vocab = vocab.select(col.alias("syms"), "cnt").cache()
-        new_vocab.count()
+        # Per-round lineage cut (the lineage-cut rule, SCALING.md): the
+        # batch's folds chain in ONE projection (flat analysis cost,
+        # measured to depth 20+), and the generation boundary is a
+        # localCheckpoint so round t+1's analysis never re-walks round
+        # t's plan — the cache form goes super-linear (see
+        # round9.bpe_top_merges).
+        new_vocab = vocab.select(col.alias("syms"), "cnt").localCheckpoint(
+            eager=True
+        )
         vocab.unpersist()
         vocab = new_vocab
     track(vocab)
@@ -340,3 +347,244 @@ def bpe_top_merges_local(
     if not merges:
         return spark.createDataFrame([], _BPE_SCHEMA)
     return spark.createDataFrame(merges, _BPE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# URL / metadata canonicalization dedup (the CCNet first pass)
+# ---------------------------------------------------------------------------
+
+# Tracking query parameters dropped by canonicalization (the CCNet /
+# common-crawl convention: analytics params never distinguish content).
+_URL_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
+
+# doc_id pack width for the one-aggregate quality argmax (see
+# url_canonical_dedup); the fuse below guards it in-plan.
+_URL_DOCID_PACK = 10**12
+
+
+def canonical_url_col(url):
+    """Spark Column: the canonical form of a raw URL —
+
+    - fragment stripped (``#...``),
+    - scheme stripped (http/https/case equivalence),
+    - host lowercased, leading ``www.`` and default ports ``:80``/``:443``
+      removed (path case is PRESERVED — RFC 3986 paths are case-sensitive;
+      only the authority is case-insensitive),
+    - trailing ``/`` stripped from the path,
+    - query parameters: tracking params dropped
+      (``utm_*``/``fbclid``/``gclid``/``ref``), the rest SORTED and
+      rejoined, so parameter order never splits a group.
+
+    Pure built-in expressions (regexp/split/filter/array_sort — JVM-side,
+    codegen); the DuckDB twin is ``_CANON_URL_DUCK`` and
+    tests/test_round12_ops.py pins the two char-for-char."""
+    u1 = F.regexp_replace(url, r"#.*$", "")
+    u2 = F.regexp_replace(u1, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    parts = F.split(u2, r"[?]", 2)
+    hostpath = parts[0]
+    q = F.when(F.size(parts) > 1, parts[1]).otherwise(F.lit(""))
+    host_raw = F.substring_index(hostpath, "/", 1)
+    path = hostpath.substr(F.length(host_raw) + 1, F.length(hostpath))
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(host_raw), r"^www\.", ""), r":(80|443)$", ""
+    )
+    path_c = F.regexp_replace(path, r"/$", "")
+
+    def _kept(p):
+        cond = p != ""
+        for pre in _URL_TRACKING_PREFIXES:
+            cond = cond & ~p.startswith(pre)
+        return cond
+
+    q_c = F.array_join(F.array_sort(F.filter(F.split(q, "&"), _kept)), "&")
+    return F.concat(
+        host,
+        path_c,
+        F.when(q_c == "", F.lit("")).otherwise(F.concat(F.lit("?"), q_c)),
+    )
+
+
+# DuckDB twin of canonical_url_col, char-for-char: a flat CTE chain
+# (format with {src} = a relation exposing a `url` column plus any
+# pass-through columns; every stage SELECTs *, so pass-throughs survive).
+# The final stage `canon` adds the `canon_url` column. list_sort and
+# array_sort agree on ASCII.
+_CANON_URL_DUCK_CTES = """
+_c1 AS (
+  SELECT *, regexp_replace(regexp_replace(url, '#.*$', ''),
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS _u2
+  FROM {src}
+),
+_c2 AS (
+  SELECT *,
+         CASE WHEN strpos(_u2, '?') > 0
+              THEN substr(_u2, 1, strpos(_u2, '?') - 1) ELSE _u2 END AS _hostpath,
+         CASE WHEN strpos(_u2, '?') > 0
+              THEN substr(_u2, strpos(_u2, '?') + 1) ELSE '' END AS _q
+  FROM _c1
+),
+_c3 AS (
+  SELECT *,
+         CASE WHEN strpos(_hostpath, '/') > 0
+              THEN substr(_hostpath, 1, strpos(_hostpath, '/') - 1)
+              ELSE _hostpath END AS _host_raw,
+         CASE WHEN strpos(_hostpath, '/') > 0
+              THEN substr(_hostpath, strpos(_hostpath, '/'))
+              ELSE '' END AS _path
+  FROM _c2
+),
+_c4 AS (
+  SELECT *,
+         -- COALESCE: duckdb's list_sort([]) / array_to_string([], ...)
+         -- return NULL, not '' (spark's array_join returns '')
+         coalesce(array_to_string(
+           list_sort(list_filter(string_split(_q, '&'),
+             p -> p <> '' AND p NOT LIKE 'utm\\_%' ESCAPE '\\'
+                  AND p NOT LIKE 'fbclid=%' AND p NOT LIKE 'gclid=%'
+                  AND p NOT LIKE 'ref=%')), '&'), '') AS _qc
+  FROM _c3
+),
+canon AS (
+  SELECT *,
+         regexp_replace(regexp_replace(lower(_host_raw), '^www\\.', ''),
+                        ':(80|443)$', '')
+         || regexp_replace(_path, '/$', '')
+         || CASE WHEN _qc = '' THEN '' ELSE '?' || _qc END AS canon_url
+  FROM _c4
+)"""
+
+
+def messy_url_col():
+    """Deterministic raw-URL fixture column for the documents table (the
+    testdata carries no URL metadata, so the lane entry DERIVES one from
+    doc_id arithmetic — scheme/case/www/port/param-order/tracking/
+    fragment variation, identical expression in ``_MESSY_URL_DUCK``).
+    Collision structure: the canonical form depends only on
+    (doc_id % 40, doc_id % 25) -> 200 canonical URLs, so every scale
+    factor produces multi-document groups whose raw forms differ."""
+    d = F.col("doc_id")
+    scheme = (
+        F.when(d % 3 == 0, F.lit("http://"))
+        .when(d % 3 == 1, F.lit("https://"))
+        .otherwise(F.lit("HTTP://"))
+    )
+    www = F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit(""))
+    tld = F.when(d % 5 == 0, F.lit(".COM")).otherwise(F.lit(".com"))
+    host = F.concat(F.lit("site"), (d % 40).cast("string"), tld)
+    port = F.when(d % 7 == 0, F.lit(":80")).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/Docs/"),
+        (d % 25).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    q = F.when(d % 2 == 0, F.lit("?a=1&b=2")).otherwise(F.lit("?b=2&a=1"))
+    utm = F.when(d % 3 == 0, F.lit("&utm_source=feed")).otherwise(F.lit(""))
+    frag = F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return F.concat(scheme, www, host, port, path, q, utm, frag)
+
+
+_MESSY_URL_DUCK = """
+    (CASE WHEN doc_id % 3 = 0 THEN 'http://'
+          WHEN doc_id % 3 = 1 THEN 'https://' ELSE 'HTTP://' END
+     || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+     || 'site' || CAST(doc_id % 40 AS VARCHAR)
+     || CASE WHEN doc_id % 5 = 0 THEN '.COM' ELSE '.com' END
+     || CASE WHEN doc_id % 7 = 0 THEN ':80' ELSE '' END
+     || '/Docs/' || CAST(doc_id % 25 AS VARCHAR)
+     || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+     || CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '?b=2&a=1' END
+     || CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END
+     || CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)
+"""
+
+
+def url_canonical_dedup(
+    spark: SparkSession, sf_dir: str, docs: "DataFrame | None" = None
+) -> DataFrame:
+    """URL/metadata-canonicalization dedup — the CCNet FIRST pass (run
+    before any content hashing: re-crawls of one page under utm-tagged /
+    reordered-query / scheme-variant URLs are duplicates no text digest
+    is needed to find). Groups documents by ``canonical_url_col`` and
+    emits one row per canonical URL with more than one document:
+
+      canon_url        the canonical form
+      n_docs           documents sharing it
+      n_raw_urls       distinct RAW url strings that collapsed into it
+      rep_doc_id       the quality-argmax representative (largest
+                       n_chars, ties to the smallest doc_id — the
+                       near_dup_best_representative convention)
+
+    Scale shape: normalize is pure map-side codegen expressions (regexp/
+    split/array_sort — no UDF); ONE map-side-combinable aggregate
+    shuffles only (canon_url, packed-quality, digests) — never text or
+    raw URLs beyond their group key. The representative argmax is packed
+    into a single decimal (n_chars * 10^12 + (10^12-1-doc_id), max is
+    the lexicographic argmax, guarded in-plan by the pack-width fuse) so
+    no second pass or join is needed. ``docs`` defaults to the documents
+    table with the deterministic ``messy_url_col`` fixture (the testdata
+    has no URL column); production callers pass (doc_id, url, n_chars).
+
+    Tests-only lane; prepared oracle ``_URL_DEDUP_ORACLE`` (DuckDB) +
+    canonicalization property tests (tests/test_round12_ops.py)."""
+    if docs is None:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars")
+            .withColumn("url", messy_url_col())
+        )
+    pack = F.lit(_URL_DOCID_PACK).cast("decimal(38,0)")
+    did_guarded = F.when(
+        (F.col("doc_id") < 0) | (F.col("doc_id") >= F.lit(_URL_DOCID_PACK)),
+        F.raise_error(
+            F.concat(
+                F.lit("url_canonical_dedup: doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(" outside the [0, 10^12) quality-pack width"),
+            )
+        ),
+    ).otherwise(F.col("doc_id").cast("decimal(38,0)"))
+    rows = docs.select(
+        F.col("doc_id"),
+        F.col("url"),
+        canonical_url_col(F.col("url")).alias("canon_url"),
+        (
+            F.col("n_chars").cast("decimal(38,0)") * pack
+            + (pack - F.lit(1).cast("decimal(38,0)") - did_guarded)
+        ).alias("qpack"),
+    )
+    return (
+        rows.groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_urls"),
+            (
+                pack - F.lit(1).cast("decimal(38,0)") - F.pmod(F.max("qpack"), pack)
+            )
+            .cast("long")
+            .alias("rep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("canon_url")
+    )
+
+
+_URL_DEDUP_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id, n_chars, {_MESSY_URL_DUCK} AS url FROM documents
+),
+{_CANON_URL_DUCK_CTES.format(src="raw")},
+packed AS (
+  SELECT canon_url, url,
+         CAST(n_chars AS HUGEINT) * 1000000000000
+           + (999999999999 - CAST(doc_id AS HUGEINT)) AS qpack
+  FROM canon
+)
+SELECT canon_url,
+       count(*) AS n_docs,
+       count(DISTINCT url) AS n_raw_urls,
+       CAST(999999999999 - (max(qpack) % 1000000000000) AS BIGINT) AS rep_doc_id
+FROM packed
+GROUP BY canon_url
+HAVING count(*) > 1
+ORDER BY canon_url
+"""

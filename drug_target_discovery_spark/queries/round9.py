@@ -606,8 +606,18 @@ def bpe_top_merges(
         l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
         merges.append((rank, l, r, l + r, n))
         merged = _bpe_merge_fold(F.col("syms"), l, r)
-        new_vocab = vocab.select(merged.alias("syms"), "cnt").cache()
-        new_vocab.count()
+        # Per-generation LINEAGE CUT (round 12 — the lineage-cut rule,
+        # SCALING.md): localCheckpoint, not cache. With cache, generation
+        # g's pair-count query re-analyzes all g stacked fold generations
+        # and the cache-substitution sameResult walk goes super-linear —
+        # MEASURED: k=10 in 6.8s, k=15 never finishing, at sf0.001. The
+        # cut (the graph loops' per-iteration idiom) holds per-generation
+        # analysis constant; values are unchanged (pinned by the python
+        # oracle in tests/test_round9_ops.py at k=10 and
+        # tests/test_round12_ops.py at k up to 200).
+        new_vocab = vocab.select(merged.alias("syms"), "cnt").localCheckpoint(
+            eager=True
+        )
         vocab.unpersist()
         vocab = new_vocab
     track(vocab)  # surviving generation, released by the harness loop

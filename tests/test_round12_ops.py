@@ -1,0 +1,305 @@
+"""Round-12 tests-only-lane operators: the BPE trainer's production
+scale forms (exact batched distributed training; threshold-gated
+driver-local training) — VERDICT r11 #5. Every test pins VALUE EQUALITY
+against the sequential trainer and/or the independent python oracle
+(tools/lane_check._python_bpe), the bpe_top_merges evidence class."""
+
+import random
+
+import pytest
+
+SFS = ["/root/testdata/sf0.001"]
+
+
+def _oracle(texts, k):
+    from tools.lane_check import _python_bpe
+
+    return [tuple(m) for m in _python_bpe(texts, k)]
+
+
+def _docs_df(spark, texts):
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+class TestBpeScaleForms:
+    @pytest.mark.parametrize("sf", SFS)
+    def test_three_forms_equal(self, spark, sf):
+        """sequential == batched == local at k=30 on the real corpus
+        (k chosen past the k=15 analysis cliff the lineage cut removed,
+        and large enough that the batched form uses many rounds)."""
+        from drug_target_discovery_spark.queries.round9 import bpe_top_merges
+        from drug_target_discovery_spark.queries.round12 import (
+            bpe_top_merges_batched,
+            bpe_top_merges_local,
+        )
+
+        seq = [tuple(r) for r in bpe_top_merges(spark, sf, k=30).collect()]
+        stats = {}
+        bat = [
+            tuple(r)
+            for r in bpe_top_merges_batched(spark, sf, k=30, stats=stats).collect()
+        ]
+        loc = [tuple(r) for r in bpe_top_merges_local(spark, sf, k=30).collect()]
+        assert seq == bat == loc
+        assert len(seq) == 30
+        # batching must actually batch (strictly fewer driver rounds
+        # than merges) while staying exact
+        assert 1 <= stats["rounds"] < 30
+        assert sum(stats["batch_sizes"]) == 30
+
+    @pytest.mark.parametrize("sf", SFS)
+    def test_local_matches_python_oracle_at_k200(self, spark, sf):
+        """The local trainer at production-ish k: 200 merges must equal
+        the naive python recompute exactly (the incremental heap and the
+        full recount implement the same deterministic rule)."""
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round12 import (
+            bpe_top_merges_local,
+        )
+
+        con = duckdb.connect()
+        texts = [
+            t[0]
+            for t in con.execute(
+                f"SELECT text FROM read_parquet('{sf}/documents.parquet')"
+            ).fetchall()
+        ]
+        got = [tuple(r) for r in bpe_top_merges_local(spark, sf, k=200).collect()]
+        assert got == _oracle(texts, 200)
+
+    @pytest.mark.parametrize("sf", SFS)
+    def test_batched_matches_python_oracle_at_k60(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round12 import (
+            bpe_top_merges_batched,
+        )
+
+        con = duckdb.connect()
+        texts = [
+            t[0]
+            for t in con.execute(
+                f"SELECT text FROM read_parquet('{sf}/documents.parquet')"
+            ).fetchall()
+        ]
+        got = [tuple(r) for r in bpe_top_merges_batched(spark, sf, k=60).collect()]
+        assert got == _oracle(texts, 60)
+
+    def test_adversarial_fixtures(self, spark):
+        """The batch-safety edge cases, each a corpus engineered to
+        trip a wrong batching rule:
+
+        - overlap: "a a a" — non-overlapping application + l==r
+          self-sharer bound (created (aa,aa) is bounded only by (a,a)
+          itself, so the batch must END after an l==r take);
+        - ties: equal counts resolved lexicographically;
+        - shadow: the second-ranked pair shares a symbol with the top
+          pair, so the batch must end at size 1 and the next round must
+          see the DECREASED count;
+        - collision: a merge creates a token string that already exists
+          as a vocab symbol (inflating that symbol's pair counts) — the
+          collision cut must end the batch."""
+        corpora = {
+            "overlap": ["a a a a a", "a a a", "b c b c"],
+            "ties": ["x y", "y x", "p q", "q p"],
+            "shadow": ["x a b " * 50 + "c d " * 30, "a b " * 10],
+            "collision": ["ab x ab x", "a b c a b c", "ab ab ab"],
+        }
+        for name, texts in corpora.items():
+            self._assert_all_forms_equal(spark, texts, k=8, label=name)
+
+    def test_randomized_corpora_all_forms_equal(self, spark):
+        """Deterministic fuzz (fixed seed): random small-alphabet
+        corpora hit tie/overlap/collision interactions no hand fixture
+        anticipates; all forms must equal the python oracle."""
+        rng = random.Random(12)
+        for trial in range(6):
+            texts = [
+                " ".join(
+                    "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                    for _ in range(rng.randint(1, 8))
+                )
+                for _ in range(rng.randint(2, 6))
+            ]
+            self._assert_all_forms_equal(spark, texts, k=10, label=f"trial{trial}")
+
+    def _assert_all_forms_equal(self, spark, texts, k, label):
+        from drug_target_discovery_spark.queries.round9 import bpe_top_merges
+        from drug_target_discovery_spark.queries.round12 import (
+            bpe_top_merges_batched,
+            bpe_top_merges_local,
+        )
+
+        docs = _docs_df(spark, texts)
+        exp = _oracle(texts, k)
+        seq = [tuple(r) for r in bpe_top_merges(spark, "", k=k, docs=docs).collect()]
+        bat = [
+            tuple(r)
+            for r in bpe_top_merges_batched(spark, "", k=k, docs=docs).collect()
+        ]
+        loc = [
+            tuple(r)
+            for r in bpe_top_merges_local(spark, "", k=k, docs=docs).collect()
+        ]
+        assert seq == exp, f"{label}: sequential != python oracle"
+        assert bat == exp, f"{label}: batched != python oracle"
+        assert loc == exp, f"{label}: local != python oracle"
+
+    def test_local_vocab_ceiling_valve(self, spark):
+        """Over the distinct-word ceiling the local trainer must refuse
+        (the collect is the wrong tool) and name the distributed
+        fallback."""
+        from drug_target_discovery_spark.queries.round12 import (
+            bpe_top_merges_local,
+        )
+
+        docs = _docs_df(spark, ["aa bb cc dd ee"])
+        with pytest.raises(ValueError, match="bpe_top_merges_batched"):
+            bpe_top_merges_local(spark, "", k=3, docs=docs, max_vocab_rows=2)
+
+    def test_empty_corpus(self, spark):
+        from drug_target_discovery_spark.queries.round12 import (
+            bpe_top_merges_batched,
+            bpe_top_merges_local,
+        )
+
+        docs = _docs_df(spark, []).filter("doc_id IS NOT NULL")
+        for fn in (bpe_top_merges_batched, bpe_top_merges_local):
+            out = fn(spark, "", k=5, docs=docs)
+            assert out.collect() == []
+            assert [f.name for f in out.schema.fields] == [
+                "merge_rank",
+                "left",
+                "right",
+                "merged",
+                "pair_count",
+            ]
+
+    def test_single_char_words_no_pairs(self, spark):
+        """Words of length 1 yield no adjacent pairs: all forms return
+        empty (the sequential trainer's n <= 0 stop)."""
+        from drug_target_discovery_spark.queries.round12 import (
+            bpe_top_merges_batched,
+            bpe_top_merges_local,
+        )
+
+        docs = _docs_df(spark, ["a b c", "a a b"])
+        for fn in (bpe_top_merges_batched, bpe_top_merges_local):
+            assert fn(spark, "", k=4, docs=docs).collect() == []
+
+
+class TestUrlCanonicalDedup:
+    SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_duckdb_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round12 import (
+            _URL_DEDUP_ORACLE,
+            url_canonical_dedup,
+        )
+
+        got = [tuple(r) for r in url_canonical_dedup(spark, sf).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        exp = [tuple(r) for r in con.execute(_URL_DEDUP_ORACLE).fetchall()]
+        assert got == exp
+        assert len(got) >= 1
+        for _, n_docs, n_raw, _rep in got:
+            assert n_docs > 1 and 1 <= n_raw <= n_docs
+
+    def test_canonicalization_cases(self, spark):
+        """The normalize rules one by one, Spark expression vs the
+        DuckDB twin on adversarial raw URLs (no table — VALUES both
+        sides), plus the expected canonical string."""
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        from drug_target_discovery_spark.queries.round12 import (
+            _CANON_URL_DUCK_CTES,
+            canonical_url_col,
+        )
+
+        cases = [
+            # scheme / case / www / port equivalence
+            ("HTTP://WWW.Ex.COM:80/A/b", "ex.com/A/b"),
+            ("https://ex.com:443/A/b", "ex.com/A/b"),
+            ("ftp://ex.com/x", "ex.com/x"),
+            # trailing slash, fragment
+            ("http://ex.com/x/", "ex.com/x"),
+            ("http://ex.com/x#frag?notaquery", "ex.com/x"),
+            # query sort + tracking drop; empty query collapses
+            ("http://ex.com/x?b=2&a=1", "ex.com/x?a=1&b=2"),
+            ("http://ex.com/x?utm_source=s&a=1&fbclid=z", "ex.com/x?a=1"),
+            ("http://ex.com/x?utm_source=s", "ex.com/x"),
+            ("http://ex.com/x?ref=home&gclid=1", "ex.com/x"),
+            # path case preserved; host-only lowering
+            ("http://Ex.COM/CaseSensitive", "ex.com/CaseSensitive"),
+            # no path, no scheme, multiple '?'
+            ("ex.com", "ex.com"),
+            ("http://ex.com?a=1", "ex.com?a=1"),
+            ("http://ex.com/x?a=1?b=2", "ex.com/x?a=1?b=2"),
+            # www-only host must not strip to empty-like forms
+            ("http://www.ex.com", "ex.com"),
+            # port not at host position is untouched (path keeps it)
+            ("http://ex.com/p:80", "ex.com/p:80"),
+        ]
+        sdf = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = [
+            r["c"]
+            for r in sdf.select(canonical_url_col(F.col("url")).alias("c"))
+            .collect()
+        ]
+        assert got == [c for _, c in cases], "spark canon != expected"
+        vals = ", ".join(f"({i}, '{u}')" for i, (u, _) in enumerate(cases))
+        sql = (
+            f"WITH raw(i, url) AS (VALUES {vals}), "
+            + _CANON_URL_DUCK_CTES.format(src="raw")
+            + " SELECT canon_url FROM canon ORDER BY i"
+        )
+        duck = [r[0] for r in duckdb.connect().execute(sql).fetchall()]
+        assert duck == [c for _, c in cases], "duckdb canon != expected"
+
+    def test_representative_is_quality_argmax(self, spark):
+        """rep_doc_id = largest n_chars, ties to smallest doc_id."""
+        from drug_target_discovery_spark.queries.round12 import (
+            url_canonical_dedup,
+        )
+
+        rows = [
+            (1, "http://a.com/x", 10),
+            (2, "https://a.com/x/", 90),
+            (3, "http://WWW.A.com/x#f", 90),
+            (7, "http://b.com/y?b=1&a=1", 5),
+            (8, "http://b.com/y?a=1&b=1&utm_source=s", 5),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+        got = {
+            r["canon_url"]: (r["n_docs"], r["n_raw_urls"], r["rep_doc_id"])
+            for r in url_canonical_dedup(spark, "", docs=docs).collect()
+        }
+        assert got == {
+            "a.com/x": (3, 3, 2),  # max n_chars 90, tie -> min doc_id 2
+            "b.com/y?a=1&b=1": (2, 2, 7),
+        }
+
+    def test_docid_pack_fuse(self, spark):
+        from drug_target_discovery_spark.queries.round12 import (
+            url_canonical_dedup,
+        )
+
+        docs = spark.createDataFrame(
+            [(-1, "http://a.com/x", 5), (2, "http://a.com/x/", 5)],
+            "doc_id long, url string, n_chars long",
+        )
+        with pytest.raises(Exception, match="quality-pack width"):
+            url_canonical_dedup(spark, "", docs=docs).collect()

@@ -175,6 +175,24 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
         "prepared DuckDB oracle (exact, sf0.001/0.01) + choice-rule, b=1 monotonicity, committed-banding-dominates-curve, and t_star arithmetic pins",
         "tests/test_round11_ops.py",
     ),
+    (
+        "drug_target_discovery_spark.queries.round12",
+        "bpe_top_merges_batched",
+        "value-equal to sequential trainer + python oracle (k to 60; adversarial tie/overlap/collision fixtures + seeded fuzz)",
+        "tests/test_round12_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.queries.round12",
+        "bpe_top_merges_local",
+        "exact python recompute at k=200 (exhaustion-truncated) + ceiling-valve pin",
+        "tests/test_round12_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.queries.round12",
+        "url_canonical_dedup",
+        "prepared DuckDB oracle (exact, sf0.001/0.01) + canonicalization case table pinned char-for-char in BOTH engines + argmax/fuse pins",
+        "tests/test_round12_ops.py",
+    ),
 )
 
 

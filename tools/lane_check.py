@@ -213,6 +213,60 @@ def check_bpe_merges(spark, k=8):
     return got == exp and len(got) == k, f"k={k} merges"
 
 
+def check_bpe_merges_batched(spark, k=40):
+    """Round-12 scale form: exact batched training (j merges per driver
+    round) must equal the python oracle at a k large enough to span
+    many rounds; the stats hook pins that batching actually happened."""
+    from drug_target_discovery_spark.queries.round12 import bpe_top_merges_batched
+
+    stats = {}
+    got = [
+        tuple(r)
+        for r in bpe_top_merges_batched(spark, SF, k=k, stats=stats).collect()
+    ]
+    texts = [
+        r[0]
+        for r in _con("documents").execute("SELECT text FROM documents").fetchall()
+    ]
+    exp = _python_bpe(texts, k)
+    # the corpus may EXHAUST before k merges (every word fully fused —
+    # sf0.01's synthetic vocabulary runs dry at 89); equality with the
+    # oracle is the check, and batching evidence = fewer rounds than
+    # merges learned
+    ok = got == exp and bool(got) and 1 <= stats["rounds"] < max(2, len(got))
+    return ok, f"{len(got)} merges (k={k}) in {stats.get('rounds')} driver rounds"
+
+
+def check_bpe_merges_local(spark, k=200):
+    """Round-12 scale form: the threshold-gated driver-local trainer at
+    production-ish k must equal the python oracle exactly."""
+    from drug_target_discovery_spark.queries.round12 import bpe_top_merges_local
+
+    got = [tuple(r) for r in bpe_top_merges_local(spark, SF, k=k).collect()]
+    texts = [
+        r[0]
+        for r in _con("documents").execute("SELECT text FROM documents").fetchall()
+    ]
+    exp = _python_bpe(texts, k)
+    return got == exp and bool(got), (
+        f"{len(got)} merges (k={k}, corpus-exhaustion-truncated), driver-local"
+    )
+
+
+def check_url_dedup(spark):
+    """Round-12 lane: URL canonicalization dedup vs the prepared DuckDB
+    oracle (the CCNet first pass over the deterministic messy-URL
+    fixture column)."""
+    from drug_target_discovery_spark.queries.round12 import (
+        _URL_DEDUP_ORACLE,
+        url_canonical_dedup,
+    )
+
+    got = [tuple(r) for r in url_canonical_dedup(spark, SF).collect()]
+    exp = [tuple(r) for r in _con("documents").execute(_URL_DEDUP_ORACLE).fetchall()]
+    return got == exp and bool(got), f"{len(got)} multi-doc canonical groups"
+
+
 def check_bpe_encode(spark, k=8):
     from drug_target_discovery_spark.queries.round9 import bpe_encode_stats
 
@@ -689,7 +743,10 @@ CHECKS = [
     ("ivf_drift_retrain", check_ivf_retrain),
     ("deterministic_epoch_shuffle", check_epoch_shuffle),
     ("bpe_top_merges", check_bpe_merges),
+    ("bpe_top_merges_batched", check_bpe_merges_batched),
+    ("bpe_top_merges_local", check_bpe_merges_local),
     ("bpe_encode_stats", check_bpe_encode),
+    ("url_canonical_dedup", check_url_dedup),
     ("order_value_gini_by_nation_scalable", check_gini_twin),
     ("weighted_median_by_key", check_weighted_median),
     ("lpa_community_modularity", check_modularity),

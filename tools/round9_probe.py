@@ -828,6 +828,58 @@ def probe_mmd(spark, reps: int = 2) -> None:
     print(_json.dumps(report), flush=True)
 
 
+def probe_bpe_k(spark) -> None:
+    """BPE trainer growth in k (VERDICT r11 #5): the three forms at
+    k=10/50/100 on the x10 perturbed corpus (~310 distinct words) and
+    at k=1000 on the x30 perturbed corpus (~930 words; the synthetic
+    generator's base vocabulary is only 31 words — doc count scales,
+    vocabulary does not, so perturbed replicas are the only way to grow
+    the merge space). One rep per leg: this is a k-GROWTH reading
+    (driver-round counts and per-merge constants), not a load-sensitive
+    wall comparison. Context pinned in the round-12 code comments: the
+    pre-fix cache-per-generation sequential trainer never finished k=15
+    at ANY scale (Catalyst re-analysis super-linear in stacked fold
+    generations); these legs all run on the lineage-cut form."""
+    import json as _json
+
+    from drug_target_discovery_spark.queries.round9 import bpe_top_merges
+    from drug_target_discovery_spark.queries.round12 import (
+        bpe_top_merges_batched,
+        bpe_top_merges_local,
+    )
+
+    report = {"probe": "bpe_k_growth", "loadavg1_start": _load1()}
+    d10 = build_documents(spark, 10, perturb=True)
+    d30 = build_documents(spark, 30, perturb=True)
+    for k in (10, 50, 100):
+        report[f"seq_x10_k{k}_s"] = _timed(
+            lambda k=k: bpe_top_merges(spark, d10, k=k)
+        )
+    for k in (100,):
+        stats = {}
+        report[f"bat_x10_k{k}_s"] = _timed(
+            lambda k=k, s=stats: bpe_top_merges_batched(spark, d10, k=k, stats=s)
+        )
+        report[f"bat_x10_k{k}_rounds"] = stats.get("rounds")
+        report[f"loc_x10_k{k}_s"] = _timed(
+            lambda k=k: bpe_top_merges_local(spark, d10, k=k)
+        )
+    for k in (1000,):
+        stats = {}
+        report[f"bat_x30_k{k}_s"] = _timed(
+            lambda k=k, s=stats: bpe_top_merges_batched(spark, d30, k=k, stats=s)
+        )
+        report[f"bat_x30_k{k}_rounds"] = stats.get("rounds")
+        report[f"loc_x30_k{k}_s"] = _timed(
+            lambda k=k: bpe_top_merges_local(spark, d30, k=k)
+        )
+    report["seq_per_merge_s"] = round(
+        (report["seq_x10_k100_s"] - report["seq_x10_k10_s"]) / 90.0, 3
+    )
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
 def main() -> None:
     which = set(sys.argv[1:]) or {"fano", "gini"}
     spark = get_spark("round9_probe")
@@ -864,6 +916,8 @@ def main() -> None:
         probe_epoch(spark)
     if "epoch30" in which:
         probe_epoch30(spark)
+    if "bpek" in which:
+        probe_bpe_k(spark)
 
 
 if __name__ == "__main__":
