@@ -54,6 +54,13 @@ _BPE_SCHEMA = (
 # and the batched distributed trainer is the fallback).
 _LOCAL_VOCAB_CEILING = 2_000_000
 
+# Hard ceiling on chained _bpe_merge_fold applications in ONE projection:
+# Spark's analyzer resolves one higher-order-function lambda level per
+# Resolution iteration and aborts at 100 ("Max iterations (100) reached
+# for batch Resolution" — measured round 12: depth 50 analyzes in 1.4s,
+# depth 100 throws). 64 leaves headroom for surrounding expressions.
+_FOLD_CHAIN_CAP = 64
+
 
 def _word_counts(spark: SparkSession, sf_dir: str, docs: "DataFrame | None"):
     """The shared corpus scan: whitespace tokenize -> distinct-word
@@ -190,7 +197,11 @@ def bpe_top_merges_batched(
             .collect()
         )
         rows = [row for row in rows if int(row["n"]) > 0]
-        batch = _safe_batch(rows, m)[: k - len(merges)]
+        # _FOLD_CHAIN_CAP: the analyzer resolves one HOF-lambda level per
+        # Resolution iteration, so a single projection supports only
+        # ~100 chained folds ("Max iterations (100) reached", measured
+        # round 12) — cap the per-round chain well under it
+        batch = _safe_batch(rows, m)[: min(k - len(merges), _FOLD_CHAIN_CAP)]
         if not batch:
             break
         # Collision cut (see _safe_batch docstring): one pushdown filter
@@ -588,3 +599,125 @@ GROUP BY canon_url
 HAVING count(*) > 1
 ORDER BY canon_url
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE application at production k (the fold chain's analyzer-cap escape)
+# ---------------------------------------------------------------------------
+
+
+def _encode_words(words, merges):
+    """Exact batch encode: apply the rank-ordered merge list to every
+    word, each merge once, non-overlapping left-to-right — identical
+    semantics to the chained ``_bpe_merge_fold`` projection — but with a
+    pair -> word-ids index over the batch so a merge whose pair appears
+    nowhere costs ONE dict lookup. Total work ~ O(batch chars + applied
+    merges + k lookups), independent of k x batch size. Returns a list
+    of token lists."""
+    syms = [list(w) for w in words]
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, s in enumerate(syms):
+        for p in zip(s, s[1:]):
+            pair_words.setdefault(p, set()).add(i)
+    for le, ri in merges:
+        ids = pair_words.pop((le, ri), None)
+        if not ids:
+            continue
+        for i in sorted(ids):
+            s = syms[i]
+            out, pend = [], None
+            for x in s:
+                if pend is None:
+                    pend = x
+                elif pend == le and x == ri:
+                    out.append(le + ri)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            syms[i] = out
+            for p in zip(out, out[1:]):
+                pair_words.setdefault(p, set()).add(i)
+    return syms
+
+
+def bpe_encode_stats_scaled(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    max_vocab_rows: int = _LOCAL_VOCAB_CEILING,
+) -> DataFrame:
+    """Tokenizer application at PRODUCTION k — the consumer-side twin of
+    ``round9.bpe_encode_stats`` with identical output (per-source
+    n_words / n_tokens / n_chars / n_distinct_tokens / fertility /
+    chars_per_token) that escapes the fold chain's analyzer ceiling:
+    chaining one ``_bpe_merge_fold`` per merge in a single projection
+    aborts at ~100 merges ("Max iterations (100) reached for batch
+    Resolution", the _FOLD_CHAIN_CAP finding), so a 32K-100K-merge
+    tokenizer can NEVER be applied that way.
+
+    Here the merge list (trained by ``bpe_top_merges_local`` — seconds
+    at any k) ships to executors inside an Arrow-batched ``pandas_udf``
+    closure (a few MB at 100K merges), and each batch is encoded with
+    the ``_encode_words`` pair-index so absent merges cost one dict
+    lookup — work per batch is O(chars + applied merges), independent
+    of k. Everything else keeps the committed factoring: the corpus
+    collapses to the (source, word) count grain FIRST (the shuffle
+    carries the per-source vocabulary, never the token stream), the UDF
+    runs on that bounded grain, and the same two aggregates follow.
+    Value-pinned equal to ``bpe_encode_stats`` at k=8/30 and to the
+    python oracle at corpus-exhaustion k (tests/test_round12_ops.py,
+    tools/lane_check.py)."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    from drug_target_discovery_spark.caching import scoped_cache
+    from drug_target_discovery_spark.functions.rounding import rnd
+
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_top_merges_local(
+            spark, sf_dir, k=k, max_vocab_rows=max_vocab_rows
+        ).collect()
+    ]
+
+    # no type hints: the module's `from __future__ import annotations`
+    # stringifies them and the pandas_udf hint parser rejects strings
+    @pandas_udf("array<string>")
+    def encode(words):
+        return pd.Series(_encode_words(words.tolist(), merges))
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    sw = (
+        docs.select("source", F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    enc = scoped_cache(sw.withColumn("toks", encode(F.col("w"))))
+    base = enc.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.size("toks")).cast("long").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_chars"),
+    )
+    dtoks = (
+        enc.select("source", F.explode("toks").alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").cast("long").alias("n_distinct_tokens"))
+    )
+    return (
+        base.join(dtoks, "source")
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            "n_distinct_tokens",
+            rnd(F.col("n_tokens") / F.col("n_words"), 6).alias("fertility"),
+            rnd(F.col("n_chars") / F.col("n_tokens"), 6).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )

@@ -665,7 +665,17 @@ def bpe_encode_stats(
     IEEE division each, rounded through ``rnd`` (order-independent).
 
     Tests-only lane; oracle = exact python recompute of train + encode
-    (tests/test_round9_ops.py), the bpe_top_merges evidence class."""
+    (tests/test_round9_ops.py), the bpe_top_merges evidence class.
+
+    K CEILING (round 12): the merge folds chain in ONE projection, and
+    the analyzer resolves one HOF-lambda level per Resolution iteration,
+    aborting at 100 ("Max iterations (100) reached") — so this form is
+    valid only for k below ~100 minus the surrounding expressions'
+    resolution passes (the committed evidence runs k<=30; measured:
+    depth 50 fine, depth 100 throws). For production tokenizers
+    (k = 32K-100K) use ``round12.bpe_encode_stats_scaled``: identical
+    output, merge list applied by an Arrow-batched pair-index encoder
+    whose per-batch work is independent of k."""
     from drug_target_discovery_spark.caching import scoped_cache
 
     merges = [

@@ -192,7 +192,81 @@ class TestBpeScaleForms:
             assert fn(spark, "", k=4, docs=docs).collect() == []
 
 
-class TestUrlCanonicalDedup:
+class TestBpeEncodeScaled:
+    @pytest.mark.parametrize("k", [8, 30])
+    def test_equals_fold_chain_form(self, spark, k):
+        """Identical output to round9.bpe_encode_stats wherever the fold
+        chain is still legal (k under the analyzer cap)."""
+        from drug_target_discovery_spark.queries.round9 import bpe_encode_stats
+        from drug_target_discovery_spark.queries.round12 import (
+            bpe_encode_stats_scaled,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        a = [tuple(r) for r in bpe_encode_stats(spark, sf, k=k).collect()]
+        b = [tuple(r) for r in bpe_encode_stats_scaled(spark, sf, k=k).collect()]
+        assert a == b and len(a) >= 1
+
+    def test_large_k_past_fold_cap(self, spark, tmp_path):
+        """k=300 with >100 learnable merges — the regime where the
+        fold-chain form aborts in the analyzer and only the scaled
+        encoder can apply the tokenizer — against the independent python
+        recompute. (The shipped synthetic corpus exhausts at 89 merges,
+        so this builds a numeric-words corpus rich enough to train past
+        the cap.)"""
+        from drug_target_discovery_spark.queries.round12 import (
+            bpe_encode_stats_scaled,
+        )
+        from tools.lane_check import _encode, _python_bpe, _rnd6
+
+        docs = [
+            (f"s{j}", " ".join(str(i) for i in range(j * 100, j * 100 + 100)))
+            for j in range(5)
+        ]
+        rows = [
+            (j, text, "en", src, len(text)) for j, (src, text) in enumerate(docs)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        rules = [
+            (le, ri) for _, le, ri, _, _ in _python_bpe([t for _, t in docs], 300)
+        ]
+        assert len(rules) > 100  # genuinely past the fold-chain cap
+        got = [
+            tuple(r)
+            for r in bpe_encode_stats_scaled(spark, str(tmp_path), k=300).collect()
+        ]
+        stats = {}
+        for source, t in docs:
+            for w in t.split():
+                if not w:
+                    continue
+                syms = _encode(w, rules)
+                s = stats.setdefault(source, [0, 0, 0, set()])
+                s[0] += 1
+                s[1] += len(syms)
+                s[2] += len(w)
+                s[3].update(syms)
+        exp = [
+            (src, nw, nt, nc, len(dt), _rnd6(nt / nw), _rnd6(nc / nt))
+            for src, (nw, nt, nc, dt) in sorted(stats.items())
+        ]
+        assert got == exp
+
+    def test_encode_words_index_semantics(self):
+        """_encode_words == per-word rank-order fold application on
+        adversarial words (created-pair reuse, destroyed-pair staleness,
+        overlap), including a merge whose pair only EXISTS because an
+        earlier merge created it."""
+        from drug_target_discovery_spark.queries.round12 import _encode_words
+        from tools.lane_check import _encode
+
+        merges = [("a", "b"), ("ab", "c"), ("c", "d"), ("ab", "cd"), ("x", "x")]
+        words = ["abc", "abcd", "xxxx", "cdab", "aabbcc", ""]
+        got = _encode_words(words, merges)
+        exp = [_encode(w, merges) for w in words]
+        assert got == exp
     SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
     @pytest.mark.parametrize("sf", SFS)

@@ -189,6 +189,12 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
     ),
     (
         "drug_target_discovery_spark.queries.round12",
+        "bpe_encode_stats_scaled",
+        "value-equal to the fold-chain form (k=8/30) + python train+encode recompute past the 100-fold analyzer cap (k=300 fixture)",
+        "tests/test_round12_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.queries.round12",
         "url_canonical_dedup",
         "prepared DuckDB oracle (exact, sf0.001/0.01) + canonicalization case table pinned char-for-char in BOTH engines + argmax/fuse pins",
         "tests/test_round12_ops.py",

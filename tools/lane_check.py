@@ -253,6 +253,36 @@ def check_bpe_merges_local(spark, k=200):
     )
 
 
+def check_bpe_encode_scaled(spark, k=60):
+    """Round-12 scale form: the Arrow-batched pair-index encoder (the
+    fold chain's analyzer-cap escape) vs the python train+encode
+    recompute at a k the committed fold form never reaches in one
+    projection chain."""
+    from drug_target_discovery_spark.queries.round12 import bpe_encode_stats_scaled
+
+    got = [tuple(r) for r in bpe_encode_stats_scaled(spark, SF, k=k).collect()]
+    docs = (
+        _con("documents").execute("SELECT source, text FROM documents").fetchall()
+    )
+    rules = [(le, ri) for _, le, ri, _, _ in _python_bpe([t for _, t in docs], k)]
+    stats = {}
+    for source, t in docs:
+        for w in t.split():
+            if not w:
+                continue
+            syms = _encode(w, rules)
+            s = stats.setdefault(source, [0, 0, 0, set()])
+            s[0] += 1
+            s[1] += len(syms)
+            s[2] += len(w)
+            s[3].update(syms)
+    exp = [
+        (src, nw, nt, nc, len(dt), _rnd6(nt / nw), _rnd6(nc / nt))
+        for src, (nw, nt, nc, dt) in sorted(stats.items())
+    ]
+    return got == exp and bool(got), f"{len(got)} sources at k={k} (pandas-UDF apply)"
+
+
 def check_url_dedup(spark):
     """Round-12 lane: URL canonicalization dedup vs the prepared DuckDB
     oracle (the CCNet first pass over the deterministic messy-URL
@@ -746,6 +776,7 @@ CHECKS = [
     ("bpe_top_merges_batched", check_bpe_merges_batched),
     ("bpe_top_merges_local", check_bpe_merges_local),
     ("bpe_encode_stats", check_bpe_encode),
+    ("bpe_encode_stats_scaled", check_bpe_encode_scaled),
     ("url_canonical_dedup", check_url_dedup),
     ("order_value_gini_by_nation_scalable", check_gini_twin),
     ("weighted_median_by_key", check_weighted_median),
