@@ -42,6 +42,7 @@ import heapq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
 from drug_target_discovery_spark.sources.tables import load_table
 
 _BPE_SCHEMA = (
@@ -373,6 +374,21 @@ _URL_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
 _URL_DOCID_PACK = 10**12
 
 
+def canonical_host_col(url):
+    """Spark Column: the canonical HOST of a raw URL (fragment and
+    scheme stripped, authority lowercased, leading ``www.`` and default
+    ports removed) — the domain key the CCNet-style per-domain rollup
+    groups on. Shared by ``canonical_url_col`` so the dedup and the
+    rollup can never disagree on the domain."""
+    u1 = F.regexp_replace(url, r"#.*$", "")
+    u2 = F.regexp_replace(u1, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostpath = F.split(u2, r"[?]", 2)[0]
+    host_raw = F.substring_index(hostpath, "/", 1)
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(host_raw), r"^www\.", ""), r":(80|443)$", ""
+    )
+
+
 def canonical_url_col(url):
     """Spark Column: the canonical form of a raw URL —
 
@@ -396,9 +412,7 @@ def canonical_url_col(url):
     q = F.when(F.size(parts) > 1, parts[1]).otherwise(F.lit(""))
     host_raw = F.substring_index(hostpath, "/", 1)
     path = hostpath.substr(F.length(host_raw) + 1, F.length(hostpath))
-    host = F.regexp_replace(
-        F.regexp_replace(F.lower(host_raw), r"^www\.", ""), r":(80|443)$", ""
-    )
+    host = canonical_host_col(url)
     path_c = F.regexp_replace(path, r"/$", "")
 
     def _kept(p):
@@ -457,6 +471,8 @@ _c4 AS (
 ),
 canon AS (
   SELECT *,
+         regexp_replace(regexp_replace(lower(_host_raw), '^www\\.', ''),
+                        ':(80|443)$', '') AS canon_host,
          regexp_replace(regexp_replace(lower(_host_raw), '^www\\.', ''),
                         ':(80|443)$', '')
          || regexp_replace(_path, '/$', '')
@@ -598,6 +614,124 @@ FROM packed
 GROUP BY canon_url
 HAVING count(*) > 1
 ORDER BY canon_url
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain-level quality rollup (the CCNet group-by-domain pass)
+# ---------------------------------------------------------------------------
+
+# Quality proxy threshold: docs under this many characters count as
+# low-quality for the rollup (the synthetic corpus spans 48-553 chars,
+# median ~306, so ~q25 gives real per-domain variation; production
+# callers substitute their model-based score and threshold).
+_DOMAIN_LOWQ_CHARS = 175
+# Flag rules: a domain is flagged when MORE THAN half its docs are
+# URL-duplicates or more than half are low-quality (strict >, checked
+# in integer arithmetic: 2 * n > total, never on a rounded float).
+_DOMAIN_FLAG_NUM, _DOMAIN_FLAG_DEN = 1, 2
+
+
+def domain_quality_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    docs: "DataFrame | None" = None,
+    min_chars: int = _DOMAIN_LOWQ_CHARS,
+) -> DataFrame:
+    """Per-DOMAIN corpus health rollup — the CCNet/common-crawl pass
+    run right after URL canonicalization: curation decisions (keep,
+    downsample, drop) are made per registered domain, because quality
+    and duplication are domain-correlated (one spam host poisons every
+    path under it). One row per canonical host:
+
+      domain             canonical_host_col of the doc's URL
+      n_docs             documents under the domain
+      n_canonical_urls   distinct canonical URLs (the dedup grain)
+      dup_url_share      1 - n_canonical_urls/n_docs, rounded
+      n_low_quality      docs with n_chars < min_chars
+      low_quality_share  rounded share
+      mean_chars         rounded mean document length
+      flagged            strict-majority rule on EITHER share, decided
+                         in integer arithmetic (2*n > total), so the
+                         flag can never flip on a float rounding edge
+
+    Scale shape: canonicalization is map-side codegen; ONE aggregate to
+    the (domain, canon_url) grain (map-side combined), then ONE to the
+    domain grain — output bounded by the registered-domain count, the
+    cheapest shape in the repo. ``docs`` defaults to the documents
+    table with the deterministic ``messy_url_col`` fixture; production
+    callers pass (doc_id, url, n_chars).
+
+    Tests-only lane; prepared oracle ``_DOMAIN_ROLLUP_ORACLE`` +
+    flag-rule edge pins (tests/test_round12_ops.py)."""
+    if docs is None:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars")
+            .withColumn("url", messy_url_col())
+        )
+    rows = docs.select(
+        canonical_host_col(F.col("url")).alias("domain"),
+        canonical_url_col(F.col("url")).alias("canon_url"),
+        F.col("n_chars"),
+    )
+    per_url = rows.groupBy("domain", "canon_url").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_chars") < min_chars).cast("long")).alias("n_lowq"),
+        F.sum("n_chars").alias("chars"),
+    )
+    den = F.lit(_DOMAIN_FLAG_DEN)
+    num = F.lit(_DOMAIN_FLAG_NUM)
+    g = per_url.groupBy("domain").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_canonical_urls"),
+        F.sum("n_lowq").alias("n_low_quality"),
+        F.sum("chars").alias("sum_chars"),
+    )
+    return g.select(
+        "domain",
+        "n_docs",
+        "n_canonical_urls",
+        rnd(
+            (F.col("n_docs") - F.col("n_canonical_urls")) / F.col("n_docs"), 6
+        ).alias("dup_url_share"),
+        "n_low_quality",
+        rnd(F.col("n_low_quality") / F.col("n_docs"), 6).alias(
+            "low_quality_share"
+        ),
+        rnd(F.col("sum_chars") / F.col("n_docs"), 6).alias("mean_chars"),
+        (
+            (den * (F.col("n_docs") - F.col("n_canonical_urls")) > num * F.col("n_docs"))
+            | (den * F.col("n_low_quality") > num * F.col("n_docs"))
+        ).alias("flagged"),
+    ).orderBy("domain")
+
+
+_DOMAIN_ROLLUP_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id, n_chars, {_MESSY_URL_DUCK} AS url FROM documents
+),
+{_CANON_URL_DUCK_CTES.format(src="raw")},
+per_url AS (
+  SELECT canon_host AS domain, canon_url,
+         count(*) AS n,
+         sum(CASE WHEN n_chars < {_DOMAIN_LOWQ_CHARS} THEN 1 ELSE 0 END) AS n_lowq,
+         sum(n_chars) AS chars
+  FROM canon GROUP BY canon_host, canon_url
+)
+SELECT domain,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       count(*) AS n_canonical_urls,
+       {rnd_sql("(sum(n) - count(*)) * 1.0 / sum(n)", 6)} AS dup_url_share,
+       CAST(sum(n_lowq) AS BIGINT) AS n_low_quality,
+       {rnd_sql("sum(n_lowq) * 1.0 / sum(n)", 6)} AS low_quality_share,
+       {rnd_sql("sum(chars) * 1.0 / sum(n)", 6)} AS mean_chars,
+       ({_DOMAIN_FLAG_DEN} * (sum(n) - count(*)) > {_DOMAIN_FLAG_NUM} * sum(n)
+        OR {_DOMAIN_FLAG_DEN} * sum(n_lowq) > {_DOMAIN_FLAG_NUM} * sum(n))
+         AS flagged
+FROM per_url
+GROUP BY domain
+ORDER BY domain
 """
 
 

@@ -267,6 +267,9 @@ class TestBpeEncodeScaled:
         got = _encode_words(words, merges)
         exp = [_encode(w, merges) for w in words]
         assert got == exp
+
+
+class TestUrlCanonicalDedup:
     SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
     @pytest.mark.parametrize("sf", SFS)
@@ -377,3 +380,68 @@ class TestBpeEncodeScaled:
         )
         with pytest.raises(Exception, match="quality-pack width"):
             url_canonical_dedup(spark, "", docs=docs).collect()
+
+
+class TestDomainQualityRollup:
+    SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_duckdb_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round12 import (
+            _DOMAIN_ROLLUP_ORACLE,
+            domain_quality_rollup,
+        )
+
+        got = [tuple(r) for r in domain_quality_rollup(spark, sf).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        exp = [tuple(r) for r in con.execute(_DOMAIN_ROLLUP_ORACLE).fetchall()]
+        assert got == exp
+        assert len(got) == 40  # the fixture's site0..site39 domains
+        for row in got:
+            # internal consistency: shares derive from the count columns
+            _, n_docs, n_canon, dup, n_lowq, lowq, _, flagged = row
+            assert 1 <= n_canon <= n_docs and 0 <= n_lowq <= n_docs
+            assert flagged == (
+                2 * (n_docs - n_canon) > n_docs or 2 * n_lowq > n_docs
+            )
+
+    def test_flag_rule_edges(self, spark):
+        """Strict-majority flag in integer arithmetic: exactly half
+        duplicated or low-quality does NOT flag; one past half does.
+        The domain key unifies scheme/www/case variants."""
+        from drug_target_discovery_spark.queries.round12 import (
+            domain_quality_rollup,
+        )
+
+        rows = [
+            # a.com: 4 docs, 2 canonical urls -> dup share exactly 1/2
+            # (no flag); 2 of 4 low-quality -> exactly 1/2 (no flag)
+            (1, "http://a.com/x", 50),
+            (2, "https://WWW.A.com/x/", 50),
+            (3, "http://a.com/y", 500),
+            (4, "http://a.com/y#f", 500),
+            # b.com: 3 docs, 1 canonical url -> dup share 2/3 (flag)
+            (5, "http://b.com/p", 500),
+            (6, "http://b.com/p/", 500),
+            (7, "HTTP://www.B.com/p", 500),
+            # c.com: 3 docs all distinct, 2 low-quality -> lowq 2/3 (flag)
+            (8, "http://c.com/1", 50),
+            (9, "http://c.com/2", 50),
+            (10, "http://c.com/3", 500),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+        got = {
+            r["domain"]: r for r in domain_quality_rollup(spark, "", docs=docs).collect()
+        }
+        assert set(got) == {"a.com", "b.com", "c.com"}
+        a, b, c = got["a.com"], got["b.com"], got["c.com"]
+        assert (a["n_docs"], a["n_canonical_urls"], a["n_low_quality"]) == (4, 2, 2)
+        assert not a["flagged"]  # both shares exactly 1/2: strict > holds neither
+        assert (b["n_docs"], b["n_canonical_urls"]) == (3, 1) and b["flagged"]
+        assert (c["n_docs"], c["n_low_quality"]) == (3, 2) and c["flagged"]

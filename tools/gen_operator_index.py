@@ -199,6 +199,12 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
         "prepared DuckDB oracle (exact, sf0.001/0.01) + canonicalization case table pinned char-for-char in BOTH engines + argmax/fuse pins",
         "tests/test_round12_ops.py",
     ),
+    (
+        "drug_target_discovery_spark.queries.round12",
+        "domain_quality_rollup",
+        "prepared DuckDB oracle (exact, sf0.001/0.01) + integer strict-majority flag-rule edge pins",
+        "tests/test_round12_ops.py",
+    ),
 )
 
 

@@ -297,6 +297,22 @@ def check_url_dedup(spark):
     return got == exp and bool(got), f"{len(got)} multi-doc canonical groups"
 
 
+def check_domain_rollup(spark):
+    """Round-12 lane: per-domain quality/duplication rollup (the CCNet
+    group-by-domain pass) vs the prepared DuckDB oracle."""
+    from drug_target_discovery_spark.queries.round12 import (
+        _DOMAIN_ROLLUP_ORACLE,
+        domain_quality_rollup,
+    )
+
+    got = [tuple(r) for r in domain_quality_rollup(spark, SF).collect()]
+    exp = [
+        tuple(r) for r in _con("documents").execute(_DOMAIN_ROLLUP_ORACLE).fetchall()
+    ]
+    n_flag = sum(1 for r in got if r[-1])
+    return got == exp and bool(got), f"{len(got)} domains, {n_flag} flagged"
+
+
 def check_bpe_encode(spark, k=8):
     from drug_target_discovery_spark.queries.round9 import bpe_encode_stats
 
@@ -778,6 +794,7 @@ CHECKS = [
     ("bpe_encode_stats", check_bpe_encode),
     ("bpe_encode_stats_scaled", check_bpe_encode_scaled),
     ("url_canonical_dedup", check_url_dedup),
+    ("domain_quality_rollup", check_domain_rollup),
     ("order_value_gini_by_nation_scalable", check_gini_twin),
     ("weighted_median_by_key", check_weighted_median),
     ("lpa_community_modularity", check_modularity),
