@@ -880,6 +880,37 @@ def probe_bpe_k(spark) -> None:
     print(_json.dumps(report), flush=True)
 
 
+def probe_url_family(spark, reps: int = 2) -> None:
+    """url_canonical_dedup + domain_quality_rollup at x1/x10 doc clones
+    (doc_id-shifted, so the derived messy URLs spread over the same 200
+    canonical URLs / 40 domains with 10x group depth). Expected ~flat:
+    both are map-side canonicalize + one/two map-side-combinable
+    aggregates to bounded grains — the cheapest shape in the repo."""
+    import json as _json
+
+    from drug_target_discovery_spark.queries.round12 import (
+        domain_quality_rollup,
+        url_canonical_dedup,
+    )
+
+    report = {"probe": "url_family", "loadavg1_start": _load1()}
+    d10 = build_documents(spark, 10, perturb=False)
+    for name, d in (("x1", BASE), ("x10", d10)):
+        for op, fn in (
+            ("url", url_canonical_dedup),
+            ("domain", domain_quality_rollup),
+        ):
+            runs = [_timed(lambda d=d, fn=fn: fn(spark, d)) for _ in range(reps)]
+            report[f"{op}_{name}_s"] = min(runs)
+            report[f"{op}_{name}_runs"] = runs
+    report["url_x10_factor"] = round(report["url_x10_s"] / report["url_x1_s"], 2)
+    report["domain_x10_factor"] = round(
+        report["domain_x10_s"] / report["domain_x1_s"], 2
+    )
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
 def main() -> None:
     which = set(sys.argv[1:]) or {"fano", "gini"}
     spark = get_spark("round9_probe")
@@ -918,6 +949,8 @@ def main() -> None:
         probe_epoch30(spark)
     if "bpek" in which:
         probe_bpe_k(spark)
+    if "urlx10" in which:
+        probe_url_family(spark)
 
 
 if __name__ == "__main__":
