@@ -149,6 +149,131 @@ class TestBpeScaleForms:
         assert bat == exp, f"{label}: batched != python oracle"
         assert loc == exp, f"{label}: local != python oracle"
 
+    def test_safe_batch_rule_hypothesis(self):
+        """Property-based verification of the _safe_batch exactness
+        argument WITHOUT Spark: a pure-python driver-loop simulator that
+        reuses the ENGINE's _safe_batch (and the collision-cut rule,
+        mirrored exactly) must reproduce naive sequential BPE on
+        hundreds of random corpora. m is drawn SMALL (down to 2) to
+        stress the top-M truncation bound n_m, and the alphabet is tiny
+        so ties, overlaps (l==r), and token collisions are dense."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from drug_target_discovery_spark.queries.round12 import _safe_batch
+        from tools.lane_check import _python_bpe
+
+        class _Row(dict):  # _safe_batch reads rows like pyspark Rows
+            def __getitem__(self, k):
+                return dict.__getitem__(self, k)
+
+        def batched_sim(texts, k, m):
+            """The Spark driver loop, word-count-table semantics, in
+            pure python: per round one full pair count, top-M rank
+            collect, _safe_batch, collision cut against the CURRENT
+            vocab symbols, then apply the batch in order."""
+            from collections import Counter
+
+            words = Counter()
+            for t in texts:
+                for w in t.split():
+                    if w:
+                        words[w] += 1
+            vocab = {w: list(w) for w in words}
+
+            def apply_one(syms, le, ri):
+                out, pend = [], None
+                for x in syms:
+                    if pend is None:
+                        pend = x
+                    elif pend == le and x == ri:
+                        out.append(le + ri)
+                        pend = None
+                    else:
+                        out.append(pend)
+                        pend = x
+                if pend is not None:
+                    out.append(pend)
+                return out
+
+            merges = []
+            while len(merges) < k:
+                pc = Counter()
+                for w, syms in vocab.items():
+                    for p in zip(syms, syms[1:]):
+                        pc[p] += words[w]
+                rows = [
+                    _Row(l=l, r=r, n=n)
+                    for (l, r), n in sorted(
+                        pc.items(), key=lambda kv: (-kv[1], kv[0])
+                    )[:m]
+                    if n > 0
+                ]
+                batch = _safe_batch(rows, m)[: k - len(merges)]
+                if not batch:
+                    break
+                symbols = {s for syms in vocab.values() for s in syms}
+                colliding = {l + r for (l, r, _) in batch} & symbols
+                if colliding:
+                    cut = next(
+                        i for i, (l, r, _) in enumerate(batch) if l + r in colliding
+                    )
+                    batch = batch[: cut + 1]
+                base = len(merges)
+                merges.extend(
+                    (base + i + 1, l, r, l + r, n)
+                    for i, (l, r, n) in enumerate(batch)
+                )
+                for l, r, _ in batch:
+                    for w in vocab:
+                        vocab[w] = apply_one(vocab[w], l, r)
+            return merges
+
+        word = st.text(alphabet="ab", min_size=1, max_size=6)
+        corpus = st.lists(
+            st.lists(word, min_size=1, max_size=6).map(" ".join),
+            min_size=1,
+            max_size=5,
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(texts=corpus, k=st.integers(1, 15), m=st.integers(2, 8))
+        def check(texts, k, m):
+            assert batched_sim(texts, k, m) == _python_bpe(texts, k)[:k]
+
+        check()
+
+    def test_local_bpe_hypothesis(self):
+        """_local_bpe (the incremental-heap trainer core) vs the naive
+        recompute, pure python, dense tie/overlap space."""
+        from collections import Counter
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from drug_target_discovery_spark.queries.round12 import _local_bpe
+        from tools.lane_check import _python_bpe
+
+        word = st.text(alphabet="abc", min_size=1, max_size=7)
+        corpus = st.lists(
+            st.lists(word, min_size=1, max_size=8).map(" ".join),
+            min_size=1,
+            max_size=6,
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(texts=corpus, k=st.integers(1, 20))
+        def check(texts, k):
+            words = Counter()
+            for t in texts:
+                for w in t.split():
+                    if w:
+                        words[w] += 1
+            got = _local_bpe(sorted(words.items()), k)
+            assert got == _python_bpe(texts, k)
+
+        check()
+
     def test_local_vocab_ceiling_valve(self, spark):
         """Over the distinct-word ceiling the local trainer must refuse
         (the collect is the wrong tool) and name the distributed
