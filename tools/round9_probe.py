@@ -880,6 +880,33 @@ def probe_bpe_k(spark) -> None:
     print(_json.dumps(report), flush=True)
 
 
+def probe_bpe_apply(spark, reps: int = 2) -> None:
+    """bpe_encode_stats_scaled (the pandas-UDF production apply path) at
+    x1/x10 perturbed docs, k=100: corpus AND vocabulary grow 10x.
+    Expected ~linear-to-flat: the UDF runs on the (source, word) count
+    grain (vocabulary-sized, 10x here), the corpus-sized work is one
+    tokenize scan, and per-batch work is independent of k."""
+    import json as _json
+
+    from drug_target_discovery_spark.queries.round12 import (
+        bpe_encode_stats_scaled,
+    )
+
+    report = {"probe": "bpe_apply_scaled", "loadavg1_start": _load1()}
+    d10 = build_documents(spark, 10, perturb=True)
+    for name, d in (("x1", BASE), ("x10", d10)):
+        runs = [
+            _timed(lambda d=d: bpe_encode_stats_scaled(spark, d, k=100))
+            for _ in range(reps)
+        ]
+        report[f"{name}_s"] = min(runs)
+        report[f"{name}_runs"] = runs
+        report[f"{name}_load1"] = _load1()
+    report["x10_factor"] = round(report["x10_s"] / report["x1_s"], 2)
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
 def probe_url_family(spark, reps: int = 2) -> None:
     """url_canonical_dedup + domain_quality_rollup at x1/x10 doc clones
     (doc_id-shifted, so the derived messy URLs spread over the same 200
@@ -951,6 +978,8 @@ def main() -> None:
         probe_bpe_k(spark)
     if "urlx10" in which:
         probe_url_family(spark)
+    if "bpeapply" in which:
+        probe_bpe_apply(spark)
 
 
 if __name__ == "__main__":
