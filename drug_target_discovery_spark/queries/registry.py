@@ -45,12 +45,13 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-visit priority. The driver's correctness gate walks the queries()
 # dict in insertion order and stops at 50 entries per round, so coverage is a
-# rotation problem (VERDICT r3 #1). Round 12's 50 is exactly the plan written
-# at r11 close (and VERDICT r11 #1): the 49-query r8-evidence cohort (hits
-# the age-4 ceiling after r12 — includes bh_fdr_adjust/bh_fdr_scalable_adjust,
-# welch_t_by_part, betweenness/eigenvector centrality, the embedding/GEMM and
-# media tiers, duplicate_span_detection, leakage_safe_splits) +
-# auc_by_cohort (the stalest r9-cohort query) in slot 50.
+# rotation problem (VERDICT r3 #1). Round 13's 50 is exactly the plan written
+# at r12 close (and VERDICT r12 #1): the 49-query r9-evidence cohort (hits
+# the age-4 ceiling after r13 — includes the as-of/SCD2/funnel tier,
+# kaplan-meier-free round-7 family members refreshed at r9, cusum-free
+# seasonality twins, kmeans_lloyd_clusters, the session-window pair,
+# simhash/winnowing fingerprints, curation_end_to_end) + ann_recall_eval
+# (the stalest r10-cohort query) in slot 50.
 # ZERO registrations this round: the registry stays at 199/200 under the
 # freeze, so _GATE_PLAN_CHANGED is empty.
 # _PRIORITY_GATE must hold exactly _GATE_WINDOW names; a unit test pins the
@@ -118,112 +119,9 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _GATE_WINDOW = 50
 
 _PRIORITY_GATE: tuple[str, ...] = (
-    # The full r8-evidence cohort (49) — the oldest driver evidence in the
-    # repo (age 4 at the r12 gate, the staleness ceiling).
-    "order_value_gini_by_nation",
-    "hapax_ttr_by_source",
-    "approx_distinct_parts",
-    "approx_quantile_sketch_bounded",
-    "asof_view_before_purchase",
-    "betweenness_centrality_corr_graph",
-    "bh_fdr_adjust",
-    "bh_fdr_scalable_adjust",
-    "bloom_filter_dedup_probe",
-    "bm25_keyword_search",
-    "centroid_assignment",
-    "clustering_coefficient_corr_graph",
-    "connected_components_near_dups",
-    "conversion_funnel",
-    "cosine_topk_bruteforce",
-    "curation_pipeline_summary",
-    "customer_cohort_set_ops",
-    "data_quality_checks",
-    "dedup_against_reference",
-    "duplicate_span_detection",
-    "eigenvector_centrality_corr_graph",
-    "embedding_cosine_near_dups",
-    "embedding_covariance",
-    "embedding_pca_variance_explained",
-    "fuzzy_part_name_matches",
-    "gopher_quality_flags",
-    "heavy_hitter_tokens",
-    "json_props_extract",
-    "leakage_safe_splits",
-    "lineitem_measures_unpivot",
-    "mann_whitney_u_by_part",
-    "media_feature_extraction",
-    "media_frame_sample",
-    "media_resize_shapes",
-    "media_video_decode_stats",
-    "median_impute",
-    "median_quantity_by_part",
-    "moving_avg_daily_revenue",
-    "network_target_scores",
-    "normalized_dedup_groups",
-    "price_percentiles_by_brand",
-    "quantile_normalize_by_supplier",
-    "robust_zscore_by_part",
-    "scd2_user_value_history",
-    "spearman_edges_top_parts",
-    "unigram_logprob_quality",
-    "view_purchase_attribution",
-    "weighted_systematic_sample",
-    "welch_t_by_part",
-    # Slot 50: the stalest r9-cohort query, pulled one round early (no
-    # plan-changed re-gate materialized this round).
-    "auc_by_cohort",
-)
-
-# Gate members whose slot is justified by a NEW or CHANGED plan rather than
-# evidence staleness. tests/test_registry_rotation.py exempts these from the
-# stalest-first ordering check (their evidence, if any, is legitimately
-# fresh) — every other gate member must be at least as stale as everything
-# left outside the gate. Round 12 has ZERO registrations and zero
-# plan-changed re-gates (the registration freeze at 199 holds; all new r12
-# operator work lands in the tests-only lane per capacity-policy rule 3).
-_GATE_PLAN_CHANGED: tuple[str, ...] = ()
-
-# Slots 51+: refresh order for queries that already hold a green driver row
-# — oldest evidence first. After the r12 gate runs, the r9 cohort (49 names
-# below, auc_by_cohort already refreshed in slot 50 above) is the oldest
-# evidence in the repo and heads the round-13 gate (age hits the 4-round
-# ceiling after r13); the r10 and r11 cohorts follow.
-#
-# Round-13 gate plan (written at r12 close): the r13 gate is the 49-query
-# r9 cohort (every name in the first block below) + 1 headroom slot:
-#   slot 50 — the stalest r10-cohort query (ann_recall_eval, first name in
-#     the r10 block below), pulled one round early; if a plan-changed
-#     re-gate materializes in r13 it takes this slot instead.
-# ZERO registrations in r13: the registry is at its 199 freeze; any new
-# registration requires the one-in-one-out delist recorded in the CAPACITY
-# POLICY above.
-#
-# ONE-IN-ONE-OUT DECISION (2026-08-15, VERDICT r9 #6): the tests-only lane
-# operators (exact_substring_dup_stats, ivf_index_refresh_audit,
-# lpa_community_modularity, bpe_top_merges, the gini scalable twin) STAY in
-# the lane permanently; the shortlisted delists (simhash_fingerprints,
-# minhash_signatures) are NOT executed.
-# (2026-08-16 addendum: the round-10 lane additions — cross-source overlap
-# matrix, bigram-LM quality filter, PQ / IVF-PQ ADC recall, Hilbert-vs-
-# Z-order layout, temperature mixture sampling, split-conformal intervals,
-# plus the earlier bpe_encode_stats / ivf_drift_retrain /
-# deterministic_epoch_shuffle — all enter under rule 3 with zero gate
-# slots; the lane gate is one command, tools/lane_check.py, runnable at
-# any scale factor, so the lane's evidence is reproducible without
-# trusting pytest internals.) Rationale: the driver-hash row a
-# swap would buy duplicates evidence the lane already has — each lane
-# operator's pytest oracle cross-check runs the SAME comparison (DuckDB
-# SQL, sorted-column hash, sf0.01) the driver runs — while the delisted
-# queries would LOSE their driver rows outright, and both shortlist members
-# exercise a distinct registered surface (the raw fingerprint/signature
-# tables feed downstream joins users run directly). Net evidence of a swap
-# is negative. Revisit only if a lane operator's plan changes in a way
-# pytest cannot gate (e.g. a nondeterministic form needing the driver's
-# rows-only lane).
-_PRIORITY_REST: tuple[str, ...] = (
-    # r9-green refreshes (round-13 gate head; the round-9 gate was the full
-    # 50-query r5 cohort, refreshed at r9; auc_by_cohort moved to the r12
-    # gate's slot 50)
+    # The full r9-evidence cohort (49) — the oldest driver evidence in the
+    # repo (age 4 at the r13 gate, the staleness ceiling; auc_by_cohort,
+    # the cohort's 50th member, was already refreshed in r12's slot 50).
     "bigram_pmi_collocations",
     "boilerplate_ngram_stats",
     "chi2_status_priority",
@@ -273,10 +171,62 @@ _PRIORITY_REST: tuple[str, ...] = (
     "winsorized_price_stats",
     "zorder_file_layout",
     "zscore_by_part",
-    # r10-green refreshes (the round-10 gate: the 47-query r6 cohort + the
-    # two r10 registrations + kaplan_meier in slot 50; ann_recall_eval heads
-    # this block — it is the round-13 gate's slot-50 pull)
+    # Slot 50: the stalest r10-cohort query, pulled one round early (no
+    # plan-changed re-gate materialized this round).
     "ann_recall_eval",
+)
+
+# Gate members whose slot is justified by a NEW or CHANGED plan rather than
+# evidence staleness. tests/test_registry_rotation.py exempts these from the
+# stalest-first ordering check (their evidence, if any, is legitimately
+# fresh) — every other gate member must be at least as stale as everything
+# left outside the gate. Round 13 has ZERO registrations and zero
+# plan-changed re-gates (the registration freeze at 199 holds; all new r13
+# operator work lands in the tests-only lane per capacity-policy rule 3).
+_GATE_PLAN_CHANGED: tuple[str, ...] = ()
+
+# Slots 51+: refresh order for queries that already hold a green driver row
+# — oldest evidence first. After the r13 gate runs, the 49 remaining
+# r10-cohort queries (first block below; ann_recall_eval already refreshed
+# in slot 50 above) are the oldest evidence in the repo and head the
+# round-14 gate (age hits the 4-round ceiling after r14); the r11 and r12
+# cohorts follow.
+#
+# Round-14 gate plan (written at r13 close): the r14 gate is the 49-query
+# r10 cohort (every name in the first block below) + 1 headroom slot:
+#   slot 50 — the stalest r11-cohort query (cusum_changepoint_daily_revenue,
+#     first name in the r11 block below), pulled one round early; if a
+#     plan-changed re-gate materializes in r14 it takes this slot instead.
+# ZERO registrations in r14: the registry is at its 199 freeze; any new
+# registration requires the one-in-one-out delist recorded in the CAPACITY
+# POLICY above.
+#
+# ONE-IN-ONE-OUT DECISION (2026-08-15, VERDICT r9 #6): the tests-only lane
+# operators (exact_substring_dup_stats, ivf_index_refresh_audit,
+# lpa_community_modularity, bpe_top_merges, the gini scalable twin) STAY in
+# the lane permanently; the shortlisted delists (simhash_fingerprints,
+# minhash_signatures) are NOT executed.
+# (2026-08-16 addendum: the round-10 lane additions — cross-source overlap
+# matrix, bigram-LM quality filter, PQ / IVF-PQ ADC recall, Hilbert-vs-
+# Z-order layout, temperature mixture sampling, split-conformal intervals,
+# plus the earlier bpe_encode_stats / ivf_drift_retrain /
+# deterministic_epoch_shuffle — all enter under rule 3 with zero gate
+# slots; the lane gate is one command, tools/lane_check.py, runnable at
+# any scale factor, so the lane's evidence is reproducible without
+# trusting pytest internals.) Rationale: the driver-hash row a
+# swap would buy duplicates evidence the lane already has — each lane
+# operator's pytest oracle cross-check runs the SAME comparison (DuckDB
+# SQL, sorted-column hash, sf0.01) the driver runs — while the delisted
+# queries would LOSE their driver rows outright, and both shortlist members
+# exercise a distinct registered surface (the raw fingerprint/signature
+# tables feed downstream joins users run directly). Net evidence of a swap
+# is negative. Revisit only if a lane operator's plan changes in a way
+# pytest cannot gate (e.g. a nondeterministic form needing the driver's
+# rows-only lane).
+_PRIORITY_REST: tuple[str, ...] = (
+    # r10-green refreshes (round-14 gate head; the round-10 gate was the
+    # 47-query r6 cohort + the two r10 registrations + kaplan_meier in slot
+    # 50; ann_recall_eval moved to the r13 gate's slot 50)
     "benford_first_digit_check",
     "calendar_gap_fill_revenue",
     "calibration_curve_bins",
@@ -327,8 +277,8 @@ _PRIORITY_REST: tuple[str, ...] = (
     "label_propagation_communities",
     "kaplan_meier_customer_gaps",
     # r11-green refreshes (the round-11 gate: the 49-query r7 cohort +
-    # price_band_lookup_binned in slot 50 — the freshest evidence in the
-    # repo)
+    # price_band_lookup_binned in slot 50; cusum_changepoint_daily_revenue
+    # heads this block — it is the round-14 gate's slot-50 pull)
     "cusum_changepoint_daily_revenue",
     "basket_brand_lift",
     "minhash_jaccard_estimate_error",
@@ -379,11 +329,63 @@ _PRIORITY_REST: tuple[str, ...] = (
     "small_lot_revenue",
     "source_lang_entropy",
     "price_band_lookup_binned",
+    # r12-green refreshes (the round-12 gate: the 49-query r8 cohort +
+    # auc_by_cohort in slot 50 — the freshest evidence in the repo)
+    "order_value_gini_by_nation",
+    "hapax_ttr_by_source",
+    "approx_distinct_parts",
+    "approx_quantile_sketch_bounded",
+    "asof_view_before_purchase",
+    "betweenness_centrality_corr_graph",
+    "bh_fdr_adjust",
+    "bh_fdr_scalable_adjust",
+    "bloom_filter_dedup_probe",
+    "bm25_keyword_search",
+    "centroid_assignment",
+    "clustering_coefficient_corr_graph",
+    "connected_components_near_dups",
+    "conversion_funnel",
+    "cosine_topk_bruteforce",
+    "curation_pipeline_summary",
+    "customer_cohort_set_ops",
+    "data_quality_checks",
+    "dedup_against_reference",
+    "duplicate_span_detection",
+    "eigenvector_centrality_corr_graph",
+    "embedding_cosine_near_dups",
+    "embedding_covariance",
+    "embedding_pca_variance_explained",
+    "fuzzy_part_name_matches",
+    "gopher_quality_flags",
+    "heavy_hitter_tokens",
+    "json_props_extract",
+    "leakage_safe_splits",
+    "lineitem_measures_unpivot",
+    "mann_whitney_u_by_part",
+    "media_feature_extraction",
+    "media_frame_sample",
+    "media_resize_shapes",
+    "media_video_decode_stats",
+    "median_impute",
+    "median_quantity_by_part",
+    "moving_avg_daily_revenue",
+    "network_target_scores",
+    "normalized_dedup_groups",
+    "price_percentiles_by_brand",
+    "quantile_normalize_by_supplier",
+    "robust_zscore_by_part",
+    "scd2_user_value_history",
+    "spearman_edges_top_parts",
+    "unigram_logprob_quality",
+    "view_purchase_attribution",
+    "weighted_systematic_sample",
+    "welch_t_by_part",
+    "auc_by_cohort",
 )
 
-# (The r11-close "round-12 gate plan" comment was executed this round — the
-# r8 cohort moved into _PRIORITY_GATE, auc_by_cohort in slot 50, zero
-# registrations — and is superseded by the round-13 plan comment above
+# (The r12-close "round-13 gate plan" comment was executed this round — the
+# r9 cohort moved into _PRIORITY_GATE, ann_recall_eval in slot 50, zero
+# registrations — and is superseded by the round-14 plan comment above
 # _PRIORITY_REST.)
 _PRIORITY: tuple[str, ...] = _PRIORITY_GATE + _PRIORITY_REST
 
