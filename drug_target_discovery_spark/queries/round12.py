@@ -111,19 +111,32 @@ def _safe_batch(rows, m: int):
     symbol's pair counts, which S (a bound on decreases/creations) does
     not cover — is handled by the caller, which cuts the batch after the
     first take whose merged token collides (checked against the live
-    vocab in one filter job)."""
+    vocab in one filter job).
+
+    DUAL-CREATOR cut (ADVICE r12, closing a proof gap): two
+    symbol-DISJOINT taken pairs can still create the SAME merged token
+    string — e.g. ('aa','b') and ('a','ab') both create 'aab' — and a
+    pair involving that token then accumulates counts from BOTH
+    creations, so its post-batch count is bounded by the SUM of two
+    sharer bounds while S only takes the max. 60k-corpus fuzzing plus a
+    70k-trial reachability search never produced a reachable instance,
+    but the bound argument alone doesn't exclude it, so the batch ENDS
+    (mirroring the existing cuts) when a candidate's merged token equals
+    an earlier taken member's merged token."""
     if not rows:
         return []
     n_m = int(rows[-1]["n"]) if len(rows) >= m else 0
     taken: list[tuple[str, str, int]] = []
     used: set[str] = set()
+    merged_taken: set[str] = set()
     bound = 0
     for row in rows:
         l, r, n = row["l"], row["r"], int(row["n"])
         if taken:
-            if n <= bound or l in used or r in used:
+            if n <= bound or l in used or r in used or (l + r) in merged_taken:
                 break
         taken.append((l, r, n))
+        merged_taken.add(l + r)
         sharer = max(
             (
                 int(rr["n"])
@@ -169,7 +182,18 @@ def bpe_top_merges_batched(
     ``stats`` (probe instrumentation): when a dict is passed, it is
     filled with ``rounds`` (driver rounds used) and ``batch_sizes`` (the
     per-round merge counts) — how tools/round9_probe.py's bpek probe
-    reads the batching efficiency without touching the result plan."""
+    reads the batching efficiency without touching the result plan.
+
+    ACCEPTED COST (2026-08-16, VERDICT r12 #7): the per-round
+    symbol-collision scan is a SECOND full-vocab job (explode + isin +
+    distinct) on top of the pair-count aggregate. It could ride the
+    pair-count aggregate or be maintained incrementally on the driver
+    (the live symbol set changes only by applied merges), but the
+    batched form is the above-2M-distinct-words FALLBACK, not the hot
+    path (under the ceiling ``bpe_top_merges_local`` trains k=1000 in
+    ~0.5s), and the scan is vocabulary-grain like everything else in
+    the round — so the fold is deliberately NOT done until a probe
+    makes this form hot."""
     from drug_target_discovery_spark.caching import track
     from drug_target_discovery_spark.queries.round9 import _bpe_merge_fold
 
@@ -238,7 +262,13 @@ def bpe_top_merges_batched(
         new_vocab = vocab.select(col.alias("syms"), "cnt").localCheckpoint(
             eager=True
         )
-        vocab.unpersist()
+        if base == 0:  # first round: the base generation is the only
+            vocab.unpersist()  # cache()d one — release it explicitly
+        # Later generations are localCheckpoint-ed, NOT in the
+        # CacheManager — unpersist() would be a silent no-op (ADVICE
+        # r12). Rebinding drops the last reference; ContextCleaner frees
+        # the superseded checkpoint blocks at GC, and MEMORY_AND_DISK
+        # eviction bounds the interim footprint.
         vocab = new_vocab
     track(vocab)
     if stats is not None:
@@ -344,15 +374,25 @@ def bpe_top_merges_local(
     ``bpe_top_merges_batched`` is the documented distributed fallback.
     Value-equal to ``round9.bpe_top_merges`` (pinned at k up to 1000
     against the independent python oracle in tests/test_round12_ops.py
-    and tools/lane_check.py)."""
-    words = _word_counts(spark, sf_dir, docs)
-    rows = words.limit(max_vocab_rows + 1).collect()
-    if len(rows) > max_vocab_rows:
-        raise ValueError(
-            f"bpe_top_merges_local: corpus holds > {max_vocab_rows} distinct "
-            "words — over the driver-collect ceiling; use "
-            "bpe_top_merges_batched (distributed) instead"
-        )
+    and tools/lane_check.py).
+
+    CHEAP-FAIL ceiling (VERDICT r12 #5): the gate is a one-long
+    ``count()`` over ``LIMIT ceiling+1`` — the over-ceiling path raises
+    after shipping ONE row to the driver, never the ~2M (word, count)
+    rows the old limit+collect gate transferred just to raise. The
+    happy path then collects from the cached aggregate (one corpus
+    scan total, released before returning)."""
+    words = _word_counts(spark, sf_dir, docs).cache()
+    try:
+        if words.limit(max_vocab_rows + 1).count() > max_vocab_rows:
+            raise ValueError(
+                f"bpe_top_merges_local: corpus holds > {max_vocab_rows} "
+                "distinct words — over the driver-collect ceiling; use "
+                "bpe_top_merges_batched (distributed) instead"
+            )
+        rows = words.collect()
+    finally:
+        words.unpersist()
     # deterministic driver-side order (collect order is partition-luck)
     word_counts = sorted((r["w"], int(r["cnt"])) for r in rows)
     merges = _local_bpe(word_counts, k)
@@ -487,8 +527,13 @@ def messy_url_col():
     doc_id arithmetic — scheme/case/www/port/param-order/tracking/
     fragment variation, identical expression in ``_MESSY_URL_DUCK``).
     Collision structure: the canonical form depends only on
-    (doc_id % 40, doc_id % 25) -> 200 canonical URLs, so every scale
-    factor produces multi-document groups whose raw forms differ."""
+    (doc_id % 40, path number), where the path number is doc_id % 25 for
+    domains site1..site39 (-> 195 canonical URLs, so every scale factor
+    produces multi-document groups whose raw forms differ) but doc_id
+    ITSELF for domain site0 — site0's docs are all canonical singletons,
+    so the domain rollup's committed artifact exhibits BOTH flag states
+    (VERDICT r12 #6: the previous fixture flagged all 40 domains at
+    every SF, so the artifact never discriminated)."""
     d = F.col("doc_id")
     scheme = (
         F.when(d % 3 == 0, F.lit("http://"))
@@ -501,7 +546,7 @@ def messy_url_col():
     port = F.when(d % 7 == 0, F.lit(":80")).otherwise(F.lit(""))
     path = F.concat(
         F.lit("/Docs/"),
-        (d % 25).cast("string"),
+        F.when(d % 40 == 0, d).otherwise(d % 25).cast("string"),
         F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
     )
     q = F.when(d % 2 == 0, F.lit("?a=1&b=2")).otherwise(F.lit("?b=2&a=1"))
@@ -517,7 +562,8 @@ _MESSY_URL_DUCK = """
      || 'site' || CAST(doc_id % 40 AS VARCHAR)
      || CASE WHEN doc_id % 5 = 0 THEN '.COM' ELSE '.com' END
      || CASE WHEN doc_id % 7 = 0 THEN ':80' ELSE '' END
-     || '/Docs/' || CAST(doc_id % 25 AS VARCHAR)
+     || '/Docs/' || CAST(CASE WHEN doc_id % 40 = 0 THEN doc_id
+                              ELSE doc_id % 25 END AS VARCHAR)
      || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
      || CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '?b=2&a=1' END
      || CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END

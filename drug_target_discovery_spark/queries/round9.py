@@ -618,7 +618,13 @@ def bpe_top_merges(
         new_vocab = vocab.select(merged.alias("syms"), "cnt").localCheckpoint(
             eager=True
         )
-        vocab.unpersist()
+        if rank == 1:  # the base generation is the only cache()d one
+            vocab.unpersist()
+        # Later generations are localCheckpoint-ed, NOT in the
+        # CacheManager — unpersist() would be a silent no-op (ADVICE
+        # r12). Rebinding drops the last reference; ContextCleaner frees
+        # the superseded checkpoint blocks at GC, and MEMORY_AND_DISK
+        # eviction bounds the interim footprint.
         vocab = new_vocab
     track(vocab)  # surviving generation, released by the harness loop
     if not merges:

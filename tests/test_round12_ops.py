@@ -274,17 +274,44 @@ class TestBpeScaleForms:
 
         check()
 
-    def test_local_vocab_ceiling_valve(self, spark):
+    def test_local_vocab_ceiling_valve(self, spark, monkeypatch):
         """Over the distinct-word ceiling the local trainer must refuse
         (the collect is the wrong tool) and name the distributed
-        fallback."""
+        fallback — WITHOUT shipping the vocabulary to the driver first
+        (VERDICT r12 #5: the gate is a one-long count(), so collect()
+        must never run on the over-ceiling path)."""
+        from pyspark.sql import DataFrame
+
         from drug_target_discovery_spark.queries.round12 import (
             bpe_top_merges_local,
         )
 
+        collects = []
+        real_collect = DataFrame.collect
+        monkeypatch.setattr(
+            DataFrame,
+            "collect",
+            lambda self: collects.append(1) or real_collect(self),
+        )
         docs = _docs_df(spark, ["aa bb cc dd ee"])
         with pytest.raises(ValueError, match="bpe_top_merges_batched"):
             bpe_top_merges_local(spark, "", k=3, docs=docs, max_vocab_rows=2)
+        assert collects == [], "over-ceiling path must not run collect()"
+
+    def test_safe_batch_dual_creator_cut(self):
+        """ADVICE r12 proof-gap regression: two symbol-disjoint pairs
+        creating the SAME merged token string ('aa'+'b' and 'a'+'ab'
+        both create 'aab') must NOT share a batch — the created pairs'
+        counts could sum across the two creations, under-bounded by the
+        max-based S. The batch must end before the second creator."""
+        from drug_target_discovery_spark.queries.round12 import _safe_batch
+
+        rows = [
+            {"l": "aa", "r": "b", "n": 100},
+            {"l": "a", "r": "ab", "n": 90},
+            {"l": "x", "r": "y", "n": 50},
+        ]
+        assert _safe_batch(rows, m=1024) == [("aa", "b", 100)]
 
     def test_empty_corpus(self, spark):
         from drug_target_discovery_spark.queries.round12 import (

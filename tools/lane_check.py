@@ -216,7 +216,10 @@ def check_bpe_merges(spark, k=8):
 def check_bpe_merges_batched(spark, k=40):
     """Round-12 scale form: exact batched training (j merges per driver
     round) must equal the python oracle at a k large enough to span
-    many rounds; the stats hook pins that batching actually happened."""
+    many rounds. PASS gates on VALUE EQUALITY ONLY (ADVICE r12: a
+    tie-saturated corpus legitimately degenerates to ~1 merge/round, and
+    the lane contract is runnable-at-any-SF); batching efficiency is
+    reported in the detail string for the probe log to read."""
     from drug_target_discovery_spark.queries.round12 import bpe_top_merges_batched
 
     stats = {}
@@ -231,10 +234,13 @@ def check_bpe_merges_batched(spark, k=40):
     exp = _python_bpe(texts, k)
     # the corpus may EXHAUST before k merges (every word fully fused —
     # sf0.01's synthetic vocabulary runs dry at 89); equality with the
-    # oracle is the check, and batching evidence = fewer rounds than
-    # merges learned
-    ok = got == exp and bool(got) and 1 <= stats["rounds"] < max(2, len(got))
-    return ok, f"{len(got)} merges (k={k}) in {stats.get('rounds')} driver rounds"
+    # oracle is the ONLY gate
+    ok = got == exp and bool(got)
+    batched = stats.get("rounds", 0) < max(2, len(got))
+    return ok, (
+        f"{len(got)} merges (k={k}) in {stats.get('rounds')} driver rounds"
+        f" (batching {'engaged' if batched else 'degenerate — tie-bound'})"
+    )
 
 
 def check_bpe_merges_local(spark, k=200):
