@@ -115,6 +115,17 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #      Revisit trigger (unchanged from the r9 decision): a lane operator
 #      whose plan changes in a way pytest cannot gate (e.g. a
 #      nondeterministic form needing the driver's rows-only lane).
+#   5. LANE sf0.1 CADENCE (2026-08-16, VERDICT r12 #3 — deciding the
+#      two-SF evidence tier's rhythm so LANE_r12_sf0.1.json doesn't decay
+#      into a stale one-off): LANE_r{N}.json at sf0.01 is committed EVERY
+#      round (unchanged); LANE_r{N}_sf0.1.json is committed EVERY round
+#      IN WHICH ANY LANE OPERATOR'S PLAN CHANGED (new operator, changed
+#      query code, changed fixture/oracle) and otherwise at least every
+#      SECOND round, so sf0.1 lane evidence is never older than 2 rounds
+#      and never stale for a changed plan. Qualification: a run counts
+#      only if the pre-run 1-min loadavg is below 2 (the round-close
+#      protocol's noise rule); a louder run is rejected and re-taken,
+#      logged in SCALING.md like any bursted probe.
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = 50
 
