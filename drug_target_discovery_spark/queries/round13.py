@@ -1,0 +1,186 @@
+"""Round-13 operators (tests-only lane, capacity-policy rule 3).
+
+Per-domain INCREMENTAL URL dedup — the natural next CCNet pass after
+round 12's ``url_canonical_dedup`` + ``domain_quality_rollup``
+(VERDICT r12 #9): a NEW crawl batch is deduplicated against the
+existing reference corpus by canonical URL, and the result is rolled
+up to the domain grain the curation pipeline acts on. Rides two
+existing memo families: the URL canonicalization expressions
+(``round12.canonical_url_col`` / ``canonical_host_col`` and their
+DuckDB twins) and the batch-vs-reference split convention of
+``dedup.dedup_against_reference``.
+
+Reference parity note: the reference engine (pipeline2.py) has no crawl
+machinery — this tier extends the engine for LLM-data-pipeline work as
+SURVEY.md §2.12 directs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
+from drug_target_discovery_spark.queries.round12 import (
+    _CANON_URL_DUCK_CTES,
+    _MESSY_URL_DUCK,
+    canonical_host_col,
+    canonical_url_col,
+    messy_url_col,
+)
+from drug_target_discovery_spark.sources.tables import load_table
+
+# New-crawl batch membership: doc_id % _BATCH_MOD == 0, plus the whole
+# canonical class 13 (doc_id % 200 == 13). The modulus is 7, NOT the 5
+# dedup_against_reference uses, because the messy-URL fixture's domain
+# is doc_id % 40 and 5 | 40 — a %5 split would make batch membership a
+# per-DOMAIN constant (only domains ≡ 0 mod 5 would ever see batch
+# docs, and no batch canonical URL could exist in the reference). 7 is
+# coprime with both fixture moduli (40 domains, 25 paths), so every
+# domain mixes batch and reference docs and canonical collisions
+# genuinely straddle the split. The class-13 clause makes ONE canonical
+# group all-batch at every SF (a newly discovered URL re-crawled
+# several times within one batch) — without it the within-batch dup
+# tier is structurally zero below lcm(7, 200) = 1400 documents, and a
+# committed artifact column that can't leave zero discriminates
+# nothing (the VERDICT r12 #6 lesson).
+_BATCH_MOD = 7
+_BATCH_CLASS = 13  # doc_id % 200 == 13 -> all-batch canonical group
+
+
+def _is_batch_col():
+    d = F.col("doc_id")
+    return (d % _BATCH_MOD == 0) | (d % 200 == _BATCH_CLASS)
+
+
+_IS_BATCH_DUCK = (
+    f"(doc_id % {_BATCH_MOD} = 0 OR doc_id % 200 = {_BATCH_CLASS})"
+)
+
+
+def incremental_url_dedup_by_domain(
+    spark: SparkSession, sf_dir: str, docs: "DataFrame | None" = None
+) -> DataFrame:
+    """Per-domain incremental crawl dedup by canonical URL — the CCNet
+    pass run on every NEW crawl batch before any content hashing: a
+    re-crawled page whose canonical URL the reference corpus already
+    holds is a duplicate no text digest is needed to find, and the
+    keep/drop decision is made per domain. One row per domain present
+    in the batch:
+
+      domain           canonical host (``canonical_host_col``)
+      n_batch_docs     new-crawl docs under the domain
+      n_ref_dup        batch docs whose canonical URL already exists in
+                       the reference corpus
+      n_batch_dup      batch docs that collapse into another batch doc's
+                       canonical URL (group size - 1 per novel group)
+      n_novel_urls     distinct canonical URLs the batch contributes
+                       that the reference has never seen
+      novel_url_share  n_novel_urls / n_batch_docs, rounded
+
+    Every batch doc is counted exactly once:
+    n_batch_docs = n_ref_dup + n_batch_dup + n_novel_urls (a novel
+    group of size n contributes n-1 batch-dups + 1 novel URL) — pinned
+    by a property test.
+
+    Scale shape (the reason this is count-only, no representative
+    join-back): canonicalization is map-side codegen (zero UDF); the
+    batch aggregates ONCE to the (domain, canon_url) grain (map-side
+    combined — the shuffle carries canonical URLs, never docs); the
+    reference side reduces to its DISTINCT canonical-URL set (at 100 TB
+    this is the precomputed, bucketed crawl-index table every CCNet
+    deployment already maintains — rebuilding it per batch would scan
+    the corpus, so production callers pass it pre-materialized); the
+    two meet in ONE equi-join on canon_url (batch-group-sized left,
+    AQE broadcasts if small); then ONE domain-grain rollup. Whether a
+    batch doc is a ref-dup or a batch-dup is a property of its GROUP,
+    so no per-doc join or window is ever needed.
+
+    ``docs`` defaults to the documents table with the deterministic
+    ``messy_url_col`` fixture (the testdata has no URL column);
+    production callers pass (doc_id, url). Batch membership is
+    doc_id % 7 == 0 plus canonical class 13 (see ``_is_batch_col``).
+
+    Tests-only lane; prepared oracle ``_INCR_URL_DEDUP_ORACLE``
+    (DuckDB) + property/edge tests in tests/test_round13_ops.py.
+    """
+    if docs is None:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .withColumn("url", messy_url_col())
+        )
+    rows = docs.select(
+        _is_batch_col().alias("is_batch"),
+        canonical_host_col(F.col("url")).alias("domain"),
+        canonical_url_col(F.col("url")).alias("canon_url"),
+    )
+    batch_groups = (
+        rows.filter("is_batch")
+        .groupBy("domain", "canon_url")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ref_urls = (
+        rows.filter(~F.col("is_batch"))
+        .select("canon_url")
+        .distinct()
+        .withColumn("in_ref", F.lit(True))
+    )
+    flagged = batch_groups.join(ref_urls, "canon_url", "left").select(
+        "domain", "n", F.coalesce("in_ref", F.lit(False)).alias("in_ref")
+    )
+    zero = F.lit(0).cast("long")
+    g = flagged.groupBy("domain").agg(
+        F.sum("n").alias("n_batch_docs"),
+        F.sum(F.when(F.col("in_ref"), F.col("n")).otherwise(zero)).alias(
+            "n_ref_dup"
+        ),
+        F.sum(
+            F.when(~F.col("in_ref"), F.col("n") - 1).otherwise(zero)
+        ).alias("n_batch_dup"),
+        F.sum(F.when(~F.col("in_ref"), F.lit(1).cast("long")).otherwise(zero)).alias(
+            "n_novel_urls"
+        ),
+    )
+    return g.select(
+        "domain",
+        "n_batch_docs",
+        "n_ref_dup",
+        "n_batch_dup",
+        "n_novel_urls",
+        rnd(F.col("n_novel_urls") / F.col("n_batch_docs"), 6).alias(
+            "novel_url_share"
+        ),
+    ).orderBy("domain")
+
+
+_INCR_URL_DEDUP_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id, {_MESSY_URL_DUCK} AS url FROM documents
+),
+{_CANON_URL_DUCK_CTES.format(src="raw")},
+batch_groups AS (
+  SELECT canon_host AS domain, canon_url, count(*) AS n
+  FROM canon WHERE {_IS_BATCH_DUCK}
+  GROUP BY 1, 2
+),
+ref_urls AS (
+  SELECT DISTINCT canon_url FROM canon WHERE NOT {_IS_BATCH_DUCK}
+),
+flagged AS (
+  SELECT g.domain, g.n, (r.canon_url IS NOT NULL) AS in_ref
+  FROM batch_groups g LEFT JOIN ref_urls r USING (canon_url)
+)
+SELECT domain,
+       CAST(sum(n) AS BIGINT) AS n_batch_docs,
+       CAST(sum(CASE WHEN in_ref THEN n ELSE 0 END) AS BIGINT) AS n_ref_dup,
+       CAST(sum(CASE WHEN in_ref THEN 0 ELSE n - 1 END) AS BIGINT)
+         AS n_batch_dup,
+       CAST(sum(CASE WHEN in_ref THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_novel_urls,
+       {rnd_sql("sum(CASE WHEN in_ref THEN 0 ELSE 1 END) * 1.0 / sum(n)", 6)}
+         AS novel_url_share
+FROM flagged
+GROUP BY domain
+ORDER BY domain
+"""

@@ -1,0 +1,113 @@
+"""Round-13 lane operator: per-domain incremental URL dedup."""
+
+import pytest
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+class TestIncrementalUrlDedup:
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_duckdb_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round13 import (
+            _INCR_URL_DEDUP_ORACLE,
+            incremental_url_dedup_by_domain,
+        )
+
+        got = [
+            tuple(r) for r in incremental_url_dedup_by_domain(spark, sf).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        exp = [tuple(r) for r in con.execute(_INCR_URL_DEDUP_ORACLE).fetchall()]
+        assert got == exp
+        assert len(got) >= 1
+
+    @pytest.mark.parametrize("sf", SFS)
+    def test_counts_partition_the_batch(self, spark, sf):
+        """Every batch doc is counted exactly once: a canonical group
+        whose URL the reference holds contributes n ref-dups; a novel
+        group contributes (n-1) batch-dups + 1 novel URL. So
+        n_batch_docs = n_ref_dup + n_batch_dup + n_novel_urls per
+        domain, and the fixture exercises every tier (the class-13
+        all-batch group keeps n_batch_dup off zero — the VERDICT r12 #6
+        discrimination rule)."""
+        from drug_target_discovery_spark.queries.round13 import (
+            incremental_url_dedup_by_domain,
+        )
+
+        rows = incremental_url_dedup_by_domain(spark, sf).collect()
+        for r in rows:
+            assert r["n_batch_docs"] == (
+                r["n_ref_dup"] + r["n_batch_dup"] + r["n_novel_urls"]
+            ), r
+            assert 0 <= r["novel_url_share"] <= 1
+        assert sum(r["n_ref_dup"] for r in rows) > 0
+        assert sum(r["n_batch_dup"] for r in rows) > 0
+        assert sum(r["n_novel_urls"] for r in rows) > 0
+
+    def test_hand_fixture_statuses(self, spark):
+        """Known split on hand-built URLs: doc 0/7/14 are batch (%7),
+        doc 213 is batch via the class-13 clause (213 % 200 = 13);
+        docs 3/10 are reference.
+
+        - docs 0 and 3 share canonical a.com/x (raw forms differ)
+          -> doc 0 is a ref-dup;
+        - docs 7 and 14 share canonical b.com/y, which no reference doc
+          holds -> one batch-dup + one novel URL;
+        - doc 213's canonical c.com/z is batch-only and unique
+          -> one novel URL;
+        - doc 10's d.com/w is reference-only -> no output row for
+          d.com (domains without batch docs don't appear)."""
+        from drug_target_discovery_spark.queries.round13 import (
+            incremental_url_dedup_by_domain,
+        )
+
+        rows = [
+            (0, "http://a.com/x"),
+            (3, "https://WWW.A.com/x/"),
+            (7, "http://b.com/y?b=2&a=1"),
+            (14, "http://b.com/y?a=1&b=2&utm_source=s"),
+            (213, "http://c.com/z#frag"),
+            (10, "http://d.com/w"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {
+            r["domain"]: (
+                r["n_batch_docs"],
+                r["n_ref_dup"],
+                r["n_batch_dup"],
+                r["n_novel_urls"],
+            )
+            for r in incremental_url_dedup_by_domain(spark, "", docs=docs).collect()
+        }
+        assert got == {
+            "a.com": (1, 1, 0, 0),
+            "b.com": (2, 0, 1, 1),
+            "c.com": (1, 0, 0, 1),
+        }
+
+    def test_empty_batch(self, spark):
+        """No batch docs at all -> empty result with the full schema."""
+        from drug_target_discovery_spark.queries.round13 import (
+            incremental_url_dedup_by_domain,
+        )
+
+        docs = spark.createDataFrame(
+            [(3, "http://a.com/x"), (10, "http://b.com/y")],
+            "doc_id long, url string",
+        )
+        out = incremental_url_dedup_by_domain(spark, "", docs=docs)
+        assert out.collect() == []
+        assert [f.name for f in out.schema.fields] == [
+            "domain",
+            "n_batch_docs",
+            "n_ref_dup",
+            "n_batch_dup",
+            "n_novel_urls",
+            "novel_url_share",
+        ]

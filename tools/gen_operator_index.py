@@ -205,6 +205,12 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
         "prepared DuckDB oracle (exact, sf0.001/0.01) + integer strict-majority flag-rule edge pins",
         "tests/test_round12_ops.py",
     ),
+    (
+        "drug_target_discovery_spark.queries.round13",
+        "incremental_url_dedup_by_domain",
+        "prepared DuckDB oracle (exact, sf0.001/0.01) + count-partition property + hand-fixture status pins",
+        "tests/test_round13_ops.py",
+    ),
 )
 
 

@@ -319,6 +319,32 @@ def check_domain_rollup(spark):
     return got == exp and bool(got), f"{len(got)} domains, {n_flag} flagged"
 
 
+def check_incremental_url_dedup(spark):
+    """Round-13 lane: per-domain incremental crawl dedup by canonical
+    URL (new-crawl batch vs the reference corpus — the CCNet pass after
+    canonicalization) vs the prepared DuckDB oracle."""
+    from drug_target_discovery_spark.queries.round13 import (
+        _INCR_URL_DEDUP_ORACLE,
+        incremental_url_dedup_by_domain,
+    )
+
+    got = [
+        tuple(r) for r in incremental_url_dedup_by_domain(spark, SF).collect()
+    ]
+    exp = [
+        tuple(r)
+        for r in _con("documents").execute(_INCR_URL_DEDUP_ORACLE).fetchall()
+    ]
+    tiers = (
+        sum(r[2] for r in got),
+        sum(r[3] for r in got),
+        sum(r[4] for r in got),
+    )
+    return got == exp and bool(got), (
+        f"{len(got)} domains; ref_dup/batch_dup/novel = {tiers}"
+    )
+
+
 def check_bpe_encode(spark, k=8):
     from drug_target_discovery_spark.queries.round9 import bpe_encode_stats
 
@@ -801,6 +827,7 @@ CHECKS = [
     ("bpe_encode_stats_scaled", check_bpe_encode_scaled),
     ("url_canonical_dedup", check_url_dedup),
     ("domain_quality_rollup", check_domain_rollup),
+    ("incremental_url_dedup_by_domain", check_incremental_url_dedup),
     ("order_value_gini_by_nation_scalable", check_gini_twin),
     ("weighted_median_by_key", check_weighted_median),
     ("lpa_community_modularity", check_modularity),

@@ -880,6 +880,87 @@ def probe_bpe_k(spark) -> None:
     print(_json.dumps(report), flush=True)
 
 
+def probe_bpe_zipf(spark) -> None:
+    """VERDICT r12 #4: the batched trainer's only unmeasured regime.
+    The committed x30 k=1000 row is TIE-SATURATED (suffix-replicated
+    clones; 1.06 merges/round — the honest worst case), but natural
+    text above the local trainer's 2M-distinct-word ceiling — the only
+    regime where bpe_top_merges_batched is the production path — has a
+    Zipf-shaped word spectrum with a strictly dominant head. This leg
+    synthesizes that spectrum: V distinct words over a 5-letter
+    alphabet (word = base-5 letter encoding of rank+125, so lengths
+    grow 4->6 down the tail and pair structure is dense), count =
+    C // rank (Zipf exponent 1). Reads the merges-per-round curve at
+    k=200 and k=1000 plus value-equality against the driver-local
+    trainer on the same corpus (a new corpus-shape correctness pin,
+    free at this size)."""
+    import json as _json
+
+    from drug_target_discovery_spark.queries.round12 import (
+        bpe_top_merges_batched,
+        bpe_top_merges_local,
+    )
+
+    report = {"probe": "bpe_zipf_batched", "loadavg1_start": _load1()}
+    V, C = 5000, 200_000
+
+    def make_docs(alphabet: str):
+        base = len(alphabet)
+        # offset keeps lengths >= 2 digits and growing down the tail
+        off = base * base * (5 if base == 5 else 1)
+
+        def word(rank: int) -> str:
+            n, s = rank + off, []
+            while n:
+                s.append(alphabet[n % base])
+                n //= base
+            return "".join(s)
+
+        rows = [(i, " ".join([word(i)] * (C // i))) for i in range(1, V + 1)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    report["distinct_words"] = V
+    report["total_tokens"] = sum(C // i for i in range(1, V + 1))
+    docs = make_docs("abcde")
+    for k in (200, 1000):
+        stats: dict = {}
+        t0 = time.perf_counter()
+        got = bpe_top_merges_batched(spark, "", k=k, docs=docs, stats=stats).collect()
+        report[f"bat_zipf_k{k}_s"] = round(time.perf_counter() - t0, 2)
+        release_caches(fixtures=True)
+        report[f"bat_zipf_k{k}_rounds"] = stats["rounds"]
+        report[f"bat_zipf_k{k}_merges"] = len(got)
+        report[f"bat_zipf_k{k}_mean_batch"] = round(
+            len(got) / max(1, stats["rounds"]), 2
+        )
+        report[f"bat_zipf_k{k}_batch_head"] = stats["batch_sizes"][:15]
+        if k == 1000:
+            t0 = time.perf_counter()
+            loc = bpe_top_merges_local(spark, "", k=k, docs=docs).collect()
+            report["loc_zipf_k1000_s"] = round(time.perf_counter() - t0, 2)
+            report["values_equal_batched_vs_local"] = [tuple(r) for r in got] == [
+                tuple(r) for r in loc
+            ]
+    # Control leg: same Zipf spectrum over a 20-letter alphabet — does
+    # the greedy disjoint rule batch better when head words stop
+    # sharing a dense 5-symbol base (i.e. is the degeneracy an
+    # alphabet-density artifact or fundamental)?
+    docs20 = make_docs("abcdefghijklmnopqrst")
+    stats = {}
+    t0 = time.perf_counter()
+    got = bpe_top_merges_batched(spark, "", k=200, docs=docs20, stats=stats).collect()
+    report["bat_zipf20_k200_s"] = round(time.perf_counter() - t0, 2)
+    release_caches(fixtures=True)
+    report["bat_zipf20_k200_rounds"] = stats["rounds"]
+    report["bat_zipf20_k200_merges"] = len(got)
+    report["bat_zipf20_k200_mean_batch"] = round(
+        len(got) / max(1, stats["rounds"]), 2
+    )
+    report["bat_zipf20_k200_batch_head"] = stats["batch_sizes"][:15]
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
 def probe_bpe_apply(spark, reps: int = 2) -> None:
     """bpe_encode_stats_scaled (the pandas-UDF production apply path) at
     x1/x10 perturbed docs, k=100: corpus AND vocabulary grow 10x.
@@ -908,16 +989,21 @@ def probe_bpe_apply(spark, reps: int = 2) -> None:
 
 
 def probe_url_family(spark, reps: int = 2) -> None:
-    """url_canonical_dedup + domain_quality_rollup at x1/x10 doc clones
-    (doc_id-shifted, so the derived messy URLs spread over the same 200
-    canonical URLs / 40 domains with 10x group depth). Expected ~flat:
-    both are map-side canonicalize + one/two map-side-combinable
-    aggregates to bounded grains — the cheapest shape in the repo."""
+    """url_canonical_dedup + domain_quality_rollup (+ round-13's
+    incremental_url_dedup_by_domain) at x1/x10 doc clones
+    (doc_id-shifted, so the derived messy URLs spread over the same
+    canonical-URL classes / 40 domains with 10x group depth). Expected
+    ~flat: all are map-side canonicalize + map-side-combinable
+    aggregates to bounded grains (the incremental form adds ONE
+    canonical-URL-grain equi-join) — the cheapest shapes in the repo."""
     import json as _json
 
     from drug_target_discovery_spark.queries.round12 import (
         domain_quality_rollup,
         url_canonical_dedup,
+    )
+    from drug_target_discovery_spark.queries.round13 import (
+        incremental_url_dedup_by_domain,
     )
 
     report = {"probe": "url_family", "loadavg1_start": _load1()}
@@ -926,14 +1012,15 @@ def probe_url_family(spark, reps: int = 2) -> None:
         for op, fn in (
             ("url", url_canonical_dedup),
             ("domain", domain_quality_rollup),
+            ("incr", incremental_url_dedup_by_domain),
         ):
             runs = [_timed(lambda d=d, fn=fn: fn(spark, d)) for _ in range(reps)]
             report[f"{op}_{name}_s"] = min(runs)
             report[f"{op}_{name}_runs"] = runs
-    report["url_x10_factor"] = round(report["url_x10_s"] / report["url_x1_s"], 2)
-    report["domain_x10_factor"] = round(
-        report["domain_x10_s"] / report["domain_x1_s"], 2
-    )
+    for op in ("url", "domain", "incr"):
+        report[f"{op}_x10_factor"] = round(
+            report[f"{op}_x10_s"] / report[f"{op}_x1_s"], 2
+        )
     report["loadavg1_end"] = _load1()
     print(_json.dumps(report), flush=True)
 
@@ -980,6 +1067,8 @@ def main() -> None:
         probe_url_family(spark)
     if "bpeapply" in which:
         probe_bpe_apply(spark)
+    if "bpezipf" in which:
+        probe_bpe_zipf(spark)
 
 
 if __name__ == "__main__":
