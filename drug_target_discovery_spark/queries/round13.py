@@ -22,8 +22,12 @@ from pyspark.sql import functions as F
 
 from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
 from drug_target_discovery_spark.queries.round12 import (
+    _BPE_SCHEMA,
     _CANON_URL_DUCK_CTES,
+    _LOCAL_VOCAB_CEILING,
     _MESSY_URL_DUCK,
+    _local_bpe,
+    _word_counts,
     canonical_host_col,
     canonical_url_col,
     messy_url_col,
@@ -152,6 +156,62 @@ def incremental_url_dedup_by_domain(
             "novel_url_share"
         ),
     ).orderBy("domain")
+
+
+# ---------------------------------------------------------------------------
+# Frequency-capped BPE training (the above-ceiling production path)
+# ---------------------------------------------------------------------------
+
+
+def bpe_top_merges_capped(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    docs: "DataFrame | None" = None,
+    top_words: int = _LOCAL_VOCAB_CEILING,
+) -> DataFrame:
+    """Frequency-capped BPE training — the production answer for a
+    corpus whose DISTINCT-WORD count exceeds the driver-collect ceiling
+    (`round12.bpe_top_merges_local`'s 2M valve). Round 13's Zipf probe
+    (SCALING.md) measured the supposed distributed fallback
+    (``bpe_top_merges_batched``) at 1.4-1.8 merges per driver round on
+    a natural Zipf spectrum — 0.3-0.5s/round means production k (32K+)
+    is driver-round-bound and NOT viable there either. What production
+    trainers actually do above the ceiling is CAP THE WORD TABLE:
+    HF tokenizers exposes ``min_frequency``, SentencePiece subsamples
+    its input — a frequency cutoff on the word-count table before the
+    in-memory merge loop. This operator is that shape made
+    deterministic: train on the TOP-``top_words`` words by count
+    (ties broken by word string, so the cap is a total order and the
+    result is reproducible and oracle-able).
+
+    Exactness contract: EXACT given the cap — the capped word table is
+    a deterministic function of the corpus (DuckDB twin: ORDER BY cnt
+    DESC, w LIMIT N), and training on it follows the same deterministic
+    merge rule as every other trainer in the family (pinned against an
+    independent python recompute in tools/lane_check.py and
+    tests/test_round13_ops.py). APPROXIMATE w.r.t. the uncapped corpus
+    — dropped tail words contribute nothing to pair counts — with the
+    approximation MEASURED, not assumed: tools/round9_probe.py bpecap
+    reports first-k merge agreement vs the uncapped trainer at caps
+    V/2, V/4, V/8 on the Zipf vocabulary (on a Zipf spectrum the tail
+    carries a vanishing share of token mass, so agreement is high; the
+    committed row is the evidence).
+
+    Scale shape: ONE distributed word-count aggregate (map-side
+    combined, the only corpus-sized work at any k), then a distributed
+    TakeOrdered top-N (the ceiling-sized result is the POINT — N is
+    chosen to fit the driver), then the vocabulary-sized incremental
+    heap loop (``_local_bpe``). At 100 TB this is exactly the
+    HF-tokenizers pipeline with the word counting done by the cluster.
+    """
+    words = _word_counts(spark, sf_dir, docs)
+    rows = words.orderBy(F.desc("cnt"), F.asc("w")).limit(top_words).collect()
+    word_counts = sorted((r["w"], int(r["cnt"])) for r in rows)
+    merges = _local_bpe(word_counts, k)
+    if not merges:
+        return spark.createDataFrame([], _BPE_SCHEMA)
+    return spark.createDataFrame(merges, _BPE_SCHEMA)
 
 
 _INCR_URL_DEDUP_ORACLE = f"""

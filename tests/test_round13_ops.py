@@ -1,8 +1,76 @@
-"""Round-13 lane operator: per-domain incremental URL dedup."""
+"""Round-13 lane operators: per-domain incremental URL dedup and
+frequency-capped BPE training."""
 
 import pytest
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestBpeCapped:
+    def test_equals_uncapped_when_cap_covers_vocab(self, spark):
+        """With top_words >= the distinct-word count the capped trainer
+        IS the local trainer (same word table, same rule) — pinned on
+        the real corpus."""
+        from drug_target_discovery_spark.queries.round12 import (
+            bpe_top_merges_local,
+        )
+        from drug_target_discovery_spark.queries.round13 import (
+            bpe_top_merges_capped,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        cap = [tuple(r) for r in bpe_top_merges_capped(spark, sf, k=30).collect()]
+        loc = [tuple(r) for r in bpe_top_merges_local(spark, sf, k=30).collect()]
+        assert cap == loc and len(cap) == 30
+
+    def test_capped_matches_python_recompute(self, spark):
+        """A genuinely binding cap: train on the top-3 of 5 words and
+        pin against the naive recount over the same capped table."""
+        from tools.lane_check import _python_bpe_wc
+
+        from drug_target_discovery_spark.queries.round13 import (
+            bpe_top_merges_capped,
+        )
+
+        texts = ["abab abab abab cdcd", "abab cdcd efef", "gh gh ij"]
+        docs = _docs_df(spark, texts)
+        got = [
+            tuple(r)
+            for r in bpe_top_merges_capped(
+                spark, "", k=5, docs=docs, top_words=3
+            ).collect()
+        ]
+        from collections import Counter
+
+        full = Counter(w for t in texts for w in t.split() if w)
+        capped = dict(
+            sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        )
+        assert got == _python_bpe_wc(capped, 5)
+        assert got, "capped corpus must still train"
+
+    def test_cap_tie_break_is_deterministic(self, spark):
+        """Count ties at the cap boundary resolve by word string (asc):
+        with four count-1 words and top_words=2, 'aa' and 'bb' make the
+        cut, 'cc'/'dd' don't — so the top merge is (a, a)."""
+        from drug_target_discovery_spark.queries.round13 import (
+            bpe_top_merges_capped,
+        )
+
+        docs = _docs_df(spark, ["cc dd aa bb"])
+        got = [
+            tuple(r)
+            for r in bpe_top_merges_capped(
+                spark, "", k=2, docs=docs, top_words=2
+            ).collect()
+        ]
+        assert got == [(1, "a", "a", "aa", 1), (2, "b", "b", "bb", 1)]
 
 
 class TestIncrementalUrlDedup:

@@ -211,6 +211,12 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
         "prepared DuckDB oracle (exact, sf0.001/0.01) + count-partition property + hand-fixture status pins",
         "tests/test_round13_ops.py",
     ),
+    (
+        "drug_target_discovery_spark.queries.round13",
+        "bpe_top_merges_capped",
+        "exact python recompute over the deterministically-capped word table + equals-local-when-cap-covers pin + cap-tie-break pin; cap sensitivity measured (bpecap probe)",
+        "tests/test_round13_ops.py",
+    ),
 )
 
 

@@ -63,6 +63,16 @@ def _python_bpe(texts, k):
         for w in t.split():
             if w:
                 words[w] += 1
+    return _python_bpe_wc(words, k)
+
+
+def _python_bpe_wc(words, k):
+    """The merge rule over an explicit (word -> count) table — shared
+    by _python_bpe and the capped-trainer oracle (round 13), which
+    trains on a TOP-N word-count table rather than raw texts."""
+    from collections import Counter
+
+    words = dict(words)
     vocab = {w: list(w) for w in words}
     merges = []
     for rank in range(1, k + 1):
@@ -317,6 +327,34 @@ def check_domain_rollup(spark):
     ]
     n_flag = sum(1 for r in got if r[-1])
     return got == exp and bool(got), f"{len(got)} domains, {n_flag} flagged"
+
+
+def check_bpe_merges_capped(spark, k=60, top_words=40):
+    """Round-13 scale form: frequency-capped training (the
+    above-ceiling production path) must equal an independent python
+    recompute over the SAME deterministically-capped word table —
+    DuckDB computes the top-N (count desc, word asc) word counts, the
+    naive recount trains on them. The cap (40) is far below the
+    corpus's distinct-word count at every SF, so the capped path is
+    genuinely exercised."""
+    from drug_target_discovery_spark.queries.round13 import bpe_top_merges_capped
+
+    from collections import Counter
+
+    got = [
+        tuple(r)
+        for r in bpe_top_merges_capped(spark, SF, k=k, top_words=top_words).collect()
+    ]
+    texts = [
+        r[0]
+        for r in _con("documents").execute("SELECT text FROM documents").fetchall()
+    ]
+    full = Counter(w for t in texts for w in t.split() if w)
+    capped = dict(sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:top_words])
+    exp = _python_bpe_wc(capped, k)
+    return got == exp and bool(got), (
+        f"{len(got)} merges (k={k}) on the top-{top_words} capped vocabulary"
+    )
 
 
 def check_incremental_url_dedup(spark):
@@ -828,6 +866,7 @@ CHECKS = [
     ("url_canonical_dedup", check_url_dedup),
     ("domain_quality_rollup", check_domain_rollup),
     ("incremental_url_dedup_by_domain", check_incremental_url_dedup),
+    ("bpe_top_merges_capped", check_bpe_merges_capped),
     ("order_value_gini_by_nation_scalable", check_gini_twin),
     ("weighted_median_by_key", check_weighted_median),
     ("lpa_community_modularity", check_modularity),

@@ -880,6 +880,31 @@ def probe_bpe_k(spark) -> None:
     print(_json.dumps(report), flush=True)
 
 
+# Shared Zipf-vocabulary corpus for the BPE regime probes: V distinct
+# words, count = C // rank (Zipf exponent 1), word = base-|alphabet|
+# letter encoding of rank+offset so lengths grow down the tail and pair
+# structure is dense.
+_ZIPF_V, _ZIPF_C = 5000, 200_000
+
+
+def _zipf_docs(spark, alphabet: str):
+    base = len(alphabet)
+    # offset keeps lengths >= 2 digits and growing down the tail
+    off = base * base * (5 if base == 5 else 1)
+
+    def word(rank: int) -> str:
+        n, s = rank + off, []
+        while n:
+            s.append(alphabet[n % base])
+            n //= base
+        return "".join(s)
+
+    rows = [
+        (i, " ".join([word(i)] * (_ZIPF_C // i))) for i in range(1, _ZIPF_V + 1)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
 def probe_bpe_zipf(spark) -> None:
     """VERDICT r12 #4: the batched trainer's only unmeasured regime.
     The committed x30 k=1000 row is TIE-SATURATED (suffix-replicated
@@ -902,26 +927,10 @@ def probe_bpe_zipf(spark) -> None:
     )
 
     report = {"probe": "bpe_zipf_batched", "loadavg1_start": _load1()}
-    V, C = 5000, 200_000
-
-    def make_docs(alphabet: str):
-        base = len(alphabet)
-        # offset keeps lengths >= 2 digits and growing down the tail
-        off = base * base * (5 if base == 5 else 1)
-
-        def word(rank: int) -> str:
-            n, s = rank + off, []
-            while n:
-                s.append(alphabet[n % base])
-                n //= base
-            return "".join(s)
-
-        rows = [(i, " ".join([word(i)] * (C // i))) for i in range(1, V + 1)]
-        return spark.createDataFrame(rows, "doc_id long, text string")
-
+    V, C = _ZIPF_V, _ZIPF_C
     report["distinct_words"] = V
     report["total_tokens"] = sum(C // i for i in range(1, V + 1))
-    docs = make_docs("abcde")
+    docs = _zipf_docs(spark, "abcde")
     for k in (200, 1000):
         stats: dict = {}
         t0 = time.perf_counter()
@@ -945,7 +954,7 @@ def probe_bpe_zipf(spark) -> None:
     # the greedy disjoint rule batch better when head words stop
     # sharing a dense 5-symbol base (i.e. is the degeneracy an
     # alphabet-density artifact or fundamental)?
-    docs20 = make_docs("abcdefghijklmnopqrst")
+    docs20 = _zipf_docs(spark, "abcdefghijklmnopqrst")
     stats = {}
     t0 = time.perf_counter()
     got = bpe_top_merges_batched(spark, "", k=200, docs=docs20, stats=stats).collect()
@@ -957,6 +966,58 @@ def probe_bpe_zipf(spark) -> None:
         len(got) / max(1, stats["rounds"]), 2
     )
     report["bat_zipf20_k200_batch_head"] = stats["batch_sizes"][:15]
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
+def probe_bpe_cap(spark) -> None:
+    """Cap-sensitivity of round-13's ``bpe_top_merges_capped`` (the
+    above-ceiling production path): first-k merge-SEQUENCE agreement vs
+    the uncapped trainer at caps V/2, V/4, V/8 on the Zipf vocabulary.
+    On a Zipf(1) spectrum the dropped tail carries a vanishing share of
+    token mass (sum of C/r for r > V/2 is ~C*ln2 of ~C*ln V), so
+    agreement should be high — this committed row is the measured
+    honesty behind the operator's 'approximate w.r.t. the full corpus'
+    contract. Agreement metrics: common-prefix length of the (left,
+    right) merge sequences (order-sensitive) and the Jaccard of the
+    merge SETS (order-insensitive; late-rank swaps show up here)."""
+    import json as _json
+
+    from drug_target_discovery_spark.queries.round13 import bpe_top_merges_capped
+
+    report = {"probe": "bpe_cap_sensitivity", "loadavg1_start": _load1()}
+    k = 200
+    docs = _zipf_docs(spark, "abcde")
+    report["distinct_words"] = _ZIPF_V
+    t0 = time.perf_counter()
+    exact = [
+        (r["left"], r["right"])
+        for r in bpe_top_merges_capped(
+            spark, "", k=k, docs=docs, top_words=_ZIPF_V
+        ).collect()
+    ]
+    report["uncapped_s"] = round(time.perf_counter() - t0, 2)
+    release_caches(fixtures=True)
+    for cap in (_ZIPF_V // 2, _ZIPF_V // 4, _ZIPF_V // 8):
+        t0 = time.perf_counter()
+        capped = [
+            (r["left"], r["right"])
+            for r in bpe_top_merges_capped(
+                spark, "", k=k, docs=docs, top_words=cap
+            ).collect()
+        ]
+        release_caches(fixtures=True)
+        prefix = 0
+        for a, b in zip(exact, capped):
+            if a != b:
+                break
+            prefix += 1
+        inter = len(set(exact) & set(capped))
+        union = len(set(exact) | set(capped))
+        report[f"cap{cap}_s"] = round(time.perf_counter() - t0, 2)
+        report[f"cap{cap}_prefix_agreement"] = prefix
+        report[f"cap{cap}_set_jaccard"] = round(inter / union, 4)
+    report["k"] = k
     report["loadavg1_end"] = _load1()
     print(_json.dumps(report), flush=True)
 
@@ -1069,6 +1130,8 @@ def main() -> None:
         probe_bpe_apply(spark)
     if "bpezipf" in which:
         probe_bpe_zipf(spark)
+    if "bpecap" in which:
+        probe_bpe_cap(spark)
 
 
 if __name__ == "__main__":
