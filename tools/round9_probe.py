@@ -887,20 +887,21 @@ def probe_bpe_k(spark) -> None:
 _ZIPF_V, _ZIPF_C = 5000, 200_000
 
 
-def _zipf_docs(spark, alphabet: str):
+def _zipf_word(rank: int, alphabet: str) -> str:
     base = len(alphabet)
     # offset keeps lengths >= 2 digits and growing down the tail
     off = base * base * (5 if base == 5 else 1)
+    n, s = rank + off, []
+    while n:
+        s.append(alphabet[n % base])
+        n //= base
+    return "".join(s)
 
-    def word(rank: int) -> str:
-        n, s = rank + off, []
-        while n:
-            s.append(alphabet[n % base])
-            n //= base
-        return "".join(s)
 
+def _zipf_docs(spark, alphabet: str):
     rows = [
-        (i, " ".join([word(i)] * (_ZIPF_C // i))) for i in range(1, _ZIPF_V + 1)
+        (i, " ".join([_zipf_word(i, alphabet)] * (_ZIPF_C // i)))
+        for i in range(1, _ZIPF_V + 1)
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -979,8 +980,15 @@ def probe_bpe_cap(spark) -> None:
     agreement should be high — this committed row is the measured
     honesty behind the operator's 'approximate w.r.t. the full corpus'
     contract. Agreement metrics: common-prefix length of the (left,
-    right) merge sequences (order-sensitive) and the Jaccard of the
-    merge SETS (order-insensitive; late-rank swaps show up here)."""
+    right) merge sequences (order-sensitive), the Jaccard of the merge
+    SETS (order-insensitive; late-rank swaps show up here), and — the
+    production-relevant one — corpus FERTILITY (tokens per word
+    occurrence) when the full corpus is encoded with each merge list:
+    merge-order identity is a harsh metric (near-tied counts reorder
+    freely once the tail is dropped; the cutoff DEFINES a different,
+    equally-valid tokenizer, which is why HF/SentencePiece treat it as
+    a tokenizer parameter), but compression quality is what the
+    tokenizer is FOR."""
     import json as _json
 
     from drug_target_discovery_spark.queries.round13 import bpe_top_merges_capped
@@ -989,6 +997,34 @@ def probe_bpe_cap(spark) -> None:
     k = 200
     docs = _zipf_docs(spark, "abcde")
     report["distinct_words"] = _ZIPF_V
+    word_counts = [
+        (w, _ZIPF_C // i)
+        for i in range(1, _ZIPF_V + 1)
+        for w in [_zipf_word(i, "abcde")]
+    ]
+    n_occ = sum(c for _, c in word_counts)
+
+    def _fertility(rules) -> float:
+        toks = 0
+        for w, c in word_counts:
+            syms = list(w)
+            for le, ri in rules:
+                out, pend = [], None
+                for x in syms:
+                    if pend is None:
+                        pend = x
+                    elif pend == le and x == ri:
+                        out.append(le + ri)
+                        pend = None
+                    else:
+                        out.append(pend)
+                        pend = x
+                if pend is not None:
+                    out.append(pend)
+                syms = out
+            toks += len(syms) * c
+        return round(toks / n_occ, 4)
+
     t0 = time.perf_counter()
     exact = [
         (r["left"], r["right"])
@@ -998,6 +1034,7 @@ def probe_bpe_cap(spark) -> None:
     ]
     report["uncapped_s"] = round(time.perf_counter() - t0, 2)
     release_caches(fixtures=True)
+    report["uncapped_fertility"] = _fertility(exact)
     for cap in (_ZIPF_V // 2, _ZIPF_V // 4, _ZIPF_V // 8):
         t0 = time.perf_counter()
         capped = [
@@ -1017,6 +1054,7 @@ def probe_bpe_cap(spark) -> None:
         report[f"cap{cap}_s"] = round(time.perf_counter() - t0, 2)
         report[f"cap{cap}_prefix_agreement"] = prefix
         report[f"cap{cap}_set_jaccard"] = round(inter / union, 4)
+        report[f"cap{cap}_fertility"] = _fertility(capped)
     report["k"] = k
     report["loadavg1_end"] = _load1()
     print(_json.dumps(report), flush=True)
