@@ -51,8 +51,12 @@ _BPE_SCHEMA = (
 
 # Distinct-word ceiling for the driver-local trainer (the bigram-LM
 # broadcast-ceiling rationale, round10.py: ~2M short strings + counts is
-# comfortably inside driver memory; past it, collect() is the wrong tool
-# and the batched distributed trainer is the fallback).
+# comfortably inside driver memory; past it, collect() is the wrong
+# tool). Above the ceiling the PRODUCTION path is round13's
+# frequency-capped trainer (bpe_top_merges_capped — the HF/SentencePiece
+# cutoff, measured in the bpecap probe); bpe_top_merges_batched remains
+# the EXACT fallback but is driver-round-bound at production k (the r13
+# Zipf probe measured 1.4-1.8 merges/round on a natural spectrum).
 _LOCAL_VOCAB_CEILING = 2_000_000
 
 # Hard ceiling on chained _bpe_merge_fold applications in ONE projection:
@@ -172,12 +176,18 @@ def bpe_top_merges_batched(
     ``_bpe_merge_fold`` projection (cached, superseding generation
     released) applying the whole batch. The provably-safe batch rule
     (``_safe_batch``) keeps the result bit-identical to sequential
-    training; on Zipf-shaped pair spectra the strictly-dominant head of
-    the distribution batches tens of merges per round early on and
-    degenerates gracefully to 1/round near ties — measured in
-    tools/round9_probe.py (bpek) and read in SCALING.md. This is the
-    distributed fallback ABOVE the driver-local trainer's vocab ceiling;
-    under the ceiling prefer ``bpe_top_merges_local``.
+    training. Honest regime note (round 13, the bpezipf probe): on a
+    NATURAL Zipf vocabulary batching yields only 1.4-1.8 merges/round —
+    BPE merges chain on each other's created tokens, so consecutive
+    merges are rarely symbol-disjoint regardless of count-head
+    dominance (the 20-letter-alphabet control pins this as fundamental,
+    SCALING.md r13). So this form is the EXACT fallback above the
+    driver-local trainer's vocab ceiling (never worse than sequential,
+    ~30-45% fewer driver rounds) — NOT a production path to k=32K;
+    above the ceiling production callers want round13's
+    ``bpe_top_merges_capped`` (deterministic frequency cutoff, fertility
+    within ~1% of uncapped in the committed bpecap row). Under the
+    ceiling prefer ``bpe_top_merges_local``.
 
     ``stats`` (probe instrumentation): when a dict is passed, it is
     filled with ``rounds`` (driver rounds used) and ``batch_sizes`` (the
@@ -388,7 +398,9 @@ def bpe_top_merges_local(
             raise ValueError(
                 f"bpe_top_merges_local: corpus holds > {max_vocab_rows} "
                 "distinct words — over the driver-collect ceiling; use "
-                "bpe_top_merges_batched (distributed) instead"
+                "round13.bpe_top_merges_capped (frequency-capped, the "
+                "production path) or bpe_top_merges_batched (exact but "
+                "driver-round-bound) instead"
             )
         rows = words.collect()
     finally:
