@@ -159,6 +159,29 @@ class TestIncrementalUrlDedup:
             "c.com": (1, 0, 0, 1),
         }
 
+    def test_plan_shape(self, spark):
+        """The 100 TB properties, asserted (the '.explain and iterate'
+        mandate): batch/reference predicates push to the scan, the scan
+        reads ONLY doc_id (canonicalization is derived map-side), both
+        aggregates are partial (map-side combined), the reference
+        distinct-URL set broadcasts into the left join, and no Python
+        stage exists anywhere."""
+        from drug_target_discovery_spark.queries.round13 import (
+            incremental_url_dedup_by_domain,
+        )
+
+        df = incremental_url_dedup_by_domain(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py_stage not in plan, plan
+        assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
+        assert "partial_sum" in plan and "partial_count" in plan, plan
+        # group agg + domain rollup + ref distinct; orderBy adds 1 range
+        assert plan.count("Exchange hashpartitioning") <= 3, plan
+        for chunk in plan.split("ReadSchema:")[1:]:
+            schema = chunk.splitlines()[0]
+            assert "text" not in schema and "n_chars" not in schema, schema
+
     def test_empty_batch(self, spark):
         """No batch docs at all -> empty result with the full schema."""
         from drug_target_discovery_spark.queries.round13 import (
