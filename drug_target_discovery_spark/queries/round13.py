@@ -214,6 +214,29 @@ def bpe_top_merges_capped(
     return spark.createDataFrame(merges, _BPE_SCHEMA)
 
 
+# Batch-twin oracle for streaming.crawl.crawl_ingest_url_dedup on the
+# documents fixture: the DETERMINISTIC columns of the novel-doc output
+# are the distinct batch canonical URLs absent from the reference set
+# (WHICH doc survives a canonical group is arrival/partition order by
+# design — see the operator's determinism note).
+_CRAWL_NOVEL_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id, {{messy}} AS url FROM documents
+),
+{{ctes}}
+SELECT DISTINCT canon_url FROM canon
+WHERE {{isbatch}}
+  AND canon_url NOT IN (
+    SELECT canon_url FROM canon WHERE NOT {{isbatch}}
+  )
+ORDER BY canon_url
+""".format(
+    messy=_MESSY_URL_DUCK,
+    ctes=_CANON_URL_DUCK_CTES.format(src="raw"),
+    isbatch=_IS_BATCH_DUCK,
+)
+
+
 _INCR_URL_DEDUP_ORACLE = f"""
 WITH raw AS (
   SELECT doc_id, {_MESSY_URL_DUCK} AS url FROM documents

@@ -748,3 +748,138 @@ class TestStreamStaticAndIdempotentSink:
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
             shutil.rmtree(ckpt, ignore_errors=True)
+
+
+class TestCrawlIngestUrlDedup:
+    """Round-13 streaming tier: the crawl-ingest canonical-URL dedup
+    (stream-static anti-join + watermark-bounded first-wins state)."""
+
+    ROWS = [
+        # (doc_id, url, fetched_at offset minutes)
+        (1, "http://a.com/x?b=2&a=1", 0),        # novel
+        (2, "https://WWW.A.com/x/?a=1&b=2", 5),  # dup of 1 (same canon)
+        (3, "http://b.com/y", 1),                # in reference -> dropped
+        (4, "HTTP://b.com/y#frag", 2),           # ditto
+        (5, "http://c.com/z?utm_source=s", 3),   # novel
+        (6, "http://a.com/other", 4),            # novel, same domain as 1
+    ]
+    REF = [("b.com/y",)]
+    EXPECTED_NOVEL = {"a.com/x?a=1&b=2", "c.com/z", "a.com/other"}
+
+    def _crawl_df(self, spark):
+        return spark.createDataFrame(
+            [
+                (d, u, F'2024-01-01 10:{m:02d}:00')
+                for d, u, m in self.ROWS
+            ],
+            "doc_id long, url string, fetched_at string",
+        ).withColumn("fetched_at", F.to_timestamp("fetched_at"))
+
+    def _ref_df(self, spark):
+        return spark.createDataFrame(self.REF, "canon_url string")
+
+    def test_batch_twin(self, spark):
+        from drug_target_discovery_spark.streaming.crawl import (
+            crawl_ingest_url_dedup,
+        )
+
+        out = crawl_ingest_url_dedup(
+            self._crawl_df(spark), self._ref_df(spark)
+        )
+        rows = out.collect()
+        assert {r["canon_url"] for r in rows} == self.EXPECTED_NOVEL
+        assert len(rows) == len(self.EXPECTED_NOVEL)
+        # domain rides along, derived from the same canonical host rule
+        assert {r["domain"] for r in rows} == {"a.com", "c.com"}
+
+    def test_stream_equals_batch_twin(self, spark):
+        import shutil as _sh
+        import tempfile as _tf
+
+        from drug_target_discovery_spark.streaming.crawl import (
+            crawl_ingest_url_dedup,
+        )
+
+        d = _tf.mkdtemp(prefix="crawl_stream_")
+        try:
+            batch = self._crawl_df(spark)
+            batch.write.mode("overwrite").parquet(f"{d}/crawl.parquet")
+            src = spark.readStream.schema(batch.schema).parquet(
+                f"{d}/crawl.parquet"
+            )
+            novel = crawl_ingest_url_dedup(src, self._ref_df(spark))
+            assert novel.isStreaming
+            q = (
+                novel.writeStream.format("memory")
+                .queryName("crawl_novel")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120), "stream did not finish in 120s"
+            got = spark.sql("SELECT canon_url FROM crawl_novel").collect()
+            assert {r["canon_url"] for r in got} == self.EXPECTED_NOVEL
+            assert len(got) == len(self.EXPECTED_NOVEL)
+        finally:
+            _sh.rmtree(d, ignore_errors=True)
+
+    def test_dedup_state_spans_micro_batches(self, spark):
+        """A re-crawl arriving in a LATER micro-batch, inside the
+        watermark horizon, is still deduplicated — the property the
+        within-watermark state exists for (file source: one file per
+        micro-batch under maxFilesPerTrigger=1)."""
+        import shutil as _sh
+        import tempfile as _tf
+
+        from drug_target_discovery_spark.streaming.crawl import (
+            crawl_ingest_url_dedup,
+        )
+
+        d = _tf.mkdtemp(prefix="crawl_stream2_")
+        try:
+            import time as _time
+
+            b1 = spark.createDataFrame(
+                [(1, "http://a.com/x", "2024-01-01 10:00:00")],
+                "doc_id long, url string, fetched_at string",
+            ).withColumn("fetched_at", F.to_timestamp("fetched_at"))
+            b2 = spark.createDataFrame(
+                [
+                    (2, "https://www.a.com/x/", "2024-01-01 10:10:00"),
+                    (3, "http://d.com/new", "2024-01-01 10:11:00"),
+                ],
+                "doc_id long, url string, fetched_at string",
+            ).withColumn("fetched_at", F.to_timestamp("fetched_at"))
+            # two part-files in one source dir with distinct mtimes —
+            # maxFilesPerTrigger=1 then delivers them as two
+            # micro-batches in modification-time order
+            b1.coalesce(1).write.mode("append").parquet(f"{d}/in")
+            _time.sleep(1.1)
+            b2.coalesce(1).write.mode("append").parquet(f"{d}/in")
+            src = (
+                spark.readStream.schema(b1.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/in")
+            )
+            novel = crawl_ingest_url_dedup(src, self._ref_df(spark))
+            q = (
+                novel.writeStream.format("memory")
+                .queryName("crawl_novel2")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120), "stream did not finish in 120s"
+            got = sorted(
+                (r["doc_id"], r["canon_url"])
+                for r in spark.sql(
+                    "SELECT doc_id, canon_url FROM crawl_novel2"
+                ).collect()
+            )
+            # doc 2 (10 min later, inside the 1 h watermark) deduped;
+            # exactly one a.com/x survivor and the d.com novelty
+            assert [c for _, c in got].count("a.com/x") == 1
+            assert ("3", "d.com/new") in {(str(i), c) for i, c in got}
+            assert len(got) == 2
+        finally:
+            _sh.rmtree(d, ignore_errors=True)

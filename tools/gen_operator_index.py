@@ -217,6 +217,12 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
         "exact python recompute over the deterministically-capped word table + equals-local-when-cap-covers pin + cap-tie-break pin; cap sensitivity measured (bpecap probe)",
         "tests/test_round13_ops.py",
     ),
+    (
+        "drug_target_discovery_spark.streaming.crawl",
+        "crawl_ingest_url_dedup",
+        "batch-twin DuckDB oracle on the deterministic columns (lane) + streaming/batch parity + cross-micro-batch watermark-state dedup pins (representative doc is arrival-order by design)",
+        "tests/test_streaming.py",
+    ),
 )
 
 

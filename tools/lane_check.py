@@ -383,6 +383,43 @@ def check_incremental_url_dedup(spark):
     )
 
 
+def check_crawl_ingest(spark):
+    """Round-13 streaming tier, batch twin: the crawl-ingest
+    canonical-URL dedup's DETERMINISTIC columns (the novel canonical-URL
+    set) vs the prepared DuckDB oracle. Which document represents a
+    group is arrival-order by design (see the operator's determinism
+    note) — streaming parity and cross-batch watermark state are pinned
+    in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    from drug_target_discovery_spark.queries.round12 import messy_url_col
+    from drug_target_discovery_spark.queries.round13 import (
+        _CRAWL_NOVEL_ORACLE,
+        _is_batch_col,
+        canonical_url_col,
+    )
+    from drug_target_discovery_spark.sources.tables import load_table
+    from drug_target_discovery_spark.streaming.crawl import crawl_ingest_url_dedup
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("doc_id")
+        .withColumn("url", messy_url_col())
+    )
+    crawl = docs.filter(_is_batch_col())
+    ref = (
+        docs.filter(~_is_batch_col())
+        .select(canonical_url_col(F.col("url")).alias("canon_url"))
+        .distinct()
+    )
+    got = sorted(
+        r["canon_url"]
+        for r in crawl_ingest_url_dedup(crawl, ref, watermark=None).collect()
+    )
+    exp = [r[0] for r in _con("documents").execute(_CRAWL_NOVEL_ORACLE).fetchall()]
+    return got == exp and bool(got), f"{len(got)} novel canonical URLs"
+
+
 def check_bpe_encode(spark, k=8):
     from drug_target_discovery_spark.queries.round9 import bpe_encode_stats
 
@@ -867,6 +904,7 @@ CHECKS = [
     ("domain_quality_rollup", check_domain_rollup),
     ("incremental_url_dedup_by_domain", check_incremental_url_dedup),
     ("bpe_top_merges_capped", check_bpe_merges_capped),
+    ("crawl_ingest_url_dedup[batch-twin]", check_crawl_ingest),
     ("order_value_gini_by_nation_scalable", check_gini_twin),
     ("weighted_median_by_key", check_weighted_median),
     ("lpa_community_modularity", check_modularity),
