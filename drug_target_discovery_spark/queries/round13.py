@@ -21,15 +21,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
+from drug_target_discovery_spark.operators.dedup import (
+    MD5_INT_DUCK,
+    MD5_INT_SPARK,
+)
 from drug_target_discovery_spark.queries.round12 import (
     _BPE_SCHEMA,
     _CANON_URL_DUCK_CTES,
+    _DOMAIN_FLAG_DEN,
+    _DOMAIN_FLAG_NUM,
+    _DOMAIN_LOWQ_CHARS,
     _LOCAL_VOCAB_CEILING,
     _MESSY_URL_DUCK,
     _local_bpe,
     _word_counts,
     canonical_host_col,
     canonical_url_col,
+    domain_quality_rollup,
     messy_url_col,
 )
 from drug_target_discovery_spark.sources.tables import load_table
@@ -156,6 +164,121 @@ def incremental_url_dedup_by_domain(
             "novel_url_share"
         ),
     ).orderBy("domain")
+
+
+# ---------------------------------------------------------------------------
+# Per-domain downsampling (the CCNet ACT-on-rollup pass)
+# ---------------------------------------------------------------------------
+
+# Keep-rate (permille) for docs under a FLAGGED domain; unflagged
+# domains keep everything. 300 gives the committed census real
+# variation (flagged domains land near 0.3 with per-domain scatter).
+_DOWNSAMPLE_PERMILLE = 300
+
+_DOC_HASH_SPARK = MD5_INT_SPARK.format(col="CAST(doc_id AS STRING)")
+_DOC_HASH_DUCK = MD5_INT_DUCK.format(col="CAST(doc_id AS VARCHAR)")
+
+
+def per_domain_downsample(
+    spark: SparkSession,
+    sf_dir: str,
+    docs: "DataFrame | None" = None,
+    flagged_keep_permille: int = _DOWNSAMPLE_PERMILLE,
+) -> DataFrame:
+    """The CCNet curation chain's ACTING pass — the step after
+    ``round12.domain_quality_rollup`` decides which domains are
+    problematic: docs under an UNFLAGGED domain are kept in full; docs
+    under a FLAGGED domain are deterministically downsampled (keep iff
+    md5(doc_id) % 1000 < ``flagged_keep_permille`` — the
+    ``hash_stratified_sample`` convention: no RNG, reproducible across
+    engines and backfill reruns). One row per domain, the audit census
+    a curation pipeline logs next to the shard manifest:
+
+      domain       canonical host
+      flagged      the rollup's strict-majority flag (same expression,
+                   same canonical_host_col — the two passes cannot
+                   disagree on a domain)
+      n_docs       documents under the domain
+      n_kept       documents surviving the downsample
+      kept_share   n_kept / n_docs, rounded (1.0 for unflagged domains,
+                   pinned by a property test)
+
+    Scale shape: the flag table is the rollup's output — bounded by the
+    registered-domain count — so it BROADCASTS into the doc stream
+    (map-side join, the stream never shuffles for it); the keep
+    decision is one md5 + modulo per doc (codegen, no UDF); then ONE
+    map-side-combinable aggregate to the domain grain. Composes the
+    rollup's two bounded aggregates; nothing here is corpus-shuffled.
+
+    ``docs`` defaults to the documents table with the deterministic
+    ``messy_url_col`` fixture; production callers pass
+    (doc_id, url, n_chars) — the same contract as the rollup.
+
+    Tests-only lane; prepared oracle ``_DOMAIN_DOWNSAMPLE_ORACLE`` +
+    keep-rule property/edge tests (tests/test_round13_ops.py)."""
+    if docs is None:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars")
+            .withColumn("url", messy_url_col())
+        )
+    flags = domain_quality_rollup(spark, sf_dir, docs=docs).select(
+        "domain", "flagged"
+    )
+    rows = docs.select(
+        "doc_id", canonical_host_col(F.col("url")).alias("domain")
+    )
+    keep = (~F.col("flagged")) | (
+        F.expr(_DOC_HASH_SPARK) % 1000 < F.lit(flagged_keep_permille)
+    )
+    joined = rows.join(F.broadcast(flags), "domain")
+    g = joined.groupBy("domain", "flagged").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+    )
+    return g.select(
+        "domain",
+        "flagged",
+        "n_docs",
+        "n_kept",
+        rnd(F.col("n_kept") / F.col("n_docs"), 6).alias("kept_share"),
+    ).orderBy("domain")
+
+
+_DOMAIN_DOWNSAMPLE_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id, n_chars, {_MESSY_URL_DUCK} AS url FROM documents
+),
+{_CANON_URL_DUCK_CTES.format(src="raw")},
+per_url AS (
+  SELECT canon_host AS domain, canon_url,
+         count(*) AS n,
+         sum(CASE WHEN n_chars < {_DOMAIN_LOWQ_CHARS} THEN 1 ELSE 0 END)
+           AS n_lowq
+  FROM canon GROUP BY canon_host, canon_url
+),
+flags AS (
+  SELECT domain,
+         ({_DOMAIN_FLAG_DEN} * (sum(n) - count(*)) > {_DOMAIN_FLAG_NUM} * sum(n)
+          OR {_DOMAIN_FLAG_DEN} * sum(n_lowq) > {_DOMAIN_FLAG_NUM} * sum(n))
+           AS flagged
+  FROM per_url GROUP BY domain
+),
+kept AS (
+  SELECT c.canon_host AS domain, f.flagged,
+         CASE WHEN NOT f.flagged
+                   OR ({_DOC_HASH_DUCK}) % 1000 < {_DOWNSAMPLE_PERMILLE}
+              THEN 1 ELSE 0 END AS keep
+  FROM canon c JOIN flags f ON c.canon_host = f.domain
+)
+SELECT domain, flagged,
+       count(*) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       {rnd_sql("sum(keep) * 1.0 / count(*)", 6)} AS kept_share
+FROM kept
+GROUP BY domain, flagged
+ORDER BY domain
+"""
 
 
 # ---------------------------------------------------------------------------

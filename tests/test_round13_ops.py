@@ -73,6 +73,64 @@ class TestBpeCapped:
         assert got == [(1, "a", "a", "aa", 1), (2, "b", "b", "bb", 1)]
 
 
+class TestPerDomainDownsample:
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_duckdb_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round13 import (
+            _DOMAIN_DOWNSAMPLE_ORACLE,
+            per_domain_downsample,
+        )
+
+        got = [tuple(r) for r in per_domain_downsample(spark, sf).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        exp = [
+            tuple(r) for r in con.execute(_DOMAIN_DOWNSAMPLE_ORACLE).fetchall()
+        ]
+        assert got == exp
+        assert len(got) == 40
+
+    @pytest.mark.parametrize("sf", SFS)
+    def test_keep_rule_properties(self, spark, sf):
+        """Unflagged domains keep everything; flagged domains keep a
+        subset; the census exercises both states; a rerun is
+        bit-identical (no RNG anywhere)."""
+        from drug_target_discovery_spark.queries.round13 import (
+            per_domain_downsample,
+        )
+
+        rows = per_domain_downsample(spark, sf).collect()
+        for r in rows:
+            if r["flagged"]:
+                assert 0 <= r["n_kept"] <= r["n_docs"]
+            else:
+                assert r["n_kept"] == r["n_docs"] and r["kept_share"] == 1.0
+        assert any(r["flagged"] for r in rows)
+        assert any(not r["flagged"] for r in rows)
+        again = per_domain_downsample(spark, sf).collect()
+        assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+    def test_permille_edges(self, spark):
+        """permille=0 drops every doc under a flagged domain;
+        permille=1000 keeps everything."""
+        from drug_target_discovery_spark.queries.round13 import (
+            per_domain_downsample,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        zero = per_domain_downsample(spark, sf, flagged_keep_permille=0)
+        for r in zero.collect():
+            assert r["n_kept"] == (0 if r["flagged"] else r["n_docs"])
+        full = per_domain_downsample(spark, sf, flagged_keep_permille=1000)
+        for r in full.collect():
+            assert r["n_kept"] == r["n_docs"]
+
+
 class TestIncrementalUrlDedup:
     @pytest.mark.parametrize("sf", SFS)
     def test_matches_duckdb_oracle(self, spark, sf):

@@ -213,6 +213,12 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
     ),
     (
         "drug_target_discovery_spark.queries.round13",
+        "per_domain_downsample",
+        "prepared DuckDB oracle (exact, sf0.001/0.01) + keep-rule properties (unflagged domains intact, rerun-determinism, permille 0/1000 edges)",
+        "tests/test_round13_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.queries.round13",
         "bpe_top_merges_capped",
         "exact python recompute over the deterministically-capped word table + equals-local-when-cap-covers pin + cap-tie-break pin; cap sensitivity measured (bpecap probe)",
         "tests/test_round13_ops.py",

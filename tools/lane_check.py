@@ -383,6 +383,27 @@ def check_incremental_url_dedup(spark):
     )
 
 
+def check_domain_downsample(spark):
+    """Round-13 lane: the CCNet act-on-rollup pass (per-domain
+    deterministic downsampling) vs the prepared DuckDB oracle."""
+    from drug_target_discovery_spark.queries.round13 import (
+        _DOMAIN_DOWNSAMPLE_ORACLE,
+        per_domain_downsample,
+    )
+
+    got = [tuple(r) for r in per_domain_downsample(spark, SF).collect()]
+    exp = [
+        tuple(r)
+        for r in _con("documents").execute(_DOMAIN_DOWNSAMPLE_ORACLE).fetchall()
+    ]
+    n_flag = sum(1 for r in got if r[1])
+    kept = sum(r[3] for r in got)
+    total = sum(r[2] for r in got)
+    return got == exp and bool(got), (
+        f"{len(got)} domains ({n_flag} flagged); kept {kept}/{total} docs"
+    )
+
+
 def check_crawl_ingest(spark):
     """Round-13 streaming tier, batch twin: the crawl-ingest
     canonical-URL dedup's DETERMINISTIC columns (the novel canonical-URL
@@ -903,6 +924,7 @@ CHECKS = [
     ("url_canonical_dedup", check_url_dedup),
     ("domain_quality_rollup", check_domain_rollup),
     ("incremental_url_dedup_by_domain", check_incremental_url_dedup),
+    ("per_domain_downsample", check_domain_downsample),
     ("bpe_top_merges_capped", check_bpe_merges_capped),
     ("crawl_ingest_url_dedup[batch-twin]", check_crawl_ingest),
     ("order_value_gini_by_nation_scalable", check_gini_twin),

@@ -1103,6 +1103,7 @@ def probe_url_family(spark, reps: int = 2) -> None:
     )
     from drug_target_discovery_spark.queries.round13 import (
         incremental_url_dedup_by_domain,
+        per_domain_downsample,
     )
 
     report = {"probe": "url_family", "loadavg1_start": _load1()}
@@ -1112,11 +1113,12 @@ def probe_url_family(spark, reps: int = 2) -> None:
             ("url", url_canonical_dedup),
             ("domain", domain_quality_rollup),
             ("incr", incremental_url_dedup_by_domain),
+            ("downsample", per_domain_downsample),
         ):
             runs = [_timed(lambda d=d, fn=fn: fn(spark, d)) for _ in range(reps)]
             report[f"{op}_{name}_s"] = min(runs)
             report[f"{op}_{name}_runs"] = runs
-    for op in ("url", "domain", "incr"):
+    for op in ("url", "domain", "incr", "downsample"):
         report[f"{op}_x10_factor"] = round(
             report[f"{op}_x10_s"] / report[f"{op}_x1_s"], 2
         )
