@@ -71,7 +71,10 @@ _IS_BATCH_DUCK = (
 
 
 def incremental_url_dedup_by_domain(
-    spark: SparkSession, sf_dir: str, docs: "DataFrame | None" = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: "DataFrame | None" = None,
+    ref_urls: "DataFrame | None" = None,
 ) -> DataFrame:
     """Per-domain incremental crawl dedup by canonical URL — the CCNet
     pass run on every NEW crawl batch before any content hashing: a
@@ -99,19 +102,27 @@ def incremental_url_dedup_by_domain(
     join-back): canonicalization is map-side codegen (zero UDF); the
     batch aggregates ONCE to the (domain, canon_url) grain (map-side
     combined — the shuffle carries canonical URLs, never docs); the
-    reference side reduces to its DISTINCT canonical-URL set (at 100 TB
-    this is the precomputed, bucketed crawl-index table every CCNet
-    deployment already maintains — rebuilding it per batch would scan
-    the corpus, so production callers pass it pre-materialized); the
-    two meet in ONE equi-join on canon_url (batch-group-sized left,
-    AQE broadcasts if small); then ONE domain-grain rollup. Whether a
-    batch doc is a ref-dup or a batch-dup is a property of its GROUP,
-    so no per-doc join or window is ever needed.
+    reference side is its DISTINCT canonical-URL set; the two meet in
+    ONE equi-join on canon_url (batch-group-sized left, AQE broadcasts
+    if small); then ONE domain-grain rollup. Whether a batch doc is a
+    ref-dup or a batch-dup is a property of its GROUP, so no per-doc
+    join or window is ever needed.
 
-    ``docs`` defaults to the documents table with the deterministic
-    ``messy_url_col`` fixture (the testdata has no URL column);
-    production callers pass (doc_id, url). Batch membership is
-    doc_id % 7 == 0 plus canonical class 13 (see ``_is_batch_col``).
+    Calling contracts:
+
+    - PRODUCTION: pass ``docs`` = the NEW crawl batch (doc_id, url; all
+      rows are the batch) and ``ref_urls`` = the pre-materialized
+      reference canonical-URL set (one ``canon_url`` column — at 100 TB
+      the precomputed, bucketed crawl-index table every CCNet
+      deployment maintains; rebuilding it per batch would scan the
+      corpus). Same contract as the streaming twin
+      (``streaming.crawl.crawl_ingest_url_dedup``).
+    - FIXTURE (``ref_urls=None``): ``docs`` defaults to the documents
+      table with the deterministic ``messy_url_col`` column, split into
+      batch/reference by ``_is_batch_col`` (doc_id % 7 == 0 plus
+      canonical class 13) — this mode exists for the testdata, which
+      carries no second crawl, and scans ``docs`` twice (fine at
+      fixture scale; production uses the first contract).
 
     Tests-only lane; prepared oracle ``_INCR_URL_DEDUP_ORACLE``
     (DuckDB) + property/edge tests in tests/test_round13_ops.py.
@@ -122,23 +133,25 @@ def incremental_url_dedup_by_domain(
             .select("doc_id")
             .withColumn("url", messy_url_col())
         )
-    rows = docs.select(
-        _is_batch_col().alias("is_batch"),
-        canonical_host_col(F.col("url")).alias("domain"),
-        canonical_url_col(F.col("url")).alias("canon_url"),
+    if ref_urls is None:
+        rows = docs.select(
+            _is_batch_col().alias("is_batch"),
+            canonical_host_col(F.col("url")).alias("domain"),
+            canonical_url_col(F.col("url")).alias("canon_url"),
+        )
+        batch = rows.filter("is_batch").drop("is_batch")
+        ref_urls = rows.filter(~F.col("is_batch")).select("canon_url")
+    else:
+        batch = docs.select(
+            canonical_host_col(F.col("url")).alias("domain"),
+            canonical_url_col(F.col("url")).alias("canon_url"),
+        )
+        ref_urls = ref_urls.select("canon_url")
+    batch_groups = batch.groupBy("domain", "canon_url").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    batch_groups = (
-        rows.filter("is_batch")
-        .groupBy("domain", "canon_url")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    ref_urls = (
-        rows.filter(~F.col("is_batch"))
-        .select("canon_url")
-        .distinct()
-        .withColumn("in_ref", F.lit(True))
-    )
-    flagged = batch_groups.join(ref_urls, "canon_url", "left").select(
+    ref_set = ref_urls.distinct().withColumn("in_ref", F.lit(True))
+    flagged = batch_groups.join(ref_set, "canon_url", "left").select(
         "domain", "n", F.coalesce("in_ref", F.lit(False)).alias("in_ref")
     )
     zero = F.lit(0).cast("long")
@@ -223,7 +236,7 @@ def per_domain_downsample(
             .withColumn("url", messy_url_col())
         )
     flags = domain_quality_rollup(spark, sf_dir, docs=docs).select(
-        "domain", "flagged"
+        F.col("domain").alias("f_domain"), "flagged"
     )
     rows = docs.select(
         "doc_id", canonical_host_col(F.col("url")).alias("domain")
@@ -231,7 +244,13 @@ def per_domain_downsample(
     keep = (~F.col("flagged")) | (
         F.expr(_DOC_HASH_SPARK) % 1000 < F.lit(flagged_keep_permille)
     )
-    joined = rows.join(F.broadcast(flags), "domain")
+    # NULL-SAFE equi-join: a NULL canonical domain (e.g. a NULL url in
+    # production input) groups under NULL in the rollup, and the census
+    # must carry the same row — a plain equi-join would silently drop
+    # those docs and the two passes would disagree on corpus totals.
+    joined = rows.join(
+        F.broadcast(flags), F.col("domain").eqNullSafe(F.col("f_domain"))
+    ).drop("f_domain")
     g = joined.groupBy("domain", "flagged").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(keep.cast("long")).alias("n_kept"),
@@ -269,7 +288,9 @@ kept AS (
          CASE WHEN NOT f.flagged
                    OR ({_DOC_HASH_DUCK}) % 1000 < {_DOWNSAMPLE_PERMILLE}
               THEN 1 ELSE 0 END AS keep
-  FROM canon c JOIN flags f ON c.canon_host = f.domain
+  -- null-safe: NULL canonical domains must survive the join (twin of
+  -- the Spark eqNullSafe)
+  FROM canon c JOIN flags f ON c.canon_host IS NOT DISTINCT FROM f.domain
 )
 SELECT domain, flagged,
        count(*) AS n_docs,
@@ -327,7 +348,17 @@ def bpe_top_merges_capped(
     chosen to fit the driver), then the vocabulary-sized incremental
     heap loop (``_local_bpe``). At 100 TB this is exactly the
     HF-tokenizers pipeline with the word counting done by the cluster.
+    ``top_words`` is capped at the family's driver-collect ceiling
+    (the local trainer's 2M valve): a cap past driver memory would
+    reintroduce the exact OOM this operator exists to avoid.
     """
+    if top_words > _LOCAL_VOCAB_CEILING:
+        raise ValueError(
+            f"bpe_top_merges_capped: top_words={top_words} exceeds the "
+            f"driver-collect ceiling ({_LOCAL_VOCAB_CEILING}) — the cap "
+            "must fit in driver memory; lower it (the bpecap probe "
+            "measures how little compression quality a smaller cap costs)"
+        )
     words = _word_counts(spark, sf_dir, docs)
     rows = words.orderBy(F.desc("cnt"), F.asc("w")).limit(top_words).collect()
     word_counts = sorted((r["w"], int(r["cnt"])) for r in rows)

@@ -71,7 +71,17 @@ def crawl_ingest_url_dedup(
     ).withColumn("domain", canonical_host_col(F.col("url")))
     ref = F.broadcast(ref_urls) if broadcast_ref else ref_urls
     novel = canon.join(ref, "canon_url", "left_anti")
-    if watermark is not None and novel.isStreaming:
+    if novel.isStreaming:
+        if watermark is None:
+            # Spark would ACCEPT dropDuplicates on a stream — with
+            # per-key state growing unbounded (one entry per distinct
+            # canonical URL, forever). Fail fast instead: an unbounded
+            # crawl feed needs the watermark-bounded form.
+            raise ValueError(
+                "crawl_ingest_url_dedup: a streaming input requires a "
+                "watermark — unbounded dropDuplicates state does not "
+                "survive an unbounded crawl; pass watermark='<horizon>'"
+            )
         return novel.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             ["canon_url"]
         )

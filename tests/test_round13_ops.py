@@ -55,6 +55,24 @@ class TestBpeCapped:
         assert got == _python_bpe_wc(capped, 5)
         assert got, "capped corpus must still train"
 
+    def test_top_words_ceiling_valve(self, spark):
+        """A cap past the driver-collect ceiling must refuse before any
+        job runs (the VERDICT r12 #5 valve, applied to the new trainer)."""
+        from drug_target_discovery_spark.queries.round12 import (
+            _LOCAL_VOCAB_CEILING,
+        )
+        from drug_target_discovery_spark.queries.round13 import (
+            bpe_top_merges_capped,
+        )
+
+        with pytest.raises(ValueError, match="driver-collect ceiling"):
+            bpe_top_merges_capped(
+                spark,
+                "/root/testdata/sf0.001",
+                k=3,
+                top_words=_LOCAL_VOCAB_CEILING + 1,
+            )
+
     def test_cap_tie_break_is_deterministic(self, spark):
         """Count ties at the cap boundary resolve by word string (asc):
         with four count-1 words and top_words=2, 'aa' and 'bb' make the
@@ -114,6 +132,32 @@ class TestPerDomainDownsample:
         assert any(not r["flagged"] for r in rows)
         again = per_domain_downsample(spark, sf).collect()
         assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+    def test_null_domain_survives_census(self, spark):
+        """A NULL url canonicalizes to a NULL domain; the rollup groups
+        it under NULL and the downsample census must carry the same row
+        (null-safe join) instead of silently dropping those docs."""
+        from drug_target_discovery_spark.queries.round13 import (
+            per_domain_downsample,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "http://a.com/x", 300),
+                (2, "http://a.com/y", 300),
+                (3, None, 300),
+                (4, None, 100),
+            ],
+            "doc_id long, url string, n_chars long",
+        )
+        rows = {
+            r["domain"]: r
+            for r in per_domain_downsample(spark, "", docs=docs).collect()
+        }
+        assert None in rows, "NULL-domain docs vanished from the census"
+        assert rows[None]["n_docs"] == 2
+        assert rows["a.com"]["n_docs"] == 2
+        assert sum(r["n_docs"] for r in rows.values()) == 4
 
     def test_permille_edges(self, spark):
         """permille=0 drops every doc under a flagged domain;
@@ -239,6 +283,37 @@ class TestIncrementalUrlDedup:
         for chunk in plan.split("ReadSchema:")[1:]:
             schema = chunk.splitlines()[0]
             assert "text" not in schema and "n_chars" not in schema, schema
+
+    def test_production_contract_explicit_ref(self, spark):
+        """The production calling contract: docs = the new batch (ALL
+        rows), ref_urls = the pre-materialized reference canonical-URL
+        set — mirroring the streaming twin. doc 7 dups the reference,
+        docs 1+2 collapse into one novel group."""
+        from drug_target_discovery_spark.queries.round13 import (
+            incremental_url_dedup_by_domain,
+        )
+
+        batch = spark.createDataFrame(
+            [
+                (1, "http://a.com/x"),
+                (2, "https://WWW.A.com/x/"),
+                (7, "http://b.com/y?utm_source=s"),
+            ],
+            "doc_id long, url string",
+        )
+        ref = spark.createDataFrame([("b.com/y",)], "canon_url string")
+        got = {
+            r["domain"]: (
+                r["n_batch_docs"],
+                r["n_ref_dup"],
+                r["n_batch_dup"],
+                r["n_novel_urls"],
+            )
+            for r in incremental_url_dedup_by_domain(
+                spark, "", docs=batch, ref_urls=ref
+            ).collect()
+        }
+        assert got == {"a.com": (2, 0, 1, 1), "b.com": (1, 1, 0, 0)}
 
     def test_empty_batch(self, spark):
         """No batch docs at all -> empty result with the full schema."""

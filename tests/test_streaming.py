@@ -883,3 +883,27 @@ class TestCrawlIngestUrlDedup:
             assert len(got) == 2
         finally:
             _sh.rmtree(d, ignore_errors=True)
+
+    def test_streaming_requires_watermark(self, spark):
+        """watermark=None on a genuinely streaming input must fail fast
+        — Spark would accept dropDuplicates on the stream and grow
+        per-key state unboundedly (one entry per canonical URL,
+        forever)."""
+        import shutil as _sh
+        import tempfile as _tf
+
+        from drug_target_discovery_spark.streaming.crawl import (
+            crawl_ingest_url_dedup,
+        )
+
+        d = _tf.mkdtemp(prefix="crawl_stream3_")
+        try:
+            batch = self._crawl_df(spark)
+            batch.write.mode("overwrite").parquet(f"{d}/crawl.parquet")
+            src = spark.readStream.schema(batch.schema).parquet(
+                f"{d}/crawl.parquet"
+            )
+            with pytest.raises(ValueError, match="requires a watermark"):
+                crawl_ingest_url_dedup(src, self._ref_df(spark), watermark=None)
+        finally:
+            _sh.rmtree(d, ignore_errors=True)

@@ -332,9 +332,11 @@ def check_domain_rollup(spark):
 def check_bpe_merges_capped(spark, k=60, top_words=40):
     """Round-13 scale form: frequency-capped training (the
     above-ceiling production path) must equal an independent python
-    recompute over the SAME deterministically-capped word table —
-    DuckDB computes the top-N (count desc, word asc) word counts, the
-    naive recount trains on them. The cap (40) is far below the
+    recompute over the SAME deterministically-capped word table — raw
+    texts come from DuckDB, then the word counts, the (count desc,
+    word asc) top-N cap, AND the training all recompute in pure python
+    (python's .split() matches the engine's \\s+ tokenizer, which
+    DuckDB's string_split would not). The cap (40) is far below the
     corpus's distinct-word count at every SF, so the capped path is
     genuinely exercised."""
     from drug_target_discovery_spark.queries.round13 import bpe_top_merges_capped

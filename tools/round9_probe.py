@@ -1004,25 +1004,10 @@ def probe_bpe_cap(spark) -> None:
     ]
     n_occ = sum(c for _, c in word_counts)
 
+    from tools.lane_check import _encode  # THE family apply convention
+
     def _fertility(rules) -> float:
-        toks = 0
-        for w, c in word_counts:
-            syms = list(w)
-            for le, ri in rules:
-                out, pend = [], None
-                for x in syms:
-                    if pend is None:
-                        pend = x
-                    elif pend == le and x == ri:
-                        out.append(le + ri)
-                        pend = None
-                    else:
-                        out.append(pend)
-                        pend = x
-                if pend is not None:
-                    out.append(pend)
-                syms = out
-            toks += len(syms) * c
+        toks = sum(len(_encode(w, rules)) * c for w, c in word_counts)
         return round(toks / n_occ, 4)
 
     t0 = time.perf_counter()
