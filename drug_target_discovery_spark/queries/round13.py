@@ -1,4 +1,6 @@
-"""Round-13 operators (tests-only lane, capacity-policy rule 3).
+"""Round-13 operators (tests-only lane, capacity-policy rule 3):
+per-domain incremental URL dedup, the per-domain downsampler,
+frequency-capped BPE training, and the PII redaction census.
 
 Per-domain INCREMENTAL URL dedup — the natural next CCNet pass after
 round 12's ``url_canonical_dedup`` + ``domain_quality_rollup``
@@ -388,6 +390,249 @@ ORDER BY canon_url
     messy=_MESSY_URL_DUCK,
     ctes=_CANON_URL_DUCK_CTES.format(src="raw"),
     isbatch=_IS_BATCH_DUCK,
+)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction census (the scrub pass every released corpus runs)
+# ---------------------------------------------------------------------------
+
+# Shared regex dialect: every construct below ({m,n} bounds, character
+# classes, \\b ASCII word boundaries, non-capturing groups) means the
+# same thing in Java regex (Spark codegen) and RE2 (DuckDB oracle) —
+# the lane check pins the two engines' match counts AND redacted char
+# mass against each other at every SF. No lookaround/backreferences
+# (RE2 has neither).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_text_col():
+    """Deterministic PII-bearing text fixture column for the documents
+    table (the testdata text is clean word soup, so the lane entry
+    DERIVES a scrubbing workload from doc_id arithmetic — identical
+    expression in ``_PII_TEXT_DUCK``, the ``messy_url_col`` convention).
+    Injection classes: doc_id % 7 == 0 appends an email (and the % 49
+    subclass a SECOND one, so the per-doc count leaves {0,1}); % 9 == 1
+    appends a zero-padded phone; % 11 == 2 appends an IPv4 whose octets
+    sweep 0..255 (so octet width varies 1-3 digits). All three moduli
+    are COPRIME with the fixture's source tag (source = doc_id % 20) —
+    a modulus sharing a factor with 20 would make a census column
+    constant-by-construction within some source (the first draft's
+    % 4 email class made src0/src4/... 100%-email and the rest
+    0%-email — a column that can't vary inside a row discriminates
+    nothing, the VERDICT r12 #6 lesson again). The classes overlap
+    (doc_id 35 carries email+IP, 28 email+phone) and leave a clean
+    residue (doc_id 3 matches nothing), so every census column varies
+    within every source at every SF."""
+    d = F.col("doc_id")
+    email = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            (d % 50).cast("string"),
+            F.lit("@mail"),
+            (d % 5).cast("string"),
+            F.lit(".org"),
+        ),
+    ).otherwise(F.lit(""))
+    email2 = F.when(
+        d % 49 == 0,
+        F.concat(F.lit(" cc admin@mail"), (d % 9).cast("string"), F.lit(".net")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 9 == 1,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 11 == 2,
+        F.concat(
+            F.lit(" host 10."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            ((d * 3) % 256).cast("string"),
+            F.lit("."),
+            ((d * 7) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, email2, phone, ip)
+
+
+_PII_TEXT_DUCK = """
+    (text
+     || CASE WHEN doc_id % 7 = 0
+             THEN ' contact user' || CAST(doc_id % 50 AS VARCHAR)
+                  || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.org'
+             ELSE '' END
+     || CASE WHEN doc_id % 49 = 0
+             THEN ' cc admin@mail' || CAST(doc_id % 9 AS VARCHAR) || '.net'
+             ELSE '' END
+     || CASE WHEN doc_id % 9 = 1
+             THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END
+     || CASE WHEN doc_id % 11 = 2
+             THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+             ELSE '' END)
+"""
+
+
+def pii_redacted_col(col, email_token="<EMAIL>", phone_token="<PHONE>", ip_token="<IP>"):
+    """The redacted-text column a scrub pipeline actually writes out:
+    chained GLOBAL ``regexp_replace`` (email -> phone -> IP) swapping
+    each match for a typed placeholder token. Pure codegen (three JVM
+    regex passes per value, zero UDF) — compose it into any projection;
+    ``pii_redaction_census`` uses the same chain with empty
+    replacements for its exact char-mass column. The placeholder
+    strings contain no digits, so a later family's pattern can never
+    match inside an earlier family's token."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, PII_EMAIL_RE, email_token),
+            PII_PHONE_RE,
+            phone_token,
+        ),
+        PII_IPV4_RE,
+        ip_token,
+    )
+
+
+def pii_redaction_census(
+    spark: SparkSession,
+    sf_dir: str,
+    docs: "DataFrame | None" = None,
+) -> DataFrame:
+    """PII scrub census — the regex redaction pass every released
+    training corpus runs before anything else sees the text (BigScience
+    ROOTS and RedPajama ship exactly this shape: email / phone / IP
+    regexes swept over every document, with an audit census logged per
+    source). One row per source, the numbers a data-governance review
+    asks for:
+
+      source         source tag
+      n_docs         documents scanned
+      n_email_docs   documents containing >=1 email match
+      n_emails       total email matches
+      n_phone_docs / n_phones    same for the phone pattern
+      n_ip_docs / n_ips          same for the IPv4 pattern
+      pii_chars      characters removed by the full sequential
+                     redaction (email -> phone -> IP, each global)
+      pii_doc_share  share of documents with ANY match, rounded
+
+    Semantics worth pinning: per-family COUNTS are measured on the
+    ORIGINAL text independently (a pathological token matching two
+    families is counted by both); PII_CHARS is the sequential
+    redaction's exact char mass, so overlap is never double-counted
+    there. Both engines implement both definitions.
+
+    Scale shape: the scan is one map-side codegen pass per document —
+    three ``regexp_count`` + one chained ``regexp_replace`` + ``length``
+    arithmetic, zero UDF, zero join — followed by ONE
+    map-side-combinable aggregate to the source grain (bounded by the
+    source vocabulary). The shuffle carries 20-ish census rows per
+    partition, never text. At 100 TB this is scan-bound, which is the
+    floor for any pass that must read every byte.
+
+    ``docs`` defaults to the documents table with the deterministic
+    ``pii_text_col`` fixture; production callers pass
+    (doc_id, source, text). Tests-only lane; prepared oracle
+    ``_PII_CENSUS_ORACLE`` + hand-fixture/property tests in
+    tests/test_round13_ops.py.
+
+    Reference parity note: the reference engine (pipeline2.py) has no
+    text-scrub machinery — SURVEY.md §2.12 tier.
+    """
+    if docs is None:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "text")
+            .withColumn("text", pii_text_col())
+        )
+    t = F.col("text")
+    redacted = pii_redacted_col(t, "", "", "")
+    per_doc = docs.select(
+        "source",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phone"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).alias("n_ip"),
+        (F.length(t) - F.length(redacted)).alias("chars"),
+    )
+    hit = (F.col("n_email") + F.col("n_phone") + F.col("n_ip")) > 0
+    g = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_email") > 0).cast("long")).alias("n_email_docs"),
+        F.sum("n_email").cast("long").alias("n_emails"),
+        F.sum((F.col("n_phone") > 0).cast("long")).alias("n_phone_docs"),
+        F.sum("n_phone").cast("long").alias("n_phones"),
+        F.sum((F.col("n_ip") > 0).cast("long")).alias("n_ip_docs"),
+        F.sum("n_ip").cast("long").alias("n_ips"),
+        F.sum("chars").cast("long").alias("pii_chars"),
+        F.sum(hit.cast("long")).alias("n_hit"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_email_docs",
+        "n_emails",
+        "n_phone_docs",
+        "n_phones",
+        "n_ip_docs",
+        "n_ips",
+        "pii_chars",
+        rnd(F.col("n_hit") / F.col("n_docs"), 6).alias("pii_doc_share"),
+    ).orderBy("source")
+
+
+_PII_CENSUS_ORACLE = """
+WITH raw AS (
+  SELECT doc_id, source, {pii_text} AS text FROM documents
+),
+per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{email}')) AS n_email,
+         len(regexp_extract_all(text, '{phone}')) AS n_phone,
+         len(regexp_extract_all(text, '{ipv4}')) AS n_ip,
+         length(text) - length(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{email}', '', 'g'),
+               '{phone}', '', 'g'),
+             '{ipv4}', '', 'g')) AS chars
+  FROM raw
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_email_docs,
+       CAST(sum(n_email) AS BIGINT) AS n_emails,
+       CAST(sum(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_phone_docs,
+       CAST(sum(n_phone) AS BIGINT) AS n_phones,
+       CAST(sum(CASE WHEN n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ip_docs,
+       CAST(sum(n_ip) AS BIGINT) AS n_ips,
+       CAST(sum(chars) AS BIGINT) AS pii_chars,
+       {share} AS pii_doc_share
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""".format(
+    pii_text=_PII_TEXT_DUCK,
+    email=PII_EMAIL_RE,
+    phone=PII_PHONE_RE,
+    ipv4=PII_IPV4_RE,
+    share=rnd_sql(
+        "sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)"
+        " * 1.0 / count(*)",
+        6,
+    ),
 )
 
 

@@ -1,5 +1,5 @@
-"""Round-13 lane operators: per-domain incremental URL dedup and
-frequency-capped BPE training."""
+"""Round-13 lane operators: per-domain incremental URL dedup,
+frequency-capped BPE training, and the PII redaction census."""
 
 import pytest
 
@@ -335,3 +335,138 @@ class TestIncrementalUrlDedup:
             "n_novel_urls",
             "novel_url_share",
         ]
+
+
+def _pii_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+class TestPiiRedactionCensus:
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_duckdb_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round13 import (
+            _PII_CENSUS_ORACLE,
+            pii_redaction_census,
+        )
+
+        got = [tuple(r) for r in pii_redaction_census(spark, sf).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        exp = [tuple(r) for r in con.execute(_PII_CENSUS_ORACLE).fetchall()]
+        assert got == exp
+        assert len(got) == 20
+
+    @pytest.mark.parametrize("sf", SFS)
+    def test_fixture_discriminates_within_sources(self, spark, sf):
+        """Every census column must VARY across sources (the injection
+        moduli are coprime with source = doc_id % 20 by construction —
+        a modulus sharing a factor with 20 pins a column to a constant
+        inside some source, and a constant column discriminates
+        nothing)."""
+        from drug_target_discovery_spark.queries.round13 import (
+            pii_redaction_census,
+        )
+
+        rows = pii_redaction_census(spark, sf).collect()
+        for col in ("n_emails", "n_phones", "n_ips", "pii_chars"):
+            vals = {r[col] for r in rows}
+            assert len(vals) > 1, f"{col} is constant across sources"
+        for r in rows:
+            assert 0 < r["pii_doc_share"] < 1
+
+    def test_hand_fixture_counts(self, spark):
+        """Exact census on five crafted docs: multi-match, each family
+        alone, a clean doc, and a three-family mix — char masses
+        computed by hand."""
+        from drug_target_discovery_spark.queries.round13 import (
+            pii_redaction_census,
+        )
+
+        docs = _pii_docs(
+            spark,
+            [
+                (1, "s", "reach user1@mail2.org or admin@mail0.net"),
+                (2, "s", "call 555-123-4567 now"),
+                (3, "s", "ping 10.1.2.3 ok"),
+                (4, "s", "clean text only"),
+                (5, "s", "mix a@b.io 555-000-1111 1.2.3.4"),
+            ],
+        )
+        (r,) = pii_redaction_census(spark, "", docs=docs).collect()
+        assert tuple(r) == (
+            "s",
+            5,  # n_docs
+            2,  # n_email_docs (1, 5)
+            3,  # n_emails (two in doc 1)
+            2,  # n_phone_docs (2, 5)
+            2,
+            2,  # n_ip_docs (3, 5)
+            2,
+            75,  # 30 + 12 + 8 + 0 + 25 chars removed
+            0.8,
+        )
+
+    def test_redacted_col_placeholders(self, spark):
+        """The production redaction column swaps each match for its
+        typed token, globally, in family order."""
+        from pyspark.sql import functions as F
+
+        from drug_target_discovery_spark.queries.round13 import (
+            pii_redacted_col,
+        )
+
+        df = spark.createDataFrame(
+            [("a@b.io then 555-000-1111 at 1.2.3.4 and c@d.org",)],
+            "text string",
+        )
+        (out,) = df.select(
+            pii_redacted_col(F.col("text")).alias("red")
+        ).collect()
+        assert out["red"] == "<EMAIL> then <PHONE> at <IP> and <EMAIL>"
+
+    def test_boundary_negatives(self, spark):
+        """Word-boundary guards: digits glued to a word char are not a
+        phone; a 5-octet dotted run still yields only one 4-octet IPv4
+        match (regex greediness is identical in both engines — the
+        DuckDB twin of this pin lives in the lane check)."""
+        from drug_target_discovery_spark.queries.round13 import (
+            pii_redaction_census,
+        )
+
+        docs = _pii_docs(
+            spark,
+            [
+                (1, "s", "x555-012-3456 not a phone"),
+                (2, "s", "v1.2.3.4.5 versions"),
+            ],
+        )
+        (r,) = pii_redaction_census(spark, "", docs=docs).collect()
+        assert r["n_phones"] == 0
+        # 'v1' glues a word char to the first octet (no \b there), so
+        # the single match starts at the next boundary, after "1.":
+        # both engines find exactly "2.3.4.5" and nothing else.
+        assert r["n_ips"] == 1
+
+    def test_production_contract_and_determinism(self, spark):
+        """Explicit (doc_id, source, text) input: no fixture column is
+        applied, totals partition the corpus, rerun is bit-identical."""
+        from drug_target_discovery_spark.queries.round13 import (
+            pii_redaction_census,
+        )
+
+        docs = _pii_docs(
+            spark,
+            [(i, f"s{i % 2}", "no pii here at all") for i in range(10)],
+        )
+        rows = pii_redaction_census(spark, "", docs=docs).collect()
+        assert [tuple(r) for r in rows] == [
+            ("s0", 5, 0, 0, 0, 0, 0, 0, 0, 0.0),
+            ("s1", 5, 0, 0, 0, 0, 0, 0, 0, 0.0),
+        ]
+        again = pii_redaction_census(spark, "", docs=docs).collect()
+        assert [tuple(r) for r in rows] == [tuple(r) for r in again]

@@ -406,6 +406,28 @@ def check_domain_downsample(spark):
     )
 
 
+def check_pii_census(spark):
+    """Round-13 lane: the PII scrub census (email/phone/IPv4 regex
+    counts + sequential-redaction char mass, source grain) vs the
+    prepared DuckDB oracle — this is also the cross-dialect regex pin
+    (Java codegen vs RE2) at full fixture scale."""
+    from drug_target_discovery_spark.queries.round13 import (
+        _PII_CENSUS_ORACLE,
+        pii_redaction_census,
+    )
+
+    got = [tuple(r) for r in pii_redaction_census(spark, SF).collect()]
+    exp = [tuple(r) for r in _con("documents").execute(_PII_CENSUS_ORACLE).fetchall()]
+    emails = sum(r[3] for r in got)
+    phones = sum(r[5] for r in got)
+    ips = sum(r[7] for r in got)
+    chars = sum(r[8] for r in got)
+    return got == exp and bool(got), (
+        f"{len(got)} sources; emails/phones/ips = {emails}/{phones}/{ips}, "
+        f"{chars} chars redacted"
+    )
+
+
 def check_crawl_ingest(spark):
     """Round-13 streaming tier, batch twin: the crawl-ingest
     canonical-URL dedup's DETERMINISTIC columns (the novel canonical-URL
@@ -929,6 +951,7 @@ CHECKS = [
     ("per_domain_downsample", check_domain_downsample),
     ("bpe_top_merges_capped", check_bpe_merges_capped),
     ("crawl_ingest_url_dedup[batch-twin]", check_crawl_ingest),
+    ("pii_redaction_census", check_pii_census),
     ("order_value_gini_by_nation_scalable", check_gini_twin),
     ("weighted_median_by_key", check_weighted_median),
     ("lpa_community_modularity", check_modularity),

@@ -1111,6 +1111,36 @@ def probe_url_family(spark, reps: int = 2) -> None:
     print(_json.dumps(report), flush=True)
 
 
+def probe_pii(spark, reps: int = 2) -> None:
+    """pii_redaction_census at x1/x10 doc clones (doc_id-shifted, so
+    the arithmetic injection classes keep their density — the moduli
+    are invariant under the +1M replica shift). Expected ~flat: three
+    codegen regex passes + length arithmetic map-side, then ONE
+    map-side-combinable aggregate to the 20-source grain. The scan
+    must read every byte of text, which is the floor for any scrub
+    pass — so the x10 factor measures pure scheduling overhead at
+    fixture scale."""
+    import json as _json
+
+    from drug_target_discovery_spark.queries.round13 import (
+        pii_redaction_census,
+    )
+
+    report = {"probe": "pii_census", "loadavg1_start": _load1()}
+    d10 = build_documents(spark, 10, perturb=False)
+    for name, d in (("x1", BASE), ("x10", d10)):
+        runs = [
+            _timed(lambda d=d: pii_redaction_census(spark, d))
+            for _ in range(reps)
+        ]
+        report[f"{name}_s"] = min(runs)
+        report[f"{name}_runs"] = runs
+        report[f"{name}_load1"] = _load1()
+    report["x10_factor"] = round(report["x10_s"] / report["x1_s"], 2)
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
 def main() -> None:
     which = set(sys.argv[1:]) or {"fano", "gini"}
     spark = get_spark("round9_probe")
@@ -1157,6 +1187,8 @@ def main() -> None:
         probe_bpe_zipf(spark)
     if "bpecap" in which:
         probe_bpe_cap(spark)
+    if "pii" in which:
+        probe_pii(spark)
 
 
 if __name__ == "__main__":
