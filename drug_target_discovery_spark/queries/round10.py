@@ -216,9 +216,43 @@ def bigram_lm_quality_by_source(
     loosening the integer pipeline downstream of the model. The same
     assumption (for exp) covers the MMD kernel quantization below.
     """
+    per_doc = _jm_doc_scores(spark, sf_dir, broadcast_ceiling)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nb").alias("n_bigrams"),
+            rnd(F.sum("lp_sum") / (F.lit(1000000.0) * F.sum("nb")), 6).alias(
+                "mean_logprob"
+            ),
+            F.sum(
+                (F.col("lp_sum") < F.lit(_JM_LOWQ_MICRO) * F.col("nb")).cast("long")
+            ).alias("n_low_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def _jm_doc_scores(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_ceiling: int = _BG_BROADCAST_CEILING,
+    keys: "tuple[str, ...]" = ("source",),
+) -> DataFrame:
+    """Shared Jelinek-Mercer per-document scorer behind
+    ``bigram_lm_quality_by_source`` (keys=("source",), the original
+    shape — extracted verbatim, values unchanged, lane-pinned) and
+    round-13's ``ccnet_perplexity_buckets`` (keys=("lang",), the CCNet
+    grain). Returns one row per document with >= 2 tokens:
+    (*keys, doc_id, nb, lp_sum) where lp_sum is the integer micro-log10
+    sum over the doc's bigrams under the corpus-trained JM model. All
+    scale/eager-gate/libm notes live on the public caller's docstring.
+    """
     from drug_target_discovery_spark.caching import scoped_cache
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", *keys, "text"
+    )
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(F.col("_w")) - 2),
@@ -228,11 +262,11 @@ def bigram_lm_quality_by_source(
             F.element_at(F.col("_w"), i + 2),
         ),
     )
-    base = docs.select("doc_id", "source", words.alias("_w")).filter(
+    base = docs.select("doc_id", *keys, words.alias("_w")).filter(
         F.size("_w") >= 2
     )
     bg_stream = base.select(
-        "doc_id", "source", F.explode(grams).alias("bg")
+        "doc_id", *keys, F.explode(grams).alias("bg")
     )
     # pass 1a: bigram counts (vocab grain) — query-scope cached: it is
     # vocab-sized and has two consumers (the model and the context counts)
@@ -277,27 +311,13 @@ def bigram_lm_quality_by_source(
     # beats an executor-memory blowout at 100 TB vocabularies.
     n_model = bg_counts.count()
     model_side = F.broadcast(model) if n_model <= broadcast_ceiling else model
-    per_doc = (
+    return (
         bg_stream.join(model_side, "bg")
-        .groupBy("source", "doc_id")
+        .groupBy(*keys, "doc_id")
         .agg(
             F.count(F.lit(1)).alias("nb"),
             F.sum("lp_q").alias("lp_sum"),
         )
-    )
-    return (
-        per_doc.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("nb").alias("n_bigrams"),
-            rnd(F.sum("lp_sum") / (F.lit(1000000.0) * F.sum("nb")), 6).alias(
-                "mean_logprob"
-            ),
-            F.sum(
-                (F.col("lp_sum") < F.lit(_JM_LOWQ_MICRO) * F.col("nb")).cast("long")
-            ).alias("n_low_quality"),
-        )
-        .orderBy("source")
     )
 
 

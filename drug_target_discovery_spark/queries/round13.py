@@ -1,6 +1,7 @@
 """Round-13 operators (tests-only lane, capacity-policy rule 3):
 per-domain incremental URL dedup, the per-domain downsampler,
-frequency-capped BPE training, and the PII redaction census.
+frequency-capped BPE training, the PII redaction census, and CCNet
+perplexity head/middle/tail buckets.
 
 Per-domain INCREMENTAL URL dedup — the natural next CCNet pass after
 round 12's ``url_canonical_dedup`` + ``domain_quality_rollup``
@@ -391,6 +392,221 @@ ORDER BY canon_url
     ctes=_CANON_URL_DUCK_CTES.format(src="raw"),
     isbatch=_IS_BATCH_DUCK,
 )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+_CCNET_LABELS = ("head", "middle", "tail")
+
+
+def ccnet_perplexity_buckets(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_ceiling: "int | None" = None,
+) -> DataFrame:
+    """CCNet's defining pass (Wenzek et al. 2020, "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data"): score
+    every document with a language model, then split EACH LANGUAGE into
+    perplexity terciles — head (most fluent third), middle, tail — so
+    downstream consumers can pick head-only, head+middle, etc. The LM
+    here is the corpus-trained Jelinek-Mercer bigram model shared with
+    ``bigram_lm_quality_by_source`` (``round10._jm_doc_scores``, values
+    lane-pinned); CCNet uses a pretrained KenLM, but the bucketing
+    machinery — per-language score distribution, cutoffs, census — is
+    identical and model-agnostic. One row per (lang, bucket):
+
+      lang            language tag
+      bucket          'head' | 'middle' | 'tail' (by DESCENDING mean
+                      bigram log-prob: head = most probable = lowest
+                      perplexity, the CCNet orientation)
+      n_docs          documents in the bucket
+      doc_share       n_docs / language total, rounded (≈⅓ up to
+                      cutoff-tie granularity)
+      n_bigrams       total scored bigrams in the bucket
+      mean_logprob    bucket mean of the per-doc mean log10-prob,
+                      rounded
+      cut_hi_micro /  the bucket's best/worst per-doc integer
+      cut_lo_micro    micro-log score — the published cutoffs a
+                      production run reuses to bucket FUTURE batches
+                      without re-ranking
+
+    Bucketing semantics (histogram-cutoff form, NOT a per-doc rank):
+    each doc's score is its integer micro-log mean floor(lp_sum / nb);
+    docs aggregate to the (lang, score) HISTOGRAM grain; a score's
+    bucket is least((docs_above * 3) div lang_total, 2) where
+    docs_above counts docs with strictly better scores. All docs
+    sharing a score land in one bucket (cutoff ties move whole score
+    classes, exactly like CCNet's histogram cutoffs), and every
+    arithmetic step is integer, so the assignment is cross-engine
+    exact with no float ordering anywhere.
+
+    Scale shape: the corpus-sized work is the shared LM scorer (two
+    scans + the threshold-gated model join — see the round-10
+    docstring); everything after runs at the (lang, score) histogram
+    grain, which the micro-quantization BOUNDS at ~3M rows per
+    language REGARDLESS of corpus size (scores live in
+    [-: a few million, 0]) — so the per-lang cumulative window is a
+    bounded-table window (the test_window_boundedness contract), never
+    a corpus-sized sort. This is precisely why CCNet computes cutoffs
+    from a histogram instead of ranking documents.
+
+    Tests-only lane; prepared oracle ``_CCNET_BUCKETS_ORACLE`` +
+    tercile/determinism property tests in tests/test_round13_ops.py.
+
+    Reference parity note: the reference engine (pipeline2.py) has no
+    corpus-quality machinery — SURVEY.md §2.12 tier.
+    """
+    from pyspark.sql import Window
+
+    from drug_target_discovery_spark.queries.round10 import (
+        _BG_BROADCAST_CEILING,
+        _jm_doc_scores,
+    )
+
+    if broadcast_ceiling is None:
+        broadcast_ceiling = _BG_BROADCAST_CEILING
+    per_doc = _jm_doc_scores(
+        spark, sf_dir, broadcast_ceiling, keys=("lang",)
+    )
+    scored = per_doc.select(
+        "lang",
+        F.floor(F.col("lp_sum") / F.col("nb")).cast("long").alias("score_q"),
+        "nb",
+    )
+    hist = scored.groupBy("lang", "score_q").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("nb").alias("nbs"),
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("score_q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lang = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "score_q",
+        "nd",
+        "nbs",
+        (F.sum("nd").over(w_cum) - F.col("nd")).alias("docs_above"),
+        F.sum("nd").over(w_lang).alias("n_lang"),
+    )
+    lab = cum.withColumn(
+        "b", F.least(F.expr("(docs_above * 3) div n_lang"), F.lit(2))
+    )
+    g = lab.groupBy("lang", "b").agg(
+        F.sum("nd").alias("n_docs"),
+        F.max("n_lang").alias("n_lang"),
+        F.sum("nbs").alias("n_bigrams"),
+        F.sum(F.col("score_q") * F.col("nd")).alias("score_mass"),
+        F.max("score_q").alias("cut_hi_micro"),
+        F.min("score_q").alias("cut_lo_micro"),
+    )
+    label = (
+        F.when(F.col("b") == 0, F.lit(_CCNET_LABELS[0]))
+        .when(F.col("b") == 1, F.lit(_CCNET_LABELS[1]))
+        .otherwise(F.lit(_CCNET_LABELS[2]))
+    )
+    return g.select(
+        "lang",
+        label.alias("bucket"),
+        "n_docs",
+        rnd(F.col("n_docs") / F.col("n_lang"), 6).alias("doc_share"),
+        "n_bigrams",
+        rnd(F.col("score_mass") / (F.lit(1000000.0) * F.col("n_docs")), 6).alias(
+            "mean_logprob"
+        ),
+        "cut_hi_micro",
+        "cut_lo_micro",
+        F.col("b").alias("_b"),
+    ).orderBy("lang", "_b").drop("_b")
+
+
+_CCNET_BUCKETS_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+bg_stream AS (
+  SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS bg
+  FROM (SELECT * FROM base WHERE len(w) >= 2),
+       unnest(range(1, len(w))) AS t(i)
+),
+bg_counts AS (
+  SELECT bg, count(*)::DOUBLE AS c12 FROM bg_stream GROUP BY bg
+),
+ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+  FROM bg_counts GROUP BY 1
+),
+uni AS (
+  SELECT token, count(*)::DOUBLE AS c2
+  FROM (SELECT unnest(w) AS token FROM base)
+  GROUP BY token
+),
+tot AS (SELECT sum(c2) AS n FROM uni),
+model AS (
+  SELECT bg,
+         CAST(floor(log10({lam} * (c12 / c1) + {one_minus_lam} * (c2 / n))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lp_q
+  FROM bg_counts
+  JOIN ctx ON split_part(bg, ' ', 1) = ctx.w1
+  JOIN uni ON split_part(bg, ' ', 2) = uni.token
+  CROSS JOIN tot
+),
+per_doc AS (
+  SELECT lang, doc_id,
+         CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(lp_q) AS BIGINT) AS lp_sum
+  FROM bg_stream JOIN model USING (bg)
+  GROUP BY lang, doc_id
+),
+scored AS (
+  SELECT lang, CAST(floor(lp_sum * 1.0 / nb) AS BIGINT) AS score_q, nb
+  FROM per_doc
+),
+hist AS (
+  SELECT lang, score_q, CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(nb) AS BIGINT) AS nbs
+  FROM scored GROUP BY 1, 2
+),
+cum AS (
+  SELECT *,
+         sum(nd) OVER (PARTITION BY lang ORDER BY score_q DESC
+                       ROWS UNBOUNDED PRECEDING) - nd AS docs_above,
+         sum(nd) OVER (PARTITION BY lang) AS n_lang
+  FROM hist
+),
+lab AS (
+  SELECT *, least((docs_above * 3) // n_lang, 2) AS b FROM cum
+)
+SELECT lang,
+       CASE b WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END
+         AS bucket,
+       CAST(sum(nd) AS BIGINT) AS n_docs,
+       {share} AS doc_share,
+       CAST(sum(nbs) AS BIGINT) AS n_bigrams,
+       {meanlp} AS mean_logprob,
+       max(score_q) AS cut_hi_micro,
+       min(score_q) AS cut_lo_micro
+FROM lab
+GROUP BY lang, b
+ORDER BY lang, b
+"""
+
+
+def _ccnet_oracle() -> str:
+    from drug_target_discovery_spark.queries.round10 import _JM_LAMBDA
+
+    return _CCNET_BUCKETS_ORACLE.format(
+        lam=_JM_LAMBDA,
+        one_minus_lam=1 - _JM_LAMBDA,
+        share=rnd_sql("sum(nd) * 1.0 / max(n_lang)", 6),
+        meanlp=rnd_sql("sum(score_q * nd) / (1000000.0 * sum(nd))", 6),
+    )
 
 
 # ---------------------------------------------------------------------------

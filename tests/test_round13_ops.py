@@ -337,6 +337,83 @@ class TestIncrementalUrlDedup:
         ]
 
 
+class TestCcnetPerplexityBuckets:
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_duckdb_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round13 import (
+            _ccnet_oracle,
+            ccnet_perplexity_buckets,
+        )
+
+        got = [
+            tuple(r) for r in ccnet_perplexity_buckets(spark, sf).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        exp = [tuple(r) for r in con.execute(_ccnet_oracle()).fetchall()]
+        assert got == exp
+        assert len(got) == 15  # 5 langs x 3 buckets
+
+    @pytest.mark.parametrize("sf", SFS)
+    def test_tercile_properties(self, spark, sf):
+        """Buckets partition each language; shares are near-thirds;
+        the CCNet orientation holds (head = highest mean log-prob);
+        cutoff ranges are disjoint and ordered; rerun bit-identical."""
+        from collections import defaultdict
+
+        from drug_target_discovery_spark.queries.round13 import (
+            ccnet_perplexity_buckets,
+        )
+
+        rows = ccnet_perplexity_buckets(spark, sf).collect()
+        by_lang = defaultdict(dict)
+        for r in rows:
+            by_lang[r["lang"]][r["bucket"]] = r
+        for lang, b in by_lang.items():
+            assert set(b) == {"head", "middle", "tail"}
+            assert abs(sum(r["doc_share"] for r in b.values()) - 1.0) < 1e-5
+            for r in b.values():
+                # near-thirds up to score-class tie granularity
+                assert 0.2 < r["doc_share"] < 0.5, (lang, tuple(r))
+            assert (
+                b["head"]["mean_logprob"]
+                > b["middle"]["mean_logprob"]
+                > b["tail"]["mean_logprob"]
+            )
+            # contiguous, non-overlapping published cutoffs
+            assert b["head"]["cut_lo_micro"] > b["middle"]["cut_hi_micro"]
+            assert b["middle"]["cut_lo_micro"] > b["tail"]["cut_hi_micro"]
+        again = ccnet_perplexity_buckets(spark, sf).collect()
+        assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+    def test_score_class_moves_whole(self, spark, tmp_path):
+        """Cutoff ties move entire score classes: five identical docs
+        (one shared score) plus one worse doc -> the class of five
+        lands wholly in head, the outlier in tail, and no middle row
+        exists (docs_above semantics, the histogram-cutoff contract)."""
+        from drug_target_discovery_spark.queries.round13 import (
+            ccnet_perplexity_buckets,
+        )
+
+        good = "alpha beta gamma delta epsilon"
+        bad = "zeta zeta eta eta theta iota kappa"
+        docs = spark.createDataFrame(
+            [(i, "en", good) for i in range(5)] + [(9, "en", bad)],
+            "doc_id long, lang string, text string",
+        )
+        docs.write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        rows = ccnet_perplexity_buckets(spark, str(tmp_path)).collect()
+        census = {r["bucket"]: r["n_docs"] for r in rows}
+        assert census == {"head": 5, "tail": 1}
+
+
 def _pii_docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, source string, text string")
 

@@ -406,6 +406,25 @@ def check_domain_downsample(spark):
     )
 
 
+def check_ccnet_buckets(spark):
+    """Round-13 lane: CCNet per-language perplexity terciles (shared
+    JM-LM scorer, histogram-cutoff bucketing, integer micro-score
+    grain) vs the prepared DuckDB oracle."""
+    from drug_target_discovery_spark.queries.round13 import (
+        _ccnet_oracle,
+        ccnet_perplexity_buckets,
+    )
+
+    got = [tuple(r) for r in ccnet_perplexity_buckets(spark, SF).collect()]
+    exp = [tuple(r) for r in _con("documents").execute(_ccnet_oracle()).fetchall()]
+    langs = len({r[0] for r in got})
+    shares = [r[3] for r in got]
+    return got == exp and bool(got), (
+        f"{langs} langs x 3 buckets; share range "
+        f"{min(shares):.3f}-{max(shares):.3f}"
+    )
+
+
 def check_pii_census(spark):
     """Round-13 lane: the PII scrub census (email/phone/IPv4 regex
     counts + sequential-redaction char mass, source grain) vs the
@@ -952,6 +971,7 @@ CHECKS = [
     ("bpe_top_merges_capped", check_bpe_merges_capped),
     ("crawl_ingest_url_dedup[batch-twin]", check_crawl_ingest),
     ("pii_redaction_census", check_pii_census),
+    ("ccnet_perplexity_buckets", check_ccnet_buckets),
     ("order_value_gini_by_nation_scalable", check_gini_twin),
     ("weighted_median_by_key", check_weighted_median),
     ("lpa_community_modularity", check_modularity),
