@@ -224,6 +224,18 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
         "tests/test_round13_ops.py",
     ),
     (
+        "drug_target_discovery_spark.queries.round13",
+        "pii_redaction_census",
+        "prepared DuckDB oracle (exact, sf0.001/0.01, cross-dialect Java/RE2 regex pin) + hand-fixture char-mass + boundary-negative + coprime-moduli discrimination tests",
+        "tests/test_round13_ops.py",
+    ),
+    (
+        "drug_target_discovery_spark.queries.round13",
+        "ccnet_perplexity_buckets",
+        "prepared DuckDB oracle (exact, sf0.001/0.01) + tercile/orientation/cutoff-disjointness properties + whole-score-class tie fixture",
+        "tests/test_round13_ops.py",
+    ),
+    (
         "drug_target_discovery_spark.streaming.crawl",
         "crawl_ingest_url_dedup",
         "batch-twin DuckDB oracle on the deterministic columns (lane) + streaming/batch parity + cross-micro-batch watermark-state dedup pins (representative doc is arrival-order by design)",

@@ -1141,6 +1141,46 @@ def probe_pii(spark, reps: int = 2) -> None:
     print(_json.dumps(report), flush=True)
 
 
+def probe_ccnet(spark, reps: int = 2) -> None:
+    """ccnet_perplexity_buckets vs the bigram_lm_quality_by_source it
+    shares its scorer with, at x1/x10 PERTURBED doc clones (replica
+    tokens suffixed -> the bigram vocabulary grows ~10x, the honest
+    growth mode for an LM-over-corpus probe). Expected: ccnet tracks
+    the bigram op ~1:1 at both scales — everything past the shared
+    scorer runs at the (lang, micro-score) histogram grain, which the
+    quantization bounds regardless of corpus size, so the bucketing
+    adds only bounded-grain work to the LM cost."""
+    import json as _json
+
+    from drug_target_discovery_spark.queries.round10 import (
+        bigram_lm_quality_by_source,
+    )
+    from drug_target_discovery_spark.queries.round13 import (
+        ccnet_perplexity_buckets,
+    )
+
+    report = {"probe": "ccnet_buckets", "loadavg1_start": _load1()}
+    d10 = build_documents(spark, 10, perturb=True)
+    for name, d in (("x1", BASE), ("x10", d10)):
+        for op, fn in (
+            ("ccnet", ccnet_perplexity_buckets),
+            ("bigram", bigram_lm_quality_by_source),
+        ):
+            runs = [_timed(lambda d=d, fn=fn: fn(spark, d)) for _ in range(reps)]
+            report[f"{op}_{name}_s"] = min(runs)
+            report[f"{op}_{name}_runs"] = runs
+        report[f"{name}_load1"] = _load1()
+    for op in ("ccnet", "bigram"):
+        report[f"{op}_x10_factor"] = round(
+            report[f"{op}_x10_s"] / report[f"{op}_x1_s"], 2
+        )
+    report["ccnet_over_bigram_x10"] = round(
+        report["ccnet_x10_s"] / report["bigram_x10_s"], 2
+    )
+    report["loadavg1_end"] = _load1()
+    print(_json.dumps(report), flush=True)
+
+
 def main() -> None:
     which = set(sys.argv[1:]) or {"fano", "gini"}
     spark = get_spark("round9_probe")
@@ -1189,6 +1229,8 @@ def main() -> None:
         probe_bpe_cap(spark)
     if "pii" in which:
         probe_pii(spark)
+    if "ccnet" in which:
+        probe_ccnet(spark)
 
 
 if __name__ == "__main__":
