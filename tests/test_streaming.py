@@ -907,3 +907,168 @@ class TestCrawlIngestUrlDedup:
                 crawl_ingest_url_dedup(src, self._ref_df(spark), watermark=None)
         finally:
             _sh.rmtree(d, ignore_errors=True)
+
+
+class TestScrubIngest:
+    """Round-13 streaming tier: the PII scrub as an ingest stage —
+    stateless map projection + watermark-bounded windowed census."""
+
+    DOCS = [
+        # (doc_id, source, text, hour, minute)
+        (1, "s0", "reach user1@mail2.org or admin@mail0.net", 10, 0),
+        (2, "s1", "call 555-123-4567 now", 10, 10),
+        (3, "s0", "clean text only", 10, 20),
+        (4, "s1", "ping 10.1.2.3 ok", 10, 25),
+    ]
+    # hour-10 window census: source -> (n_docs, n_email_docs, n_emails,
+    # n_phone_docs, n_phones, n_ip_docs, n_ips, pii_chars, n_hit)
+    EXPECTED = {
+        "s0": (2, 1, 2, 0, 0, 0, 0, 30, 1),
+        "s1": (2, 0, 0, 1, 1, 1, 1, 20, 2),
+    }
+
+    def _docs_df(self, spark, rows=None):
+        from datetime import datetime
+
+        return spark.createDataFrame(
+            [
+                (d, s, t, datetime(2024, 1, 1, h, m, 0))
+                for d, s, t, h, m in (rows or self.DOCS)
+            ],
+            "doc_id long, source string, text string, fetched_at timestamp",
+        )
+
+    def test_map_stage_counts_and_redaction(self, spark):
+        from drug_target_discovery_spark.streaming.scrub import scrub_ingest
+
+        rows = {
+            r["doc_id"]: r
+            for r in scrub_ingest(self._docs_df(spark)).collect()
+        }
+        assert (
+            rows[1]["n_email"],
+            rows[1]["pii_chars"],
+            rows[1]["text_redacted"],
+        ) == (2, 30, "reach <EMAIL> or <EMAIL>")
+        assert (rows[2]["n_phone"], rows[2]["pii_chars"]) == (1, 12)
+        assert (rows[4]["n_ip"], rows[4]["pii_chars"]) == (1, 8)
+        assert (
+            rows[3]["n_email"],
+            rows[3]["n_phone"],
+            rows[3]["n_ip"],
+            rows[3]["pii_chars"],
+            rows[3]["text_redacted"],
+        ) == (0, 0, 0, 0, "clean text only")
+
+    def test_batch_twin_totals_match_batch_operator(self, spark):
+        """Summing the windowed census over windows per source must
+        reproduce the batch operator's census exactly (same
+        expressions by construction)."""
+        from drug_target_discovery_spark.queries.round13 import (
+            pii_redaction_census,
+        )
+        from drug_target_discovery_spark.streaming.scrub import (
+            scrub_ingest_census,
+        )
+
+        docs = self._docs_df(spark)
+        census = scrub_ingest_census(docs).collect()
+        got = {}
+        for r in census:
+            key = r["source"]
+            prev = got.get(key, (0,) * 9)
+            cur = tuple(r)[3:]
+            got[key] = tuple(a + b for a, b in zip(prev, cur))
+        assert got == self.EXPECTED
+        batch = {
+            r["source"]: tuple(r)
+            for r in pii_redaction_census(
+                spark, "", docs=docs.select("doc_id", "source", "text")
+            ).collect()
+        }
+        for src, vals in self.EXPECTED.items():
+            # batch op: source, n_docs, ..., pii_chars, pii_doc_share
+            assert batch[src][1:9] == vals[:8]
+
+    def test_stream_census_equals_batch_twin(self, spark):
+        """File-source micro-batches with advancer rows to push the
+        watermark: the hour-10 windows finalize and emit exactly the
+        batch-twin census; the advancer's own window never finalizes
+        and must NOT appear (append-mode contract)."""
+        import os
+        from datetime import datetime
+
+        import pandas as pd
+
+        from drug_target_discovery_spark.streaming.scrub import (
+            scrub_ingest_census,
+        )
+
+        d = tempfile.mkdtemp(prefix="scrub_stream_")
+        try:
+            batches = [
+                [r for r in self.DOCS if r[0] <= 2],
+                [r for r in self.DOCS if r[0] > 2]
+                + [(9, "s9", "advancer", 12, 0)],
+                [(9, "s9", "advancer", 13, 0)],
+            ]
+            for i, rows in enumerate(batches):
+                pdf = pd.DataFrame(
+                    [
+                        (did, s, t, datetime(2024, 1, 1, h, m, 0))
+                        for did, s, t, h, m in rows
+                    ],
+                    columns=["doc_id", "source", "text", "fetched_at"],
+                )
+                pdf["fetched_at"] = pd.to_datetime(pdf["fetched_at"]).astype(
+                    "datetime64[us]"
+                )
+                path = os.path.join(d, f"b{i}.parquet")
+                pdf.to_parquet(path)
+                os.utime(path, (1700000000 + i * 10,) * 2)
+
+            schema = spark.read.parquet(d).schema
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+                .withColumn(
+                    "fetched_at", F.col("fetched_at").cast("timestamp")
+                )
+            )
+            census = scrub_ingest_census(
+                src, window="1 hour", watermark="30 minutes"
+            )
+            assert census.isStreaming
+            q = (
+                census.writeStream.format("memory")
+                .queryName("scrub_census")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120), "stream did not finish in 120s"
+            got = {
+                r["source"]: tuple(r)[3:]
+                for r in spark.sql("SELECT * FROM scrub_census").collect()
+            }
+            assert got == self.EXPECTED  # advancer window absent
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_streaming_requires_watermark(self, spark):
+        from drug_target_discovery_spark.streaming.scrub import (
+            scrub_ingest_census,
+        )
+
+        d = tempfile.mkdtemp(prefix="scrub_stream2_")
+        try:
+            batch = self._docs_df(spark)
+            batch.write.mode("overwrite").parquet(f"{d}/docs.parquet")
+            src = spark.readStream.schema(batch.schema).parquet(
+                f"{d}/docs.parquet"
+            )
+            with pytest.raises(ValueError, match="needs a watermark"):
+                scrub_ingest_census(src, watermark=None)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)

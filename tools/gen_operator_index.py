@@ -236,6 +236,12 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
         "tests/test_round13_ops.py",
     ),
     (
+        "drug_target_discovery_spark.streaming.scrub",
+        "scrub_ingest_census",
+        "batch-twin DuckDB oracle at the (window, source) grain (lane) + streaming/batch parity, append-mode watermark finalization, and map-stage redaction pins",
+        "tests/test_streaming.py",
+    ),
+    (
         "drug_target_discovery_spark.streaming.crawl",
         "crawl_ingest_url_dedup",
         "batch-twin DuckDB oracle on the deterministic columns (lane) + streaming/batch parity + cross-micro-batch watermark-state dedup pins (representative doc is arrival-order by design)",

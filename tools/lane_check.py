@@ -406,6 +406,93 @@ def check_domain_downsample(spark):
     )
 
 
+def check_scrub_census(spark):
+    """Round-13 streaming tier, batch twin: the windowed scrub census
+    over the documents fixture with a deterministic ingest timestamp
+    (doc_id % 180 minutes past a fixed origin -> three 1-hour windows)
+    vs a prepared DuckDB oracle at the (window, source) grain.
+    Streaming parity and append-mode watermark semantics are pinned in
+    tests/test_streaming.py (TestScrubIngest)."""
+    from pyspark.sql import functions as F
+
+    from drug_target_discovery_spark.queries.round13 import (
+        _PII_TEXT_DUCK,
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_text_col,
+    )
+    from drug_target_discovery_spark.sources.tables import load_table
+    from drug_target_discovery_spark.streaming.scrub import (
+        scrub_ingest_census,
+    )
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("text", pii_text_col())
+        .withColumn(
+            "fetched_at",
+            F.expr(
+                "timestampadd(MINUTE, CAST(doc_id % 180 AS INT), "
+                "timestamp'2024-01-01 00:00:00')"
+            ),
+        )
+    )
+    got = [
+        tuple(r)
+        for r in scrub_ingest_census(docs, window="1 hour")
+        .orderBy("window_start", "source")
+        .collect()
+    ]
+    oracle = """
+    WITH raw AS (
+      SELECT doc_id, source, {pii_text} AS text,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + to_minutes(doc_id % 180) AS fetched_at
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT date_trunc('hour', fetched_at) AS window_start, source,
+             len(regexp_extract_all(text, '{email}')) AS n_email,
+             len(regexp_extract_all(text, '{phone}')) AS n_phone,
+             len(regexp_extract_all(text, '{ipv4}')) AS n_ip,
+             length(text) - length(
+               regexp_replace(regexp_replace(regexp_replace(
+                 text, '{email}', '', 'g'), '{phone}', '', 'g'),
+                 '{ipv4}', '', 'g')) AS chars
+      FROM raw
+    )
+    SELECT window_start, window_start + to_hours(1) AS window_end, source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_email_docs,
+           CAST(sum(n_email) AS BIGINT) AS n_emails,
+           CAST(sum(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_phone_docs,
+           CAST(sum(n_phone) AS BIGINT) AS n_phones,
+           CAST(sum(CASE WHEN n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ip_docs,
+           CAST(sum(n_ip) AS BIGINT) AS n_ips,
+           CAST(sum(chars) AS BIGINT) AS pii_chars,
+           CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit
+    FROM per_doc
+    GROUP BY window_start, source
+    ORDER BY window_start, source
+    """.format(
+        pii_text=_PII_TEXT_DUCK,
+        email=PII_EMAIL_RE,
+        phone=PII_PHONE_RE,
+        ipv4=PII_IPV4_RE,
+    )
+    exp = [tuple(r) for r in _con("documents").execute(oracle).fetchall()]
+    n_win = len({r[0] for r in got})
+    return got == exp and bool(got), (
+        f"{len(got)} (window, source) rows over {n_win} windows"
+    )
+
+
 def check_ccnet_buckets(spark):
     """Round-13 lane: CCNet per-language perplexity terciles (shared
     JM-LM scorer, histogram-cutoff bucketing, integer micro-score
@@ -972,6 +1059,7 @@ CHECKS = [
     ("crawl_ingest_url_dedup[batch-twin]", check_crawl_ingest),
     ("pii_redaction_census", check_pii_census),
     ("ccnet_perplexity_buckets", check_ccnet_buckets),
+    ("scrub_ingest_census[batch-twin]", check_scrub_census),
     ("order_value_gini_by_nation_scalable", check_gini_twin),
     ("weighted_median_by_key", check_weighted_median),
     ("lpa_community_modularity", check_modularity),
