@@ -391,6 +391,23 @@ class TestCcnetPerplexityBuckets:
         again = ccnet_perplexity_buckets(spark, sf).collect()
         assert [tuple(r) for r in rows] == [tuple(r) for r in again]
 
+    def test_plan_shape(self, spark):
+        """No Python stage anywhere (the scorer and bucketing are all
+        codegen/JVM), and every window in the plan is PARTITIONED BY
+        lang — the cumulative rank runs at the bounded histogram
+        grain, never as a global sort."""
+        from drug_target_discovery_spark.queries.round13 import (
+            ccnet_perplexity_buckets,
+        )
+
+        df = ccnet_perplexity_buckets(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py_stage not in plan, plan
+        n_spec = plan.count("windowspecdefinition(")
+        assert n_spec >= 2, plan
+        assert plan.count("windowspecdefinition(lang#") == n_spec, plan
+
     def test_score_class_moves_whole(self, spark, tmp_path):
         """Cutoff ties move entire score classes: five identical docs
         (one shared score) plus one worse doc -> the class of five
@@ -528,6 +545,25 @@ class TestPiiRedactionCensus:
         # the single match starts at the next boundary, after "1.":
         # both engines find exactly "2.3.4.5" and nothing else.
         assert r["n_ips"] == 1
+
+    def test_plan_shape(self, spark):
+        """The 100 TB properties, asserted: the scrub is pure codegen
+        (no Python stage — the regex work runs JVM-side), the census
+        aggregate is partial (map-side combined) so the shuffle
+        carries ~20 census rows per map partition instead of text, and
+        the only exchanges are the source-grain hash + the final
+        orderBy range."""
+        from drug_target_discovery_spark.queries.round13 import (
+            pii_redaction_census,
+        )
+
+        df = pii_redaction_census(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for py_stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py_stage not in plan, plan
+        assert "partial_sum" in plan and "partial_count" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert plan.count("Exchange rangepartitioning") == 1, plan
 
     def test_production_contract_and_determinism(self, spark):
         """Explicit (doc_id, source, text) input: no fixture column is
