@@ -524,8 +524,10 @@ def ccnet_perplexity_buckets(
     ).orderBy("lang", "_b").drop("_b")
 
 
-_CCNET_BUCKETS_ORACLE = """
-WITH base AS (
+# Shared DuckDB twin of round10._jm_doc_scores at the (lang, doc_id)
+# grain — used by both the CCNet-bucket and the kappa oracle (the
+# Spark side shares the scorer the same way).
+_JM_LANG_DUCK_CTES = """base AS (
   SELECT doc_id, lang,
          list_filter(string_split(text, ' '), x -> x <> '') AS w
   FROM documents
@@ -563,7 +565,11 @@ per_doc AS (
          CAST(sum(lp_q) AS BIGINT) AS lp_sum
   FROM bg_stream JOIN model USING (bg)
   GROUP BY lang, doc_id
-),
+)"""
+
+
+_CCNET_BUCKETS_ORACLE = """
+WITH {jm_ctes},
 scored AS (
   SELECT lang, CAST(floor(lp_sum * 1.0 / nb) AS BIGINT) AS score_q, nb
   FROM per_doc
@@ -602,10 +608,205 @@ def _ccnet_oracle() -> str:
     from drug_target_discovery_spark.queries.round10 import _JM_LAMBDA
 
     return _CCNET_BUCKETS_ORACLE.format(
-        lam=_JM_LAMBDA,
-        one_minus_lam=1 - _JM_LAMBDA,
+        jm_ctes=_JM_LANG_DUCK_CTES.format(
+            lam=_JM_LAMBDA, one_minus_lam=1 - _JM_LAMBDA
+        ),
         share=rnd_sql("sum(nd) * 1.0 / max(n_lang)", 6),
         meanlp=rnd_sql("sum(score_q * nd) / (1000000.0 * sum(nd))", 6),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-gate agreement (Cohen's kappa: heuristic gate vs LM gate)
+# ---------------------------------------------------------------------------
+
+
+def quality_gate_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the engine's two document-quality gates —
+    the heuristic Gopher-rules keep flag (``gopher_quality_flags``'s
+    per-doc rule: word-count band, mean-word-length band, stopword
+    presence) and the bigram-LM gate (``bigram_lm_quality_by_source``'s
+    integer low-quality rule, inverted to a keep flag). The Gopher
+    paper's own observation is that heuristic and model-based filters
+    capture DIFFERENT documents; this operator is the statistic a
+    pipeline reports to quantify that — chance-corrected agreement, per
+    language, with the full confusion census a reviewer asks for:
+
+      lang              language tag
+      n_docs            docs scored by BOTH gates (the intersection:
+                        the LM gate needs >= 2 tokens, the heuristic
+                        gate >= 1 word — documented, pinned by a test)
+      n_keep_keep /     the 2x2 confusion cells (heuristic x LM):
+      n_keep_drop /     kk = both keep, kd = heuristic keeps & LM
+      n_drop_keep /     drops, dk / dd likewise
+      n_drop_drop
+      p_observed        (kk + dd) / n, rounded
+      p_chance          marginal-product chance agreement, rounded
+      kappa             (po - pe) / (1 - pe), rounded; NULL when both
+                        raters are constant (pe = 1 — kappa undefined)
+
+    Every input to the floats is an exact integer cell, and the float
+    expressions are written identically in both engines (same
+    operation order), so the rounded statistics are cross-engine
+    exact. The integer low-quality comparison is the round-10 rule
+    verbatim (lp_sum < threshold_micro * nb — never a float mean).
+
+    Scale shape: the heuristic gate is one map-side codegen pass (no
+    explode — aggregate/arrays_overlap over the word array); the LM
+    gate is the shared ``_jm_doc_scores`` scorer (its own documented
+    shape); the two meet in ONE doc-grain equi-join and collapse
+    immediately to the 2x2-cells-per-language grain via a map-side
+    combinable aggregate — the shuffle carries confusion cells, not
+    documents. Output is language-vocabulary-sized.
+
+    Tests-only lane; prepared oracle ``_kappa_oracle()`` + hand
+    confusion-matrix / intersection-domain / kappa-edge tests in
+    tests/test_round13_ops.py.
+
+    Reference parity note: the reference engine (pipeline2.py) has no
+    inter-gate analytics — SURVEY.md §2.12 tier.
+    """
+    from drug_target_discovery_spark.queries.quality import _ALL_STOPWORDS
+    from drug_target_discovery_spark.queries.round10 import (
+        _JM_LOWQ_MICRO,
+        _jm_doc_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("w")
+    )
+    sum_len = F.aggregate(
+        F.transform(F.col("w"), lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    stop_arr = F.array([F.lit(s) for s in _ALL_STOPWORDS])
+    heur = docs.filter(F.size("w") > 0).select(
+        "doc_id",
+        "lang",
+        (
+            F.size("w").between(30, 5000)
+            & (sum_len * 1.0 / F.size("w")).between(3.0, 9.0)
+            & F.arrays_overlap(F.col("w"), stop_arr)
+        )
+        .cast("long")
+        .alias("keep_h"),
+    )
+    lm = _jm_doc_scores(spark, sf_dir, keys=("lang",)).select(
+        "doc_id",
+        (~(F.col("lp_sum") < F.lit(_JM_LOWQ_MICRO) * F.col("nb")))
+        .cast("long")
+        .alias("keep_lm"),
+    )
+    j = heur.join(lm, "doc_id")
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    cells = j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when((F.col("keep_h") == 1) & (F.col("keep_lm") == 1), one).otherwise(zero)
+        ).alias("kk"),
+        F.sum(
+            F.when((F.col("keep_h") == 1) & (F.col("keep_lm") == 0), one).otherwise(zero)
+        ).alias("kd"),
+        F.sum(
+            F.when((F.col("keep_h") == 0) & (F.col("keep_lm") == 1), one).otherwise(zero)
+        ).alias("dk"),
+        F.sum(
+            F.when((F.col("keep_h") == 0) & (F.col("keep_lm") == 0), one).otherwise(zero)
+        ).alias("dd"),
+    )
+    n = F.col("n_docs")
+    po = (F.col("kk") + F.col("dd")) * 1.0 / n
+    p_a = (F.col("kk") + F.col("kd")) * 1.0 / n
+    p_b = (F.col("kk") + F.col("dk")) * 1.0 / n
+    pe = p_a * p_b + (1.0 - p_a) * (1.0 - p_b)
+    kappa = F.when(1.0 - pe == 0.0, F.lit(None).cast("double")).otherwise(
+        (po - pe) / (1.0 - pe)
+    )
+    return cells.select(
+        "lang",
+        "n_docs",
+        F.col("kk").alias("n_keep_keep"),
+        F.col("kd").alias("n_keep_drop"),
+        F.col("dk").alias("n_drop_keep"),
+        F.col("dd").alias("n_drop_drop"),
+        rnd(po, 6).alias("p_observed"),
+        rnd(pe, 6).alias("p_chance"),
+        rnd(kappa, 6).alias("kappa"),
+    ).orderBy("lang")
+
+
+_KAPPA_ORACLE = """
+WITH {jm_ctes},
+heur AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(wr) BETWEEN 30 AND 5000
+                   AND list_sum(list_transform(wr, x -> len(x))) * 1.0
+                       / len(wr) BETWEEN 3.0 AND 9.0
+                   AND len(list_intersect(wr, [{stops}])) > 0
+              THEN 1 ELSE 0 END AS keep_h
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS wr FROM documents)
+  WHERE len(wr) > 0
+),
+lm AS (
+  SELECT doc_id,
+         CASE WHEN lp_sum < {lowq} * nb THEN 0 ELSE 1 END AS keep_lm
+  FROM per_doc
+),
+cells AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN keep_h = 1 AND keep_lm = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS kk,
+         CAST(sum(CASE WHEN keep_h = 1 AND keep_lm = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS kd,
+         CAST(sum(CASE WHEN keep_h = 0 AND keep_lm = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS dk,
+         CAST(sum(CASE WHEN keep_h = 0 AND keep_lm = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS dd
+  FROM heur JOIN lm USING (doc_id)
+  GROUP BY lang
+)
+SELECT lang, n_docs,
+       kk AS n_keep_keep, kd AS n_keep_drop,
+       dk AS n_drop_keep, dd AS n_drop_drop,
+       {po} AS p_observed,
+       {pe} AS p_chance,
+       {kappa} AS kappa
+FROM cells
+ORDER BY lang
+"""
+
+_PO_SQL = "(kk + dd) * 1.0 / n_docs"
+_PA_SQL = "(kk + kd) * 1.0 / n_docs"
+_PB_SQL = "(kk + dk) * 1.0 / n_docs"
+_PE_SQL = (
+    f"({_PA_SQL}) * ({_PB_SQL})"
+    f" + (1.0 - ({_PA_SQL})) * (1.0 - ({_PB_SQL}))"
+)
+
+
+def _kappa_oracle() -> str:
+    from drug_target_discovery_spark.queries.quality import _STOP_SQL
+    from drug_target_discovery_spark.queries.round10 import (
+        _JM_LAMBDA,
+        _JM_LOWQ_MICRO,
+    )
+
+    kappa_sql = (
+        f"CASE WHEN 1.0 - ({_PE_SQL}) = 0.0 THEN NULL "
+        f"ELSE (({_PO_SQL}) - ({_PE_SQL})) / (1.0 - ({_PE_SQL})) END"
+    )
+    return _KAPPA_ORACLE.format(
+        jm_ctes=_JM_LANG_DUCK_CTES.format(
+            lam=_JM_LAMBDA, one_minus_lam=1 - _JM_LAMBDA
+        ),
+        stops=_STOP_SQL,
+        lowq=_JM_LOWQ_MICRO,
+        po=rnd_sql(_PO_SQL, 6),
+        pe=rnd_sql(_PE_SQL, 6),
+        kappa=rnd_sql(kappa_sql, 6),
     )
 
 

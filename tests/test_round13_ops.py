@@ -431,6 +431,94 @@ class TestCcnetPerplexityBuckets:
         assert census == {"head": 5, "tail": 1}
 
 
+class TestQualityGateKappa:
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_duckdb_oracle(self, spark, sf):
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round13 import (
+            _kappa_oracle,
+            quality_gate_kappa,
+        )
+
+        got = [tuple(r) for r in quality_gate_kappa(spark, sf).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        exp = [tuple(r) for r in con.execute(_kappa_oracle()).fetchall()]
+        assert got == exp
+        assert len(got) == 5
+        # every confusion cell populated somewhere: the statistic
+        # discriminates at fixture scale
+        for ix in (2, 3, 4, 5):
+            assert any(r[ix] > 0 for r in got)
+
+    @pytest.mark.parametrize("sf", SFS)
+    def test_formula_wiring(self, spark, sf):
+        """po / pe / kappa recomputed in Python from the reported
+        integer cells must equal the reported rounded values — the
+        formula's wiring validated independently of the LM."""
+        from drug_target_discovery_spark.queries.round13 import (
+            quality_gate_kappa,
+        )
+
+        for r in quality_gate_kappa(spark, sf).collect():
+            n = r["n_docs"]
+            kk, kd, dk, dd = (
+                r["n_keep_keep"],
+                r["n_keep_drop"],
+                r["n_drop_keep"],
+                r["n_drop_drop"],
+            )
+            assert kk + kd + dk + dd == n
+            po = (kk + dd) * 1.0 / n
+            pa = (kk + kd) * 1.0 / n
+            pb = (kk + dk) * 1.0 / n
+            pe = pa * pb + (1.0 - pa) * (1.0 - pb)
+            assert r["p_observed"] == round(po, 6)
+            assert r["p_chance"] == round(pe, 6)
+            assert r["kappa"] == round((po - pe) / (1.0 - pe), 6)
+
+    def test_intersection_domain(self, spark, tmp_path):
+        """A one-word doc is scored by the heuristic gate but not the
+        LM gate (needs >= 2 tokens) — the census covers the
+        intersection, so it is excluded rather than miscounted."""
+        from drug_target_discovery_spark.queries.round13 import (
+            quality_gate_kappa,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "en", "alpha beta gamma"), (2, "en", "beta gamma delta"),
+             (3, "en", "solo")],
+            "doc_id long, lang string, text string",
+        )
+        docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        rows = quality_gate_kappa(spark, str(tmp_path)).collect()
+        assert sum(r["n_docs"] for r in rows) == 2
+
+    def test_kappa_null_when_both_raters_constant(self, spark, tmp_path):
+        """Fifty 2-word docs 'x w{i}': the heuristic gate drops all
+        (word count < 30) and the self-trained LM drops all (context
+        'x' spreads over 50 successors -> mean bigram log-prob far
+        below the threshold) -> pe = 1 and kappa is NULL, the defined
+        undefined-case behavior."""
+        from drug_target_discovery_spark.queries.round13 import (
+            quality_gate_kappa,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "en", f"x w{i}") for i in range(50)],
+            "doc_id long, lang string, text string",
+        )
+        docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        (r,) = quality_gate_kappa(spark, str(tmp_path)).collect()
+        assert r["n_drop_drop"] == 50 and r["n_docs"] == 50
+        assert r["p_chance"] == 1.0
+        assert r["kappa"] is None
+
+
 def _pii_docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, source string, text string")
 

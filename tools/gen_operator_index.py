@@ -236,6 +236,12 @@ TESTS_ONLY_LANE: tuple[tuple[str, str, str, str], ...] = (
         "tests/test_round13_ops.py",
     ),
     (
+        "drug_target_discovery_spark.queries.round13",
+        "quality_gate_kappa",
+        "prepared DuckDB oracle (exact, sf0.001/0.01) + Python formula-wiring recompute from integer cells + intersection-domain and NULL-kappa (pe=1) edge fixtures",
+        "tests/test_round13_ops.py",
+    ),
+    (
         "drug_target_discovery_spark.streaming.scrub",
         "scrub_ingest_census",
         "batch-twin DuckDB oracle at the (window, source) grain (lane) + streaming/batch parity, append-mode watermark finalization, and map-stage redaction pins",

@@ -406,6 +406,24 @@ def check_domain_downsample(spark):
     )
 
 
+def check_quality_gate_kappa(spark):
+    """Round-13 lane: Cohen's kappa between the Gopher heuristic gate
+    and the bigram-LM gate (per-language confusion census +
+    chance-corrected agreement) vs the prepared DuckDB oracle."""
+    from drug_target_discovery_spark.queries.round13 import (
+        _kappa_oracle,
+        quality_gate_kappa,
+    )
+
+    got = [tuple(r) for r in quality_gate_kappa(spark, SF).collect()]
+    exp = [tuple(r) for r in _con("documents").execute(_kappa_oracle()).fetchall()]
+    kappas = [r[8] for r in got if r[8] is not None]
+    return got == exp and bool(got), (
+        f"{len(got)} langs; kappa range "
+        f"{min(kappas):.3f}..{max(kappas):.3f}"
+    )
+
+
 def check_scrub_census(spark):
     """Round-13 streaming tier, batch twin: the windowed scrub census
     over the documents fixture with a deterministic ingest timestamp
@@ -1060,6 +1078,7 @@ CHECKS = [
     ("pii_redaction_census", check_pii_census),
     ("ccnet_perplexity_buckets", check_ccnet_buckets),
     ("scrub_ingest_census[batch-twin]", check_scrub_census),
+    ("quality_gate_kappa", check_quality_gate_kappa),
     ("order_value_gini_by_nation_scalable", check_gini_twin),
     ("weighted_median_by_key", check_weighted_median),
     ("lpa_community_modularity", check_modularity),
