@@ -187,6 +187,16 @@ _ALL_STOPWORDS = [
 ]
 _STOP_SQL = ", ".join(f"'{s}'" for s in _ALL_STOPWORDS)
 
+# The Gopher keep-rule thresholds — shared constants so every consumer
+# of the rule (this module's gopher_quality_flags and round13's
+# quality_gate_kappa heuristic rater, Spark AND oracle sides) moves
+# together if they are ever recalibrated; a literal copy in one site
+# would let the kappa gate silently diverge from the real gate.
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 5000
+GOPHER_MWL_LO = 3.0
+GOPHER_MWL_HI = 9.0
+
 
 @register(
     "gopher_quality_flags",
@@ -203,8 +213,9 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in _ALL_STOPWORDS)
     ),
     flagged AS (
       SELECT source, lang, n_words, mwl, has_stop,
-             CASE WHEN n_words BETWEEN 30 AND 5000
-                       AND mwl BETWEEN 3.0 AND 9.0 AND has_stop = 1
+             CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                       AND mwl BETWEEN {GOPHER_MWL_LO} AND {GOPHER_MWL_HI}
+                       AND has_stop = 1
                   THEN 1 ELSE 0 END AS keep
       FROM per_doc
     )
@@ -242,8 +253,8 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.arrays_overlap(F.col("w"), stop_arr), 1).otherwise(0).alias("has_stop"),
     )
     keep = F.when(
-        F.col("n_words").between(30, 5000)
-        & F.col("mwl").between(3.0, 9.0)
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mwl").between(GOPHER_MWL_LO, GOPHER_MWL_HI)
         & (F.col("has_stop") == 1),
         1,
     ).otherwise(0)

@@ -666,7 +666,13 @@ def quality_gate_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity note: the reference engine (pipeline2.py) has no
     inter-gate analytics — SURVEY.md §2.12 tier.
     """
-    from drug_target_discovery_spark.queries.quality import _ALL_STOPWORDS
+    from drug_target_discovery_spark.queries.quality import (
+        _ALL_STOPWORDS,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_HI,
+        GOPHER_MWL_LO,
+    )
     from drug_target_discovery_spark.queries.round10 import (
         _JM_LOWQ_MICRO,
         _jm_doc_scores,
@@ -685,8 +691,8 @@ def quality_gate_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         (
-            F.size("w").between(30, 5000)
-            & (sum_len * 1.0 / F.size("w")).between(3.0, 9.0)
+            F.size("w").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & (sum_len * 1.0 / F.size("w")).between(GOPHER_MWL_LO, GOPHER_MWL_HI)
             & F.arrays_overlap(F.col("w"), stop_arr)
         )
         .cast("long")
@@ -741,9 +747,9 @@ _KAPPA_ORACLE = """
 WITH {jm_ctes},
 heur AS (
   SELECT doc_id, lang,
-         CASE WHEN len(wr) BETWEEN 30 AND 5000
+         CASE WHEN len(wr) BETWEEN {g_min_words} AND {g_max_words}
                    AND list_sum(list_transform(wr, x -> len(x))) * 1.0
-                       / len(wr) BETWEEN 3.0 AND 9.0
+                       / len(wr) BETWEEN {g_mwl_lo} AND {g_mwl_hi}
                    AND len(list_intersect(wr, [{stops}])) > 0
               THEN 1 ELSE 0 END AS keep_h
   FROM (SELECT doc_id, lang, string_split(text, ' ') AS wr FROM documents)
@@ -788,7 +794,13 @@ _PE_SQL = (
 
 
 def _kappa_oracle() -> str:
-    from drug_target_discovery_spark.queries.quality import _STOP_SQL
+    from drug_target_discovery_spark.queries.quality import (
+        _STOP_SQL,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_HI,
+        GOPHER_MWL_LO,
+    )
     from drug_target_discovery_spark.queries.round10 import (
         _JM_LAMBDA,
         _JM_LOWQ_MICRO,
@@ -803,6 +815,10 @@ def _kappa_oracle() -> str:
             lam=_JM_LAMBDA, one_minus_lam=1 - _JM_LAMBDA
         ),
         stops=_STOP_SQL,
+        g_min_words=GOPHER_MIN_WORDS,
+        g_max_words=GOPHER_MAX_WORDS,
+        g_mwl_lo=GOPHER_MWL_LO,
+        g_mwl_hi=GOPHER_MWL_HI,
         lowq=_JM_LOWQ_MICRO,
         po=rnd_sql(_PO_SQL, 6),
         pe=rnd_sql(_PE_SQL, 6),

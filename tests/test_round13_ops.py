@@ -464,6 +464,14 @@ class TestQualityGateKappa:
             quality_gate_kappa,
         )
 
+        import math
+
+        def rnd6(x):
+            # the engine's rnd() semantics (floor(x*1e6+0.5)/1e6,
+            # half-up) — NOT Python's round(), whose half-even rule
+            # disagrees at exact decimal halves (e.g. 1/128)
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
         for r in quality_gate_kappa(spark, sf).collect():
             n = r["n_docs"]
             kk, kd, dk, dd = (
@@ -477,9 +485,9 @@ class TestQualityGateKappa:
             pa = (kk + kd) * 1.0 / n
             pb = (kk + dk) * 1.0 / n
             pe = pa * pb + (1.0 - pa) * (1.0 - pb)
-            assert r["p_observed"] == round(po, 6)
-            assert r["p_chance"] == round(pe, 6)
-            assert r["kappa"] == round((po - pe) / (1.0 - pe), 6)
+            assert r["p_observed"] == rnd6(po)
+            assert r["p_chance"] == rnd6(pe)
+            assert r["kappa"] == rnd6((po - pe) / (1.0 - pe))
 
     def test_intersection_domain(self, spark, tmp_path):
         """A one-word doc is scored by the heuristic gate but not the

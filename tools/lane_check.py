@@ -418,10 +418,12 @@ def check_quality_gate_kappa(spark):
     got = [tuple(r) for r in quality_gate_kappa(spark, SF).collect()]
     exp = [tuple(r) for r in _con("documents").execute(_kappa_oracle()).fetchall()]
     kappas = [r[8] for r in got if r[8] is not None]
-    return got == exp and bool(got), (
-        f"{len(got)} langs; kappa range "
-        f"{min(kappas):.3f}..{max(kappas):.3f}"
+    detail = (
+        f"{len(got)} langs; kappa range {min(kappas):.3f}..{max(kappas):.3f}"
+        if kappas
+        else f"{len(got)} langs; all kappas NULL (pe=1)"
     )
+    return got == exp and bool(got), detail
 
 
 def check_scrub_census(spark):
@@ -457,10 +459,20 @@ def check_scrub_census(spark):
             ),
         )
     )
+    # window bounds compared as UTC-formatted STRINGS, not collected
+    # datetimes: PySpark renders collected timestamps through the
+    # SYSTEM timezone (datetime.fromtimestamp), which the UTC session
+    # pin does not control — string-casting in-plan uses the session
+    # TZ, so the comparison is host-TZ-portable.
+    census = scrub_ingest_census(docs, window="1 hour")
     got = [
         tuple(r)
-        for r in scrub_ingest_census(docs, window="1 hour")
-        .orderBy("window_start", "source")
+        for r in census.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("we"),
+            *census.columns[2:],
+        )
+        .orderBy("ws", "source")
         .collect()
     ]
     oracle = """
@@ -481,7 +493,9 @@ def check_scrub_census(spark):
                  '{ipv4}', '', 'g')) AS chars
       FROM raw
     )
-    SELECT window_start, window_start + to_hours(1) AS window_end, source,
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS ws,
+           strftime(window_start + to_hours(1), '%Y-%m-%d %H:%M:%S') AS we,
+           source,
            count(*) AS n_docs,
            CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_email_docs,
