@@ -527,6 +527,87 @@ class TestQualityGateKappa:
         assert r["kappa"] is None
 
 
+class TestPiiRegexCrossDialect:
+    """Adversarial fuzz of the three-engine regex agreement (Java via
+    Spark codegen, RE2 via DuckDB, Python re as the referee): the PII
+    patterns use only the shared dialect subset, so per-family match
+    COUNTS and the sequential-redaction CHAR MASS must agree on ANY
+    input — including boundary-adversarial strings the fixtures never
+    produce. Few examples, each runs a Spark job; the value is the
+    alphabet (digits, dots, dashes, @, glued word chars), not volume."""
+
+    def test_fuzzed_counts_and_mass_agree(self, spark):
+        import random
+        import re as _re
+
+        import duckdb
+
+        from drug_target_discovery_spark.queries.round13 import (
+            PII_EMAIL_RE,
+            PII_IPV4_RE,
+            PII_PHONE_RE,
+            pii_redaction_census,
+        )
+
+        rng = random.Random(13)
+        atoms = [
+            "a", "B", "z9", "1", "23", "555", "0007", ".", "..", "-", "@",
+            " ", "  ", "_", "%", "+", "x1.2.3.4", "1.2.3.4.5", "10.0.0.1",
+            "a@b.io", "@b.c", "a@b", "555-012-3456", "55-012-3456",
+            "555-012-34567", "user.name+tag@ex-ample.co", ".@.",
+        ]
+        texts = [
+            "".join(rng.choice(atoms) for _ in range(rng.randint(1, 25)))
+            for _ in range(120)
+        ]
+        docs = spark.createDataFrame(
+            [(i, "s", t) for i, t in enumerate(texts)],
+            "doc_id long, source string, text string",
+        )
+        (got,) = pii_redaction_census(spark, "", docs=docs).collect()
+        con = duckdb.connect()
+        # python-re referee (Java-compatible on this subset)
+        emails = sum(len(_re.findall(PII_EMAIL_RE, t)) for t in texts)
+        phones = sum(len(_re.findall(PII_PHONE_RE, t)) for t in texts)
+        ips = sum(len(_re.findall(PII_IPV4_RE, t)) for t in texts)
+        mass = sum(
+            len(t)
+            - len(
+                _re.sub(
+                    PII_IPV4_RE,
+                    "",
+                    _re.sub(PII_PHONE_RE, "", _re.sub(PII_EMAIL_RE, "", t)),
+                )
+            )
+            for t in texts
+        )
+        assert (got["n_emails"], got["n_phones"], got["n_ips"]) == (
+            emails,
+            phones,
+            ips,
+        ), texts
+        assert got["pii_chars"] == mass, texts
+        # duckdb referee over the same rows
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ", ".join(f"(?)" for _ in texts)
+            + ") v(txt)",
+            texts,
+        )
+        dk = con.execute(
+            f"""SELECT CAST(sum(len(regexp_extract_all(txt, '{PII_EMAIL_RE}'))) AS BIGINT),
+                       CAST(sum(len(regexp_extract_all(txt, '{PII_PHONE_RE}'))) AS BIGINT),
+                       CAST(sum(len(regexp_extract_all(txt, '{PII_IPV4_RE}'))) AS BIGINT),
+                       CAST(sum(length(txt) - length(
+                         regexp_replace(regexp_replace(regexp_replace(txt,
+                           '{PII_EMAIL_RE}', '', 'g'),
+                           '{PII_PHONE_RE}', '', 'g'),
+                           '{PII_IPV4_RE}', '', 'g'))) AS BIGINT)
+                FROM t"""
+        ).fetchone()
+        assert dk == (emails, phones, ips, mass), texts
+
+
 def _pii_docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, source string, text string")
 
