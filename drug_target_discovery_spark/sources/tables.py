@@ -9,6 +9,8 @@ optimizer do the rest (verify with ``.explain``: ``ReadSchema`` /
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -40,6 +42,30 @@ _NANO_TS_COLS = {
 }
 
 
+# Lazy-PLAN memo (optimization r13, guide §1.2/§6): `spark.read.parquet`
+# pays file listing + footer schema inference on the DRIVER every call
+# (~0.14s here; at 100 TB a full directory listing per query). The scan
+# plan is immutable and session-bound, so one build per (session, dir,
+# table) serves every query — this memoizes the LAZY DataFrame only;
+# every execution still reads the parquet from disk (no data or result
+# caching; bench/oracle runs compute from the inputs unchanged — verified
+# by the unchanged driver hashes). Keyed on id(session)+applicationId so
+# a new session (or restarted context) rebuilds, PLUS the parquet path's
+# (mtime_ns, size): `spark.read.parquet` captures the file listing at plan
+# build, so a memoized plan over a REWRITTEN path would reference deleted
+# files (caught by test_round11_ops' overwrite-the-fixture edge). One
+# local stat (~1 us) per call preserves rewrite-then-reload semantics
+# while still skipping the ~0.14s JVM listing+footer read on the immutable
+# bench tables. Cleared with the sweep fixtures so long test sessions
+# don't pin dead plan objects.
+_PLAN_MEMO: dict[tuple, DataFrame] = {}
+_HOOKED = False
+
+
+def _clear_plan_memo() -> None:
+    _PLAN_MEMO.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table lazily, normalizing nano-timestamps.
 
@@ -53,6 +79,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # locked-down session: proceed with its settings
+    try:
+        st = os.stat(f"{sf_dir}/{name}.parquet")
+        key = (
+            id(spark),
+            spark.sparkContext.applicationId,
+            sf_dir,
+            name,
+            st.st_mtime_ns,
+            st.st_size,
+        )
+    except Exception:  # context teardown / missing path: fall through uncached
+        key = None
+    if key is not None:
+        memo = _PLAN_MEMO.get(key)
+        if memo is not None:
+            return memo
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLS.get(name, []):
         if col not in df.columns:
@@ -92,6 +134,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     )
                 )
             df = df.withColumn(col, ts)
+    if key is not None:
+        global _HOOKED
+        if not _HOOKED:
+            from drug_target_discovery_spark.caching import register_fixture_hook
+
+            register_fixture_hook(_clear_plan_memo)
+            _HOOKED = True
+        _PLAN_MEMO[key] = df
     return df
 
 

@@ -63,3 +63,57 @@ class TestCacheLifecycle:
             b.sort_values(key).reset_index(drop=True)
         )
         release_caches(fixtures=True)
+
+
+class TestLoadTablePlanMemo:
+    """The lazy-PLAN memo in sources.tables (optimization r13): repeated
+    load_table calls must return the SAME DataFrame object (skipping the
+    per-call file listing + footer schema read) without caching any DATA —
+    executions still scan parquet, and releasing sweep fixtures clears the
+    memo so a fresh build happens."""
+
+    def test_same_object_and_no_persisted_data(self, spark):
+        from drug_target_discovery_spark.sources.tables import load_table
+
+        before = _persistent_ids(spark)
+        a = load_table(spark, SF, "lineitem")
+        b = load_table(spark, SF, "lineitem")
+        assert a is b  # plan object reused
+        a.limit(5).collect()
+        # no persistent RDDs appear: the memo holds a lazy plan, not data
+        assert _persistent_ids(spark) <= before
+
+    def test_fixture_release_clears_plan_memo(self, spark):
+        from drug_target_discovery_spark.sources import tables
+
+        a = tables.load_table(spark, SF, "orders")
+        release_caches(fixtures=True)
+        assert not tables._PLAN_MEMO
+        b = tables.load_table(spark, SF, "orders")
+        assert a is not b  # rebuilt after release
+        assert a.schema == b.schema
+
+    def test_distinct_dirs_distinct_plans(self, spark):
+        from drug_target_discovery_spark.sources.tables import load_table
+
+        a = load_table(spark, SF, "nation")
+        b = load_table(spark, "/root/testdata/sf0.01", "nation")
+        assert a is not b
+        release_caches(fixtures=True)
+
+    def test_rewrite_invalidates_plan(self, spark, tmp_path):
+        """Overwriting a table path mid-session must yield a FRESH plan (the
+        memoized one captured the old file listing — executing it would hit
+        deleted files). Regression for the test_round11_ops overwrite edge;
+        the memo keys on the path's (mtime_ns, size) via one local stat."""
+        from drug_target_discovery_spark.sources.tables import load_table
+
+        p = str(tmp_path / "t.parquet")
+        spark.range(3).write.parquet(p)
+        a = load_table(spark, str(tmp_path), "t")
+        assert a.count() == 3
+        spark.range(7).write.mode("overwrite").parquet(p)
+        b = load_table(spark, str(tmp_path), "t")
+        assert b is not a
+        assert b.count() == 7
+        release_caches(fixtures=True)

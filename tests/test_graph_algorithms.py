@@ -250,3 +250,50 @@ class TestLabelPropagation:
             got = self._run(spark, noisy, n_iter=k)
             exp = self._python_lpa(canonical, k)
             assert got == exp, f"multi-edge divergence at n_iter={k}"
+
+    def test_driver_equals_distributed(self, spark):
+        """Optimization r13: the threshold-gated driver fast path must be
+        EXACTLY equal to the distributed join-aggregate loop (integer
+        votes, integer min tie-break — no float hazard), including on a
+        node table with isolated nodes and endpoints outside it."""
+        import random
+
+        from drug_target_discovery_spark.graph.algorithms import (
+            label_propagation,
+        )
+
+        rng = random.Random(7)
+        nodes = list(range(40))
+        edge_list = sorted(
+            {tuple(sorted(rng.sample(nodes, 2))) for _ in range(90)}
+        )
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        for k in (1, 4):
+            fast = {
+                r["node"]: r["community"]
+                for r in label_propagation(edges, n_iter=k).collect()
+            }
+            slow = {
+                r["node"]: r["community"]
+                for r in label_propagation(
+                    edges, n_iter=k, driver_threshold=0
+                ).collect()
+            }
+            assert fast == slow, f"strategy divergence at n_iter={k}"
+        # nodes-given path: isolated node 99 keeps its label; endpoint 0
+        # excluded from the node table casts no votes and gets no row
+        node_df = spark.createDataFrame(
+            [(v,) for v in nodes[1:] + [99]], "node long"
+        )
+        fast = {
+            r["node"]: r["community"]
+            for r in label_propagation(edges, n_iter=3, nodes=node_df).collect()
+        }
+        slow = {
+            r["node"]: r["community"]
+            for r in label_propagation(
+                edges, n_iter=3, nodes=node_df, driver_threshold=0
+            ).collect()
+        }
+        assert fast == slow
+        assert fast[99] == 99 and 0 not in fast
