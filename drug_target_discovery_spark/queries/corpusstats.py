@@ -441,33 +441,43 @@ def count_min_frequency_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quantiles) and HLL (distinct): every sketch ships with an oracle that
     checks its guarantee, not just its plumbing.
 
-    Scale shape: the token stream shuffles ONLY as d·w = {_CMS_D * _CMS_W}
-    map-side-combined cells; the probe join broadcasts the FIXED-size cell
-    table (constant, the one table in this repo that is always
-    broadcastable by construction); the exact side is the vocab-sized
-    aggregate (at 100 TB the probe set would be the MG candidate list
-    instead of the full vocabulary — the synthetic corpus's 31-token vocab
-    makes full probing exact here)."""
+    Scale shape: the token stream shuffles ONLY as the vocab-sized exact
+    aggregate (map-side combined), which the probe needs anyway; the
+    {_CMS_D} row hashes are computed per DISTINCT token AFTER that
+    aggregate — the sketch cell counts are sums of per-token counts, so
+    hashing the vocabulary and summing is integer-identical to hashing
+    every occurrence (optimization r13, guide §2.3: the md5 depends only
+    on (j, token); the occurrence-grain form hashed the token STREAM
+    {_CMS_D}x and exploded it twice). The probe join broadcasts the
+    FIXED d·w = {_CMS_D * _CMS_W}-cell table (constant, the one table in
+    this repo that is always broadcastable by construction); at 100 TB
+    the probe set would be the MG candidate list instead of the full
+    vocabulary — the synthetic corpus's 31-token vocab makes full
+    probing exact here."""
+    from drug_target_discovery_spark.caching import scoped_cache
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    js = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j")
-    hashed = toks.select("token", js).select(
-        "token",
-        "j",
-        (F.expr(_CMS_HASH_SPARK) % _CMS_W).alias("cell"),
+    # ONE pass over the token stream; everything downstream rides the
+    # vocab-grain table (cached: it feeds both the sketch build and the
+    # probe — without the cache the explode+aggregate would run twice).
+    exact = scoped_cache(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
     )
-    cells = hashed.groupBy("j", "cell").agg(F.count(F.lit(1)).alias("c"))
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
-    probe = exact.select("token", "exact_count", js).select(
+    js = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j")
+    hashed = exact.select("token", "exact_count", js).select(
         "token",
         "exact_count",
         "j",
         (F.expr(_CMS_HASH_SPARK) % _CMS_W).alias("cell"),
     )
+    cells = hashed.groupBy("j", "cell").agg(
+        F.sum("exact_count").alias("c")
+    )
     return (
-        probe.join(F.broadcast(cells), ["j", "cell"])
+        hashed.join(F.broadcast(cells), ["j", "cell"])
         .groupBy("token", "exact_count")
         .agg(F.min("c").alias("cms_estimate"))
         .select(

@@ -730,19 +730,23 @@ def duplicate_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: the gram TEXT never shuffles — each k-gram is md5-hashed
     map-side and only (doc_id, pos, h) rows (~20 B) move. The cross-doc
-    test is one partial-aggregated groupBy on h; span merging is a per-doc
-    window (bounded by document length, never corpus-wide); the final join
-    is doc_id-keyed. A corpus-frequent gram (boilerplate) grows one h-group
-    but partial aggregation caps its shuffle contribution per task. This is
-    the relational approximation of the suffix-array pass: identical
-    recall for spans >= k tokens, no global sort, no driver state.
+    test is ONE window over h: a gram hash occurs in >= 2 distinct docs
+    iff min(doc_id) != max(doc_id) within its h-partition (optimization
+    r13, guide §2.4 — the old countDistinct groupBy + left-semi-join pair
+    shuffled the gram table twice and needed it cached; the window reads
+    the group property off the single h-keyed exchange, so the gram pass
+    runs once, uncached). Span merging is a per-doc window (bounded by
+    document length, never corpus-wide); the final join is doc_id-keyed.
+    A corpus-frequent gram (boilerplate) grows one h-window group exactly
+    as it grew one join group before. This is the relational
+    approximation of the suffix-array pass: identical recall for spans
+    >= k tokens, no global sort, no driver state.
     """
     k = _SPAN_K
     docs = load_table(spark, sf_dir, "documents")
-    from drug_target_discovery_spark.caching import scoped_cache
 
     toks = docs.select("doc_id", F.split("text", " ").alias("l"))
-    grams = scoped_cache(
+    grams = (
         toks.filter(F.size("l") >= k)
         .select(
             "doc_id",
@@ -759,21 +763,18 @@ def duplicate_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(MD5_INT_SPARK.format(col="gram")).alias("h"),
         )
     )
-    dup = (
-        grams.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
     from pyspark.sql.window import Window
 
+    wh = Window.partitionBy("h")
     w = Window.partitionBy("doc_id").orderBy("pos")
     # A hit at pos covers tokens pos..pos+k-1, so hits whose positions differ
     # by <= k overlap or touch in token space and must merge into one span —
     # otherwise dup_tokens double-counts shared coverage (fraction could
     # exceed 1.0 on partially-duplicated docs).
     hits = (
-        grams.join(dup, "h", "left_semi")
+        grams.withColumn("_dmin", F.min("doc_id").over(wh))
+        .withColumn("_dmax", F.max("doc_id").over(wh))
+        .filter(F.col("_dmin") != F.col("_dmax"))
         .withColumn(
             "brk",
             F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),

@@ -439,12 +439,15 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-doc distinct grams are built map-side
     (array_distinct BEFORE explode) and only the 60-bit md5 hash ever
-    shuffles — never the gram string; the df rollup and the per-doc
-    aggregate are both partial-aggregating exchanges keyed on (source, h)
-    / doc_id. The shared-gram set is corpus-derived, so the join carries
-    NO broadcast hint — AQE decides (same policy as decontamination).
-    The hottest (source, gram) group is bounded by that source's doc
-    count, and the df table never exceeds the distinct-gram count."""
+    shuffles — never the gram string. The shared flag is a window COUNT
+    over (source, hg) — n_docs per gram read off the same shuffled
+    partition the old df-rollup + left-join pair needed TWO gram passes
+    and three exchanges for (optimization r13, guide §2.4: the join and
+    the aggregate were keyed the same way; the window computes the group
+    size in place, so the gram table is built once and shuffled once
+    before the per-doc rollup). The hottest (source, gram) window group
+    is bounded by that source's doc count — same bound the join's hot
+    group had."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.split("text", " ").alias("w")
     )
@@ -458,13 +461,12 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", hg.alias("hg"))
     )
-    df = grams.groupBy("source", "hg").agg(F.count(F.lit(1)).alias("n_docs"))
-    shared = df.filter(F.col("n_docs") >= 2).select(
-        "source", "hg", F.lit(1).alias("hit")
+    n_docs = F.count(F.lit(1)).over(W.partitionBy("source", "hg"))
+    flagged = grams.withColumn(
+        "hit", F.when(n_docs >= 2, 1).otherwise(0)
     )
-    joined = grams.join(shared, ["source", "hg"], "left")
-    n_shared = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-    return joined.groupBy("doc_id").agg(
+    n_shared = F.sum("hit")
+    return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
         n_shared.alias("n_shared"),
         rnd(n_shared * 1.0 / F.count(F.lit(1)), 6).alias("shared_frac"),

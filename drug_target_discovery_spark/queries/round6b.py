@@ -584,35 +584,38 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("long")
     )
-    ranked = scored.select(
+    # Both rank windows partition by term, so they ride ONE exchange
+    # (second window re-sorts in place), and DCG/IDCG collapse into one
+    # groupBy with conditional sums — the old ranked/ideal pair shuffled
+    # `scored` twice and joined three frames back together (optimization
+    # r13, guide §2.4: operations keyed the same way share the exchange;
+    # plan went 2 window exchanges + 2 joins -> 1 exchange, 0 joins —
+    # dfc rides `scored` already, so n_candidates is a per-term max).
+    both = scored.select(
         "term",
         "rel",
+        "dfc",
         F.row_number()
         .over(Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id")))
-        .alias("pos"),
-    ).filter(F.col("pos") <= _NDCG_K)
-    ideal = scored.select(
-        "term",
-        "rel",
+        .alias("pos_r"),
         F.row_number()
         .over(Window.partitionBy("term").orderBy(F.desc("rel"), F.asc("doc_id")))
-        .alias("pos"),
-    ).filter(F.col("pos") <= _NDCG_K)
-    dcg = ranked.groupBy("term").agg(
-        F.sum(gain(F.col("pos"))).alias("dcg_q")
+        .alias("pos_i"),
     )
-    idcg = ideal.groupBy("term").agg(
-        F.sum(gain(F.col("pos"))).alias("idcg_q")
+    zero = F.lit(0).cast("long")
+    res = both.groupBy("term").agg(
+        F.max("dfc").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("pos_r") <= _NDCG_K, gain(F.col("pos_r"))).otherwise(zero)
+        ).alias("dcg_q"),
+        F.sum(
+            F.when(F.col("pos_i") <= _NDCG_K, gain(F.col("pos_i"))).otherwise(zero)
+        ).alias("idcg_q"),
     )
-    return (
-        dcg.join(idcg, "term")
-        .join(F.broadcast(df), "term")
-        .select(
-            "term",
-            F.col("dfc").alias("n_candidates"),
-            rnd(F.col("dcg_q") / 1e9, 6).alias("dcg"),
-            rnd(F.col("idcg_q") / 1e9, 6).alias("idcg"),
-            rnd(F.col("dcg_q") * 1.0 / F.col("idcg_q"), 6).alias("ndcg"),
-        )
-        .orderBy("term")
-    )
+    return res.select(
+        "term",
+        "n_candidates",
+        rnd(F.col("dcg_q") / 1e9, 6).alias("dcg"),
+        rnd(F.col("idcg_q") / 1e9, 6).alias("idcg"),
+        rnd(F.col("dcg_q") * 1.0 / F.col("idcg_q"), 6).alias("ndcg"),
+    ).orderBy("term")
