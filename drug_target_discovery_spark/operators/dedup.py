@@ -261,11 +261,26 @@ def minhash_signatures(
     partial min means only #docs x num_hashes longs ever shuffle), then a
     zero-shuffle ``stack`` to long format — never an explode of
     #shingles x num_hashes rows."""
+    sh = token_shingles(docs, text_col, id_col, n)
+    return minhash_signatures_from_shingles(
+        sh, id_col=id_col, num_hashes=num_hashes, seed=seed
+    )
+
+
+def minhash_signatures_from_shingles(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """`minhash_signatures` over an already-built distinct (id, shingle)
+    table — split out (optimization r13) so a sweep-scoped raw-shingle
+    memo can feed BOTH the signature build and the exact-pairs self-join
+    instead of each reconstructing the shingle stream from text."""
     coeffs = _minhash_coeffs(num_hashes, seed)
     p = (1 << 31) - 1
-    sh = token_shingles(docs, text_col, id_col, n)
     h30 = (F.expr(MD5_INT_SPARK.format(col="shingle")) % (1 << 30)).alias("h")
-    sh = sh.select(id_col, h30)
+    sh = shingles.select(id_col, h30)
     aggs = [
         F.min((F.col("h") * a + b) % p).alias(f"_m{i}") for i, (a, b) in enumerate(coeffs)
     ]

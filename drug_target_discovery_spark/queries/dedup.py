@@ -14,9 +14,7 @@ from drug_target_discovery_spark.operators.dedup import (
     MERSENNE61,
     NORM_SHA_DUCK,
     _minhash_coeffs,
-    jaccard_verify_pairs,
     lsh_candidate_pairs,
-    minhash_signatures,
     norm_sha_col,
     sha_exact_dedup,
     simhash_fingerprints,
@@ -41,15 +39,45 @@ from drug_target_discovery_spark.caching import register_fixture_hook  # noqa: E
 
 register_fixture_hook(_SIG_CACHE.clear)
 
+# Raw (unfiltered) distinct-shingle stream, sweep-scoped (optimization
+# r13): the signature build and the exact-pairs memo each reconstructed
+# the shingle stream from text (split + transform + array_distinct +
+# explode over the corpus — the most expensive map-side expression in the
+# dedup family). One cached build now feeds both; the stop-shingle filter
+# stays downstream in the exact-pairs memo (signatures must see ALL
+# shingles — the oracle's _SIG_SQL is unfiltered).
+_RAW_SH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+register_fixture_hook(_RAW_SH_CACHE.clear)
+
+
+def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _RAW_SH_CACHE:
+        from drug_target_discovery_spark.caching import fixture_cache
+
+        docs = load_table(spark, sf_dir, "documents")
+        _RAW_SH_CACHE[key] = fixture_cache(
+            token_shingles(docs, "text", "doc_id", _N)
+        )
+    return _RAW_SH_CACHE[key]
+
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SIG_CACHE:
-        docs = load_table(spark, sf_dir, "documents")
         from drug_target_discovery_spark.caching import fixture_cache
 
+        from drug_target_discovery_spark.operators.dedup import (
+            minhash_signatures_from_shingles,
+        )
+
         _SIG_CACHE[key] = fixture_cache(
-            minhash_signatures(docs, n=_N, num_hashes=_NUM_HASHES, seed=_SEED)
+            minhash_signatures_from_shingles(
+                _raw_shingles(spark, sf_dir),
+                num_hashes=_NUM_HASHES,
+                seed=_SEED,
+            )
         )
     return _SIG_CACHE[key]
 
@@ -89,15 +117,36 @@ _VERIFIED_CACHE: dict[tuple[str, str], DataFrame] = {}
 register_fixture_hook(_VERIFIED_CACHE.clear)
 
 
+def verify_pairs_from_memo(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """``jaccard_verify_pairs`` at the family conventions (documents table,
+    n=_N), sourcing shingles from the sweep-scoped raw-shingle memo
+    instead of re-splitting the member docs' text (optimization r13 —
+    same scoring kernel, `_score_candidate_pairs`, so the metric cannot
+    diverge; the semi-join restricts the cached shingle stream to pair
+    members exactly as the operator restricted the docs scan)."""
+    from drug_target_discovery_spark.operators.dedup import (
+        _score_candidate_pairs,
+    )
+
+    members = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .union(pairs.select("d2"))
+        .distinct()
+    )
+    sh = _raw_shingles(spark, sf_dir).join(members, "doc_id", "left_semi")
+    return _score_candidate_pairs(sh, pairs, "doc_id", threshold)
+
+
 def verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _VERIFIED_CACHE:
         from drug_target_discovery_spark.caching import fixture_cache
 
-        docs = load_table(spark, sf_dir, "documents")
         _VERIFIED_CACHE[key] = fixture_cache(
-            jaccard_verify_pairs(
-                docs, candidate_pairs(spark, sf_dir), n=_N, threshold=_JACCARD_T
+            verify_pairs_from_memo(
+                spark, sf_dir, candidate_pairs(spark, sf_dir), _JACCARD_T
             )
         )
     return _VERIFIED_CACHE[key]
@@ -129,7 +178,9 @@ def shingle_sizes_and_intersections(
 
         docs = load_table(spark, sf_dir, "documents")
         n_docs = docs.count()
-        sh = token_shingles(docs, "text", "doc_id", _N)
+        # rides the sweep-scoped raw-shingle memo (shared with the
+        # signature build) instead of re-deriving shingles from text
+        sh = _raw_shingles(spark, sf_dir)
         common = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -631,11 +682,12 @@ def dedup_against_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_exact")
     )
     # near tier: cross-split candidates out of the corpus-wide pair memo,
-    # scored pair-exactly by jaccard_verify_pairs (no member self-join)
+    # scored pair-exactly off the raw-shingle memo (no member self-join,
+    # no text re-shingling — optimization r13)
     cand = candidate_pairs(spark, sf_dir)
     cross = cand.filter((F.col("d1") % 5 == 0) != (F.col("d2") % 5 == 0))
     verified = (
-        jaccard_verify_pairs(docs, cross, n=_N, threshold=_JACCARD_T)
+        verify_pairs_from_memo(spark, sf_dir, cross, _JACCARD_T)
         .withColumn(
             "b_id", F.when(F.col("d1") % 5 == 0, F.col("d1")).otherwise(F.col("d2"))
         )

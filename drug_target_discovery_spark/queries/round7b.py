@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from drug_target_discovery_spark.functions.rounding import rnd, rnd_sql
-from drug_target_discovery_spark.operators.dedup import jaccard_verify_pairs
+
 from drug_target_discovery_spark.queries.dedup import (
     _BANDED_CAND_SQL,
     _N,
@@ -99,11 +99,15 @@ def minhash_jaccard_estimate_error(
     jaccard_verify_pairs (one array_intersect per candidate pair);
     the signature-agreement join is |candidates| x {_NUM_HASHES} rows.
     Output is bounded at 11 decile rows."""
-    docs = load_table(spark, sf_dir, "documents")
     cand = candidate_pairs(spark, sf_dir)
     # threshold=-1 keeps ALL candidate pairs, including true-Jaccard-0
-    # banding collisions — precisely the error cases the audit must see
-    exact = jaccard_verify_pairs(docs, cand, n=_N, threshold=-1.0).select(
+    # banding collisions — precisely the error cases the audit must see.
+    # Scores off the sweep-scoped raw-shingle memo (optimization r13).
+    from drug_target_discovery_spark.queries.dedup import (
+        verify_pairs_from_memo,
+    )
+
+    exact = verify_pairs_from_memo(spark, sf_dir, cand, -1.0).select(
         "d1", "d2", "jaccard"
     )
     from drug_target_discovery_spark.queries.dedup import _signatures
