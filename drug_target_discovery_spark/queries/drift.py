@@ -88,9 +88,12 @@ def ks_test_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     two identically-computed doubles on both sides.
 
     Scale shape: one map-side partial-agg collapse to (cohort, value)
-    counts — raw rows never shuffle; the CDF window and the final max ride
-    ONE cohort-keyed exchange (the {_KS_COHORTS} cohorts parallelize it);
-    per-cohort totals join back on the same key."""
+    counts — raw rows never shuffle; the CDF window, the per-cohort
+    totals (full-partition window sums — optimization r13, guide §2.4:
+    the old tot-aggregate + join re-shuffled vc and re-computed it; both
+    windows are keyed on cohort so they ride ONE exchange) and the final
+    max all share that single cohort-keyed exchange (the {_KS_COHORTS}
+    cohorts parallelize it)."""
     src = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag").isin(_KS_F1, _KS_F2))
@@ -104,16 +107,23 @@ def ks_test_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("f") == _KS_F1, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("f") == _KS_F2, 1).otherwise(0)).alias("c2"),
     )
-    tot = vc.groupBy("cohort").agg(
-        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
-    )
     w = (
         PWindow.partitionBy("cohort")
         .orderBy("v")
         .rowsBetween(PWindow.unboundedPreceding, PWindow.currentRow)
     )
+    w_all = PWindow.partitionBy("cohort").rowsBetween(
+        PWindow.unboundedPreceding, PWindow.unboundedFollowing
+    )
     cum = (
-        vc.join(tot, "cohort")
+        vc.select(
+            "cohort",
+            "c1",
+            "c2",
+            "v",
+            F.sum("c1").over(w_all).alias("n1"),
+            F.sum("c2").over(w_all).alias("n2"),
+        )
         .filter((F.col("n1") > 0) & (F.col("n2") > 0))
         .select(
             "cohort",

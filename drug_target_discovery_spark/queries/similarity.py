@@ -226,12 +226,18 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from drug_target_discovery_spark.caching import scoped_cache
+
     v = _emb_double(load_table(spark, sf_dir, "embeddings")).select("vec_id", "emb")
-    nv = (
+    # cached: FOUR consumers read the normalized table (left/right GEMM
+    # replicas + both rerank join sides), and the block-sizing count
+    # doubles as the materializing action (optimization r13 — each
+    # consumer previously re-ran the scan + normalize transform)
+    nv = scoped_cache(
         v.withColumn("nrm", F.expr(_NORM_SPARK.format(a="emb")))
         .select("vec_id", F.expr("transform(emb, x -> x / nrm)").alias("nemb"))
     )
-    n_vec = v.count()
+    n_vec = nv.count()
     n_blocks = max(1, -(-n_vec // _GEMM_BLOCK))
     slack = _NEAR_DUP_T - 1e-9
 
