@@ -180,10 +180,27 @@ _BM25_SCORED_SQL = f"""
 """
 
 
+# Sweep-scoped BM25 memo (optimization r13): three registered queries
+# (bm25_keyword_search, hybrid_retrieval_rerank, reciprocal_rank_fusion)
+# consume the same scored table; the matched-docs result is corpus-bounded
+# and small, so one build per sweep replaces three token-stream passes.
+_BM25_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+from drug_target_discovery_spark.caching import (  # noqa: E402
+    register_fixture_hook as _bm25_reg_hook,
+)
+
+_bm25_reg_hook(_BM25_CACHE.clear)
+
+
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared BM25 scorer: (doc_id, n_matched_terms, s_sum) with s_sum the
     per-doc sum of integer micro-unit term scores (un-rounded — consumers
-    round or normalize). Plan shape documented on bm25_keyword_search."""
+    round or normalize). Plan shape documented on bm25_keyword_search.
+    Sweep-memoized (see _BM25_CACHE above)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BM25_CACHE:
+        return _BM25_CACHE[key]
     k1, b = _BM25_K1, _BM25_B
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -212,7 +229,9 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_q = F.floor(
         idf * (F.col("tf") * (k1 + 1.0)) / denom * 1000000.0 + F.lit(0.5)
     ).cast("long")
-    return (
+    from drug_target_discovery_spark.caching import fixture_cache
+
+    _BM25_CACHE[key] = fixture_cache(
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -223,6 +242,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s_q").alias("s_sum"),
         )
     )
+    return _BM25_CACHE[key]
 
 
 @register(

@@ -172,9 +172,13 @@ class TestPlanShape:
     def test_span_detection_grams_hash_before_shuffle(self, spark):
         # duplicate_span_detection: the k-gram TEXT never becomes a shuffle
         # key — grams are md5-hashed map-side, so every exchange keys on
-        # doc_id / h only; the dup-gram test lands as a semi join
+        # doc_id / h only; the dup-gram test is the min!=max doc_id window
+        # over h (optimization r13 — replaced the countDistinct groupBy +
+        # LeftSemi join pair, one h-keyed exchange instead of two), so the
+        # gram table is built ONCE (no cache, no second shuffle)
         plan = plan_of(spark, "duplicate_span_detection")
-        assert "LeftSemi" in plan, plan
+        assert "LeftSemi" not in plan, plan
+        assert plan.count("windowspecdefinition(h#") >= 2, plan  # min+max over h
         for part in plan.split("Exchange hashpartitioning")[1:]:
             key = part.split("\n")[0]
             assert "gram" not in key and "text" not in key, key
