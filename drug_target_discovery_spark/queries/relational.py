@@ -622,39 +622,34 @@ _MIN_PAIR_ORDERS = 3
 def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association-rules mining over order baskets: support, confidence and
     lift for part pairs co-occurring in >= {_MIN_PAIR_ORDERS} orders — the
-    recommender / market-basket staple. Scale shape (optimization r13,
-    aligned with basket_brand_lift's measured-faster form): ONE exchange
-    on the fact — the order-grain collect_set (set-semantics dedup
-    in-aggregate, replacing the separate distinct) — cached and consumed
-    by all three statistics; pair generation is a MAP-SIDE array
-    transform over the sorted set (fan-out bounded by basket size
-    squared, never a self-join shuffle — the old form shuffled the
-    distinct basket four times: order total, item counts, both join
-    sides). The p1 < p2 orientation counts each pair once; ratios are
-    single divisions of exact counts, identical IEEE on both engines."""
-    from drug_target_discovery_spark.caching import scoped_cache
+    recommender / market-basket staple. Scale shape: the pair generation
+    is a SELF-JOIN KEYED ON THE ORDER (basket-local, fan-out bounded by
+    basket size squared, never all-parts x all-parts), after a distinct
+    that collapses repeat lines map-side; item counts and the 1-row order
+    total arrive via broadcast. The a<b orientation counts each pair once;
+    ratios are single divisions of exact counts, identical IEEE on both
+    engines.
 
+    Optimization r13 note: a collect_set + map-side pair-transform rewrite
+    (the shape that measured faster for basket_brand_lift) was tried and
+    REVERTED — measured slower here (isolated cold 7.9s vs 6.1s, warm
+    3.3/2.7 vs 2.9/2.5 at sf0.1; first post-rewrite sweep read 14.6s vs a
+    2.5–4.7s band across six prior sweeps). The rewrite's cache
+    materialization + two explode passes cost more than whatever the
+    self-join form re-reads of the distinct basket at this shape."""
     li = load_table(spark, sf_dir, "lineitem")
-    basket_sets = scoped_cache(
-        li.groupBy("l_orderkey").agg(
-            F.sort_array(F.collect_set("l_partkey")).alias("ps")
-        )
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n_ord = basket.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n")
     )
-    n_ord = basket_sets.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    item = basket_sets.select(
-        F.explode("ps").alias("l_partkey")
-    ).groupBy("l_partkey").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    item = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    a = basket.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = basket.select("l_orderkey", F.col("l_partkey").alias("p2"))
     pair = (
-        basket_sets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> transform("
-                    "slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS p1, y AS p2))))"
-                )
-            ).alias("pp")
-        )
-        .select("pp.p1", "pp.p2")
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("double").alias("c12"))
         .filter(F.col("c12") >= _MIN_PAIR_ORDERS)
