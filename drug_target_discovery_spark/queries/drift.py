@@ -88,12 +88,16 @@ def ks_test_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     two identically-computed doubles on both sides.
 
     Scale shape: one map-side partial-agg collapse to (cohort, value)
-    counts — raw rows never shuffle; the CDF window, the per-cohort
-    totals (full-partition window sums — optimization r13, guide §2.4:
-    the old tot-aggregate + join re-shuffled vc and re-computed it; both
-    windows are keyed on cohort so they ride ONE exchange) and the final
-    max all share that single cohort-keyed exchange (the {_KS_COHORTS}
-    cohorts parallelize it)."""
+    counts — raw rows never shuffle; the CDF window and the final max ride
+    ONE cohort-keyed exchange (the {_KS_COHORTS} cohorts parallelize it);
+    per-cohort totals join back on the same key.
+
+    Optimization r13 note: replacing the tot-aggregate + join with
+    full-partition window sums (fewer exchanges on paper, 10 -> 4) was
+    tried and REVERTED — measured ~50% slower (isolated A/B at sf0.1:
+    3.7/2.2/2.0s vs this form's 2.9/1.5/1.3s). The unbounded window
+    forces a per-cohort sort pass before the CDF window's own sort; the
+    tiny cohort-keyed aggregate + broadcast-joined totals are cheaper."""
     src = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag").isin(_KS_F1, _KS_F2))
@@ -107,23 +111,16 @@ def ks_test_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("f") == _KS_F1, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("f") == _KS_F2, 1).otherwise(0)).alias("c2"),
     )
+    tot = vc.groupBy("cohort").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
     w = (
         PWindow.partitionBy("cohort")
         .orderBy("v")
         .rowsBetween(PWindow.unboundedPreceding, PWindow.currentRow)
     )
-    w_all = PWindow.partitionBy("cohort").rowsBetween(
-        PWindow.unboundedPreceding, PWindow.unboundedFollowing
-    )
     cum = (
-        vc.select(
-            "cohort",
-            "c1",
-            "c2",
-            "v",
-            F.sum("c1").over(w_all).alias("n1"),
-            F.sum("c2").over(w_all).alias("n2"),
-        )
+        vc.join(tot, "cohort")
         .filter((F.col("n1") > 0) & (F.col("n2") > 0))
         .select(
             "cohort",
