@@ -19,6 +19,7 @@ from drug_target_discovery_spark.graph.centrality import (
     degree_centrality,
     eigenvector_centrality,
 )
+from drug_target_discovery_spark.graph.algorithms import triangle_counts
 from drug_target_discovery_spark.operators.correlation import corr_edges
 from drug_target_discovery_spark.queries.registry import register
 from drug_target_discovery_spark.sources.tables import load_table
@@ -355,42 +356,27 @@ def clustering_coefficient_corr_graph(spark: SparkSession, sf_dir: str) -> DataF
     per-node adjacency materialization. Cost on a thresholded corr graph
     is |E| x avg-degree join rows; at 100 TB-scale graphs the same plan
     holds with the standard degree-ordered orientation trick bounding the
-    join fan-out. Rides the sweep-scoped graph memo."""
+    join fan-out. Rides the sweep-scoped graph memo.
+
+    Strategy selection lives in graph.algorithms.triangle_counts
+    (optimization r13): the thresholded corr graph is a few hundred edges,
+    so the two-equi-join plan's ~12 AQE jobs were pure scheduler latency —
+    below the edge threshold the integer counts come from the driver twin
+    (exact-parity pinned), above it the join plan runs unchanged. The
+    coefficient ratio is computed HERE, through one Spark expression
+    shared by both strategies, so the float path is identical."""
     nodes, edges = _corr_graph(spark, sf_dir)
-    e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    tpn = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select("y"))
-        .unionAll(tri.select("z"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("t"))
-    )
-    deg = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select("b"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    return (
-        nodes.join(deg, "node", "left")
-        .join(tpn, "node", "left")
-        .select(
-            "node",
-            F.coalesce(F.col("t"), F.lit(0)).alias("n_triangles"),
-            rnd(
-                F.when(
-                    F.coalesce(F.col("d"), F.lit(0)) >= 2,
-                    F.coalesce(F.col("t"), F.lit(0))
-                    * 2.0
-                    / (F.col("d") * (F.col("d") - 1)),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("clustering_coefficient"),
-        )
+    tc = triangle_counts(edges.select("src", "dst"), nodes)
+    return tc.select(
+        "node",
+        "n_triangles",
+        rnd(
+            F.when(
+                F.col("degree") >= 2,
+                F.col("n_triangles") * 2.0 / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering_coefficient"),
     )
 
 

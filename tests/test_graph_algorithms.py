@@ -297,3 +297,57 @@ class TestLabelPropagation:
         }
         assert fast == slow
         assert fast[99] == 99 and 0 not in fast
+
+
+class TestTriangleCounts:
+    """Optimization r13: triangle_counts grew the same threshold-gated
+    driver twin as CC/PageRank/core/LPA above. Both strategies must be
+    exactly equal (integer counts) on any input, including multi-edges."""
+
+    @staticmethod
+    def _run(spark, edge_list, node_list, thr):
+        from drug_target_discovery_spark.graph.algorithms import triangle_counts
+
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        nodes = spark.createDataFrame([(v,) for v in node_list], "node long")
+        return {
+            r["node"]: (r["n_triangles"], r["degree"])
+            for r in triangle_counts(edges, nodes, driver_threshold=thr).collect()
+        }
+
+    def test_matches_networkx_on_random_graph(self, spark, graph_dfs):
+        g, _, _ = graph_dfs
+        # canonical orientation (src < dst), as the corr-graph builder emits
+        edge_list = sorted(tuple(sorted(e)) for e in g.edges())
+        node_list = sorted(g.nodes())
+        exp = {
+            v: (nx.triangles(g, v), g.degree(v)) for v in node_list
+        }
+        for thr in (1_000_000, 0):
+            got = self._run(spark, edge_list, node_list, thr)
+            assert got == exp, f"driver_threshold={thr}"
+
+    def test_multi_edge_multiplicity_parity(self, spark):
+        # a duplicated edge must multiply matched triangle paths the same
+        # way on BOTH strategies (multiplicity-faithful, not set semantics)
+        edge_list = [(0, 1), (1, 2), (0, 2), (0, 2), (2, 3)]
+        node_list = [0, 1, 2, 3, 9]
+        fast = self._run(spark, edge_list, node_list, 1_000_000)
+        slow = self._run(spark, edge_list, node_list, 0)
+        assert fast == slow
+        # triangle 0-1-2 matched twice via the duplicated (0,2) closure
+        assert fast[0] == (2, 3) and fast[1] == (2, 2)
+        assert fast[3] == (0, 1) and fast[9] == (0, 0)
+
+    def test_empty_edges_with_nodes(self, spark):
+        edges = spark.createDataFrame([], "src long, dst long")
+        nodes = spark.createDataFrame([(5,)], "node long")
+        for thr in (1_000_000, 0):
+            got = {
+                r["node"]: (r["n_triangles"], r["degree"])
+                for r in __import__(
+                    "drug_target_discovery_spark.graph.algorithms",
+                    fromlist=["triangle_counts"],
+                ).triangle_counts(edges, nodes, driver_threshold=thr).collect()
+            }
+            assert got == {5: (0, 0)}, f"driver_threshold={thr}"
