@@ -89,6 +89,11 @@ def main() -> None:
             {
                 **payload,
                 "loadavg1": loadavg1,
+                # provenance stamp (ADVICE r13 #3): A/B sweep sides must be
+                # self-identifying — record which code produced this payload.
+                # Detail-artifact only; the stdout contract line is unchanged.
+                "git_head": _git_head(),
+                "worktree": os.path.dirname(os.path.abspath(__file__)),
                 "abbrev": {_abbr(n): n for n in timings},
             },
             f,
@@ -104,6 +109,27 @@ def main() -> None:
         )
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
+
+
+def _git_head() -> str:
+    """HEAD commit of the repo this bench.py lives in (+ a dirty marker);
+    'unknown' where git is unavailable. Best-effort: provenance must never
+    break the bench."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        head = subprocess.run(
+            ["git", "-C", here, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", here, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return (head + ("-dirty" if dirty else "")) if head else "unknown"
+    except Exception:
+        return "unknown"
 
 
 def _load1() -> float:

@@ -8,12 +8,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Driver-twin admission policy (optimization r14, VERDICT r13 #4/#6 — one
+# documented constant instead of six per-function literals so a future edit
+# cannot silently raise one gate past driver memory):
+#
+# Every strategy-gated operator in this module (connected_components,
+# pagerank, core_numbers, label_propagation, triangle_counts) and
+# eigenvector_centrality in graph/centrality.py admits the exact driver
+# twin only below DRIVER_TWIN_THRESHOLD. The gate bounds what the driver
+# ever collect()s: at most ~1M post-aggregation edge/node rows (two ints
+# each, tens of MB as Python objects) — comfortably inside the 48 GB
+# driver of session.py and a rounding error on any production driver. On
+# the nodes=None paths the gate is DRIVER_TWIN_THRESHOLD // 2 EDGES, so
+# the implied node bound (<= 2x edges) is the same constant. Above the
+# gate the distributed plan runs unchanged; below it the driver twin is
+# integer-exact parity-tested against the distributed path
+# (tests/test_graph_algorithms.py, tests/test_graph.py). The two
+# deliberately different constants elsewhere are NOT twin gates:
+# betweenness/closeness/harmonic centrality's 512 picks serial-Brandes vs
+# source-parallel mapInPandas (both driver-collected — the collect is
+# bounded by the corr graph's top-K construction, not by this policy), and
+# adamic_adar's 20_000-edge gate is additionally wedge-bound
+# (sum deg^2 / 2, see _AA_DRIVER_WEDGE_CAP in queries/graphq.py) because
+# its driver work is quadratic in hub degree, not linear in edges.
+DRIVER_TWIN_THRESHOLD = 1_000_000
+
 
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 50,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = DRIVER_TWIN_THRESHOLD,
+    n_edges: int | None = None,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Min-label propagation to fixpoint: component id = min node id
     reachable. Returns (node, component).
@@ -33,10 +60,17 @@ def connected_components(
     table needs. ``driver_threshold`` bounds NODES on the nodes-given path;
     on the nodes=None path the gate is ``driver_threshold // 2`` EDGES, so
     the implied node bound (<= 2x edges) is the same threshold and the
-    collected edge rows never exceed half of it."""
+    collected edge rows never exceed half of it.
+
+    ``n_edges`` / ``n_nodes``: caller-known cardinalities (e.g. the
+    corr-graph memo's sweep-scoped counts) — when given, the gate reads
+    them instead of launching count() jobs (optimization r14, VERDICT r13
+    #3: the gate actions are pure overhead when the caller already knows
+    the sizes)."""
     node_type = dict(edges.dtypes)["src"]
     if nodes is None:
-        if edges.count() < max(driver_threshold // 2, 1):  # nodes <= 2x edges
+        ne = n_edges if n_edges is not None else edges.count()
+        if ne < max(driver_threshold // 2, 1):  # nodes <= 2x edges
             rows = edges.select("src", "dst").collect()
             node_list = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
             return _union_find(rows, node_list, edges.sparkSession, node_type)
@@ -46,7 +80,7 @@ def connected_components(
             .distinct()
         )
         return _cc_distributed(edges, nodes, max_iter)
-    if nodes.count() < driver_threshold:
+    if (n_nodes if n_nodes is not None else nodes.count()) < driver_threshold:
         node_list = [r["node"] for r in nodes.select("node").collect()]
         return _union_find(
             edges.select("src", "dst").collect(), node_list, edges.sparkSession, node_type
@@ -138,7 +172,8 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float = 1.0e-6,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = DRIVER_TWIN_THRESHOLD,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """PageRank on the undirected (symmetrized) graph, networkx-compatible:
     pr'(v) = (1-d)/N + d * (sum_{u->v} pr(u)/outdeg(u) + dangling mass/N);
@@ -146,8 +181,9 @@ def pagerank(
 
     Small graphs run the numpy iteration on the driver (three Spark actions
     per distributed iteration would otherwise dominate); large graphs run
-    the join-aggregate loop."""
-    if nodes.count() < driver_threshold:
+    the join-aggregate loop. ``n_nodes``: caller-known node count — skips
+    the gate's count() job when given (optimization r14)."""
+    if (n_nodes if n_nodes is not None else nodes.count()) < driver_threshold:
         return _pagerank_driver(edges, nodes, damping, max_iter, tol)
     return _pagerank_distributed(edges, nodes, damping, max_iter, tol)
 
@@ -240,7 +276,9 @@ def core_numbers(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 100,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = DRIVER_TWIN_THRESHOLD,
+    n_edges: int | None = None,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """K-core decomposition: for each node the largest k such that the node
     belongs to a subgraph where every member has degree >= k. Returns
@@ -258,10 +296,13 @@ def core_numbers(
     cached-plan tree otherwise doubles per round; see _cc_distributed).
 
     ``nodes=None`` declares node set == edge endpoints (candidate-pair
-    graphs); isolated nodes then don't exist and every core >= 1."""
+    graphs); isolated nodes then don't exist and every core >= 1.
+    ``n_edges`` / ``n_nodes``: caller-known cardinalities — skip the
+    gate's count() jobs when given (optimization r14)."""
     node_type = dict(edges.dtypes)["src"]
     if nodes is None:
-        if edges.count() < max(driver_threshold // 2, 1):
+        ne = n_edges if n_edges is not None else edges.count()
+        if ne < max(driver_threshold // 2, 1):
             rows = edges.select("src", "dst").collect()
             node_list = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
             return _core_driver(rows, node_list, edges.sparkSession, node_type)
@@ -271,7 +312,7 @@ def core_numbers(
             .distinct()
         )
         return _core_distributed(edges, nodes, max_iter)
-    if nodes.count() < driver_threshold:
+    if (n_nodes if n_nodes is not None else nodes.count()) < driver_threshold:
         node_list = [r["node"] for r in nodes.select("node").collect()]
         return _core_driver(
             edges.select("src", "dst").collect(),
@@ -398,7 +439,7 @@ def label_propagation(
     edges: DataFrame,
     n_iter: int = 5,
     nodes: DataFrame | None = None,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = DRIVER_TWIN_THRESHOLD,
 ) -> DataFrame:
     """Synchronous label propagation communities (Raghavan, Albert &
     Kumara 2007), made DETERMINISTIC and therefore oracle-able: labels
@@ -545,7 +586,9 @@ def _lpa_driver(
 def triangle_counts(
     edges: DataFrame,
     nodes: DataFrame,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = DRIVER_TWIN_THRESHOLD,
+    n_edges: int | None = None,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Per-node triangle participation counts + degree over a CANONICALLY
     ORIENTED edge list (src < dst): returns (node, n_triangles, degree) for
@@ -566,12 +609,18 @@ def triangle_counts(
     multiplies matched paths exactly as the joins would), so they are
     exactly equal on ANY input — pinned in tests/test_graph_algorithms.py.
     Only integer counts are produced here; ratio columns belong to the
-    caller so both strategies flow through identical float expressions."""
+    caller so both strategies flow through identical float expressions.
+
+    ``n_edges`` / ``n_nodes``: caller-known cardinalities — when given the
+    gate launches NO count() jobs, so the large-graph path costs exactly
+    the join plan (optimization r14, VERDICT r13 #3: the two eager counts
+    ran even when the join plan was taken, and ``edges`` is not guaranteed
+    cached for arbitrary callers)."""
     node_type = dict(nodes.dtypes)["node"]
-    if (
-        edges.count() < max(driver_threshold // 2, 1)
-        and nodes.count() < driver_threshold
-    ):
+    ne = n_edges if n_edges is not None else edges.count()
+    if ne < max(driver_threshold // 2, 1) and (
+        n_nodes if n_nodes is not None else nodes.count()
+    ) < driver_threshold:
         rows = edges.select("src", "dst").collect()
         node_list = [r["node"] for r in nodes.select("node").collect()]
         return _triangle_driver(rows, node_list, edges.sparkSession, node_type)

@@ -35,10 +35,14 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
-def degree_centrality(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+def degree_centrality(
+    edges: DataFrame, nodes: DataFrame, n_nodes: int | None = None
+) -> DataFrame:
     """nx.degree_centrality: degree / (n-1); isolated nodes get 0.0
-    (pipeline2.py:747). One aggregate + one broadcastable outer join."""
-    n = nodes.count()
+    (pipeline2.py:747). One aggregate + one broadcastable outer join.
+    ``n_nodes``: caller-known node count — the n-1 normalizer needs it
+    eagerly, so passing it skips a count() job (optimization r14)."""
+    n = n_nodes if n_nodes is not None else nodes.count()
     deg = _symmetrize(edges).groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("_deg")
     )
@@ -58,7 +62,8 @@ def eigenvector_centrality(
     nodes: DataFrame,
     max_iter: int = 1000,
     tol: float = 1.0e-6,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int | None = None,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """nx.eigenvector_centrality parity (pipeline2.py:749): power iteration
     on (I + A) with L2 normalization; converged when sum|x - x_last| < n*tol.
@@ -71,8 +76,20 @@ def eigenvector_centrality(
     - **huge graph**: iterative join-aggregate over cached DataFrames with
       per-iteration localCheckpoint to cut lineage (SURVEY §4). One shuffle per
       iteration.
+
+    ``driver_threshold`` defaults to the module-wide driver-twin policy
+    constant (graph/algorithms.py DRIVER_TWIN_THRESHOLD); ``n_nodes`` is
+    the caller-known node count — skips the gate's count() job when given
+    (optimization r14).
     """
-    n_nodes = nodes.count()
+    if driver_threshold is None:
+        from drug_target_discovery_spark.graph.algorithms import (
+            DRIVER_TWIN_THRESHOLD,
+        )
+
+        driver_threshold = DRIVER_TWIN_THRESHOLD
+    if n_nodes is None:
+        n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select("node", F.lit(0.0).alias("eigenvector_centrality"))
     if n_nodes < driver_threshold:

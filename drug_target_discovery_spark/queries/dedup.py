@@ -106,15 +106,21 @@ def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PAIR_CACHE[key]
 
 
-# Exact-verification memo: the SAME (candidates, n=_N, threshold=_JACCARD_T)
-# verification feeds near_dup_groups, split_contamination_audit and
-# curation_end_to_end — sweep-scoped like the signatures, so the shingle
-# arrays of the candidate members are built once per sweep, not once per
-# consumer. The table is (d1, d2, jaccard), candidates << corpus by
-# construction.
-_VERIFIED_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Exact-verification memo (optimization r14 refinement of the r13 memo):
+# ONE unfiltered scored table (threshold=-1, i.e. exact Jaccard for EVERY
+# LSH candidate pair) now serves BOTH consumer families — the
+# threshold=_JACCARD_T consumers (near_dup_groups, split_contamination_audit,
+# curation_end_to_end, near_dup_best_representative) read it through a
+# cheap filter, and minhash_jaccard_estimate_error (which needs ALL pairs,
+# including true-Jaccard-0 banding collisions) reads it directly. Before,
+# the estimate-error query re-ran the whole scoring pass (collect_list
+# groupBy + two joins) on its own because its threshold differs; the filter
+# commutes with the scoring (same jaccard column, same float comparisons),
+# so the pass runs once per sweep (guide §1.2). The table is
+# (d1, d2, jaccard, n_common), candidates << corpus by construction.
+_SCORED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
-register_fixture_hook(_VERIFIED_CACHE.clear)
+register_fixture_hook(_SCORED_CACHE.clear)
 
 
 def verify_pairs_from_memo(
@@ -139,17 +145,29 @@ def verify_pairs_from_memo(
     return _score_candidate_pairs(sh, pairs, "doc_id", threshold)
 
 
-def verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scored_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-scoped memo: exact shingle-Jaccard for EVERY LSH candidate
+    pair (threshold=-1 keeps all, including true-Jaccard-0 collisions)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _VERIFIED_CACHE:
+    if key not in _SCORED_CACHE:
         from drug_target_discovery_spark.caching import fixture_cache
 
-        _VERIFIED_CACHE[key] = fixture_cache(
+        _SCORED_CACHE[key] = fixture_cache(
             verify_pairs_from_memo(
-                spark, sf_dir, candidate_pairs(spark, sf_dir), _JACCARD_T
+                spark, sf_dir, candidate_pairs(spark, sf_dir), -1.0
             )
         )
-    return _VERIFIED_CACHE[key]
+    return _SCORED_CACHE[key]
+
+
+def verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs verified at jaccard > _JACCARD_T: a filter over the
+    unfiltered scored memo — identical rows/values to scoring directly at
+    threshold=_JACCARD_T (the filter commutes with the scoring; same
+    jaccard expression, same float comparison)."""
+    return scored_all_pairs(spark, sf_dir).filter(
+        F.col("jaccard") > _JACCARD_T
+    )
 
 
 # Exact-pairs memo: the stop-shingle-capped shingle SELF-JOIN (sizes +

@@ -103,11 +103,19 @@ _GRAPH_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 # once per consuming query. Post-aggregation it is small (|parts|×|nations|
 # rows), so holding it for the sweep costs little storage.
 _CELL_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Sweep-scoped (n_nodes, n_edges) of the memoized graph (optimization r14,
+# VERDICT r13 #3): ~8 downstream queries each ran their own count() jobs to
+# gate driver-twin strategy selection or to read the degree normalizer —
+# pure overhead on the cached tables. Counted ONCE per sweep here; the two
+# counts double as the nodes/edges fixture caches' materializers (the LPA
+# pattern: the gating action does the cache's work).
+_GRAPH_COUNT_CACHE: dict[tuple[str, str], tuple[int, int]] = {}
 
 from drug_target_discovery_spark.caching import register_fixture_hook  # noqa: E402
 
 register_fixture_hook(_GRAPH_CACHE.clear)
 register_fixture_hook(_CELL_CACHE.clear)
+register_fixture_hook(_GRAPH_COUNT_CACHE.clear)
 
 
 def cell_matrix_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,6 +154,16 @@ def _corr_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     )
     _GRAPH_CACHE[key] = (nodes, edges)
     return nodes, edges
+
+
+def _corr_graph_counts(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(n_nodes, n_edges) of the memoized corr graph, counted once per
+    sweep; materializes both fixture caches as a side effect."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _GRAPH_COUNT_CACHE:
+        nodes, edges = _corr_graph(spark, sf_dir)
+        _GRAPH_COUNT_CACHE[key] = (nodes.count(), edges.count())
+    return _GRAPH_COUNT_CACHE[key]
 
 
 # --------------------------------------------------------------------------
@@ -192,7 +210,8 @@ def degree_centrality_corr_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nx.degree_centrality parity (G2, pipeline2.py:747): degree/(n-1) with
     isolated nodes at 0. Single aggregate over the symmetrized edge list."""
     nodes, edges = _corr_graph(spark, sf_dir)
-    dc = degree_centrality(edges.select("src", "dst"), nodes)
+    n_nodes, _ = _corr_graph_counts(spark, sf_dir)
+    dc = degree_centrality(edges.select("src", "dst"), nodes, n_nodes=n_nodes)
     return dc.select("node", rnd("degree_centrality", 6).alias("degree_centrality"))
 
 
@@ -210,7 +229,10 @@ def eigenvector_centrality_corr_graph(spark: SparkSession, sf_dir: str) -> DataF
     networkx-computed fixture (tools/gen_graph_oracles.py) on the sf0.01
     graph; parity also unit-tested in tests/test_graph.py."""
     nodes, edges = _corr_graph(spark, sf_dir)
-    ec = eigenvector_centrality(edges.select("src", "dst"), nodes, max_iter=1000, tol=1e-6)
+    n_nodes, _ = _corr_graph_counts(spark, sf_dir)
+    ec = eigenvector_centrality(
+        edges.select("src", "dst"), nodes, max_iter=1000, tol=1e-6, n_nodes=n_nodes
+    )
     return ec.select("node", rnd("eigenvector_centrality", 6).alias("eigenvector_centrality"))
 
 
@@ -252,7 +274,10 @@ def core_numbers_corr_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from drug_target_discovery_spark.graph.algorithms import core_numbers
 
     nodes, edges = _corr_graph(spark, sf_dir)
-    return core_numbers(edges.select("src", "dst"), nodes).orderBy("node")
+    n_nodes, n_edges = _corr_graph_counts(spark, sf_dir)
+    return core_numbers(
+        edges.select("src", "dst"), nodes, n_edges=n_edges, n_nodes=n_nodes
+    ).orderBy("node")
 
 
 # --------------------------------------------------------------------------
@@ -269,9 +294,10 @@ def network_target_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     with deterministic tie-break. Oracle = networkx fixture values
     (centralities AND the min-max composite) on the sf0.01 graph."""
     nodes, edges = _corr_graph(spark, sf_dir)
+    n_nodes, _ = _corr_graph_counts(spark, sf_dir)
     e = edges.select("src", "dst")
     cent_cols = ["degree_centrality", "betweenness_centrality", "eigenvector_centrality"]
-    if 0 < nodes.count() <= 2_000:
+    if 0 < n_nodes <= 2_000:
         # small-graph fast path: all three centralities + min-max from one
         # edge-list collect (the top-K construction bounds the graph), vs
         # ~20 tiny Spark jobs for the three separate DataFrame programs.
@@ -289,8 +315,8 @@ def network_target_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             pdf[c + "_scaled"] = 0.0 if span == 0.0 else (pdf[c] - pdf[c].min()) / span
         scaled = spark.createDataFrame(pdf)
     else:
-        dc = degree_centrality(e, nodes)
-        ec = eigenvector_centrality(e, nodes, max_iter=1000, tol=1e-6)
+        dc = degree_centrality(e, nodes, n_nodes=n_nodes)
+        ec = eigenvector_centrality(e, nodes, max_iter=1000, tol=1e-6, n_nodes=n_nodes)
         bc = betweenness_centrality(e, nodes, normalized=True)
         joined = dc.join(ec, "node").join(bc, "node")
         scaled = minmax_scale(joined, cent_cols)
@@ -366,7 +392,10 @@ def clustering_coefficient_corr_graph(spark: SparkSession, sf_dir: str) -> DataF
     coefficient ratio is computed HERE, through one Spark expression
     shared by both strategies, so the float path is identical."""
     nodes, edges = _corr_graph(spark, sf_dir)
-    tc = triangle_counts(edges.select("src", "dst"), nodes)
+    n_nodes, n_edges = _corr_graph_counts(spark, sf_dir)
+    tc = triangle_counts(
+        edges.select("src", "dst"), nodes, n_edges=n_edges, n_nodes=n_nodes
+    )
     return tc.select(
         "node",
         "n_triangles",

@@ -12,7 +12,11 @@ from drug_target_discovery_spark.graph.algorithms import connected_components, p
 from drug_target_discovery_spark.operators.asof import asof_join_backward
 from drug_target_discovery_spark.queries.dedup import _SIG_SQL, _BANDS_ROWS, candidate_pairs
 from drug_target_discovery_spark.operators.dedup import MERSENNE61
-from drug_target_discovery_spark.queries.graphq import GRAPH_ORACLES, _corr_graph
+from drug_target_discovery_spark.queries.graphq import (
+    GRAPH_ORACLES,
+    _corr_graph,
+    _corr_graph_counts,
+)
 from drug_target_discovery_spark.queries.registry import register
 from drug_target_discovery_spark.sources.tables import load_table
 
@@ -82,7 +86,10 @@ def pagerank_corr_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     values (tools/gen_graph_oracles.py) on the sf0.01 graph, parity vs a
     reference implementation in tests."""
     nodes, edges = _corr_graph(spark, sf_dir)
-    pr = pagerank(edges.select("src", "dst"), nodes, damping=0.85, max_iter=30)
+    n_nodes, _ = _corr_graph_counts(spark, sf_dir)
+    pr = pagerank(
+        edges.select("src", "dst"), nodes, damping=0.85, max_iter=30, n_nodes=n_nodes
+    )
     return pr.select("node", rnd("pagerank", 6).alias("pagerank"))
 
 

@@ -100,16 +100,17 @@ def minhash_jaccard_estimate_error(
     the signature-agreement join is |candidates| x {_NUM_HASHES} rows.
     Output is bounded at 11 decile rows."""
     cand = candidate_pairs(spark, sf_dir)
-    # threshold=-1 keeps ALL candidate pairs, including true-Jaccard-0
-    # banding collisions — precisely the error cases the audit must see.
-    # Scores off the sweep-scoped raw-shingle memo (optimization r13).
-    from drug_target_discovery_spark.queries.dedup import (
-        verify_pairs_from_memo,
-    )
+    # The unfiltered scored memo keeps ALL candidate pairs, including
+    # true-Jaccard-0 banding collisions — precisely the error cases the
+    # audit must see. Shared with the verified_pairs consumers
+    # (optimization r14): before, this query re-ran the scoring pass
+    # (collect_list groupBy + two joins) per invocation because its
+    # threshold differs from the dedup family's; the memo is the same
+    # scoring kernel at threshold=-1, so the family's 0.8-filter is a
+    # view of it and the pass runs once per sweep (guide §1.2).
+    from drug_target_discovery_spark.queries.dedup import scored_all_pairs
 
-    exact = verify_pairs_from_memo(spark, sf_dir, cand, -1.0).select(
-        "d1", "d2", "jaccard"
-    )
+    exact = scored_all_pairs(spark, sf_dir).select("d1", "d2", "jaccard")
     from drug_target_discovery_spark.queries.dedup import _signatures
 
     sig = _signatures(spark, sf_dir)

@@ -87,3 +87,34 @@ class TestPrefixFilterEquivalence:
                 ).collect()
             }
             assert pref == full, (t, pref, full)
+
+
+class TestScoredPairsMemo:
+    """Optimization r14: verified_pairs is now a filter over the ONE
+    unfiltered scored memo shared with minhash_jaccard_estimate_error.
+    The filter must commute with the scoring — identical rows/values to
+    scoring directly at the family threshold."""
+
+    def test_filter_commutes_with_direct_threshold_scoring(self, spark):
+        from drug_target_discovery_spark.caching import release_caches
+        from drug_target_discovery_spark.queries.dedup import (
+            _JACCARD_T,
+            candidate_pairs,
+            verified_pairs,
+            verify_pairs_from_memo,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        try:
+            direct = sorted(
+                map(
+                    tuple,
+                    verify_pairs_from_memo(
+                        spark, sf_dir, candidate_pairs(spark, sf_dir), _JACCARD_T
+                    ).collect(),
+                )
+            )
+            via_memo = sorted(map(tuple, verified_pairs(spark, sf_dir).collect()))
+            assert via_memo == direct and len(via_memo) > 0
+        finally:
+            release_caches(fixtures=True)

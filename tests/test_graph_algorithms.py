@@ -351,3 +351,81 @@ class TestTriangleCounts:
                 ).triangle_counts(edges, nodes, driver_threshold=thr).collect()
             }
             assert got == {5: (0, 0)}, f"driver_threshold={thr}"
+
+
+class TestDriverTwinPolicy:
+    """Optimization r14 (VERDICT r13 #4/#6): one policy constant gates
+    every driver twin, and caller-known count hints must neither change
+    results nor change the selected strategy."""
+
+    def test_one_policy_constant_is_every_gate_default(self):
+        import inspect
+
+        from drug_target_discovery_spark.graph import algorithms as ga
+        from drug_target_discovery_spark.graph.centrality import (
+            eigenvector_centrality,
+        )
+
+        for fn in (
+            ga.connected_components,
+            ga.pagerank,
+            ga.core_numbers,
+            ga.label_propagation,
+            ga.triangle_counts,
+        ):
+            default = inspect.signature(fn).parameters["driver_threshold"].default
+            assert default == ga.DRIVER_TWIN_THRESHOLD, fn.__name__
+        # eigenvector resolves None -> the same constant at call time
+        # (module split avoids an import cycle)
+        sig = inspect.signature(eigenvector_centrality)
+        assert sig.parameters["driver_threshold"].default is None
+
+    def test_count_hints_do_not_change_results(self, spark, graph_dfs):
+        from drug_target_discovery_spark.graph.algorithms import (
+            connected_components,
+            core_numbers,
+            pagerank,
+            triangle_counts,
+        )
+
+        g, nodes, edges = graph_dfs
+        ne, nn = len(g.edges()), len(g.nodes())
+
+        def rows(df):
+            return sorted(map(tuple, df.collect()))
+
+        assert rows(
+            connected_components(edges, nodes, n_edges=ne, n_nodes=nn)
+        ) == rows(connected_components(edges, nodes))
+        assert rows(core_numbers(edges, nodes, n_edges=ne, n_nodes=nn)) == rows(
+            core_numbers(edges, nodes)
+        )
+        assert rows(triangle_counts(edges, nodes, n_edges=ne, n_nodes=nn)) == rows(
+            triangle_counts(edges, nodes)
+        )
+        assert rows(pagerank(edges, nodes, n_nodes=nn)) == rows(
+            pagerank(edges, nodes)
+        )
+
+    def test_count_hints_select_strategy_without_count_jobs(self, spark, graph_dfs):
+        # hinted ABOVE the gate -> distributed plan, and the gate itself
+        # must launch no jobs (the hints replace the count() actions)
+        from drug_target_discovery_spark.graph.algorithms import triangle_counts
+
+        g, nodes, edges = graph_dfs
+        exp = {
+            v: (nx.triangles(g, v), g.degree(v)) for v in sorted(g.nodes())
+        }
+        def job_counter(sc):
+            v = sc._jsc.sc().dagScheduler().nextJobId()
+            return int(v) if isinstance(v, int) else int(v.get())
+
+        sc = spark.sparkContext
+        j0 = job_counter(sc)
+        df = triangle_counts(
+            edges, nodes, driver_threshold=10, n_edges=10**9, n_nodes=10**9
+        )
+        j1 = job_counter(sc)
+        assert j1 == j0, "gating with hints must not launch Spark jobs"
+        got = {r["node"]: (r["n_triangles"], r["degree"]) for r in df.collect()}
+        assert got == exp

@@ -36,6 +36,15 @@ def main() -> None:
         raise SystemExit(__doc__)
     split = argv.index("--")
     a_paths, b_paths = argv[:split], argv[split + 1 :]
+    if len(a_paths) != len(b_paths):
+        # min over more samples is stochastically lower, so unequal take
+        # counts bias the comparison toward the side with more payloads
+        # (ADVICE r13 #1) — warn loudly and record the counts below.
+        print(
+            f"WARNING: unequal take counts ({len(a_paths)} pre vs "
+            f"{len(b_paths)} post) — min-of-N bias favors the larger side",
+            file=sys.stderr,
+        )
     a, b = _load_side(a_paths), _load_side(b_paths)
     shared = sorted(set(a) & set(b))
     only_a, only_b = sorted(set(a) - set(b)), sorted(set(b) - set(a))
@@ -50,14 +59,18 @@ def main() -> None:
     for k, va, vb, d in rows[:15]:
         print(f"| {k} | {va:.2f} | {vb:.2f} | {d:+.2f} |")
     print("| ... | | | |")
-    for k, va, vb, d in rows[-5:]:
+    # start the tail after the head slice so short lists don't print
+    # duplicate rows (ADVICE r13 #2)
+    for k, va, vb, d in rows[max(15, len(rows) - 5) :]:
         print(f"| {k} | {va:.2f} | {vb:.2f} | {d:+.2f} |")
     print()
     machine = {
         "shared_queries": len(shared),
+        "takes_pre": len(a_paths),
+        "takes_post": len(b_paths),
         "total_min_pre_sec": round(tot_a, 2),
         "total_min_post_sec": round(tot_b, 2),
-        "delta_pct": round(100.0 * (tot_b - tot_a) / tot_a, 2),
+        "delta_pct": round(100.0 * (tot_b - tot_a) / tot_a, 2) if tot_a else None,
         "only_pre": only_a,
         "only_post": only_b,
         "n_improved": sum(1 for r in rows if r[3] < 0),

@@ -44,7 +44,7 @@ from drug_target_discovery_spark.session import get_spark  # noqa: E402
 from drug_target_discovery_spark.sources.tables import load_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = "/root/repo/plans/r13"
+OUT_DIR = os.environ.get("SPARK_GRAFT_PLANS_DIR", "/root/repo/plans/r14")
 
 spark = get_spark("capture-plan")
 load_table(spark, SF_DIR, "lineitem").count()
