@@ -273,7 +273,11 @@ def bh_fdr(df: DataFrame, p: str = "pvalue", out: str = "adjusted_pvalue") -> Da
 
 
 def bh_fdr_scalable(
-    df: DataFrame, p: str = "pvalue", out: str = "adjusted_pvalue", partitions: int = 200
+    df: DataFrame,
+    p: str = "pvalue",
+    out: str = "adjusted_pvalue",
+    partitions: int = 200,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """BH at extreme cardinality: range-partitioned sort + per-partition
     suffix-min + a second pass folding in the running min from higher
@@ -322,9 +326,19 @@ def bh_fdr_scalable(
     )
     # boundaries only balance the buckets — correctness is boundary-
     # independent (rank = per-bucket row_number + offsets, exact either
-    # way), so a loose 1% quantile error buys a much cheaper first pass
-    qs = nn.stat.approxQuantile(
-        p, [i / partitions for i in range(1, partitions)], 0.01
+    # way, and equal values always land in one bucket because the bucket
+    # id is a function of the VALUE), so a loose 1% quantile error buys a
+    # much cheaper first pass. Callers that KNOW their p distribution
+    # (e.g. uniform-by-construction pseudo p-values) may pass static
+    # ``boundaries`` and skip the approxQuantile action entirely
+    # (optimization r14, guide §8: problem knowledge the optimizer lacks);
+    # skew-prone inputs keep the default sampled boundaries.
+    qs = (
+        list(boundaries)
+        if boundaries is not None
+        else nn.stat.approxQuantile(
+            p, [i / partitions for i in range(1, partitions)], 0.01
+        )
     )
     bucket: Column = F.lit(0)
     for b in qs:

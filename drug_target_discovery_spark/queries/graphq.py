@@ -103,13 +103,14 @@ _GRAPH_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 # once per consuming query. Post-aggregation it is small (|parts|×|nations|
 # rows), so holding it for the sweep costs little storage.
 _CELL_CACHE: dict[tuple[str, str], DataFrame] = {}
-# Sweep-scoped (n_nodes, n_edges) of the memoized graph (optimization r14,
+# Sweep-scoped {n_nodes, n_edges} of the memoized graph (optimization r14,
 # VERDICT r13 #3): ~8 downstream queries each ran their own count() jobs to
 # gate driver-twin strategy selection or to read the degree normalizer —
-# pure overhead on the cached tables. Counted ONCE per sweep here; the two
-# counts double as the nodes/edges fixture caches' materializers (the LPA
-# pattern: the gating action does the cache's work).
-_GRAPH_COUNT_CACHE: dict[tuple[str, str], tuple[int, int]] = {}
+# pure overhead on the cached tables. n_nodes is free at build time (the
+# top-K list is collected); n_edges is counted ONCE per sweep and the
+# count doubles as the edges cache's materializer (the LPA pattern: the
+# gating action does the cache's work).
+_GRAPH_COUNT_CACHE: dict[tuple[str, str], dict[str, int]] = {}
 
 from drug_target_discovery_spark.caching import register_fixture_hook  # noqa: E402
 
@@ -131,9 +132,15 @@ def cell_matrix_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _corr_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(nodes, edges) of the thresholded correlation graph (G1). The top-K
-    node set is tiny -> broadcast semi-joins restrict the cell table before
-    the pairwise self-join (the reference's cardinality-reduction-first
-    structure, SURVEY §4). Cached per session+sf_dir."""
+    gene ids are COLLECTED once (K <= {TOP_K} bigints — the reference's
+    cardinality-reduction-first structure, SURVEY §4): the node table
+    becomes a zero-job local relation and the pairwise-corr input is an
+    ``isin`` filter over the K literals instead of a broadcast semi-join
+    (optimization r14, guide §1.2 — the semi-join + node-cache
+    materialization cost 3 extra jobs and a BroadcastExchange per sweep;
+    filtering on the identical id set feeds the identical rows into the
+    identical corr() aggregate, so edge values cannot move). Cached per
+    session+sf_dir."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
@@ -143,27 +150,33 @@ def _corr_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     # three times inside this builder alone (top-K variance, semi-joined
     # pairwise-corr input, node set) plus once more in mllib_corr_matrix_top.
     cell = cell_matrix_cached(spark, sf_dir)
-    top = _top_genes(cell)
-    sub = cell.join(F.broadcast(top), "g", "left_semi")
+    # ONE job: ranks the genes and materializes the cell cache en route
+    top_vals = [r["g"] for r in _top_genes(cell).collect()]
+    g_type = dict(cell.dtypes)["g"]
+    nodes = spark.createDataFrame([(v,) for v in top_vals], f"node {g_type}")
+    sub = cell.filter(F.col("g").isin(top_vals)) if top_vals else cell.filter(F.lit(False))
     edges = corr_edges(sub, "g", "s", "v", threshold=CORR_THRESHOLD, min_periods=MIN_PERIODS)
-    nodes = fixture_cache(top.select(F.col("g").alias("node")))
     edges = fixture_cache(
         edges.select(
             F.col("g1").alias("src"), F.col("g2").alias("dst"), "r", "weight", "n_samples"
         )
     )
     _GRAPH_CACHE[key] = (nodes, edges)
+    _GRAPH_COUNT_CACHE.setdefault(key, {})["n_nodes"] = len(top_vals)
     return nodes, edges
 
 
 def _corr_graph_counts(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
-    """(n_nodes, n_edges) of the memoized corr graph, counted once per
-    sweep; materializes both fixture caches as a side effect."""
+    """(n_nodes, n_edges) of the memoized corr graph. n_nodes is known at
+    build time (the collected top-K list); n_edges is counted once per
+    sweep and the count doubles as the edges fixture cache's
+    materializer."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _GRAPH_COUNT_CACHE:
-        nodes, edges = _corr_graph(spark, sf_dir)
-        _GRAPH_COUNT_CACHE[key] = (nodes.count(), edges.count())
-    return _GRAPH_COUNT_CACHE[key]
+    nodes, edges = _corr_graph(spark, sf_dir)
+    counts = _GRAPH_COUNT_CACHE[key]
+    if "n_edges" not in counts:
+        counts["n_edges"] = edges.count()
+    return counts["n_nodes"], counts["n_edges"]
 
 
 # --------------------------------------------------------------------------

@@ -413,7 +413,21 @@ def bh_fdr_scalable_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = li.select("l_orderkey", "l_linenumber").withColumn(
         "pvalue", F.expr(_PSEUDO_P_ROW)
     )
-    adj = bh_fdr_scalable(pv, "pvalue", "adjusted_pvalue", partitions=32)
+    # static boundary grid (optimization r14): _PSEUDO_P_ROW is uniform on
+    # [0,1) BY CONSTRUCTION (a full-period integer hash divided by its
+    # modulus), so the i/32 grid is exactly what approxQuantile would
+    # estimate — passing it skips the quantile action (one full pass +
+    # 3 jobs at every plan build) while bucket balance stays identical.
+    # Correctness is boundary-independent (see bh_fdr_scalable); exact
+    # equality with the single-window bh_fdr stays pinned in
+    # tests/test_stats.py for BOTH boundary modes.
+    adj = bh_fdr_scalable(
+        pv,
+        "pvalue",
+        "adjusted_pvalue",
+        partitions=32,
+        boundaries=[i / 32 for i in range(1, 32)],
+    )
     return adj.select(
         "l_orderkey",
         "l_linenumber",

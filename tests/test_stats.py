@@ -130,6 +130,30 @@ class TestBH:
         assert (nan_a == nan_b).all()
         assert (av[~nan_a] == bv[~nan_b]).all(), "scalable BH diverges from bh_fdr"
 
+    def test_static_boundaries_exactly_equal_sampled(self, spark, big_p):
+        """Optimization r14: a caller-supplied static boundary grid must be
+        value-for-value identical to the sampled-boundary path AND to
+        bh_fdr — correctness is boundary-independent (ranks are exact
+        per-bucket row_numbers + counted offsets for any deterministic
+        value->bucket function). The grid here is deliberately UNBALANCED
+        (skewed toward 0) to prove independence, not just balance."""
+        import numpy as np
+
+        a = bh_fdr(big_p, "pvalue", "adj").toPandas().sort_values("gene").reset_index(drop=True)
+        b = (
+            bh_fdr_scalable(
+                big_p, "pvalue", "adj", partitions=32,
+                boundaries=[0.001, 0.01, 0.05, 0.1, 0.3, 0.5, 0.9],
+            )
+            .toPandas()
+            .sort_values("gene")
+            .reset_index(drop=True)
+        )
+        av, bv = a["adj"].to_numpy(), b["adj"].to_numpy()
+        nan_a, nan_b = np.isnan(av), np.isnan(bv)
+        assert (nan_a == nan_b).all()
+        assert (av[~nan_a] == bv[~nan_b]).all(), "static-boundary BH diverges"
+
     def test_scalable_plan_has_no_single_partition_exchange(self, spark, big_p):
         """Plan shape: bh_fdr's global windows hit Exchange SinglePartition
         (fine at post-aggregation cardinality); the scalable variant must
