@@ -52,6 +52,27 @@ def fixture_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def fixture_checkpoint(df: DataFrame) -> DataFrame:
+    """Sweep-scoped memo via ``localCheckpoint(eager=True)``: same reuse
+    contract as ``fixture_cache``, plus LINEAGE TRUNCATION. ``cache()``
+    keeps the memo's full logical plan inside every consumer's plan —
+    analysis/optimization walk it again per consumer, and the deepest
+    memo chains (shingles -> signatures -> band join -> scoring) were
+    costing ~0.5-2.7s of pure driver-side plan construction PER consumer
+    query (guide §3.3 "materialising truncates the plan", §7.3 planning
+    time). A checkpointed memo is a LogicalRDD leaf: consumers' plans
+    stop scaling with the memo's build lineage. Storage is the executor
+    block manager (MEMORY_AND_DISK), as with cache; blocks are freed by
+    the ContextCleaner once the memo dicts are cleared by the release
+    hooks (unpersist() has no effect on checkpoints). The at-scale trade
+    is documented: a lost executor fails dependents instead of
+    recomputing the memo — acceptable for sweep-scoped intermediates a
+    nightly pipeline would materialize to storage anyway."""
+    df = df.localCheckpoint(eager=True)
+    _FIXTURE.append(df)
+    return df
+
+
 def register_fixture_hook(fn: Callable[[], None]) -> None:
     """Run ``fn`` (typically: clear a memo dict) on fixture release."""
     _HOOKS.append(fn)

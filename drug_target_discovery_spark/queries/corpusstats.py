@@ -201,6 +201,19 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _BM25_CACHE:
         return _BM25_CACHE[key]
+    from drug_target_discovery_spark.caching import fixture_checkpoint
+
+    # checkpoint, not cache: the token-stream lineage otherwise rides
+    # inside all three consumer plans (optimization r14)
+    _BM25_CACHE[key] = fixture_checkpoint(_bm25_plan(spark, sf_dir))
+    return _BM25_CACHE[key]
+
+
+def _bm25_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 BUILD plan (df + corpus stats broadcast into the tf table)
+    — exposed un-memoized so the plan-shape test can assert on it now that
+    the memo is a lineage-truncating checkpoint
+    (tests/test_plans.py::test_bm25_no_payload_shuffle)."""
     k1, b = _BM25_K1, _BM25_B
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -229,9 +242,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_q = F.floor(
         idf * (F.col("tf") * (k1 + 1.0)) / denom * 1000000.0 + F.lit(0.5)
     ).cast("long")
-    from drug_target_discovery_spark.caching import fixture_cache
-
-    _BM25_CACHE[key] = fixture_cache(
+    return (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -242,7 +253,6 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s_q").alias("s_sum"),
         )
     )
-    return _BM25_CACHE[key]
 
 
 @register(

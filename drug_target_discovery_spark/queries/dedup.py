@@ -66,13 +66,16 @@ def _raw_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SIG_CACHE:
-        from drug_target_discovery_spark.caching import fixture_cache
+        from drug_target_discovery_spark.caching import fixture_checkpoint
 
         from drug_target_discovery_spark.operators.dedup import (
             minhash_signatures_from_shingles,
         )
 
-        _SIG_CACHE[key] = fixture_cache(
+        # checkpoint, not cache: the signature lineage (shingle explode +
+        # 16-min aggregate) otherwise rides inside every LSH consumer's
+        # plan (optimization r14 — see caching.fixture_checkpoint)
+        _SIG_CACHE[key] = fixture_checkpoint(
             minhash_signatures_from_shingles(
                 _raw_shingles(spark, sf_dir),
                 num_hashes=_NUM_HASHES,
@@ -96,9 +99,9 @@ register_fixture_hook(_PAIR_CACHE.clear)
 def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIR_CACHE:
-        from drug_target_discovery_spark.caching import fixture_cache
+        from drug_target_discovery_spark.caching import fixture_checkpoint
 
-        _PAIR_CACHE[key] = fixture_cache(
+        _PAIR_CACHE[key] = fixture_checkpoint(
             lsh_candidate_pairs(
                 _signatures(spark, sf_dir), rows_per_band=_BANDS_ROWS
             )
@@ -150,9 +153,9 @@ def scored_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair (threshold=-1 keeps all, including true-Jaccard-0 collisions)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SCORED_CACHE:
-        from drug_target_discovery_spark.caching import fixture_cache
+        from drug_target_discovery_spark.caching import fixture_checkpoint
 
-        _SCORED_CACHE[key] = fixture_cache(
+        _SCORED_CACHE[key] = fixture_checkpoint(
             verify_pairs_from_memo(
                 spark, sf_dir, candidate_pairs(spark, sf_dir), -1.0
             )
@@ -192,12 +195,14 @@ def shingle_sizes_and_intersections(
     both sides of the metric."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EXACT_PAIR_CACHE:
-        from drug_target_discovery_spark.caching import fixture_cache
+        from drug_target_discovery_spark.caching import fixture_checkpoint
 
         docs = load_table(spark, sf_dir, "documents")
         n_docs = docs.count()
         # rides the sweep-scoped raw-shingle memo (shared with the
-        # signature build) instead of re-deriving shingles from text
+        # signature build) instead of re-deriving shingles from text;
+        # all three tables checkpoint (not cache) so the stop-filter +
+        # self-join lineage stays out of consumer plans (optimization r14)
         sh = _raw_shingles(spark, sf_dir)
         common = (
             sh.groupBy("shingle")
@@ -205,13 +210,13 @@ def shingle_sizes_and_intersections(
             .filter(F.col("df") > 0.5 * n_docs)
             .select("shingle")
         )
-        sh = fixture_cache(sh.join(F.broadcast(common), "shingle", "left_anti"))
-        sizes = fixture_cache(
+        sh = fixture_checkpoint(sh.join(F.broadcast(common), "shingle", "left_anti"))
+        sizes = fixture_checkpoint(
             sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
         )
         a = sh.select(F.col("doc_id").alias("d1"), "shingle")
         b = sh.select(F.col("doc_id").alias("d2"), "shingle")
-        inter = fixture_cache(
+        inter = fixture_checkpoint(
             a.join(b, "shingle")
             .filter(F.col("d1") < F.col("d2"))
             .groupBy("d1", "d2")

@@ -107,9 +107,8 @@ _CELL_CACHE: dict[tuple[str, str], DataFrame] = {}
 # VERDICT r13 #3): ~8 downstream queries each ran their own count() jobs to
 # gate driver-twin strategy selection or to read the degree normalizer —
 # pure overhead on the cached tables. n_nodes is free at build time (the
-# top-K list is collected); n_edges is counted ONCE per sweep and the
-# count doubles as the edges cache's materializer (the LPA pattern: the
-# gating action does the cache's work).
+# top-K list is collected); n_edges is counted ONCE per sweep over the
+# eagerly-checkpointed edge table.
 _GRAPH_COUNT_CACHE: dict[tuple[str, str], dict[str, int]] = {}
 
 from drug_target_discovery_spark.caching import register_fixture_hook  # noqa: E402
@@ -124,9 +123,12 @@ def cell_matrix_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     build of the only fact-fact join in the graph/mllib tiers."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CELL_CACHE:
-        from drug_target_discovery_spark.caching import fixture_cache
+        from drug_target_discovery_spark.caching import fixture_checkpoint
 
-        _CELL_CACHE[key] = fixture_cache(_cell_matrix(spark, sf_dir))
+        # checkpoint, not cache (optimization r14): the 3-table join
+        # lineage otherwise rides inside the edges build AND the mllib
+        # pivot consumer's plan
+        _CELL_CACHE[key] = fixture_checkpoint(_cell_matrix(spark, sf_dir))
     return _CELL_CACHE[key]
 
 
@@ -144,7 +146,7 @@ def _corr_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
-    from drug_target_discovery_spark.caching import fixture_cache
+    from drug_target_discovery_spark.caching import fixture_checkpoint
 
     # Without the shared memo the lineitem⋈orders fact-fact join would run
     # three times inside this builder alone (top-K variance, semi-joined
@@ -156,7 +158,11 @@ def _corr_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     nodes = spark.createDataFrame([(v,) for v in top_vals], f"node {g_type}")
     sub = cell.filter(F.col("g").isin(top_vals)) if top_vals else cell.filter(F.lit(False))
     edges = corr_edges(sub, "g", "s", "v", threshold=CORR_THRESHOLD, min_periods=MIN_PERIODS)
-    edges = fixture_cache(
+    # checkpoint, not cache (optimization r14): ~12 graph consumers embed
+    # this memo's lineage (cell matrix join + pairwise corr) in their own
+    # plans otherwise; as a LogicalRDD leaf their plan-build cost stops
+    # scaling with the build chain
+    edges = fixture_checkpoint(
         edges.select(
             F.col("g1").alias("src"), F.col("g2").alias("dst"), "r", "weight", "n_samples"
         )
@@ -169,8 +175,7 @@ def _corr_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
 def _corr_graph_counts(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     """(n_nodes, n_edges) of the memoized corr graph. n_nodes is known at
     build time (the collected top-K list); n_edges is counted once per
-    sweep and the count doubles as the edges fixture cache's
-    materializer."""
+    sweep over the eagerly-checkpointed edge table."""
     key = (spark.sparkContext.applicationId, sf_dir)
     nodes, edges = _corr_graph(spark, sf_dir)
     counts = _GRAPH_COUNT_CACHE[key]

@@ -47,7 +47,7 @@ def _fixture_dir() -> str:
 _RUN_CACHE: dict[str, dict[str, DataFrame]] = {}
 
 from drug_target_discovery_spark.caching import (  # noqa: E402
-    fixture_cache,
+    fixture_checkpoint,
     register_fixture_hook,
 )
 
@@ -90,8 +90,8 @@ def _diff_chain(spark: SparkSession) -> dict[str, DataFrame]:
             pipe = DrugTargetPipeline(PipelineParams())
             normalized = pipe.preprocess(expr)
             gene_long = pipe.map_probes_to_genes(normalized, mapping)
-            gene_cond = fixture_cache(pipe.attach_condition(gene_long, meta))
-            diff = fixture_cache(pipe.differential_expression(gene_cond))
+            gene_cond = fixture_checkpoint(pipe.attach_condition(gene_long, meta))
+            diff = fixture_checkpoint(pipe.differential_expression(gene_cond))
             diff.count()
         _RUN_CACHE[key] = {"pipe": pipe, "gene_cond": gene_cond, "differential": diff}
     return _RUN_CACHE[key]
@@ -105,11 +105,11 @@ def _full_chain(spark: SparkSession) -> dict[str, DataFrame]:
         pipe, gene_cond, diff = out["pipe"], out["gene_cond"], out["differential"]
         with _narrow_shuffle(spark):
             sig = pipe.significant_genes(diff)
-            top = fixture_cache(pipe.select_network_genes(gene_cond, sig))
+            top = fixture_checkpoint(pipe.select_network_genes(gene_cond, sig))
             nodes, edges = pipe.build_network(gene_cond, top)
-            edges = fixture_cache(edges)
-            scores = fixture_cache(pipe.score_targets(nodes, edges))
-            validated = fixture_cache(
+            edges = fixture_checkpoint(edges)
+            scores = fixture_checkpoint(pipe.score_targets(nodes, edges))
+            validated = fixture_checkpoint(
                 pipe.validate_targets(scores, deterministic_fake_client)
             )
             validated.count()

@@ -60,13 +60,15 @@ _reg_hook(_RANKED_CACHE.clear)
 def _ranked_cached(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     if key not in _RANKED_CACHE:
-        from drug_target_discovery_spark.caching import fixture_cache
+        from drug_target_discovery_spark.caching import fixture_checkpoint
 
         v = _emb_double(load_table(spark, sf_dir, "embeddings")).select(
             "vec_id", "emb"
         )
         fn = exact_cosine_ranked if kind == "exact" else ivf_cosine_ranked
-        _RANKED_CACHE[key] = fixture_cache(fn(v))
+        # checkpoint, not cache: the O(Q*N) scoring lineage otherwise rides
+        # inside every consumer plan (optimization r14)
+        _RANKED_CACHE[key] = fixture_checkpoint(fn(v))
     return _RANKED_CACHE[key]
 
 
@@ -409,43 +411,51 @@ from drug_target_discovery_spark.caching import register_fixture_hook  # noqa: E
 register_fixture_hook(_ESTEP_CACHE.clear)
 
 
+def _estep_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The E-step BUILD plan (centroids broadcast into the cross join +
+    per-vector argmax window) — exposed un-memoized so the plan-shape test
+    can assert on it now that the memo is a lineage-truncating checkpoint
+    (tests/test_plans.py::test_semantic_dedup_broadcast_and_cluster_local_gemm)."""
+    v = _emb_double(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "emb"
+    )
+    dims = (
+        v.select("label", F.posexplode("emb").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+    )
+    centroids = (
+        dims.groupBy(F.col("label").alias("clabel"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("_sc"))
+        .select("clabel", F.expr("transform(_sc, s -> s.c)").alias("cemb"))
+    )
+    dist = v.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "label",
+        "emb",
+        "clabel",
+        (
+            F.expr(_DOT_SPARK.format(a="emb", b="cemb"))
+            / (
+                F.expr(_NORM_SPARK.format(a="emb"))
+                * F.expr(_NORM_SPARK.format(a="cemb"))
+            )
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("clabel"))
+    return (
+        dist.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "label", "emb", "clabel", "cosine")
+    )
+
+
 def _estep_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ESTEP_CACHE:
-        from drug_target_discovery_spark.caching import fixture_cache
+        from drug_target_discovery_spark.caching import fixture_checkpoint
 
-        v = _emb_double(load_table(spark, sf_dir, "embeddings")).select(
-            "vec_id", "label", "emb"
-        )
-        dims = (
-            v.select("label", F.posexplode("emb").alias("i", "x"))
-            .groupBy("label", "i")
-            .agg(F.avg("x").alias("c"))
-        )
-        centroids = (
-            dims.groupBy(F.col("label").alias("clabel"))
-            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("_sc"))
-            .select("clabel", F.expr("transform(_sc, s -> s.c)").alias("cemb"))
-        )
-        dist = v.crossJoin(F.broadcast(centroids)).select(
-            "vec_id",
-            "label",
-            "emb",
-            "clabel",
-            (
-                F.expr(_DOT_SPARK.format(a="emb", b="cemb"))
-                / (
-                    F.expr(_NORM_SPARK.format(a="emb"))
-                    * F.expr(_NORM_SPARK.format(a="cemb"))
-                )
-            ).alias("cosine"),
-        )
-        w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("clabel"))
-        _ESTEP_CACHE[key] = fixture_cache(
-            dist.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") == 1)
-            .select("vec_id", "label", "emb", "clabel", "cosine")
-        )
+        _ESTEP_CACHE[key] = fixture_checkpoint(_estep_plan(spark, sf_dir))
     return _ESTEP_CACHE[key]
 
 
@@ -588,9 +598,9 @@ def _covariance_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     Memoized per (application, sf_dir); the cell table is D^2-bounded."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _COV_CACHE:
-        from drug_target_discovery_spark.caching import fixture_cache
+        from drug_target_discovery_spark.caching import fixture_checkpoint
 
-        _COV_CACHE[key] = fixture_cache(_covariance_plan(spark, sf_dir))
+        _COV_CACHE[key] = fixture_checkpoint(_covariance_plan(spark, sf_dir))
     return _COV_CACHE[key]
 
 

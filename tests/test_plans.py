@@ -148,8 +148,11 @@ class TestPlanShape:
 
     def test_bm25_no_payload_shuffle(self, spark):
         # df + corpus stats reach the tf table via broadcast; no exchange
-        # is keyed on the raw text payload
-        plan = plan_of(spark, "bm25_keyword_search")
+        # is keyed on the raw text payload. Asserted on the memo's BUILD
+        # plan — the consumer plan is a checkpoint leaf since r14.
+        from drug_target_discovery_spark.queries.corpusstats import _bm25_plan
+
+        plan = _bm25_plan(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
         for part in plan.split("Exchange hashpartitioning")[1:]:
             assert "text" not in part.split("\n")[0], plan
@@ -187,8 +190,13 @@ class TestPlanShape:
         # semantic_dedup_prune: centroids broadcast into the E-step cross
         # join; the intra-cluster pair pass is ONE grouped-map Arrow stage
         # (numpy GEMM per cluster), not a relational self-join of members
+        # centroid broadcast asserted on the E-step memo's BUILD plan —
+        # the consumer plan is a checkpoint leaf since r14
+        from drug_target_discovery_spark.queries.similarity import _estep_plan
+
+        build = _estep_plan(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in build, build
         plan = plan_of(spark, "semantic_dedup_prune")
-        assert "BroadcastNestedLoopJoin" in plan, plan
         assert "FlatMapGroupsInPandas" in plan, plan
 
     def test_curation_end_to_end_scan_discipline(self, spark):
